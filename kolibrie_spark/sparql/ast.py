@@ -1,0 +1,212 @@
+"""AST for the reference's SPARQL fragment.
+
+Mirrors the *capability* of the reference IR (shared/src/query.rs:363-424,
+CombinedQuery/SelectQuery) — SELECT [DISTINCT] with SUM/MIN/MAX/AVG/COUNT
+aggregates, WHERE { BGP, FILTER, BIND, VALUES, UNION, GRAPH, sub-SELECT },
+GROUP BY / ORDER BY / LIMIT (+ OFFSET for builder parity), FROM / FROM NAMED,
+the six SPARQL Update forms, and RDF-star quoted-triple patterns. Terms stay
+lexical strings throughout (see schema.py for why there is no dictionary).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# ------------------------------------------------------------------- terms
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class Iri:
+    value: str  # without angle brackets
+
+
+@dataclass(frozen=True)
+class Lit:
+    value: str  # lexical form; datatype stripped, lang kept as "val@lang"
+
+
+@dataclass(frozen=True)
+class BlankNode:
+    label: str
+
+
+@dataclass(frozen=True)
+class QuotedTriple:
+    """RDF-star << s p o >> — usable as a term in data and in patterns."""
+
+    s: "Term"
+    p: "Term"
+    o: "Term"
+
+
+Term = Var | Iri | Lit | BlankNode | QuotedTriple
+
+
+@dataclass(frozen=True)
+class TriplePattern:
+    s: Term
+    p: Term
+    o: Term
+
+
+# -------------------------------------------------------------- expressions
+@dataclass(frozen=True)
+class TermExpr:
+    term: Term
+
+
+@dataclass(frozen=True)
+class Cmp:
+    left: "Expr"
+    op: str  # = != < <= > >=
+    right: "Expr"
+
+
+@dataclass(frozen=True)
+class And:
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass(frozen=True)
+class Or:
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass(frozen=True)
+class Not:
+    expr: "Expr"
+
+
+@dataclass(frozen=True)
+class Arith:
+    op: str  # + - * /
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass(frozen=True)
+class FuncCall:
+    name: str  # upper-cased: CONCAT, TRIPLE, SUBJECT, ... or a UDF name
+    args: tuple["Expr", ...]
+
+
+Expr = TermExpr | Cmp | And | Or | Not | Arith | FuncCall
+
+
+# ------------------------------------------------------------ group pattern
+@dataclass
+class Bind:
+    expr: Expr
+    var: Var
+
+
+@dataclass
+class ValuesBlock:
+    vars: list[Var]
+    rows: list[list[Term | None]]  # None = UNDEF
+
+
+@dataclass
+class GraphBlock:
+    graph: Iri | Var
+    group: "Group"
+
+
+@dataclass
+class UnionBlock:
+    branches: list["Group"]
+
+
+@dataclass
+class Filter:
+    expr: Expr
+
+
+@dataclass
+class SubSelect:
+    query: "SelectQuery"
+
+
+GroupElement = TriplePattern | Filter | Bind | ValuesBlock | GraphBlock | UnionBlock | SubSelect
+
+
+@dataclass
+class Group:
+    elements: list[GroupElement] = field(default_factory=list)
+
+
+# ------------------------------------------------------------------ queries
+@dataclass
+class Aggregate:
+    func: str  # SUM MIN MAX AVG COUNT
+    arg: Var | None  # None = COUNT(*)
+    alias: str
+    distinct: bool = False
+
+
+@dataclass
+class SelectQuery:
+    select: list[Var | Aggregate]  # empty + star=True => SELECT *
+    star: bool = False
+    distinct: bool = False
+    where: Group = field(default_factory=Group)
+    from_graphs: list[str] = field(default_factory=list)
+    from_named: list[str] = field(default_factory=list)
+    group_by: list[Var] = field(default_factory=list)
+    order_by: list[tuple[Var, bool]] = field(default_factory=list)  # (var, asc)
+    limit: int | None = None
+    offset: int | None = None
+
+
+# ------------------------------------------------------------------ updates
+@dataclass
+class QuadData:
+    """Ground quads from INSERT/DELETE DATA: (s,p,o,g) with g=None default."""
+
+    quads: list[tuple[Term, Term, Term, str | None]]
+
+
+@dataclass
+class InsertData(QuadData):
+    pass
+
+
+@dataclass
+class DeleteData(QuadData):
+    pass
+
+
+@dataclass
+class TemplateQuad:
+    s: Term
+    p: Term
+    o: Term
+    g: str | None = None
+
+
+@dataclass
+class Modify:
+    """DELETE {t} INSERT {t} WHERE {g} and its one-sided forms; also
+    DELETE WHERE {p} (patterns double as delete template)."""
+
+    delete_template: list[TemplateQuad] = field(default_factory=list)
+    insert_template: list[TemplateQuad] = field(default_factory=list)
+    where: Group = field(default_factory=Group)
+
+
+UpdateOp = InsertData | DeleteData | Modify
+
+
+@dataclass
+class Query:
+    """Top-level parse result: exactly one of select / update."""
+
+    prefixes: dict[str, str] = field(default_factory=dict)
+    select: SelectQuery | None = None
+    update: UpdateOp | None = None

@@ -1,0 +1,504 @@
+"""SPARQL AST → Spark DataFrame compiler.
+
+Where the reference runs a Volcano-style binding-passing interpreter over
+hash indexes (streamertail_optimizer/execution/engine.rs:288-672), we emit a
+single declarative DataFrame plan and let Catalyst + AQE do what Streamertail
+does by hand: join ordering/commutation (optimizer.rs:326-343), join
+algorithm choice (optimizer.rs:345-373 — whose four "algorithms" all execute
+identically anyway), scan selection (optimizer.rs:579-603 — predicate
+pushdown), and cardinality estimation (stats/database_stats.rs — CBO/AQE
+runtime stats). SURVEY.md §4 documents the equivalence in detail.
+
+Semantics compiled here:
+- BGP = per-pattern filtered scans of the quads table, natural-joined on
+  shared variables (multiset/bag semantics: engine.rs:376-395).
+- FILTER with the reference's lexical/try-numeric comparisons (compare.py),
+  applied at group scope (Selection above the group, utils.rs:402-517).
+- BIND(CONCAT/udf/TRIPLE/SUBJECT/PREDICATE/OBJECT), VALUES with UNDEF
+  (compatible-mapping join, engine.rs:1137-1160), GRAPH fixed/var including
+  empty-graph binding (engine.rs:846-916), UNION as unionByName with missing
+  columns (engine.rs:328-339), uncorrelated sub-SELECT materialized once
+  (engine.rs:416-426, 685-719), RDF-star quoted patterns (rdfstar.py).
+- SELECT-level GROUP BY + SUM/MIN/MAX/AVG/COUNT over f64-parsed values with
+  non-grouped projected vars carried as first-of-group
+  (execute_query.rs:404-475), ORDER BY numeric-else-lexical
+  (execute_query.rs:477-499), DISTINCT on the projection
+  (execute_query.rs:291-300), LIMIT/OFFSET.
+- Unbound projected variables decode to "" (execute_query.rs:306-317).
+
+Scale notes: every construct lowers to DataFrame ops that shuffle only on
+join/group keys; VALUES blocks are driver-side literals (Catalyst broadcasts
+them); the quoted-triples surrogate table joins broadcast under AQE. The only
+non-equi join is the UNDEF compatible join, which by construction only sees
+small solution sequences (VALUES rows / heterogeneous UNION branches).
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kolibrie_spark import compare, rdfstar
+from kolibrie_spark.sparql import ast
+
+
+class CompileError(ValueError):
+    pass
+
+
+class Bindings:
+    """A solution sequence: a DataFrame whose columns are the in-scope
+    variables, plus the set of columns that may hold NULL (= SPARQL UNDEF).
+
+    Tracking maybe-null columns lets the common all-bound case compile to a
+    plain equi-join and reserves the compatible-mapping expansion for the
+    rare UNDEF case (which only VALUES and heterogeneous UNIONs produce)."""
+
+    def __init__(self, df: DataFrame, maybe_null: frozenset[str] | set[str] = frozenset()):
+        self.df = df
+        self.maybe_null = frozenset(maybe_null)
+
+    @property
+    def vars(self) -> set[str]:
+        return set(self.df.columns)
+
+
+def unit_bindings(spark: SparkSession) -> Bindings:
+    """The solution sequence containing exactly the empty mapping."""
+    return Bindings(spark.range(1).select())
+
+
+def join_bindings(left: Bindings, right: Bindings) -> Bindings:
+    """SPARQL compatible-mapping join of two solution sequences.
+
+    No shared vars  -> cross join (cardinality-preserving: a zero-column side
+    still multiplies by its row count, which is how ground-pattern existence
+    checks work).
+    Shared, all bound -> natural equi-join (Catalyst picks broadcast/SMJ).
+    Shared, maybe-UNDEF -> null-is-wildcard theta join with coalesced output
+    (reference engine.rs:1137-1160). Only small sequences reach this path.
+    """
+    shared = sorted(left.vars & right.vars)
+    if not shared:
+        if not right.vars and not left.vars:
+            return Bindings(left.df.crossJoin(right.df).select())
+        df = left.df.crossJoin(right.df)
+        return Bindings(df, left.maybe_null | right.maybe_null)
+
+    nullable_shared = [c for c in shared if c in left.maybe_null or c in right.maybe_null]
+    out_null = (left.maybe_null | right.maybe_null) - set(shared)
+    if not nullable_shared:
+        return Bindings(left.df.join(right.df, on=shared, how="inner"), out_null)
+
+    l = left.df.alias("__l")
+    r = right.df.alias("__r")
+    conds = []
+    for c in shared:
+        lc, rc = F.col(f"__l.{c}"), F.col(f"__r.{c}")
+        if c in nullable_shared:
+            conds.append(lc.isNull() | rc.isNull() | (lc == rc))
+        else:
+            conds.append(lc == rc)
+    joined = l.join(r, on=functools.reduce(lambda a, b: a & b, conds), how="inner")
+    sel: list[Column] = []
+    still_null: set[str] = set(out_null)
+    for c in sorted(left.vars | right.vars):
+        if c in left.vars and c in right.vars:
+            sel.append(F.coalesce(F.col(f"__l.{c}"), F.col(f"__r.{c}")).alias(c))
+            if c in left.maybe_null and c in right.maybe_null:
+                still_null.add(c)
+        elif c in left.vars:
+            sel.append(F.col(f"__l.{c}").alias(c))
+        else:
+            sel.append(F.col(f"__r.{c}").alias(c))
+    return Bindings(joined.select(*sel), frozenset(still_null))
+
+
+class DatasetView:
+    """FROM / FROM NAMED visibility (reference engine.rs:31-209):
+    - FROM graphs form the *replacement* default graph: their RDF merge,
+      deduplicated (engine.rs:994-1023, dataset_index.rs:207-221).
+    - FROM NAMED restricts which named graphs GRAPH sees.
+    - FROM NAMED alone => empty default graph."""
+
+    def __init__(self, store, from_graphs: list[str], from_named: list[str]):
+        self.store = store
+        self.from_graphs = from_graphs
+        self.from_named = from_named
+
+    def default_df(self) -> DataFrame:
+        q = self.store.quads
+        if self.from_graphs:
+            return (
+                q.filter(F.col("g").isin(self.from_graphs))
+                .select("s", "p", "o")
+                .dropDuplicates()
+                .withColumn("g", F.lit(None).cast("string"))
+            )
+        if self.from_named:
+            return q.filter(F.lit(False))
+        return q.filter(F.col("g").isNull())
+
+    def named_df(self) -> DataFrame:
+        q = self.store.quads
+        if self.from_named:
+            return q.filter(F.col("g").isin(self.from_named))
+        if self.from_graphs:
+            # dataset clause present without FROM NAMED => no named graphs
+            return q.filter(F.lit(False))
+        return q.filter(F.col("g").isNotNull())
+
+    def named_graph_names(self) -> DataFrame:
+        if self.from_named:
+            return self.store.spark.createDataFrame(
+                [(g,) for g in self.from_named], "g string"
+            )
+        if self.from_graphs:
+            return self.store.spark.createDataFrame([], "g string")
+        return self.store.named_graph_names()
+
+
+class Compiler:
+    def __init__(self, store):
+        self.store = store
+        self.spark = store.spark
+
+    # ---------------------------------------------------------------- entry
+    def compile_select(self, q: ast.SelectQuery) -> DataFrame:
+        view = DatasetView(self.store, q.from_graphs, q.from_named)
+        b = self.compile_group(q.where, view, active_graph=None)
+        return self._apply_modifiers(q, b)
+
+    # ----------------------------------------------------solution modifiers
+    def _apply_modifiers(self, q: ast.SelectQuery, b: Bindings) -> DataFrame:
+        df = b.df
+        aggs = [i for i in q.select if isinstance(i, ast.Aggregate)]
+        plain = [i.name for i in q.select if isinstance(i, ast.Var)]
+        group_vars = [v.name for v in q.group_by]
+
+        if aggs or group_vars:
+            agg_exprs = [self._agg_expr(a, df) for a in aggs]
+            # non-grouped, non-aggregated projected vars carried as
+            # first-of-group (reference execute_query.rs:466-471)
+            agg_exprs += [
+                F.first(self._var_col(df, v)).alias(v)
+                for v in plain
+                if v not in group_vars
+            ]
+            gcols = [self._var_col(df, v).alias(v) for v in group_vars]
+            df = df.groupBy(*gcols).agg(*agg_exprs) if gcols else df.agg(*agg_exprs)
+
+        if q.star:
+            out_cols = sorted(b.vars) if not (aggs or group_vars) else list(df.columns)
+        else:
+            out_cols = [i.name if isinstance(i, ast.Var) else i.alias for i in q.select]
+
+        if q.order_by:
+            keys: list[Column] = []
+            for var, asc in q.order_by:
+                keys.extend(compare.order_keys(self._var_col(df, var.name), asc))
+            df = df.orderBy(*keys)
+
+        numeric_out = {a.alias for a in aggs}
+        proj: list[Column] = []
+        for c in out_cols:
+            if c in df.columns:
+                col = F.col(c)
+                if c not in numeric_out:
+                    # unbound decodes to "" (execute_query.rs:306-317)
+                    col = F.coalesce(col, F.lit(""))
+                proj.append(col.alias(c))
+            else:
+                proj.append(F.lit("").alias(c))
+        df = df.select(*proj)
+
+        if q.distinct:
+            df = df.dropDuplicates()
+            if q.order_by:
+                keys = []
+                for var, asc in q.order_by:
+                    if var.name in df.columns:
+                        keys.extend(compare.order_keys(F.col(var.name), asc))
+                if keys:
+                    df = df.orderBy(*keys)
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df
+
+    def _var_col(self, df: DataFrame, name: str) -> Column:
+        return F.col(name) if name in df.columns else F.lit(None).cast("string")
+
+    def _agg_expr(self, a: ast.Aggregate, df: DataFrame) -> Column:
+        if a.func == "COUNT":
+            if a.arg is None:
+                return F.count(F.lit(1)).alias(a.alias)
+            c = self._var_col(df, a.arg.name)
+            return (F.count_distinct(c) if a.distinct else F.count(c)).alias(a.alias)
+        if a.arg is None:
+            raise CompileError(f"{a.func}(*) is not defined")
+        # numeric aggregation over f64-parsed values; non-numeric rows are
+        # skipped because try_cast yields NULL (execute_query.rs:432-464)
+        c = compare.num(self._var_col(df, a.arg.name))
+        if a.distinct:
+            if a.func != "SUM":
+                raise CompileError(f"DISTINCT {a.func} not in the fragment")
+            return F.sum_distinct(c).alias(a.alias)
+        fn = {"SUM": F.sum, "MIN": F.min, "MAX": F.max, "AVG": F.avg}[a.func]
+        return fn(c).alias(a.alias)
+
+    # -------------------------------------------------------- group pattern
+    def compile_group(
+        self,
+        group: ast.Group,
+        view: DatasetView,
+        active_graph: ast.Iri | ast.Var | None,
+    ) -> Bindings:
+        b = unit_bindings(self.spark)
+        filters: list[ast.Filter] = []
+        for el in group.elements:
+            if isinstance(el, ast.TriplePattern):
+                b = join_bindings(b, self._scan(el, view, active_graph))
+            elif isinstance(el, ast.Filter):
+                filters.append(el)  # group-scoped: applied once group is built
+            elif isinstance(el, ast.Bind):
+                b = self._bind(el, b)
+            elif isinstance(el, ast.ValuesBlock):
+                b = join_bindings(b, self._values(el))
+            elif isinstance(el, ast.GraphBlock):
+                b = join_bindings(b, self._graph_block(el, view))
+            elif isinstance(el, ast.UnionBlock):
+                branches = [
+                    self.compile_group(br, view, active_graph) for br in el.branches
+                ]
+                b = join_bindings(b, self._union(branches))
+            elif isinstance(el, ast.SubSelect):
+                b = join_bindings(b, Bindings(self.compile_select(el.query)))
+            else:  # pragma: no cover
+                raise CompileError(f"unsupported group element {el!r}")
+        for f in filters:
+            cond = self.compile_expr(f.expr, b, as_bool=True)
+            b = Bindings(b.df.filter(cond), b.maybe_null)
+        return b
+
+    def _union(self, branches: list[Bindings]) -> Bindings:
+        if len(branches) == 1:
+            return branches[0]
+        all_vars = set().union(*(br.vars for br in branches))
+        maybe_null = set().union(*(br.maybe_null for br in branches))
+        for br in branches:
+            maybe_null |= all_vars - br.vars
+        df = branches[0].df
+        for br in branches[1:]:
+            df = df.unionByName(br.df, allowMissingColumns=True)
+        return Bindings(df, frozenset(maybe_null))
+
+    def _values(self, v: ast.ValuesBlock) -> Bindings:
+        names = [var.name for var in v.vars]
+        rows = [
+            tuple(None if t is None else self._ground_term_value(t) for t in row)
+            for row in v.rows
+        ]
+        schema = ", ".join(f"`{n}` string" for n in names)
+        df = self.spark.createDataFrame(rows, schema)
+        maybe_null = frozenset(
+            n for idx, n in enumerate(names) if any(r[idx] is None for r in rows)
+        )
+        return Bindings(df, maybe_null)
+
+    def _graph_block(self, gb: ast.GraphBlock, view: DatasetView) -> Bindings:
+        if isinstance(gb.graph, ast.Iri):
+            return self.compile_group(gb.group, view, active_graph=gb.graph)
+        # GRAPH ?g: bind the graph variable. If the inner group has no quad
+        # patterns, ?g still ranges over every visible named graph, including
+        # empty ones (identity from the catalog, engine.rs:871-916).
+        inner = self.compile_group(gb.group, view, active_graph=gb.graph)
+        if self._group_has_patterns(gb.group):
+            return inner
+        names = Bindings(view.named_graph_names().withColumnRenamed("g", gb.graph.name))
+        return join_bindings(names, inner)
+
+    def _group_has_patterns(self, group: ast.Group) -> bool:
+        for el in group.elements:
+            if isinstance(el, ast.TriplePattern):
+                return True
+            if isinstance(el, ast.GraphBlock) and self._group_has_patterns(el.group):
+                return True
+            if isinstance(el, ast.UnionBlock) and any(
+                self._group_has_patterns(br) for br in el.branches
+            ):
+                return True
+        return False
+
+    # --------------------------------------------------------------- scans
+    def _scan(
+        self,
+        pat: ast.TriplePattern,
+        view: DatasetView,
+        active_graph: ast.Iri | ast.Var | None,
+    ) -> Bindings:
+        """One triple pattern → filtered projection of the quads table.
+
+        Constants become pushed-down predicates (they reach the parquet
+        scan); variables become column aliases. The reference's IndexScan/
+        TableScan distinction (optimizer.rs:579-603) is predicate pushdown +
+        partition pruning here.
+        """
+        if active_graph is None:
+            df = view.default_df()
+        elif isinstance(active_graph, ast.Iri):
+            df = view.named_df().filter(F.col("g") == active_graph.value)
+        else:
+            df = view.named_df()
+
+        out: list[Column] = []
+        seen: dict[str, str] = {}
+        conds: list[Column] = []
+        qt_terms: list[tuple[str, ast.QuotedTriple]] = []
+
+        for pos, term in (("s", pat.s), ("p", pat.p), ("o", pat.o)):
+            if isinstance(term, ast.Var):
+                if term.name in seen:
+                    conds.append(F.col(pos) == F.col(seen[term.name]))
+                else:
+                    seen[term.name] = pos
+                    out.append(F.col(pos).alias(term.name))
+            elif isinstance(term, ast.QuotedTriple) and self._qt_has_vars(term):
+                tmp = f"__qt_{pos}"
+                qt_terms.append((tmp, term))
+                out.append(F.col(pos).alias(tmp))
+            else:
+                conds.append(F.col(pos) == F.lit(self._ground_term_value(term)))
+
+        if isinstance(active_graph, ast.Var):
+            if active_graph.name in seen:
+                conds.append(F.col("g") == F.col(seen[active_graph.name]))
+            else:
+                seen[active_graph.name] = "g"
+                out.append(F.col("g").alias(active_graph.name))
+
+        for c in conds:
+            df = df.filter(c)
+        if out:
+            b = Bindings(df.select(*out))
+        else:
+            # fully-ground pattern: existence check — 0-column frame with
+            # <=1 row; join_bindings' cross join preserves the semantics
+            b = Bindings(df.limit(1).select())
+        for tmp, qt in qt_terms:
+            b = rdfstar.match_quoted(self, b, tmp, qt)
+        return b
+
+    def _qt_has_vars(self, qt: ast.QuotedTriple) -> bool:
+        for t in (qt.s, qt.p, qt.o):
+            if isinstance(t, ast.Var):
+                return True
+            if isinstance(t, ast.QuotedTriple) and self._qt_has_vars(t):
+                return True
+        return False
+
+    # ----------------------------------------------------------------- BIND
+    def _bind(self, el: ast.Bind, b: Bindings) -> Bindings:
+        e = el.expr
+        # component extraction needs a join, not a scalar expression
+        if isinstance(e, ast.FuncCall) and e.name in ("SUBJECT", "PREDICATE", "OBJECT"):
+            if len(e.args) != 1:
+                raise CompileError(f"{e.name} takes one argument")
+            arg = e.args[0]
+            if isinstance(arg, ast.TermExpr) and isinstance(arg.term, ast.Var):
+                return rdfstar.bind_component(self, b, arg.term.name, e.name, el.var.name)
+            tmp = "__qt_arg"
+            df = b.df.withColumn(tmp, self.compile_expr(arg, b))
+            nb = rdfstar.bind_component(
+                self, Bindings(df, b.maybe_null), tmp, e.name, el.var.name
+            )
+            return Bindings(nb.df.drop(tmp), nb.maybe_null)
+        col = self.compile_expr(e, b)
+        return Bindings(b.df.withColumn(el.var.name, col.cast("string")), b.maybe_null)
+
+    # ---------------------------------------------------------- expressions
+    def _ground_term_value(self, term: ast.Term) -> str:
+        if isinstance(term, ast.Iri):
+            return term.value
+        if isinstance(term, ast.Lit):
+            return term.value
+        if isinstance(term, ast.BlankNode):
+            return "_:" + term.label
+        if isinstance(term, ast.QuotedTriple):
+            return rdfstar.ground_quoted_id(self, term)
+        raise CompileError(f"not a ground term: {term!r}")
+
+    def compile_expr(self, e: ast.Expr, b: Bindings, as_bool: bool = False) -> Column:
+        if isinstance(e, ast.TermExpr):
+            if isinstance(e.term, ast.Var):
+                col = (
+                    F.col(e.term.name)
+                    if e.term.name in b.vars
+                    else F.lit(None).cast("string")
+                )
+            else:
+                col = F.lit(self._ground_term_value(e.term))
+            if as_bool:
+                # bare expression in FILTER is truthy when numeric and != 0
+                # (reference types.rs:373-457 ArithmeticExpr handling)
+                n = compare.num(col)
+                return n.isNotNull() & (n != 0)
+            return col
+        if isinstance(e, ast.Cmp):
+            return compare.compare(
+                self.compile_expr(e.left, b), e.op, self.compile_expr(e.right, b)
+            )
+        if isinstance(e, ast.And):
+            return self.compile_expr(e.left, b, as_bool=True) & self.compile_expr(
+                e.right, b, as_bool=True
+            )
+        if isinstance(e, ast.Or):
+            return self.compile_expr(e.left, b, as_bool=True) | self.compile_expr(
+                e.right, b, as_bool=True
+            )
+        if isinstance(e, ast.Not):
+            return ~self.compile_expr(e.expr, b, as_bool=True)
+        if isinstance(e, ast.Arith):
+            ln = compare.num(self.compile_expr(e.left, b))
+            rn = compare.num(self.compile_expr(e.right, b))
+            if e.op == "+":
+                col = ln + rn
+            elif e.op == "-":
+                col = ln - rn
+            elif e.op == "*":
+                col = ln * rn
+            else:
+                # division by zero evaluates to error → false in FILTER
+                # (shared/src/query.rs:24-57); NULL gives exactly that
+                col = F.when(rn != 0, ln / rn)
+            if as_bool:
+                return col.isNotNull() & (col != 0)
+            return col
+        if isinstance(e, ast.FuncCall):
+            return self._func_call(e, b, as_bool=as_bool)
+        raise CompileError(f"unsupported expression {e!r}")
+
+    def _func_call(self, e: ast.FuncCall, b: Bindings, as_bool: bool) -> Column:
+        name = e.name
+        if name == "CONCAT":
+            args = [self.compile_expr(a, b) for a in e.args]
+            return F.concat(*[a.cast("string") for a in args])
+        if name == "TRIPLE":
+            if len(e.args) != 3:
+                raise CompileError("TRIPLE takes three arguments")
+            s, p, o = [self.compile_expr(a, b).cast("string") for a in e.args]
+            return rdfstar.qt_id_col(s, p, o)
+        if name == "ISTRIPLE":
+            if len(e.args) != 1:
+                raise CompileError("isTRIPLE takes one argument")
+            col = rdfstar.is_qt_col(self.compile_expr(e.args[0], b))
+            return col if as_bool else col.cast("string")
+        if name in ("SUBJECT", "PREDICATE", "OBJECT"):
+            raise CompileError(f"{name} is only supported in BIND(... AS ?v)")
+        if name in self.store.udfs:
+            args = [self.compile_expr(a, b).cast("string") for a in e.args]
+            return self.store.udfs[name](*args)
+        raise CompileError(f"unknown function {name!r}")

@@ -1,0 +1,637 @@
+"""Recursive-descent parser for the reference's SPARQL fragment.
+
+Grammar parity targets (citations into /root/reference):
+- SELECT core: kolibrie/src/parser.rs:1770-1838 (PREFIX, SELECT [DISTINCT]
+  vars/*/aggregates with optional AS alias, FROM / FROM NAMED, WHERE group,
+  GROUP BY, ORDER BY ASC/DESC, LIMIT).
+- Group pattern: BGP with ';'-style triples separated by '.', FILTER with
+  comparison/arithmetic/&&/||/! (parser.rs:1082-1276), BIND(CONCAT|udf|
+  TRIPLE/SUBJECT/PREDICATE/OBJECT AS ?v) (parser.rs:1278-1323), VALUES with
+  UNDEF (parser.rs: VALUES forms), GRAPH <iri>|?var {..}, nested { SELECT },
+  { A } UNION { B } (parser.rs:1432-1488), RDF-star << >> patterns.
+- Updates: the six forms of parser.rs / sparql_update_core (parser.rs:1840+).
+- Lexical details the reference tests rely on: '$var' == '?var', '#'
+  comments are whitespace, 'a' => rdf:type, literal datatype stripped /
+  language tag kept as value@lang (sparql_database.rs:1628-1656 semantics),
+  numeric literals kept as their lexical form.
+
+COUNT is accepted even though the reference grammar can't produce it — both
+its executors implement it (execute_query.rs:433, engine.rs:761); SURVEY §2.4
+calls for supporting it. OFFSET is accepted for QueryBuilder parity.
+"""
+
+from __future__ import annotations
+
+import re
+
+from kolibrie_spark.schema import RDF_TYPE
+from kolibrie_spark.sparql.ast import (
+    Aggregate,
+    And,
+    Arith,
+    Bind,
+    BlankNode,
+    Cmp,
+    DeleteData,
+    Filter,
+    FuncCall,
+    GraphBlock,
+    Group,
+    InsertData,
+    Iri,
+    Lit,
+    Modify,
+    Not,
+    Or,
+    Query,
+    QuotedTriple,
+    SelectQuery,
+    SubSelect,
+    TemplateQuad,
+    Term,
+    TermExpr,
+    TriplePattern,
+    UnionBlock,
+    ValuesBlock,
+    Var,
+)
+
+AGG_FUNCS = {"SUM", "MIN", "MAX", "AVG", "COUNT"}
+KEYWORDS = {
+    "SELECT", "DISTINCT", "WHERE", "FILTER", "BIND", "VALUES", "UNION",
+    "GRAPH", "GROUP", "BY", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET",
+    "FROM", "NAMED", "AS", "PREFIX", "INSERT", "DELETE", "DATA", "UNDEF",
+    "WITH", "USING",
+}
+
+
+class ParseError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- tokenizer
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<QT_OPEN><<)
+  | (?P<QT_CLOSE>>>)
+  | (?P<IRI><[^<>\s{}|^`\\]*>)
+  | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<BLANK>_:[A-Za-z0-9_]+)
+  | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.\-/%]*)
+  | (?P<NAME>[A-Za-z_][A-Za-z0-9_.]*)
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().,;=<>!+\-*/@])
+    """,
+    re.VERBOSE,
+)
+
+_ESCAPES = {
+    "t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+
+def _unescape(body: str) -> str:
+    out, i = [], 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            if nxt == "u" and i + 6 <= len(body):
+                out.append(chr(int(body[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            if nxt == "U" and i + 10 <= len(body):
+                out.append(chr(int(body[i + 2 : i + 10], 16)))
+                i += 10
+                continue
+            out.append(_ESCAPES.get(nxt, nxt))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+class Tok:
+    __slots__ = ("kind", "text")
+
+    def __init__(self, kind: str, text: str):
+        self.kind = kind
+        self.text = text
+
+    def __repr__(self):
+        return f"{self.kind}({self.text})"
+
+
+def tokenize(text: str) -> list[Tok]:
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise ParseError(f"lex error at {text[pos:pos+30]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        toks.append(Tok(kind, m.group()))
+    return toks
+
+
+# ------------------------------------------------------------------- parser
+class Parser:
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self._blank_ctr = 0
+
+    # -- token helpers
+    def peek(self, ahead: int = 0) -> Tok | None:
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else None
+
+    def at_kw(self, *kws: str, ahead: int = 0) -> bool:
+        t = self.peek(ahead)
+        return t is not None and t.kind in ("NAME", "PNAME") and t.text.upper() in kws
+
+    def take_kw(self, kw: str) -> bool:
+        if self.at_kw(kw):
+            self.i += 1
+            return True
+        return False
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.take_kw(kw):
+            raise ParseError(f"expected {kw} at {self.peek()!r}")
+
+    def at_op(self, *ops: str, ahead: int = 0) -> bool:
+        t = self.peek(ahead)
+        return t is not None and t.kind == "OP" and t.text in ops
+
+    def take_op(self, op: str) -> bool:
+        if self.at_op(op):
+            self.i += 1
+            return True
+        return False
+
+    def expect_op(self, op: str) -> None:
+        if not self.take_op(op):
+            raise ParseError(f"expected {op!r} at {self.peek()!r}")
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise ParseError("unexpected end of input")
+        self.i += 1
+        return t
+
+    # -- entry point
+    def parse(self) -> Query:
+        q = Query()
+        while self.at_kw("PREFIX"):
+            self.i += 1
+            pn = self.next()
+            if pn.kind != "PNAME" or not pn.text.endswith(":"):
+                raise ParseError(f"bad PREFIX name {pn!r}")
+            iri = self.next()
+            if iri.kind != "IRI":
+                raise ParseError(f"bad PREFIX iri {iri!r}")
+            self.prefixes[pn.text[:-1]] = iri.text[1:-1]
+        q.prefixes = dict(self.prefixes)
+
+        if self.at_kw("SELECT"):
+            q.select = self.parse_select()
+        elif self.at_kw("INSERT", "DELETE", "WITH"):
+            q.update = self.parse_update()
+        else:
+            raise ParseError(f"expected SELECT or update at {self.peek()!r}")
+        if self.peek() is not None:
+            raise ParseError(f"trailing tokens at {self.peek()!r}")
+        return q
+
+    # -- terms
+    def resolve_pname(self, text: str) -> str:
+        pfx, _, local = text.partition(":")
+        if pfx not in self.prefixes:
+            raise ParseError(f"unknown prefix {pfx!r}")
+        return self.prefixes[pfx] + local
+
+    def parse_term(self, allow_var: bool = True) -> Term:
+        t = self.peek()
+        if t is None:
+            raise ParseError("expected term, got end of input")
+        if t.kind == "VAR":
+            if not allow_var:
+                raise ParseError(f"variable not allowed here: {t.text}")
+            self.i += 1
+            return Var(t.text[1:])
+        if t.kind == "IRI":
+            self.i += 1
+            return Iri(t.text[1:-1])
+        if t.kind == "PNAME":
+            self.i += 1
+            return Iri(self.resolve_pname(t.text))
+        if t.kind == "BLANK":
+            self.i += 1
+            return BlankNode(t.text[2:])
+        if t.kind == "STRING":
+            self.i += 1
+            val = _unescape(t.text[1:-1])
+            # language tag kept as value@lang; datatype stripped
+            # (reference sparql_database.rs:1628-1656)
+            if self.at_op("@"):
+                self.i += 1
+                lang = self.next()
+                val = f"{val}@{lang.text}"
+            elif self.at_op("^^"):
+                self.i += 1
+                self.next()  # datatype IRI/PNAME, discarded
+            return Lit(val)
+        if t.kind == "NUMBER":
+            self.i += 1
+            return Lit(t.text)
+        if t.kind == "QT_OPEN":
+            self.i += 1
+            s = self.parse_term()
+            p = self.parse_term()
+            o = self.parse_term()
+            if not self.next().kind == "QT_CLOSE":
+                raise ParseError("expected >> closing quoted triple")
+            return QuotedTriple(s, p, o)
+        if t.kind == "NAME" and t.text == "a":
+            self.i += 1
+            return Iri(RDF_TYPE)
+        raise ParseError(f"expected term at {t!r}")
+
+    # -- SELECT
+    def parse_select(self) -> SelectQuery:
+        self.expect_kw("SELECT")
+        q = SelectQuery(select=[])
+        if self.take_kw("DISTINCT"):
+            q.distinct = True
+        # projection list
+        if self.take_op("*"):
+            q.star = True
+        else:
+            while True:
+                item = self.try_parse_projection_item()
+                if item is None:
+                    break
+                q.select.append(item)
+            if not q.select:
+                raise ParseError("empty SELECT list")
+        while self.at_kw("FROM"):
+            self.i += 1
+            if self.take_kw("NAMED"):
+                q.from_named.append(self._iri_value())
+            else:
+                q.from_graphs.append(self._iri_value())
+        self.expect_kw("WHERE")
+        q.where = self.parse_group()
+        # solution modifiers
+        if self.take_kw("GROUP"):
+            self.expect_kw("BY")
+            while self.peek() is not None and self.peek().kind == "VAR":
+                q.group_by.append(Var(self.next().text[1:]))
+        if self.take_kw("ORDER"):
+            self.expect_kw("BY")
+            while True:
+                asc = True
+                if self.take_kw("ASC"):
+                    asc = True
+                    self.expect_op("(")
+                    v = self.next()
+                    self.expect_op(")")
+                elif self.take_kw("DESC"):
+                    asc = False
+                    self.expect_op("(")
+                    v = self.next()
+                    self.expect_op(")")
+                elif self.peek() is not None and self.peek().kind == "VAR":
+                    v = self.next()
+                else:
+                    break
+                if v.kind != "VAR":
+                    raise ParseError(f"ORDER BY expects a variable, got {v!r}")
+                q.order_by.append((Var(v.text[1:]), asc))
+        if self.take_kw("LIMIT"):
+            q.limit = int(self.next().text)
+        if self.take_kw("OFFSET"):
+            q.offset = int(self.next().text)
+        return q
+
+    def _iri_value(self) -> str:
+        t = self.next()
+        if t.kind == "IRI":
+            return t.text[1:-1]
+        if t.kind == "PNAME":
+            return self.resolve_pname(t.text)
+        raise ParseError(f"expected IRI, got {t!r}")
+
+    def try_parse_projection_item(self) -> Var | Aggregate | None:
+        t = self.peek()
+        if t is None:
+            return None
+        if t.kind == "VAR":
+            self.i += 1
+            return Var(t.text[1:])
+        # (AGG(?v) AS ?alias)
+        if t.kind == "OP" and t.text == "(":
+            if self.at_kw(*AGG_FUNCS, ahead=1):
+                self.i += 1
+                agg = self._parse_aggregate(require_alias=True)
+                self.expect_op(")")
+                return agg
+            return None
+        # bare AGG(?v) [AS ?alias]
+        if t.kind == "NAME" and t.text.upper() in AGG_FUNCS and self.at_op("(", ahead=1):
+            return self._parse_aggregate(require_alias=False)
+        return None
+
+    def _parse_aggregate(self, require_alias: bool) -> Aggregate:
+        func = self.next().text.upper()
+        self.expect_op("(")
+        distinct = self.take_kw("DISTINCT")
+        if self.take_op("*"):
+            arg = None
+        else:
+            v = self.next()
+            if v.kind != "VAR":
+                raise ParseError(f"aggregate argument must be a variable, got {v!r}")
+            arg = Var(v.text[1:])
+        self.expect_op(")")
+        alias = None
+        if self.take_kw("AS"):
+            a = self.next()
+            if a.kind != "VAR":
+                raise ParseError(f"AS expects a variable, got {a!r}")
+            alias = a.text[1:]
+        if alias is None:
+            if require_alias:
+                raise ParseError(f"({func}(...) needs AS ?alias)")
+            # reference default alias: the aggregated variable's own name
+            alias = arg.name if arg is not None else func.lower()
+        return Aggregate(func=func, arg=arg, alias=alias, distinct=distinct)
+
+    # -- group graph pattern
+    def parse_group(self) -> Group:
+        self.expect_op("{")
+        g = Group()
+        while not self.at_op("}"):
+            if self.peek() is None:
+                raise ParseError("unterminated group (missing '}')")
+            if self.at_kw("FILTER"):
+                self.i += 1
+                self.expect_op("(")
+                expr = self.parse_or_expr()
+                self.expect_op(")")
+                g.elements.append(Filter(expr))
+            elif self.at_kw("BIND"):
+                self.i += 1
+                self.expect_op("(")
+                expr = self.parse_additive_expr()
+                self.expect_kw("AS")
+                v = self.next()
+                if v.kind != "VAR":
+                    raise ParseError(f"BIND AS expects a variable, got {v!r}")
+                self.expect_op(")")
+                g.elements.append(Bind(expr, Var(v.text[1:])))
+            elif self.at_kw("VALUES"):
+                self.i += 1
+                g.elements.append(self.parse_values())
+            elif self.at_kw("GRAPH"):
+                self.i += 1
+                t = self.peek()
+                if t.kind == "VAR":
+                    self.i += 1
+                    graph: Iri | Var = Var(t.text[1:])
+                else:
+                    graph = Iri(self._iri_value())
+                inner = self.parse_group()
+                g.elements.append(GraphBlock(graph, inner))
+            elif self.at_op("{"):
+                # nested group: sub-SELECT or UNION chain head
+                if self.at_kw("SELECT", ahead=1):
+                    self.i += 1
+                    sub = self.parse_select()
+                    self.expect_op("}")
+                    g.elements.append(SubSelect(sub))
+                else:
+                    first = self.parse_group()
+                    branches = [first]
+                    while self.take_kw("UNION"):
+                        branches.append(self.parse_group())
+                    # a single-branch UnionBlock is a scoped nested group —
+                    # keeps FILTER scoping correct (reference evaluates
+                    # filters inside their own group: utils.rs:402-517,
+                    # tests/sparql_filter_scope_test.rs)
+                    g.elements.append(UnionBlock(branches))
+            else:
+                self.parse_triples_block(g)
+        self.expect_op("}")
+        return g
+
+    def parse_values(self) -> ValuesBlock:
+        t = self.peek()
+        if t is not None and t.kind == "VAR":
+            # single-var form: VALUES ?x { v1 v2 }
+            self.i += 1
+            var = Var(t.text[1:])
+            self.expect_op("{")
+            rows = []
+            while not self.at_op("}"):
+                rows.append([self._values_term()])
+            self.expect_op("}")
+            return ValuesBlock([var], rows)
+        self.expect_op("(")
+        vars_: list[Var] = []
+        while not self.at_op(")"):
+            v = self.next()
+            if v.kind != "VAR":
+                raise ParseError(f"VALUES vars must be variables, got {v!r}")
+            vars_.append(Var(v.text[1:]))
+        self.expect_op(")")
+        self.expect_op("{")
+        rows = []
+        while not self.at_op("}"):
+            self.expect_op("(")
+            row = []
+            while not self.at_op(")"):
+                row.append(self._values_term())
+            self.expect_op(")")
+            if len(row) != len(vars_):
+                raise ParseError("VALUES row arity mismatch")
+            rows.append(row)
+        self.expect_op("}")
+        return ValuesBlock(vars_, rows)
+
+    def _values_term(self) -> Term | None:
+        if self.take_kw("UNDEF"):
+            return None
+        return self.parse_term(allow_var=False)
+
+    def parse_triples_block(self, g: Group) -> None:
+        """subject (predicate object (',' object)*) (';' pred obj...)* '.'"""
+        s = self.parse_term()
+        while True:
+            p = self.parse_term()
+            while True:
+                o = self.parse_term()
+                g.elements.append(TriplePattern(s, p, o))
+                if not self.take_op(","):
+                    break
+            if not self.take_op(";"):
+                break
+            if self.at_op(".") or self.at_op("}"):  # trailing ';'
+                break
+        self.take_op(".")
+
+    # -- expressions (FILTER / BIND)
+    def parse_or_expr(self):
+        left = self.parse_and_expr()
+        while self.take_op("||"):
+            left = Or(left, self.parse_and_expr())
+        return left
+
+    def parse_and_expr(self):
+        left = self.parse_unary_expr()
+        while self.take_op("&&"):
+            left = And(left, self.parse_unary_expr())
+        return left
+
+    def parse_unary_expr(self):
+        if self.take_op("!"):
+            return Not(self.parse_unary_expr())
+        return self.parse_rel_expr()
+
+    def parse_rel_expr(self):
+        left = self.parse_additive_expr()
+        for op in ("<=", ">=", "!=", "=", "<", ">"):
+            if self.at_op(op):
+                self.i += 1
+                right = self.parse_additive_expr()
+                return Cmp(left, op, right)
+        return left
+
+    def parse_additive_expr(self):
+        left = self.parse_mult_expr()
+        while self.at_op("+", "-"):
+            op = self.next().text
+            left = Arith(op, left, self.parse_mult_expr())
+        return left
+
+    def parse_mult_expr(self):
+        left = self.parse_primary_expr()
+        while self.at_op("*", "/"):
+            op = self.next().text
+            left = Arith(op, left, self.parse_primary_expr())
+        return left
+
+    def parse_primary_expr(self):
+        t = self.peek()
+        if t is None:
+            raise ParseError("expected expression, got end of input")
+        if t.kind == "OP" and t.text == "(":
+            self.i += 1
+            # could be a parenthesized boolean or arithmetic subexpression
+            expr = self.parse_or_expr()
+            self.expect_op(")")
+            return expr
+        if t.kind in ("NAME", "PNAME") and self.at_op("(", ahead=1) and t.text != "a":
+            # function or UDF call: CONCAT, TRIPLE, SUBJECT, ... , myudf
+            name = self.next().text
+            self.expect_op("(")
+            args = []
+            while not self.at_op(")"):
+                args.append(self.parse_or_expr())
+                self.take_op(",")
+            self.expect_op(")")
+            return FuncCall(name.upper() if name.upper() in BUILTIN_FUNCS else name, tuple(args))
+        return TermExpr(self.parse_term())
+
+    # -- updates
+    def parse_update(self):
+        if self.at_kw("INSERT") and self.at_kw("DATA", ahead=1):
+            self.i += 2
+            return InsertData(self.parse_quad_data())
+        if self.at_kw("DELETE") and self.at_kw("DATA", ahead=1):
+            self.i += 2
+            return DeleteData(self.parse_quad_data())
+        if self.at_kw("DELETE") and self.at_kw("WHERE", ahead=1):
+            # DELETE WHERE { patterns }: patterns double as delete template
+            self.i += 2
+            grp = self.parse_group()
+            tmpl = [
+                TemplateQuad(e.s, e.p, e.o)
+                for e in grp.elements
+                if isinstance(e, TriplePattern)
+            ] + [
+                TemplateQuad(t.s, t.p, t.o, gb.graph.value)
+                for gb in grp.elements
+                if isinstance(gb, GraphBlock) and isinstance(gb.graph, Iri)
+                for t in gb.group.elements
+                if isinstance(t, TriplePattern)
+            ]
+            return Modify(delete_template=tmpl, where=grp)
+        m = Modify()
+        if self.take_kw("DELETE"):
+            m.delete_template = self.parse_template()
+        if self.take_kw("INSERT"):
+            m.insert_template = self.parse_template()
+        if not m.delete_template and not m.insert_template:
+            raise ParseError(f"expected update form at {self.peek()!r}")
+        self.expect_kw("WHERE")
+        m.where = self.parse_group()
+        return m
+
+    def parse_quad_data(self) -> list[tuple[Term, Term, Term, str | None]]:
+        self.expect_op("{")
+        quads: list[tuple[Term, Term, Term, str | None]] = []
+        while not self.at_op("}"):
+            if self.at_kw("GRAPH"):
+                self.i += 1
+                gname = self._iri_value()
+                self.expect_op("{")
+                while not self.at_op("}"):
+                    g2 = Group()
+                    self.parse_triples_block(g2)
+                    for e in g2.elements:
+                        quads.append((e.s, e.p, e.o, gname))
+                self.expect_op("}")
+            else:
+                g2 = Group()
+                self.parse_triples_block(g2)
+                for e in g2.elements:
+                    quads.append((e.s, e.p, e.o, None))
+        self.expect_op("}")
+        return quads
+
+    def parse_template(self) -> list[TemplateQuad]:
+        self.expect_op("{")
+        tmpl: list[TemplateQuad] = []
+        while not self.at_op("}"):
+            if self.at_kw("GRAPH"):
+                self.i += 1
+                gname = self._iri_value()
+                self.expect_op("{")
+                while not self.at_op("}"):
+                    g2 = Group()
+                    self.parse_triples_block(g2)
+                    tmpl.extend(TemplateQuad(e.s, e.p, e.o, gname) for e in g2.elements)
+                self.expect_op("}")
+            else:
+                g2 = Group()
+                self.parse_triples_block(g2)
+                tmpl.extend(TemplateQuad(e.s, e.p, e.o) for e in g2.elements)
+        self.expect_op("}")
+        return tmpl
+
+
+BUILTIN_FUNCS = {"CONCAT", "TRIPLE", "SUBJECT", "PREDICATE", "OBJECT", "ISTRIPLE"}
+
+
+def parse_query(text: str) -> Query:
+    return Parser(text).parse()

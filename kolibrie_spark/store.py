@@ -1,0 +1,148 @@
+"""QuadStore — the dataset: quads + named-graph catalog + quoted triples.
+
+Reference equivalent: ``SparqlDatabase`` (kolibrie/src/sparql_database.rs:172-188)
+holding the dictionary, the four GSPO/GPOS/GOSP/SPOG hash indexes
+(shared/src/dataset_index.rs:56-72) and the quoted-triple store. In Spark the
+four index permutations collapse into one quads DataFrame: Catalyst predicate
+pushdown on whichever of (s, p, o, g) is bound replaces index selection, and
+partitioning the parquet layout by predicate gives partition pruning for the
+overwhelmingly common bound-``p`` scans.
+
+Scale notes (100 TB): quads should live as a parquet/Delta table partitioned
+by ``p`` (low cardinality, high selectivity) and optionally bucketed by ``s``
+so star-joins (self-joins on subject) co-locate without a shuffle. The
+in-memory createDataFrame path below is for tests and small interactive use;
+``QuadStore.from_parquet`` is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kolibrie_spark.schema import (
+    GRAPHS_SCHEMA,
+    QUADS_SCHEMA,
+    QUOTED_SCHEMA,
+    QT_PREFIX,
+)
+
+
+def qt_id(s: str, p: str, o: str) -> str:
+    """Deterministic surrogate id for a quoted triple.
+
+    Same (s,p,o) => same id on every executor (mirrors the reference's
+    QuotedTripleStore dedup, shared/src/quoted_triple_store.rs:27-33) with no
+    central id allocator — collision-safe via sha2-256 truncation.
+    """
+    import hashlib
+
+    h = hashlib.sha256(f"{s}\x00{p}\x00{o}".encode()).hexdigest()[:32]
+    return QT_PREFIX + h
+
+
+class QuadStore:
+    """A mutable RDF dataset backed by DataFrames (set semantics)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        quads: DataFrame | None = None,
+        graphs: DataFrame | None = None,
+        quoted: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.quads = quads if quads is not None else spark.createDataFrame([], QUADS_SCHEMA)
+        self.graphs = graphs if graphs is not None else spark.createDataFrame([], GRAPHS_SCHEMA)
+        self.quoted = quoted if quoted is not None else spark.createDataFrame([], QUOTED_SCHEMA)
+        # string->string UDFs callable from BIND (reference
+        # sparql_database.rs:2130-2135); registered per-store by name.
+        self.udfs: dict[str, object] = {}
+        # input probabilities for the probabilistic layer
+        # (reference sparql_database.rs:185): (s,p,o) -> prob
+        self.prob_seeds: dict[tuple[str, str, str], float] = {}
+        self.prefixes: dict[str, str] = {}
+
+    # ------------------------------------------------------------- loading
+    @classmethod
+    def from_parquet(cls, spark: SparkSession, path: str) -> "QuadStore":
+        return cls(spark, quads=spark.read.parquet(path))
+
+    @classmethod
+    def from_rows(
+        cls,
+        spark: SparkSession,
+        rows: list[tuple],
+        graphs: list[str] | None = None,
+    ) -> "QuadStore":
+        """rows of (s,p,o) or (s,p,o,g); g=None => default graph."""
+        norm = [(r + (None,)) if len(r) == 3 else tuple(r) for r in rows]
+        quads = spark.createDataFrame(norm, QUADS_SCHEMA).dropDuplicates()
+        store = cls(spark, quads=quads)
+        gs = {r[3] for r in norm if r[3] is not None} | set(graphs or [])
+        if gs:
+            store.graphs = spark.createDataFrame([(g,) for g in sorted(gs)], GRAPHS_SCHEMA)
+        return store
+
+    def add_quads(self, rows: list[tuple]) -> None:
+        norm = [(r + (None,)) if len(r) == 3 else tuple(r) for r in rows]
+        new = self.spark.createDataFrame(norm, QUADS_SCHEMA)
+        self.quads = self.quads.unionByName(new).dropDuplicates()
+        gs = {r[3] for r in norm if r[3] is not None}
+        if gs:
+            self.register_graphs(gs)
+
+    def register_graphs(self, names) -> None:
+        new = self.spark.createDataFrame([(g,) for g in sorted(set(names))], GRAPHS_SCHEMA)
+        self.graphs = self.graphs.unionByName(new).dropDuplicates()
+
+    def add_quoted(self, rows: list[tuple[str, str, str, str]]) -> None:
+        """rows of (qid, qs, qp, qo)."""
+        new = self.spark.createDataFrame(rows, QUOTED_SCHEMA)
+        self.quoted = self.quoted.unionByName(new).dropDuplicates()
+
+    # ------------------------------------------------------------ mutation
+    def replace_quads(self, df: DataFrame, materialize: bool = True) -> None:
+        """Swap in a new quad set. ``materialize`` cuts the plan lineage —
+        required when updates iterate (each SPARQL Update reads the pre-update
+        state once, reference execute_query.rs:523-884), and the Spark
+        equivalent of the reference's in-place index mutation."""
+        self.quads = df.localCheckpoint(eager=True) if materialize else df
+
+    def insert(self, rows_df: DataFrame) -> None:
+        self.replace_quads(self.quads.unionByName(rows_df).dropDuplicates())
+        new_graphs = [
+            r.g for r in rows_df.select("g").dropna().dropDuplicates().collect()
+        ]
+        if new_graphs:
+            self.register_graphs(new_graphs)
+
+    def delete(self, rows_df: DataFrame) -> None:
+        # set semantics: the reference's index is a hash-set, so delete is
+        # EXCEPT (distinct), not exceptAll.
+        self.replace_quads(self.quads.exceptAll(rows_df.dropDuplicates()))
+
+    # ------------------------------------------------------------- queries
+    def union(self, other: "QuadStore") -> "QuadStore":
+        """Dataset-level merge (reference sparql_database.rs:1819-1983 —
+        its 165 lines of dictionary re-encoding vanish with string terms)."""
+        merged = QuadStore(
+            self.spark,
+            quads=self.quads.unionByName(other.quads).dropDuplicates(),
+            graphs=self.graphs.unionByName(other.graphs).dropDuplicates(),
+            quoted=self.quoted.unionByName(other.quoted).dropDuplicates(),
+        )
+        merged.udfs = {**self.udfs, **other.udfs}
+        merged.prob_seeds = {**self.prob_seeds, **other.prob_seeds}
+        merged.prefixes = {**self.prefixes, **other.prefixes}
+        return merged
+
+    def named_graph_names(self) -> DataFrame:
+        """All named graphs, including empty ones (identity lives in the
+        catalog; reference dataset_index.rs:414-459)."""
+        return (
+            self.graphs.unionByName(self.quads.select("g").dropna())
+            .dropDuplicates()
+        )
+
+    def triple_count(self) -> int:
+        return self.quads.count()
