@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator from SURVEY.md §2 through the
+kolibrie_spark engine (SPARQL over mechanically-triplified TPC-H-ish tables,
+FIXTURES.md §7, or direct DataFrame pipeline operators), and ``oracle_sql()``
+gives the equivalent ANSI SQL DuckDB runs on the raw parquet views.
+
+Column-name and value-format parity rules (verified against DuckDB):
+- lexical (string) outputs use the triplify.lex formatting contract;
+- numeric aggregate outputs stay DOUBLE/BIGINT on both sides;
+- double-summing aggregates only run over integral-valued columns
+  (l_quantity) so floating-point accumulation order cannot flip a bit.
 """
 
 from __future__ import annotations
@@ -13,26 +18,362 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# ---------------------------------------------------------------------------
+# store construction (cached per (session, sf_dir))
+# ---------------------------------------------------------------------------
+
+_CACHE: dict = {}
+
+RELATIONAL = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+
+
+def _base_store(spark: SparkSession, sf_dir: str):
+    """All relational tables triplified into the default graph, plus nation
+    in three named graphs (urn:graph:nation, urn:g1, urn:g2) and customer in
+    urn:graph:customer for the dataset-semantics queries."""
+    from kolibrie_spark.store import QuadStore
+    from kolibrie_spark.tables import load_table
+    from kolibrie_spark.triplify import triplify
+
+    key = ("base", spark.sparkContext.applicationId, sf_dir)
+    if key in _CACHE:
+        return _CACHE[key]
+    parts = [triplify(load_table(spark, sf_dir, t), t) for t in RELATIONAL]
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    parts += [
+        triplify(nation, "nation", graph="urn:graph:nation"),
+        triplify(nation, "nation", graph="urn:g1"),
+        triplify(nation, "nation", graph="urn:g2"),
+        triplify(customer, "customer", graph="urn:graph:customer"),
+    ]
+    quads = parts[0]
+    for p in parts[1:]:
+        quads = quads.unionByName(p)
+    quads = quads.persist()
+    quads.count()  # materialize once; every query reuses the cached quads
+    store = QuadStore(spark, quads=quads)
+    store.register_graphs(
+        ["urn:graph:nation", "urn:g1", "urn:g2", "urn:graph:customer"]
+    )
+    _CACHE[key] = store
+    return store
+
+
+def _fresh_store(spark: SparkSession, sf_dir: str, tables: list[str]):
+    """Small uncached store for mutating (update / RDF-star) queries —
+    rebuilt per call so repeated driver runs stay idempotent."""
+    from kolibrie_spark.store import QuadStore
+    from kolibrie_spark.tables import load_table
+    from kolibrie_spark.triplify import triplify
+
+    parts = [triplify(load_table(spark, sf_dir, t), t) for t in tables]
+    quads = parts[0]
+    for p in parts[1:]:
+        quads = quads.unionByName(p)
+    return QuadStore(spark, quads=quads.localCheckpoint(eager=True))
+
+
+def _sparql(text: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from kolibrie_spark.engine import SparqlEngine
+
+        return SparqlEngine(spark, _base_store(spark, sf_dir)).query(text)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# mutating scenarios (update forms, RDF-star) on fresh single-table stores
+# ---------------------------------------------------------------------------
+
+
+def _q_update_insert_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kolibrie_spark.engine import SparqlEngine
+
+    e = SparqlEngine(spark, _fresh_store(spark, sf_dir, ["customer"]))
+    e.update(
+        "INSERT { ?c <urn:flag#high> \"1\" } WHERE "
+        "{ ?c <urn:customer#c_acctbal> ?bal . FILTER(?bal > 9000) }"
+    )
+    return e.query(
+        "SELECT ?name WHERE { ?c <urn:flag#high> \"1\" . "
+        "?c <urn:customer#c_name> ?name }"
+    )
+
+
+def _q_update_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kolibrie_spark.engine import SparqlEngine
+
+    e = SparqlEngine(spark, _fresh_store(spark, sf_dir, ["customer"]))
+    e.update(
+        "DELETE { ?c <urn:customer#c_name> ?name } WHERE "
+        "{ ?c <urn:customer#c_name> ?name . ?c <urn:customer#c_acctbal> ?bal . "
+        "FILTER(?bal < 0) }"
+    )
+    return e.query("SELECT ?name WHERE { ?c <urn:customer#c_name> ?name }")
+
+
+def _q_update_insert_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kolibrie_spark.engine import SparqlEngine
+
+    e = SparqlEngine(spark, _fresh_store(spark, sf_dir, ["region"]))
+    e.update(
+        'INSERT DATA { <urn:region:99> <urn:region#r_name> "ATLANTIS" . '
+        '<urn:region:99> <urn:region#r_regionkey> "99" }'
+    )
+    e.update('DELETE DATA { <urn:region:99> <urn:region#r_regionkey> "99" }')
+    return e.query(
+        "SELECT ?r ?name WHERE { ?r <urn:region#r_name> ?name } ORDER BY ?name"
+    )
+
+
+def _q_rdf_star_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kolibrie_spark.engine import SparqlEngine
+
+    e = SparqlEngine(spark, _fresh_store(spark, sf_dir, ["supplier"]))
+    e.update(
+        "INSERT { << ?s <urn:supplier#s_acctbal> ?bal >> <urn:prov#certainty> \"0.9\" } "
+        "WHERE { ?s <urn:supplier#s_acctbal> ?bal }"
+    )
+    return e.query(
+        "SELECT ?s ?bal ?c WHERE "
+        "{ << ?s <urn:supplier#s_acctbal> ?bal >> <urn:prov#certainty> ?c }"
+    )
+
+
+def _q_rdf_star_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kolibrie_spark.engine import SparqlEngine
+
+    e = SparqlEngine(spark, _fresh_store(spark, sf_dir, ["supplier"]))
+    e.update(
+        "INSERT { << ?s <urn:supplier#s_name> ?n >> <urn:prov#src> \"ingest\" } "
+        "WHERE { ?s <urn:supplier#s_name> ?n }"
+    )
+    return e.query(
+        "SELECT ?t ?subj ?obj WHERE { ?t <urn:prov#src> \"ingest\" . "
+        "BIND(SUBJECT(?t) AS ?subj) BIND(OBJECT(?t) AS ?obj) }"
+    )
+
+
+def _q_udf_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kolibrie_spark.engine import SparqlEngine
+
+    e = SparqlEngine(spark, _base_store(spark, sf_dir))
+    e.register_udf("ucase", lambda s: s.upper())
+    return e.query(
+        "SELECT ?u WHERE { ?c <urn:customer#c_name> ?n . BIND(ucase(?n) AS ?u) }"
+    )
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: grouped aggregation over triplified lineitem (sf0.001)."""
+    return queries()["groupby_agg"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- scans / projection / filters (SURVEY §2.1, §2.2)
+        "scan_project": _sparql(
+            "SELECT ?name WHERE { ?c <urn:customer#c_name> ?name }"
+        ),
+        "filter_numeric_gt": _sparql(
+            "SELECT ?name ?bal WHERE { ?c <urn:customer#c_name> ?name . "
+            "?c <urn:customer#c_acctbal> ?bal . FILTER(?bal > 5000) }"
+        ),
+        "filter_logical": _sparql(
+            "SELECT ?name ?seg WHERE { ?c <urn:customer#c_name> ?name . "
+            "?c <urn:customer#c_mktsegment> ?seg . ?c <urn:customer#c_acctbal> ?bal . "
+            'FILTER(?bal >= 0 && (?seg = "BUILDING" || ?seg = "AUTOMOBILE") '
+            "&& !(?bal < 100)) }"
+        ),
+        "filter_arithmetic": _sparql(
+            "SELECT ?ep ?disc WHERE { ?li <urn:lineitem#l_extendedprice> ?ep . "
+            "?li <urn:lineitem#l_discount> ?disc . "
+            "FILTER(?ep * (1 - ?disc) > 90000) }"
+        ),
+        # --- joins (§2.3)
+        "star_join": _sparql(
+            "SELECT ?name ?seg ?bal WHERE { ?c <urn:customer#c_name> ?name . "
+            "?c <urn:customer#c_mktsegment> ?seg . ?c <urn:customer#c_acctbal> ?bal }"
+        ),
+        "join_fk": _sparql(
+            "SELECT ?tp ?cname WHERE { ?o <urn:orders#o_custkey> ?c . "
+            "?o <urn:orders#o_totalprice> ?tp . ?c <urn:customer#c_name> ?cname }"
+        ),
+        # --- aggregation (§2.4)
+        "groupby_agg": _sparql(
+            "SELECT ?flag (SUM(?qty) AS ?sum_qty) (AVG(?qty) AS ?avg_qty) "
+            "(MIN(?qty) AS ?min_qty) (MAX(?qty) AS ?max_qty) (COUNT(?qty) AS ?cnt) "
+            "WHERE { ?li <urn:lineitem#l_returnflag> ?flag . "
+            "?li <urn:lineitem#l_quantity> ?qty } GROUP BY ?flag"
+        ),
+        "agg_count": _sparql(
+            "SELECT (COUNT(?c) AS ?cnt) WHERE { ?c <urn:customer#c_custkey> ?k }"
+        ),
+        "distinct_segments": _sparql(
+            "SELECT DISTINCT ?seg WHERE { ?c <urn:customer#c_mktsegment> ?seg }"
+        ),
+        # --- sort / limit / offset (§2.6)
+        "order_by_desc_limit": _sparql(
+            "SELECT ?name ?bal WHERE { ?c <urn:customer#c_name> ?name . "
+            "?c <urn:customer#c_acctbal> ?bal } ORDER BY DESC(?bal) ?name LIMIT 10"
+        ),
+        "order_numeric_lexical": _sparql(
+            "SELECT ?pname ?size WHERE { ?p <urn:part#p_name> ?pname . "
+            "?p <urn:part#p_size> ?size } ORDER BY ?size ?pname LIMIT 25"
+        ),
+        "offset_pagination": _sparql(
+            "SELECT ?name WHERE { ?c <urn:customer#c_name> ?name } "
+            "ORDER BY ?name LIMIT 20 OFFSET 10"
+        ),
+        # --- set ops (§2.7)
+        "union_multiset": _sparql(
+            'SELECT ?name WHERE { { ?c <urn:customer#c_mktsegment> "BUILDING" . '
+            "?c <urn:customer#c_name> ?name } UNION "
+            '{ ?c <urn:customer#c_mktsegment> "MACHINERY" . '
+            "?c <urn:customer#c_name> ?name } }"
+        ),
+        # --- BIND / VALUES / GRAPH / subquery (§2.8)
+        "bind_concat": _sparql(
+            "SELECT ?tag WHERE { ?c <urn:customer#c_name> ?name . "
+            "?c <urn:customer#c_mktsegment> ?seg . "
+            'BIND(CONCAT(?name, "/", ?seg) AS ?tag) }'
+        ),
+        "values_undef": _sparql(
+            "SELECT ?name ?tag WHERE { ?c <urn:customer#c_mktsegment> ?seg . "
+            "?c <urn:customer#c_name> ?name . "
+            'VALUES (?seg ?tag) { ("BUILDING" "b") (UNDEF "any") } }'
+        ),
+        "graph_fixed": _sparql(
+            "SELECT ?nname WHERE { GRAPH <urn:graph:nation> "
+            "{ ?n <urn:nation#n_name> ?nname } }"
+        ),
+        "graph_var": _sparql(
+            "SELECT ?g ?nname WHERE { GRAPH ?g { ?n <urn:nation#n_name> ?nname } }"
+        ),
+        "from_merge_dedup": _sparql(
+            "SELECT ?nname FROM <urn:g1> FROM <urn:g2> "
+            "WHERE { ?n <urn:nation#n_name> ?nname }"
+        ),
+        "subquery_count_join": _sparql(
+            "SELECT ?nname ?cnt WHERE { "
+            "{ SELECT ?nat (COUNT(?c) AS ?cnt) WHERE "
+            "{ ?c <urn:customer#c_acctbal> ?bal . ?c <urn:customer#c_nationkey> ?nat } "
+            "GROUP BY ?nat } "
+            "?nat <urn:nation#n_name> ?nname }"
+        ),
+        "udf_bind": _q_udf_bind,
+        # --- updates (§2.8 SPARQL Update)
+        "update_insert_where": _q_update_insert_where,
+        "update_delete_where": _q_update_delete_where,
+        "update_insert_delete_data": _q_update_insert_data,
+        # --- RDF-star (§2.8 builtins, §1.1 quoted triples)
+        "rdf_star_annotate": _q_rdf_star_annotate,
+        "rdf_star_builtins": _q_rdf_star_builtins,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qt = (
+        "'qt:' || substr(sha256('urn:supplier:' || CAST(s_suppkey AS VARCHAR) "
+        "|| chr(0) || 'urn:supplier#s_name' || chr(0) || s_name), 1, 32)"
+    )
+    return {
+        "scan_project": "SELECT c_name AS name FROM customer",
+        "filter_numeric_gt": (
+            "SELECT c_name AS name, CAST(c_acctbal AS VARCHAR) AS bal "
+            "FROM customer WHERE c_acctbal > 5000"
+        ),
+        "filter_logical": (
+            "SELECT c_name AS name, c_mktsegment AS seg FROM customer "
+            "WHERE c_acctbal >= 0 AND (c_mktsegment = 'BUILDING' OR "
+            "c_mktsegment = 'AUTOMOBILE') AND NOT (c_acctbal < 100)"
+        ),
+        "filter_arithmetic": (
+            "SELECT CAST(l_extendedprice AS VARCHAR) AS ep, "
+            "CAST(l_discount AS VARCHAR) AS disc FROM lineitem "
+            "WHERE l_extendedprice * (1 - l_discount) > 90000"
+        ),
+        "star_join": (
+            "SELECT c_name AS name, c_mktsegment AS seg, "
+            "CAST(c_acctbal AS VARCHAR) AS bal FROM customer"
+        ),
+        "join_fk": (
+            "SELECT CAST(o_totalprice AS VARCHAR) AS tp, c_name AS cname "
+            "FROM orders JOIN customer ON o_custkey = c_custkey"
+        ),
+        "groupby_agg": (
+            "SELECT l_returnflag AS flag, SUM(l_quantity) AS sum_qty, "
+            "AVG(l_quantity) AS avg_qty, MIN(l_quantity) AS min_qty, "
+            "MAX(l_quantity) AS max_qty, COUNT(l_quantity) AS cnt "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "agg_count": "SELECT COUNT(*) AS cnt FROM customer",
+        "distinct_segments": (
+            "SELECT DISTINCT c_mktsegment AS seg FROM customer"
+        ),
+        "order_by_desc_limit": (
+            "SELECT c_name AS name, CAST(c_acctbal AS VARCHAR) AS bal "
+            "FROM customer ORDER BY c_acctbal DESC, c_name LIMIT 10"
+        ),
+        "order_numeric_lexical": (
+            "SELECT p_name AS pname, CAST(p_size AS VARCHAR) AS size "
+            "FROM part ORDER BY p_size, p_name LIMIT 25"
+        ),
+        "offset_pagination": (
+            "SELECT c_name AS name FROM customer ORDER BY c_name "
+            "LIMIT 20 OFFSET 10"
+        ),
+        "union_multiset": (
+            "SELECT c_name AS name FROM customer WHERE c_mktsegment = 'BUILDING' "
+            "UNION ALL "
+            "SELECT c_name AS name FROM customer WHERE c_mktsegment = 'MACHINERY'"
+        ),
+        "bind_concat": (
+            "SELECT c_name || '/' || c_mktsegment AS tag FROM customer"
+        ),
+        "values_undef": (
+            "SELECT c_name AS name, 'b' AS tag FROM customer "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "UNION ALL SELECT c_name AS name, 'any' AS tag FROM customer"
+        ),
+        "graph_fixed": "SELECT n_name AS nname FROM nation",
+        "graph_var": (
+            "SELECT g, n_name AS nname FROM nation, "
+            "(VALUES ('urn:graph:nation'), ('urn:g1'), ('urn:g2')) AS t(g)"
+        ),
+        "from_merge_dedup": "SELECT n_name AS nname FROM nation",
+        "subquery_count_join": (
+            "SELECT n_name AS nname, cnt FROM "
+            "(SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey) "
+            "JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "udf_bind": "SELECT UPPER(c_name) AS u FROM customer",
+        "update_insert_where": (
+            "SELECT c_name AS name FROM customer WHERE c_acctbal > 9000"
+        ),
+        "update_delete_where": (
+            "SELECT c_name AS name FROM customer WHERE NOT (c_acctbal < 0)"
+        ),
+        "update_insert_delete_data": (
+            "SELECT 'urn:region:' || CAST(r_regionkey AS VARCHAR) AS r, "
+            "r_name AS name FROM region "
+            "UNION ALL SELECT 'urn:region:99', 'ATLANTIS' "
+            "ORDER BY name"
+        ),
+        "rdf_star_annotate": (
+            "SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR) AS s, "
+            "CAST(s_acctbal AS VARCHAR) AS bal, '0.9' AS c FROM supplier"
+        ),
+        "rdf_star_builtins": (
+            f"SELECT {qt} AS t, "
+            "'urn:supplier:' || CAST(s_suppkey AS VARCHAR) AS subj, "
+            "s_name AS obj FROM supplier"
+        ),
+    }

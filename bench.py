@@ -1,0 +1,95 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The suite is the oracle-checked operator battery from __spark_entry__ —
+each timing covers plan construction + execution + collect (row count only,
+to avoid timing result serialization to the driver). Store construction
+(triplify + materialize) is reported separately under "setup_sec" and not
+counted in the headline value, matching how the reference's criterion
+benches time queries against an already-loaded database
+(kolibrie/benches/my_benchmark.rs loads the RDF/XML once per group).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "scan_project",
+    "filter_numeric_gt",
+    "filter_arithmetic",
+    "star_join",
+    "join_fk",
+    "groupby_agg",
+    "distinct_segments",
+    "order_by_desc_limit",
+    "union_multiset",
+    "values_undef",
+    "graph_var",
+    "from_merge_dedup",
+    "subquery_count_join",
+    "bind_concat",
+    "update_insert_where",
+    "rdf_star_annotate",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("kolibrie_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(int(cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    t0 = time.time()
+    entry_mod._base_store(spark, sf_dir)  # materialize the triplified quads
+    setup = time.time() - t0
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t1 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t1, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "operator_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "setup_sec": round(setup, 3),
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -76,10 +76,16 @@ def execute_update(store, op: ast.UpdateOp) -> None:
         bdf = bindings.df.localCheckpoint(eager=True)
         bindings = Bindings(bdf, bindings.maybe_null)
 
-        delete_df = _instantiate(compiler, bindings, op.delete_template, fresh_blanks=False)
-        insert_df = _instantiate(compiler, bindings, op.insert_template, fresh_blanks=True)
+        delete_df, _del_quoted = _instantiate(
+            compiler, bindings, op.delete_template, fresh_blanks=False
+        )
+        insert_df, ins_quoted = _instantiate(
+            compiler, bindings, op.insert_template, fresh_blanks=True
+        )
         if delete_df is not None:
             store.delete(delete_df)
+        if ins_quoted is not None:
+            store.insert_quoted(ins_quoted)
         if insert_df is not None:
             store.insert(insert_df)
         return
@@ -87,18 +93,53 @@ def execute_update(store, op: ast.UpdateOp) -> None:
     raise CompileError(f"unsupported update {op!r}")
 
 
+def _template_term_col(
+    compiler: Compiler,
+    df: DataFrame,
+    term: ast.Term,
+    fresh_blanks: bool,
+    quoted_parts: list[DataFrame],
+):
+    """Column expression instantiating a template term per solution row.
+
+    Quoted triples (possibly nested, possibly containing variables) become
+    their deterministic surrogate id, and the corresponding
+    (qid, qs, qp, qo) rows are accumulated for insertion into the surrogate
+    table — per-solution annotation like
+    ``INSERT { << ?s :p ?o >> :certainty "0.9" } WHERE {...}``."""
+    if isinstance(term, ast.Var):
+        if term.name in df.columns:
+            return F.col(term.name)
+        return F.lit(None).cast("string")
+    if isinstance(term, ast.BlankNode) and fresh_blanks:
+        return F.concat(F.lit(f"_:{term.label}_"), F.col("__sol_id"))
+    if isinstance(term, ast.QuotedTriple):
+        s = _template_term_col(compiler, df, term.s, fresh_blanks, quoted_parts)
+        p = _template_term_col(compiler, df, term.p, fresh_blanks, quoted_parts)
+        o = _template_term_col(compiler, df, term.o, fresh_blanks, quoted_parts)
+        qid = rdfstar.qt_id_col(s, p, o)
+        quoted_parts.append(
+            df.select(
+                qid.alias("qid"), s.alias("qs"), p.alias("qp"), o.alias("qo")
+            ).filter(
+                F.col("qs").isNotNull()
+                & F.col("qp").isNotNull()
+                & F.col("qo").isNotNull()
+            )
+        )
+        return qid
+    return F.lit(compiler._ground_term_value(term))
+
+
 def _instantiate(
     compiler: Compiler,
     bindings: Bindings,
     template: list[ast.TemplateQuad],
     fresh_blanks: bool,
-) -> DataFrame | None:
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """Returns (quads_df, quoted_rows_df)."""
     if not template:
-        return None
-    for tq in template:
-        _register_ground_quoted(
-            compiler, [t for t in (tq.s, tq.p, tq.o) if not isinstance(t, ast.Var)]
-        )
+        return None, None
     df = bindings.df
     if fresh_blanks and any(
         isinstance(t, ast.BlankNode)
@@ -110,20 +151,12 @@ def _instantiate(
         df = df.withColumn("__sol_id", F.expr("uuid()"))
 
     parts: list[DataFrame] = []
+    quoted_parts: list[DataFrame] = []
     for tq in template:
         cols = []
         for pos, term in (("s", tq.s), ("p", tq.p), ("o", tq.o)):
-            if isinstance(term, ast.Var):
-                if term.name in df.columns:
-                    cols.append(F.col(term.name).alias(pos))
-                else:
-                    cols.append(F.lit(None).cast("string").alias(pos))
-            elif isinstance(term, ast.BlankNode) and fresh_blanks:
-                cols.append(
-                    F.concat(F.lit(f"_:{term.label}_"), F.col("__sol_id")).alias(pos)
-                )
-            else:
-                cols.append(F.lit(compiler._ground_term_value(term)).alias(pos))
+            col = _template_term_col(compiler, df, term, fresh_blanks, quoted_parts)
+            cols.append(col.cast("string").alias(pos))
         cols.append(F.lit(tq.g).cast("string").alias("g"))
         part = df.select(*cols)
         # instantiations with unbound components are illegal RDF → skipped
@@ -134,4 +167,10 @@ def _instantiate(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.dropDuplicates()
+    quoted = None
+    if quoted_parts:
+        quoted = quoted_parts[0]
+        for p in quoted_parts[1:]:
+            quoted = quoted.unionByName(p)
+        quoted = quoted.dropDuplicates()
+    return out.dropDuplicates(), quoted

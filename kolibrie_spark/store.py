@@ -100,6 +100,14 @@ class QuadStore:
         new = self.spark.createDataFrame(rows, QUOTED_SCHEMA)
         self.quoted = self.quoted.unionByName(new).dropDuplicates()
 
+    def insert_quoted(self, df: DataFrame) -> None:
+        """DataFrame of (qid, qs, qp, qo) rows; materialized to cut lineage."""
+        self.quoted = (
+            self.quoted.unionByName(df.select("qid", "qs", "qp", "qo"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+
     # ------------------------------------------------------------ mutation
     def replace_quads(self, df: DataFrame, materialize: bool = True) -> None:
         """Swap in a new quad set. ``materialize`` cuts the plan lineage —

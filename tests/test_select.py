@@ -1,0 +1,178 @@
+"""SELECT semantics — ports the reference's sparql_unified_test.rs
+composition scenarios and integration_test.rs round trips."""
+
+from tests.conftest import rows
+
+
+def seed(engine):
+    engine.add_triples(
+        [
+            ("ex:alice", "ex:age", "25"),
+            ("ex:alice", "ex:name", "Alice"),
+            ("ex:alice", "ex:city", "Ghent"),
+            ("ex:bob", "ex:age", "17"),
+            ("ex:bob", "ex:name", "Bob"),
+            ("ex:bob", "ex:city", "Ghent"),
+            ("ex:carol", "ex:age", "31"),
+            ("ex:carol", "ex:name", "Carol"),
+            ("ex:carol", "ex:city", "Paris"),
+        ]
+    )
+    return engine
+
+
+def test_bgp_join_filter_order_limit(engine):
+    e = seed(engine)
+    assert e.execute(
+        "SELECT ?n ?a WHERE { ?s <ex:age> ?a . ?s <ex:name> ?n . FILTER(?a > 20) } "
+        "ORDER BY DESC(?a) LIMIT 1"
+    ) == [["Carol", "31"]]
+
+
+def test_star_join_three_patterns(engine):
+    e = seed(engine)
+    got = rows(
+        e.query(
+            "SELECT ?n ?a ?c WHERE { ?s <ex:name> ?n . ?s <ex:age> ?a . ?s <ex:city> ?c }"
+        )
+    )
+    assert got == [
+        ("Alice", "25", "Ghent"),
+        ("Bob", "17", "Ghent"),
+        ("Carol", "31", "Paris"),
+    ]
+
+
+def test_multiset_no_implicit_distinct(engine):
+    e = seed(engine)
+    # two people share a city: joining on city gives a bag with repeats
+    got = e.execute("SELECT ?c WHERE { ?s <ex:city> ?c }")
+    assert sorted(v[0] for v in got) == ["Ghent", "Ghent", "Paris"]
+    got = e.execute("SELECT DISTINCT ?c WHERE { ?s <ex:city> ?c }")
+    assert sorted(v[0] for v in got) == ["Ghent", "Paris"]
+
+
+def test_union_heterogeneous_columns(engine):
+    e = seed(engine)
+    # branches binding different vars: missing vars project as ""
+    got = rows(
+        e.query(
+            "SELECT ?n ?a WHERE { { ?s <ex:name> ?n } UNION { ?s <ex:age> ?a } }"
+        )
+    )
+    assert ("Alice", "") in got and ("", "25") in got
+    assert len(got) == 6
+
+
+def test_values_single_and_undef(engine):
+    e = seed(engine)
+    got = rows(
+        e.query(
+            'SELECT ?n WHERE { ?s <ex:name> ?n . VALUES ?n { "Alice" "Bob" } }'
+        )
+    )
+    assert got == [("Alice",), ("Bob",)]
+    got = rows(
+        e.query(
+            "SELECT ?n ?t WHERE { ?s <ex:name> ?n . "
+            'VALUES (?n ?t) { ("Alice" "first") (UNDEF "all") } }'
+        )
+    )
+    assert got == [
+        ("Alice", "all"),
+        ("Alice", "first"),
+        ("Bob", "all"),
+        ("Carol", "all"),
+    ]
+
+
+def test_bind_concat_and_udf(engine):
+    e = seed(engine)
+    e.register_udf("exclaim", lambda s: s + "!")
+    got = rows(
+        e.query(
+            "SELECT ?x WHERE { ?s <ex:name> ?n . "
+            'BIND(CONCAT(?n, "-", "x") AS ?c) BIND(exclaim(?c) AS ?x) }'
+        )
+    )
+    assert got == [("Alice-x!",), ("Bob-x!",), ("Carol-x!",)]
+
+
+def test_group_aggregates(engine):
+    e = seed(engine)
+    got = rows(
+        e.query(
+            "SELECT ?c (SUM(?a) AS ?sum) (AVG(?a) AS ?avg) (MIN(?a) AS ?mn) "
+            "(MAX(?a) AS ?mx) (COUNT(?a) AS ?n) WHERE "
+            "{ ?s <ex:city> ?c . ?s <ex:age> ?a } GROUP BY ?c"
+        )
+    )
+    assert got == [
+        ("Ghent", "42.0", "21.0", "17.0", "25.0", "2"),
+        ("Paris", "31.0", "31.0", "31.0", "31.0", "1"),
+    ]
+
+
+def test_aggregate_skips_non_numeric(engine):
+    e = seed(engine)
+    e.add_triples([("ex:dave", "ex:age", "unknown"), ("ex:dave", "ex:city", "Ghent")])
+    got = rows(
+        e.query(
+            "SELECT ?c (SUM(?a) AS ?sum) (COUNT(?a) AS ?n) "
+            "WHERE { ?s <ex:city> ?c . ?s <ex:age> ?a } GROUP BY ?c"
+        )
+    )
+    # Dave's non-numeric age is skipped by SUM but counted by COUNT
+    assert ("Ghent", "42.0", "3") in got
+
+
+def test_order_by_numeric_then_lexical(engine):
+    e = seed(engine)
+    e.add_triples([("ex:x", "ex:age", "9")])
+    got = e.execute("SELECT ?a WHERE { ?s <ex:age> ?a } ORDER BY ?a")
+    assert [r[0] for r in got] == ["9", "17", "25", "31"]  # numeric, not lexical
+
+
+def test_filter_scoped_to_group(engine):
+    e = seed(engine)
+    # filter inside a nested group sees only that group's bindings: ?a is
+    # unbound inside, so the comparison is false and the branch is empty
+    got = e.execute(
+        "SELECT ?n WHERE { ?s <ex:name> ?n . { ?s <ex:city> ?c . FILTER(?a > 0) } }"
+    )
+    assert got == []
+    # same filter at outer scope sees ?a
+    got = e.execute(
+        "SELECT ?n WHERE { ?s <ex:name> ?n . ?s <ex:age> ?a . "
+        "{ ?s <ex:city> ?c } FILTER(?a > 20) }"
+    )
+    assert sorted(r[0] for r in got) == ["Alice", "Carol"]
+
+
+def test_subquery_modifiers(engine):
+    # ports sparql_subquery_modifiers_test.rs: DISTINCT/ORDER/LIMIT inside
+    e = seed(engine)
+    got = e.execute(
+        "SELECT ?n WHERE { { SELECT DISTINCT ?s WHERE { ?s <ex:city> ?c } } "
+        "?s <ex:name> ?n } ORDER BY ?n LIMIT 2"
+    )
+    assert got == [["Alice"], ["Bob"]]
+
+
+def test_division_by_zero_is_false(engine):
+    e = seed(engine)
+    got = e.execute(
+        "SELECT ?n WHERE { ?s <ex:name> ?n . ?s <ex:age> ?a . FILTER(?a / 0 > 0) }"
+    )
+    assert got == []
+
+
+def test_try_numeric_comparison_false_for_strings(engine):
+    e = seed(engine)
+    got = e.execute(
+        "SELECT ?n WHERE { ?s <ex:name> ?n . FILTER(?n > 0) }"
+    )
+    assert got == []
+    # equality is string equality
+    got = e.execute('SELECT ?n WHERE { ?s <ex:name> ?n . FILTER(?n = "Alice") }')
+    assert got == [["Alice"]]

@@ -1,0 +1,68 @@
+"""SPARQL Update — the six forms (reference execute_query.rs:523-884)."""
+
+from tests.conftest import rows
+
+
+def test_insert_data_and_delete_data(engine):
+    engine.update('INSERT DATA { <ex:a> <ex:p> "1" . GRAPH <ex:g> { <ex:a> <ex:p> "2" } }')
+    assert engine.execute("SELECT ?o WHERE { ?s <ex:p> ?o }") == [["1"]]
+    assert engine.execute("SELECT ?o WHERE { GRAPH <ex:g> { ?s <ex:p> ?o } }") == [["2"]]
+    engine.update('DELETE DATA { <ex:a> <ex:p> "1" }')
+    assert engine.execute("SELECT ?o WHERE { ?s <ex:p> ?o }") == []
+
+
+def test_insert_data_is_set_semantics(engine):
+    engine.update('INSERT DATA { <ex:a> <ex:p> "1" }')
+    engine.update('INSERT DATA { <ex:a> <ex:p> "1" }')
+    assert engine.execute("SELECT ?o WHERE { ?s <ex:p> ?o }") == [["1"]]
+
+
+def test_insert_where(engine):
+    engine.add_triples([("ex:a", "ex:age", "25"), ("ex:b", "ex:age", "15")])
+    engine.update(
+        'INSERT { ?s <ex:adult> "yes" } WHERE { ?s <ex:age> ?a . FILTER(?a >= 18) }'
+    )
+    assert engine.execute("SELECT ?s WHERE { ?s <ex:adult> ?o }") == [["ex:a"]]
+
+
+def test_delete_where_patterns_as_template(engine):
+    engine.add_triples(
+        [("ex:a", "ex:p", "1"), ("ex:b", "ex:p", "2"), ("ex:a", "ex:q", "3")]
+    )
+    engine.update("DELETE WHERE { ?s <ex:p> ?o }")
+    got = rows(engine.query("SELECT ?s ?p ?o WHERE { ?s ?p ?o }"))
+    assert got == [("ex:a", "ex:q", "3")]
+
+
+def test_delete_insert_where(engine):
+    engine.add_triples([("ex:a", "ex:status", "old"), ("ex:b", "ex:status", "keep")])
+    engine.update(
+        'DELETE { ?s <ex:status> "old" } INSERT { ?s <ex:status> "new" } '
+        'WHERE { ?s <ex:status> "old" }'
+    )
+    got = rows(engine.query("SELECT ?s ?o WHERE { ?s <ex:status> ?o }"))
+    assert got == [("ex:a", "new"), ("ex:b", "keep")]
+
+
+def test_where_evaluated_pre_mutation(engine):
+    # inserting triples matching the WHERE must not feed back into it
+    engine.add_triples([("ex:a", "ex:n", "1")])
+    engine.update("INSERT { ?s <ex:n> ?o } WHERE { ?s <ex:n> ?o }")  # no-op (set)
+    engine.update('INSERT { <ex:b> <ex:n> "1" } WHERE { ?s <ex:n> "1" }')
+    got = rows(engine.query("SELECT ?s WHERE { ?s <ex:n> ?o }"))
+    assert got == [("ex:a",), ("ex:b",)]
+
+
+def test_blank_node_allocation_per_solution(engine):
+    engine.add_triples([("ex:a", "ex:p", "1"), ("ex:b", "ex:p", "2")])
+    engine.update(
+        "INSERT { ?s <ex:linked> _:x . _:x <ex:val> ?o } WHERE { ?s <ex:p> ?o }"
+    )
+    # each solution gets its own blank node, shared within the solution
+    got = engine.query(
+        "SELECT ?s ?o WHERE { ?s <ex:linked> ?bn . ?bn <ex:val> ?o }"
+    )
+    assert rows(got) == [("ex:a", "1"), ("ex:b", "2")]
+    # two distinct blank nodes exist
+    bns = engine.execute("SELECT DISTINCT ?bn WHERE { ?s <ex:linked> ?bn }")
+    assert len(bns) == 2
