@@ -156,6 +156,172 @@ def _q_rdf_star_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators (dedup / similarity / text analysis) on documents,
+# embeddings, events — SURVEY.md north-star extensions
+# ---------------------------------------------------------------------------
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.dedup import exact_dedup
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "key", F.substring("text", 1, 40)
+    )
+    return exact_dedup(docs, ["key"], "doc_id").select("doc_id", "key")
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kolibrie_spark.operators.dedup import ngram_jaccard_pairs
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kolibrie_spark.operators.dedup import minhash_lsh_pairs
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.5
+    )
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kolibrie_spark.operators.dedup import simhash_near_pairs
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kolibrie_spark.operators.dedup import embedding_cosine_pairs
+    from kolibrie_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    from kolibrie_spark.tables import load_table
+
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter("vec_id = 0")
+        .select("embedding")
+        .first()
+    )
+    return [float(v) for v in row[0]]
+
+
+def _q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kolibrie_spark.operators.similarity import cosine_topk
+    from kolibrie_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _query_vector(spark, sf_dir), 10, "vec_id", "embedding")
+
+
+def _q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kolibrie_spark.operators.similarity import lsh_bucket_topk
+    from kolibrie_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(
+        emb, _query_vector(spark, sf_dir), 10, "vec_id", "embedding",
+        bits=8, nprobe=32,
+    )
+
+
+def _q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kolibrie_spark.operators.textanalysis import analyze
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return analyze(docs, "doc_id", "text")
+
+
+def _text_analyze_oracle() -> str:
+    from kolibrie_spark.operators.hashing import poly_hash_duckdb
+    from kolibrie_spark.operators.textanalysis import STOPWORDS
+
+    sw_cols = []
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        sw_cols.append(
+            f"len(list_filter(wl, x -> list_contains([{lst}], x))) AS sw_{lang}"
+        )
+    sw_select = ",\n    ".join(sw_cols)
+    langs = list(STOPWORDS)
+    best = "greatest(" + ", ".join(f"sw_{l}" for l in langs) + ")"
+    lang_case = f"CASE WHEN {best} = 0 THEN 'und' " + " ".join(
+        f"WHEN sw_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+    string_split_regex(trim(text), '\\s+') AS w,
+    string_split_regex(lower(trim(text)), '\\s+') AS wl,
+    length(text) AS nc
+  FROM documents
+), s AS (
+  SELECT doc_id, text, nc,
+    len(w) AS tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS subword_tokens,
+    (nc - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / nc AS punct_ratio,
+    length(regexp_replace(text, '\\s+', '', 'g')) AS n_nospace,
+    {sw_select}
+  FROM t
+)
+SELECT doc_id,
+  tokens::BIGINT AS tokens,
+  subword_tokens::BIGINT AS subword_tokens,
+  punct_ratio,
+  (CASE WHEN nc >= 50 AND nc <= 5000 THEN 1.0 ELSE 0.0 END
+   + CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END
+   + CASE WHEN n_nospace / tokens >= 2.0 AND n_nospace / tokens <= 12.0
+          THEN 1.0 ELSE 0.0 END
+   + CASE WHEN sw_en / tokens >= 0.05 THEN 1.0 ELSE 0.0 END) / 4.0 AS quality,
+  {lang_case} AS lang_pred,
+  {poly_hash_duckdb(norm)} AS fingerprint
+FROM s
+"""
+
+
+def _q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation — the batch twin of the
+    streaming S2R window operator (SURVEY §2.9)."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("event_time", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "cnt",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
 def _q_udf_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.engine import SparqlEngine
 
@@ -276,7 +442,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- RDF-star (§2.8 builtins, §1.1 quoted triples)
         "rdf_star_annotate": _q_rdf_star_annotate,
         "rdf_star_builtins": _q_rdf_star_builtins,
+        # --- LLM-pipeline operators (north-star extensions)
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "sim_topk_cosine": _q_sim_topk_cosine,
+        "sim_topk_lsh": _q_sim_topk_lsh,
+        "text_analyze": _q_text_analyze,
+        "events_window_agg": _q_events_window_agg,
     }
+
+
+def _embedding_cosine_oracle() -> str:
+    from kolibrie_spark.operators.similarity import cosine_duckdb_sql
+
+    cos = cosine_duckdb_sql("a.v", "b.v")
+    return (
+        "WITH e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings) "
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine "
+        f"FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE {cos} >= 0.4"
+    )
+
+
+def _sim_topk_oracle() -> str:
+    from kolibrie_spark.operators.similarity import cosine_duckdb_sql
+
+    cos = cosine_duckdb_sql("v", "qv")
+    return (
+        "WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        "AS qv FROM embeddings WHERE vec_id = 0), "
+        "e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings) "
+        f"SELECT vec_id, {cos} AS cosine "
+        "FROM e, q ORDER BY cosine DESC, vec_id LIMIT 10"
+    )
+
+
+def _ngram_jaccard_oracle() -> str:
+    from kolibrie_spark.operators.dedup import ngram_jaccard_pairs_duckdb_sql
+
+    return ngram_jaccard_pairs_duckdb_sql("documents", "doc_id", "text", 3, 0.5)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -375,5 +583,22 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {qt} AS t, "
             "'urn:supplier:' || CAST(s_suppkey AS VARCHAR) AS subj, "
             "s_name AS obj FROM supplier"
+        ),
+        # --- LLM-pipeline operators (dedup_simhash / sim_topk_lsh are
+        # approximate-by-design => rows-only checks, deliberately no oracle)
+        "dedup_exact": (
+            "SELECT MIN(doc_id) AS doc_id, substr(text, 1, 40) AS key "
+            "FROM documents GROUP BY substr(text, 1, 40)"
+        ),
+        "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
+        "dedup_minhash_lsh": _ngram_jaccard_oracle(),
+        "dedup_embedding_cosine": _embedding_cosine_oracle(),
+        "sim_topk_cosine": _sim_topk_oracle(),
+        "text_analyze": _text_analyze_oracle(),
+        "events_window_agg": (
+            "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "
+            "event_type, COUNT(*) AS cnt, MIN(value) AS min_value, "
+            "MAX(value) AS max_value "
+            "FROM events GROUP BY 1, 2"
         ),
     }

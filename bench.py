@@ -39,6 +39,15 @@ BENCH_QUERIES = [
     "bind_concat",
     "update_insert_where",
     "rdf_star_annotate",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_topk_cosine",
+    "sim_topk_lsh",
+    "text_analyze",
+    "events_window_agg",
 ]
 
 

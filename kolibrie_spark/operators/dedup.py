@@ -1,0 +1,377 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design notes (100 TB):
+- exact dedup is one hash-shuffle groupBy (map-side combine applies);
+- the Jaccard all-pairs path prunes candidates through a shared-shingle
+  equi-join (never a cross join) — skew from ultra-common shingles should be
+  handled upstream by dropping top-frequency shingles (stop-shingles);
+- MinHash+LSH replaces the shared-shingle join with a banded-signature
+  bucket join: candidates shrink from O(docs²·overlap) to near-linear,
+  the standard web-dedup recipe;
+- everything below stays in JVM column expressions (no Python in the
+  per-row path) except SimHash, which is an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kolibrie_spark.operators import hashing
+
+
+# --------------------------------------------------------------- exact dedup
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one representative row (min id) per exact key — hash groupBy,
+    map-side combinable, one shuffle on the key."""
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return keep.join(df, on=key_cols + [id_col], how="inner")
+
+
+# ----------------------------------------------------------------- shingling
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    words = F.split(F.trim(text), r"\s+")
+    count = F.size(words) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.when(count >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("__sh"),
+    )
+
+
+# ------------------------------------------------------------ n-gram Jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets for every pair sharing at
+    least one shingle. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    The shared-shingle self-join is the candidate pruner: pairs with zero
+    overlap never materialize. One shuffle on the shingle, one on the pair.
+    """
+    sh = _shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, on=[F.col("a.__sh") == F.col("b.__sh"), F.col("a.__id") < F.col("b.__id")])
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("__c"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    out = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def ngram_jaccard_pairs_duckdb_sql(
+    table: str, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> str:
+    """DuckDB oracle computing exactly ngram_jaccard_pairs."""
+    gram = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    return f"""
+WITH words AS (
+  SELECT {id_col} AS id, string_split_regex(trim({text_col}), '\\s+') AS w
+  FROM {table}
+),
+sh AS (
+  SELECT DISTINCT id, {gram} AS s
+  FROM words, UNNEST(generate_series(1, greatest(len(w) - {n - 1}, 1))) t(i)
+  WHERE i <= len(w) - {n - 1} OR len(w) < {n}
+),
+sizes AS (SELECT id, COUNT(*) AS sn FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, c * 1.0 / (sa.sn + sb.sn - c) AS jaccard
+FROM shared
+JOIN sizes sa ON id_a = sa.id
+JOIN sizes sb ON id_b = sb.id
+WHERE c * 1.0 / (sa.sn + sb.sn - c) >= {threshold}
+"""
+
+
+# --------------------------------------------------------------- MinHash+LSH
+def base_shingle_hashes(text: Column, n: int = 3) -> Column:
+    """One polynomial fold per distinct shingle → array<long>."""
+    return F.transform(word_ngrams(text, n), lambda s: hashing.poly_hash(s))
+
+
+def signature_from_base(base: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature from pre-computed base hashes via the derived
+    universal family — cheap arithmetic only, no re-hashing."""
+    fam = hashing.hash_family(num_hashes)
+
+    def _minhash(a: int, b: int) -> Column:
+        return F.array_min(F.transform(base, lambda h: hashing.derived_hash(h, a, b)))
+
+    return F.array(*[_minhash(a, b) for (a, b) in fam])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash buckets, exact-Jaccard-verified.
+
+    bands=32/rows=2 gives P(miss | J >= 0.5) = (1 - 0.25)^32 ≈ 1e-4 — and
+    the whole pipeline is deterministic, so a found pair set is stable run
+    to run. The exact-Jaccard verification keeps precision at 1.0, so with
+    full recall the output equals ngram_jaccard_pairs.
+    """
+    rows = num_hashes // bands
+    # two projection stages: the base shingle hashes materialize once, the
+    # 64 family members are arithmetic over that array (without the stage
+    # boundary each signature slot would re-fold every shingle — Catalyst
+    # does not CSE across sibling expressions)
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__text"),
+        base_shingle_hashes(F.col(text_col), n).alias("__base"),
+    ).select(
+        "__id",
+        "__text",
+        signature_from_base(F.col("__base"), num_hashes).alias("__sig"),
+    )
+    band_cols = [
+        F.concat_ws(
+            "-",
+            F.lit(j),
+            *[F.col("__sig")[j * rows + k].cast("string") for k in range(rows)],
+        ).alias(f"__b{j}")
+        for j in range(bands)
+    ]
+    banded = sig.select("__id", "__text", *band_cols)
+    buckets = banded.select(
+        "__id", "__text", F.explode(F.array(*[F.col(f"__b{j}") for j in range(bands)])).alias("__bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__bucket") == F.col("b.__bucket"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__text").alias("__ta"),
+            F.col("b.__text").alias("__tb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact verification on the candidates (precision 1.0)
+    sha = word_ngrams(F.col("__ta"), n)
+    shb = word_ngrams(F.col("__tb"), n)
+    inter = F.size(F.array_intersect(sha, shb))
+    union = F.size(sha) + F.size(shb) - inter
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------------------- SimHash
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (Arrow-batched pandas UDF —
+    per-bit majority voting doesn't vectorize into column expressions).
+    Returns (id, simhash BIGINT)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    def _simhash_fn(texts):
+        import numpy as np
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            tokens = (t or "").split()
+            if not tokens:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            mask = (1 << 64) - 1
+            for tok in tokens:
+                # FNV-1a 64-bit, deterministic and portable
+                h = 14695981039346656037
+                for ch in tok.encode():
+                    h = ((h ^ ch) * 1099511628211) & mask
+                bits = np.unpackbits(
+                    np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8)
+                )
+                acc += np.where(bits == 1, 1, -1)
+            sign = (acc > 0).astype(np.uint8)
+            out[i] = int.from_bytes(np.packbits(sign).tobytes(), "big", signed=True)
+        return pd.Series(out)
+
+    _simhash = F.pandas_udf(_simhash_fn, LongType())
+    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs where hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidate pruning via the 4-block trick: if two 64-bit hashes differ in
+    <= 3 bits, at least one of their four 16-bit blocks is identical — so a
+    4-way block equi-join replaces the cross join (Manku et al., WWW'07).
+    """
+    sh = simhash64(df, id_col, text_col)
+    blocks = sh.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(i),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .cast("string"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("__block"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__block") == F.col("b.__block"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.simhash").alias("__ha"),
+            F.col("b.simhash").alias("__hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------- embedding cosine near-dup
+def _blas_candidate_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float, block_rows: int
+) -> DataFrame:
+    """All-pairs cosine >= threshold via blocked matrix products.
+
+    Rows are bucketed into B blocks; every unordered block pair (i <= j)
+    becomes one applyInPandas group holding both blocks' vectors, scored as
+    one BLAS matmul. Total shuffle = B copies of the data (each row joins B
+    groups); per-task memory = two blocks. Pick block_rows so a
+    (block_rows x dim) matrix is comfortable — the standard all-pairs
+    blocking scheme, ~1000x faster than per-pair fold expressions."""
+    import pandas as pd
+
+    n = df.count()
+    b = max(1, -(-n // block_rows))
+    base = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(b)).alias("__blk"),
+    )
+    pair_keys = F.array(
+        *[
+            F.when(
+                (F.col("__blk") == i) | (F.col("__blk") == j),
+                F.lit(f"{i}-{j}"),
+            )
+            for i in range(b)
+            for j in range(i, b)
+        ]
+    )
+    exploded = base.withColumn(
+        "__pk", F.explode(F.filter(pair_keys, lambda x: x.isNotNull()))
+    )
+
+    def score(key, pdf):
+        import numpy as np
+
+        i, j = (int(x) for x in key[0].split("-"))
+        ai = pdf[pdf["__blk"] == i]
+        bj = pdf[pdf["__blk"] == j]
+        if ai.empty or bj.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        A = np.vstack(ai["__v"].to_numpy())
+        B = np.vstack(bj["__v"].to_numpy())
+        A = A / np.linalg.norm(A, axis=1, keepdims=True)
+        B = B / np.linalg.norm(B, axis=1, keepdims=True)
+        S = A @ B.T
+        ia, jb = np.nonzero(S >= threshold)
+        id_a = ai["__id"].to_numpy()[ia]
+        id_b = bj["__id"].to_numpy()[jb]
+        keep = id_a < id_b
+        return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep]})
+
+    return exploded.groupBy("__pk").applyInPandas(score, "id_a long, id_b long")
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Near-dup pairs by cosine similarity: BLAS-blocked candidate
+    generation at (threshold - 1e-6), then exact re-scoring of the (few)
+    candidates with the deterministic fold expression — so the output is
+    bit-identical to a naive exact all-pairs computation (and the DuckDB
+    oracle) while the heavy lifting runs as matrix products."""
+    from kolibrie_spark.operators.similarity import cosine_expr
+
+    cand = _blas_candidate_pairs(df, id_col, vec_col, threshold - 1e-6, block_rows)
+    e = df.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v")
+    )
+    a = e.withColumnRenamed("__id", "id_a").withColumnRenamed("__v", "__va")
+    b = e.withColumnRenamed("__id", "id_b").withColumnRenamed("__v", "__vb")
+    cos = cosine_expr(F.col("__va"), F.col("__vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk`` — brute-force exact top-k for one query vector: a single
+  narrow map + TakeOrdered (no shuffle of the vectors); the correctness
+  baseline and perfectly scalable for one-off queries (scan-bound).
+- ``lsh_bucket_topk`` — random-hyperplane LSH: vectors carry a signature
+  bucket; a query probes its own bucket plus the ``nprobe`` nearest buckets
+  by signature hamming distance. At 100 TB the table should be written
+  partitioned by bucket so a probe is a partition-pruned scan, turning
+  top-k from a full scan into reading nprobe/2^bits of the data.
+
+Dot products use ``zip_with`` + ``aggregate`` — JVM column expressions with
+left-to-right accumulation, bit-reproducible against DuckDB's
+list_dot_product for the oracle checks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    # widen to double BEFORE multiplying — float32 products then summed
+    # would diverge from the all-double oracle computation
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _vec_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec]).cast("array<double>")
+
+
+def dot_duckdb_sql(a: str, b: str) -> str:
+    """DuckDB twin of dot_expr — an explicit left fold, because DuckDB's
+    list_dot_product uses a different accumulation order (observed ~1e-9
+    divergence) while this matches Spark bit-for-bit."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def cosine_duckdb_sql(a: str, b: str) -> str:
+    return (
+        f"({dot_duckdb_sql(a, b)} / "
+        f"(sqrt({dot_duckdb_sql(a, a)}) * sqrt({dot_duckdb_sql(b, b)})))"
+    )
+
+
+def cosine_topk(
+    df: DataFrame, query_vec: list[float], k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``: one map over the
+    vectors + TakeOrdered(k). Ties broken by id for determinism."""
+    q = _vec_lit(query_vec)
+    v = F.col(vec_col).cast("array<double>")
+    scored = df.select(
+        F.col(id_col),
+        (dot_expr(v, q) / (norm_expr(v) * norm_expr(q))).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+# ------------------------------------------------------- hyperplane LSH index
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side, broadcast as literals)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(bits, dim).round(6).tolist()
+
+
+def signature_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-signature: sign of the projection on each hyperplane, packed into
+    a BIGINT (bits <= 63)."""
+    bits = []
+    for i, p in enumerate(planes):
+        proj = dot_expr(vec.cast("array<double>"), _vec_lit(p))
+        bits.append(F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str, bits: int = 8, seed: int = 42
+) -> DataFrame:
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, bits, seed)
+    return df.withColumn("lsh_bucket", signature_expr(F.col(vec_col), planes))
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    bits: int = 8,
+    nprobe: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose signature is within the
+    ``nprobe`` nearest buckets (by hamming distance to the query signature).
+
+    Recall grows with nprobe; nprobe = 2^bits degenerates to exact. The
+    probed-bucket filter is a pushable IN-list, so a bucket-partitioned
+    layout prunes partitions instead of scanning."""
+    planes = hyperplanes(len(query_vec), bits, seed)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(query_vec, p)) >= 0:
+            qsig |= 1 << i
+    buckets = sorted(range(1 << bits), key=lambda b: bin(b ^ qsig).count("1"))[:nprobe]
+    bucketed = with_lsh_bucket(df, vec_col, bits, seed)
+    probed = bucketed.filter(F.col("lsh_bucket").isin(buckets))
+    return cosine_topk(probed, query_vec, k, id_col, vec_col)

@@ -1,0 +1,109 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All pure JVM column expressions (whole-stage
+codegen; no Python in the row path), each with a DuckDB-reproducible
+formulation for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kolibrie_spark.operators import hashing
+
+# small deterministic stopword profiles for the n-gram/stopword language
+# heuristic; ASCII-only on purpose (the synthetic corpus is ASCII)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "que", "por", "con"],
+    "it": ["il", "la", "gli", "e", "che", "un", "una", "per", "con", "del"],
+}
+
+
+def word_array(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(word_array(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: alpha runs, digit runs, and single
+    punctuation marks each count as one token (a BPE-flavored regex)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"\p{Punct}", "")
+    return (F.length(text) - F.length(stripped)) / F.length(text)
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    """Occurrences (not distinct) of the language's stopwords."""
+    words = word_array(F.lower(text))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    stopword presence + mean word length band. Deterministic arithmetic,
+    reproducible in SQL."""
+    n_chars = F.length(text)
+    toks = token_count(text)
+    mean_wl = (F.length(F.regexp_replace(text, r"\s+", ""))) / toks
+    sw_ratio = stopword_count(text) / toks
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 5000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) <= 0.1, 1.0).otherwise(0.0)
+    wl_ok = F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), 1.0).otherwise(0.0)
+    sw_ok = F.when(sw_ratio >= 0.05, 1.0).otherwise(0.0)
+    return (len_ok + punct_ok + wl_ok + sw_ok) / F.lit(4.0)
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    return [(lang, stopword_count(text, lang)) for lang in STOPWORDS]
+
+
+def lang_id(text: Column) -> Column:
+    """argmax of per-language stopword counts; ties resolve in the fixed
+    profile order (en, de, fr, es, it); no stopwords at all → 'und'
+    (undetermined)."""
+    scores = lang_scores(text)
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    out = F.lit("und")
+    for lang, s in reversed(scores):
+        out = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling fingerprint of the whole document: the
+    polynomial fold of hashing.py over the normalized text (lowercased,
+    whitespace collapsed). DuckDB twin: fingerprint_duckdb_sql."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return hashing.poly_hash(norm)
+
+
+def fingerprint_duckdb_sql(expr: str) -> str:
+    norm = f"regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g')"
+    return hashing.poly_hash_duckdb(norm)
+
+
+def analyze(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """All analyses in one narrow projection."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).cast("long").alias("tokens"),
+        bpe_ish_token_count(t).cast("long").alias("subword_tokens"),
+        punct_ratio(t).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )

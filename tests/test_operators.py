@@ -1,0 +1,170 @@
+"""LLM-pipeline operators: dedup, similarity, text analysis, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (2, "the quick brown fox jumps over the lazy dog again and again", "en"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat again and again", "en"),  # near dup
+        (4, "completely different text about spark query engines and plans", "en"),
+        (5, "der hund und die katze sind nicht mit der maus auf dem tisch", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs):
+    from kolibrie_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs, ["text"], "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3, 4, 5]
+
+
+def test_ngram_jaccard_pairs(docs):
+    from kolibrie_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert all(k in {(1, 2), (1, 3), (2, 3)} for k in got)
+
+
+def test_minhash_lsh_equals_exact(docs):
+    from kolibrie_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", 3, 64, 32, 0.5).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_near_pairs(docs):
+    from kolibrie_spark.operators.dedup import simhash_near_pairs
+
+    pairs = simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got[(1, 2)] == 0  # identical text, identical simhash
+    assert (1, 3) in got    # one word changed, few bits flip
+    assert (1, 4) not in got and (4, 5) not in got
+
+
+def test_cosine_topk_and_lsh_recall(spark):
+    import numpy as np
+
+    from kolibrie_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(16)
+    rows = []
+    for i in range(200):
+        if i < 5:  # planted neighbors
+            v = base + rng.randn(16) * 0.05
+        else:
+            v = rng.randn(16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in base]
+    exact = [r.vec_id for r in cosine_topk(df, q, 5, "vec_id", "embedding").collect()]
+    assert sorted(exact) == [0, 1, 2, 3, 4]
+    approx = [
+        r.vec_id
+        for r in lsh_bucket_topk(
+            df, q, 5, "vec_id", "embedding", bits=6, nprobe=16
+        ).collect()
+    ]
+    # high nprobe => recall should recover most planted neighbors
+    assert len(set(approx) & set(exact)) >= 4
+
+
+def test_text_analyze_fields(spark, docs):
+    from kolibrie_spark.operators.textanalysis import analyze
+
+    out = {r.doc_id: r for r in analyze(docs, "doc_id", "text").collect()}
+    assert out[1].tokens == 12
+    assert out[1].lang_pred == "en"
+    assert out[5].lang_pred == "de"
+    assert 0.0 <= out[1].punct_ratio < 0.05
+    assert out[1].fingerprint == out[2].fingerprint  # same text, same print
+    assert out[1].fingerprint != out[3].fingerprint
+
+
+def test_quality_score_monotone(spark):
+    from kolibrie_spark.operators.textanalysis import analyze
+
+    rows = [
+        (1, "the cat is on the mat and it is a good cat that sleeps all day long"),
+        (2, "x@@ ##!! ??? ;;; ::: %%% &&& *** ((( )))"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.quality for r in analyze(df, "doc_id", "text").collect()}
+    assert out[1] > out[2]
+
+
+# ------------------------------------------------------------- multimodal
+@pytest.fixture(scope="module")
+def media(spark):
+    from kolibrie_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        ("m1", "image/png", b"\x89PNG-fake-bytes-1", (64, 48, None)),
+        ("m2", "image/png", b"\x89PNG-fake-bytes-2", (1000, 500, None)),
+        ("m3", "video/mp4", b"\x00mp4-fake", (640, 480, 3500)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_multimodal_fake_features(media):
+    from kolibrie_spark.operators.multimodal import deterministic_fake, extract_features
+
+    out = {r.media_id: r for r in extract_features(media).collect()}
+    assert len(out["m1"].feature) == 16
+    assert out["m1"].decode_error is None
+    # deterministic: same bytes -> same vector
+    assert list(out["m1"].feature) == [
+        pytest.approx(v) for v in deterministic_fake(b"\x89PNG-fake-bytes-1")
+    ]
+    assert list(out["m1"].feature) != list(out["m2"].feature)
+
+
+def test_multimodal_decode_error_isolated(media):
+    from kolibrie_spark.operators.multimodal import extract_features
+
+    def flaky(data: bytes):
+        if data.endswith(b"-2"):
+            raise ValueError("corrupt blob")
+        return [0.0]
+
+    out = {r.media_id: r for r in extract_features(media, decoder=flaky).collect()}
+    assert out["m2"].feature is None and "corrupt blob" in out["m2"].decode_error
+    assert out["m1"].feature == [0.0] and out["m1"].decode_error is None
+
+
+def test_multimodal_real_decode_is_stubbed(media):
+    from kolibrie_spark.operators.multimodal import extract_features
+
+    with pytest.raises(Exception) as exc_info:
+        extract_features(media, decoder=None).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sample_and_resize(media):
+    from kolibrie_spark.operators.multimodal import frame_sample_plan, resize_meta
+
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert [(r.media_id, r.frame_ts_ms) for r in frames] == [
+        ("m3", 0), ("m3", 1000), ("m3", 2000), ("m3", 3000)
+    ]
+    t = {r.media_id: r.target for r in resize_meta(media, 500).collect()}
+    assert (t["m2"].width, t["m2"].height) == (500, 250)
+    assert (t["m1"].width, t["m1"].height) == (64, 48)  # under limit: unchanged
