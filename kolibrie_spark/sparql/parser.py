@@ -80,9 +80,9 @@ _TOKEN_RE = re.compile(
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
   | (?P<BLANK>_:[A-Za-z0-9_]+)
   | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.\-/%]*)
+  | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_-]*)?:[A-Za-z0-9_.\-/%]*)
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_.]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().,;=<>!+\-*/@])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].,;=<>!+\-*/@])
     """,
     re.VERBOSE,
 )

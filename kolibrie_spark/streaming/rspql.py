@@ -1,0 +1,217 @@
+"""RSP-QL REGISTER grammar (reference kolibrie/src/parser.rs:389-433 for the
+REGISTER clause, 2594-2676 for window specs, 2700-2763 for sync policies).
+
+Shape::
+
+    REGISTER (RSTREAM|ISTREAM|DSTREAM) <out-iri> AS
+    SELECT ...
+    FROM NAMED WINDOW :w ON (:stream | ?var) [RANGE n STEP m]
+        [WITH POLICY (WAIT | STEAL | TIMEOUT n (STEAL|DROP))]
+    ...
+    WHERE { WINDOW :w { patterns } ...  static-patterns... }
+
+Durations: plain integers or ISO-8601 (PT10S/PT5M/PT1H — parsed to
+seconds). No STEP => slide = width (tumbling, reference builder.rs:247-250).
+The ``:name`` prefixed form with no declared prefix resolves to the bare
+local name, matching the reference's normalize_stream_iri
+(rsp_engine.rs:782-790).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from kolibrie_spark.sparql import ast
+from kolibrie_spark.sparql.parser import ParseError, Parser, Tok
+
+
+@dataclass
+class WindowSpec:
+    iri: str
+    stream: str | None  # None = variable stream (matches any)
+    width: int
+    slide: int
+    group: ast.Group = field(default_factory=ast.Group)
+    policy: tuple | None = None  # ("WAIT",) | ("STEAL",) | ("TIMEOUT", n, fb)
+
+
+@dataclass
+class RSPQLQuery:
+    operator: str  # RSTREAM | ISTREAM | DSTREAM
+    output_iri: str
+    select: ast.SelectQuery
+    windows: list[WindowSpec] = field(default_factory=list)
+    static_group: ast.Group = field(default_factory=ast.Group)
+
+
+_ISO = re.compile(r"^PT(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?$", re.I)
+
+
+def parse_duration(text: str) -> int:
+    if text.isdigit():
+        return int(text)
+    m = _ISO.match(text)
+    if not m:
+        raise ParseError(f"bad duration {text!r}")
+    h, mi, s = (int(x) if x else 0 for x in m.groups())
+    return h * 3600 + mi * 60 + s
+
+
+class RSPQLParser(Parser):
+    """Extends the SPARQL parser with the streaming registration grammar."""
+
+    def resolve_pname(self, text: str) -> str:
+        pfx, _, local = text.partition(":")
+        if pfx == "" and pfx not in self.prefixes:
+            return local  # ':w' with no declared prefix = bare name
+        return super().resolve_pname(text)
+
+    def _stream_term(self):
+        t = self.peek()
+        if t is not None and t.kind == "VAR":
+            self.i += 1
+            return None  # variable stream: matches any stream IRI
+        return self._iri_or_colon_name()
+
+    def _iri_or_colon_name(self) -> str:
+        t = self.peek()
+        if t is not None and t.kind == "OP" and t.text == ":":  # pragma: no cover
+            raise ParseError("bad IRI")
+        if t is not None and t.kind == "PNAME":
+            self.i += 1
+            return self.resolve_pname(t.text)
+        return self._iri_value()
+
+    def parse_register(self) -> RSPQLQuery:
+        while self.at_kw("PREFIX"):
+            self.i += 1
+            pn = self.next()
+            iri = self.next()
+            if pn.kind != "PNAME" or iri.kind != "IRI":
+                raise ParseError("bad PREFIX")
+            self.prefixes[pn.text[:-1]] = iri.text[1:-1]
+
+        self.expect_kw("REGISTER")
+        op_tok = self.next()
+        operator = op_tok.text.upper()
+        if operator not in ("RSTREAM", "ISTREAM", "DSTREAM"):
+            raise ParseError(f"bad stream operator {op_tok!r}")
+        output_iri = self._iri_or_colon_name()
+        self.expect_kw("AS")
+
+        # SELECT projection (reuse core parser up to FROM)
+        self.expect_kw("SELECT")
+        select = ast.SelectQuery(select=[])
+        if self.take_kw("DISTINCT"):
+            select.distinct = True
+        if self.take_op("*"):
+            select.star = True
+        else:
+            while True:
+                item = self.try_parse_projection_item()
+                if item is None:
+                    break
+                select.select.append(item)
+            if not select.select:
+                raise ParseError("empty SELECT list")
+
+        windows: list[WindowSpec] = []
+        while self.at_kw("FROM"):
+            self.i += 1
+            self.expect_kw("NAMED")
+            self.expect_kw("WINDOW")
+            wiri = self._iri_or_colon_name()
+            self.expect_kw("ON")
+            stream = self._stream_term()
+            spec_w, spec_s = self._parse_window_spec()
+            policy = self._parse_policy()
+            windows.append(
+                WindowSpec(iri=wiri, stream=stream, width=spec_w, slide=spec_s, policy=policy)
+            )
+        if not windows:
+            raise ParseError("REGISTER requires at least one FROM NAMED WINDOW")
+
+        self.expect_kw("WHERE")
+        self.expect_op("{")
+        static_group = ast.Group()
+        by_iri = {w.iri: w for w in windows}
+        while not self.at_op("}"):
+            if self.at_kw("WINDOW"):
+                self.i += 1
+                wiri = self._iri_or_colon_name()
+                if wiri not in by_iri:
+                    raise ParseError(f"WINDOW block for undeclared window {wiri!r}")
+                inner = self.parse_group()
+                by_iri[wiri].group = inner
+            elif self.at_kw("FILTER"):
+                self.i += 1
+                self.expect_op("(")
+                expr = self.parse_or_expr()
+                self.expect_op(")")
+                static_group.elements.append(ast.Filter(expr))
+            else:
+                self.parse_triples_block(static_group)
+        self.expect_op("}")
+
+        # trailing solution modifiers
+        if self.take_kw("GROUP"):
+            self.expect_kw("BY")
+            while self.peek() is not None and self.peek().kind == "VAR":
+                select.group_by.append(ast.Var(self.next().text[1:]))
+        if self.take_kw("LIMIT"):
+            select.limit = int(self.next().text)
+
+        if self.peek() is not None:
+            raise ParseError(f"trailing tokens at {self.peek()!r}")
+        return RSPQLQuery(
+            operator=operator,
+            output_iri=output_iri,
+            select=select,
+            windows=windows,
+            static_group=static_group,
+        )
+
+    def _parse_window_spec(self) -> tuple[int, int]:
+        # [RANGE n STEP m] | [TUMBLING n] | [SLIDING n STEP m]
+        if not self.at_op("["):
+            # '[' is not in the OP set; it arrives as a lex error otherwise —
+            # handle both bracketed and bare forms
+            pass
+        tok = self.peek()
+        if tok is not None and tok.kind == "OP" and tok.text == "[":
+            self.i += 1
+        kind = self.next().text.upper()
+        if kind not in ("RANGE", "TUMBLING", "SLIDING"):
+            raise ParseError(f"bad window kind {kind!r}")
+        width = parse_duration(self.next().text)
+        slide = width
+        if self.at_kw("STEP"):
+            self.i += 1
+            slide = parse_duration(self.next().text)
+        tok = self.peek()
+        if tok is not None and tok.kind == "OP" and tok.text == "]":
+            self.i += 1
+        return width, slide
+
+    def _parse_policy(self) -> tuple | None:
+        if not self.at_kw("WITH"):
+            return None
+        self.i += 1
+        self.expect_kw("POLICY")
+        kind = self.next().text.upper()
+        if kind == "WAIT":
+            return ("WAIT",)
+        if kind == "STEAL":
+            return ("STEAL",)
+        if kind == "TIMEOUT":
+            dur = parse_duration(self.next().text)
+            fb = self.next().text.upper()
+            if fb not in ("STEAL", "DROP"):
+                raise ParseError(f"bad TIMEOUT fallback {fb!r}")
+            return ("TIMEOUT", dur, fb)
+        raise ParseError(f"bad sync policy {kind!r}")
+
+
+def parse_rspql(text: str) -> RSPQLQuery:
+    return RSPQLParser(text).parse_register()
