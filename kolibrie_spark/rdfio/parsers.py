@@ -1,0 +1,291 @@
+"""Parsers for the reference's serialization formats.
+
+Parity targets (citations into /root/reference/kolibrie/src):
+- N-Triples(-star): full literal escapes \\t \\n \\" \\u \\U, datatype/lang
+  suffixes, 'a' shorthand, nested << >> (sparql_database.rs:1345-1656).
+- N-Quads: 3- or 4-part lines (sparql_database.rs:1411-1461).
+- Turtle(-star): @prefix/PREFIX, ';' and ',' continuations, << >> terms,
+  {| p o |} annotation syntax (sparql_database.rs:965-1247).
+- N3: prefix decls + statements — the reference parses the same statement
+  subset (sparql_database.rs:1264-1332); we reuse the Turtle machinery.
+- RDF/XML: rdf:Description / rdf:about / rdf:resource subset with xmlns
+  prefixes (sparql_database.rs:630-963).
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+
+from kolibrie_spark.rdfstar import qt_id
+from kolibrie_spark.schema import RDF_TYPE
+
+_TOK = re.compile(
+    r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<QTO><<)
+  | (?P<QTC>>>)
+  | (?P<ANO>\{\|)
+  | (?P<ANC>\|\})
+  | (?P<IRI><[^<>\s]*>)
+  | (?P<STR>"(?:[^"\\]|\\.)*")
+  | (?P<BLANK>_:[A-Za-z0-9_.\-]+)
+  | (?P<DT>\^\^)
+  | (?P<LANG>@[A-Za-z][A-Za-z0-9\-]*)
+  | (?P<PUNCT>[;,.])
+  | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<PNAME>(?:[A-Za-z_][\w\-]*)?:[\w.\-/%#~]*)
+  | (?P<NAME>[A-Za-z_]\w*)
+    """,
+    re.VERBOSE,
+)
+
+_ESCAPES = {
+    "t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+
+class RdfParseError(ValueError):
+    pass
+
+
+def _unescape(body: str) -> str:
+    out, i = [], 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            if nxt == "u" and i + 6 <= len(body):
+                out.append(chr(int(body[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            if nxt == "U" and i + 10 <= len(body):
+                out.append(chr(int(body[i + 2 : i + 10], 16)))
+                i += 10
+                continue
+            out.append(_ESCAPES.get(nxt, nxt))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _TOK.match(text, pos)
+        if not m:
+            raise RdfParseError(f"lex error at {text[pos:pos+40]!r}")
+        pos = m.end()
+        if m.lastgroup != "WS":
+            toks.append((m.lastgroup, m.group()))
+    return toks
+
+
+class _TermReader:
+    def __init__(self, toks, prefixes: dict[str, str] | None = None):
+        self.toks = toks
+        self.i = 0
+        self.prefixes = prefixes or {}
+        self.quoted: list[tuple[str, str, str, str]] = []
+
+    def at(self, kind: str) -> bool:
+        return self.i < len(self.toks) and self.toks[self.i][0] == kind
+
+    def at_punct(self, ch: str) -> bool:
+        return (
+            self.i < len(self.toks)
+            and self.toks[self.i][0] == "PUNCT"
+            and self.toks[self.i][1] == ch
+        )
+
+    def done(self) -> bool:
+        return self.i >= len(self.toks)
+
+    def read_term(self) -> str:
+        if self.done():
+            raise RdfParseError("expected term, found end of input")
+        kind, text = self.toks[self.i]
+        self.i += 1
+        if kind == "IRI":
+            return text[1:-1]
+        if kind == "BLANK":
+            return text
+        if kind == "NUM":
+            return text
+        if kind == "STR":
+            val = _unescape(text[1:-1])
+            # lang kept as value@lang; datatype stripped
+            if self.at("LANG"):
+                val = f"{val}{self.toks[self.i][1]}"
+                self.i += 1
+            elif self.at("DT"):
+                self.i += 1
+                if self.done():
+                    raise RdfParseError("dangling ^^")
+                self.i += 1  # datatype IRI/PNAME discarded
+            return val
+        if kind == "QTO":
+            s = self.read_term()
+            p = self.read_term()
+            o = self.read_term()
+            if not self.at("QTC"):
+                raise RdfParseError("expected >> closing quoted triple")
+            self.i += 1
+            qid = qt_id(s, p, o)
+            self.quoted.append((qid, s, p, o))
+            return qid
+        if kind == "PNAME":
+            pfx, _, local = text.partition(":")
+            if pfx in self.prefixes:
+                return self.prefixes[pfx] + local
+            return text if pfx else local
+        if kind == "NAME":
+            if text == "a":
+                return RDF_TYPE
+            return text
+        raise RdfParseError(f"unexpected token {text!r}")
+
+
+# ------------------------------------------------------------------ formats
+def parse_ntriples(text: str):
+    """→ ([(s,p,o)], [(qid,qs,qp,qo)])"""
+    triples, quoted = [], []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        r = _TermReader(_tokenize(line))
+        s = r.read_term()
+        p = r.read_term()
+        o = r.read_term()
+        if not r.at_punct("."):
+            raise RdfParseError(f"missing terminating '.' in {line!r}")
+        triples.append((s, p, o))
+        quoted.extend(r.quoted)
+    return triples, quoted
+
+
+def parse_nquads(text: str):
+    """→ ([(s,p,o,g|None)], [(qid,qs,qp,qo)])"""
+    quads, quoted = [], []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        r = _TermReader(_tokenize(line))
+        s = r.read_term()
+        p = r.read_term()
+        o = r.read_term()
+        g = None
+        if not r.at_punct("."):
+            g = r.read_term()
+        if not r.at_punct("."):
+            raise RdfParseError(f"missing terminating '.' in {line!r}")
+        quads.append((s, p, o, g))
+        quoted.extend(r.quoted)
+    return quads, quoted
+
+
+_PREFIX_RE = re.compile(
+    r"^\s*(?:@prefix|@?PREFIX)\s+([A-Za-z_][\w\-]*)?:\s*<([^<>\s]*)>\s*\.?\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_turtle(text: str, prefixes: dict[str, str] | None = None):
+    """→ ([(s,p,o)], [(qid,qs,qp,qo)], prefixes)
+
+    Statement grammar: subject predicate object (',' object)*
+    (';' predicate object...)* '.' with optional ``{| p o |}`` annotations
+    after any object (emits ``<< s p o >> p2 o2``)."""
+    prefixes = dict(prefixes or {})
+    body_lines = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        m = _PREFIX_RE.match(line)
+        if m:
+            prefixes[m.group(1) or ""] = m.group(2)
+            continue
+        body_lines.append(line)
+    r = _TermReader(_tokenize("\n".join(body_lines)), prefixes)
+    triples: list[tuple[str, str, str]] = []
+
+    def read_object(s: str, p: str) -> None:
+        o = r.read_term()
+        triples.append((s, p, o))
+        if r.at("ANO"):  # {| p2 o2 |} annotation on the preceding triple
+            r.i += 1
+            qid = qt_id(s, p, o)
+            r.quoted.append((qid, s, p, o))
+            while not r.at("ANC"):
+                p2 = r.read_term()
+                o2 = r.read_term()
+                triples.append((qid, p2, o2))
+                if r.at_punct(";"):
+                    r.i += 1
+            r.i += 1
+
+    while not r.done():
+        s = r.read_term()
+        while True:
+            p = r.read_term()
+            read_object(s, p)
+            while r.at_punct(","):
+                r.i += 1
+                read_object(s, p)
+            if r.at_punct(";"):
+                r.i += 1
+                if r.at_punct("."):
+                    break
+                continue
+            break
+        if r.at_punct("."):
+            r.i += 1
+        else:
+            raise RdfParseError("missing terminating '.' in turtle statement")
+    return triples, r.quoted, prefixes
+
+
+def parse_n3(text: str, prefixes: dict[str, str] | None = None):
+    """The reference's N3 subset is prefix decls + turtle-style statements
+    (sparql_database.rs:1264-1332)."""
+    return parse_turtle(text, prefixes)
+
+
+_RDF_NS = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
+
+
+def parse_rdfxml(text: str) -> list[tuple[str, str, str]]:
+    """rdf:Description subset: rdf:about subjects, child elements as
+    predicates, rdf:resource or text content as objects."""
+    root = ET.fromstring(text)
+    triples: list[tuple[str, str, str]] = []
+    descriptions = (
+        list(root)
+        if root.tag in (f"{_RDF_NS}RDF",)
+        else [root]
+    )
+    for desc in descriptions:
+        about = desc.get(f"{_RDF_NS}about") or desc.get(f"{_RDF_NS}ID") or ""
+        if desc.tag != f"{_RDF_NS}Description":
+            # typed node element => rdf:type triple
+            triples.append((about, RDF_TYPE, _expand_tag(desc.tag)))
+        for child in desc:
+            pred = _expand_tag(child.tag)
+            res = child.get(f"{_RDF_NS}resource")
+            obj = res if res is not None else (child.text or "").strip()
+            triples.append((about, pred, obj))
+    return triples
+
+
+def _expand_tag(tag: str) -> str:
+    # ElementTree gives '{namespace}local' — join into a plain IRI
+    if tag.startswith("{"):
+        ns, local = tag[1:].split("}", 1)
+        return ns + local
+    return tag

@@ -1,0 +1,135 @@
+"""Serializers: N-Triples-star, N-Quads, Turtle-star, RDF/XML
+(reference sparql_database.rs:457-628).
+
+The store keeps terms lexically (no type tags — the reference's dictionary
+does the same), so serialization re-derives term kinds heuristically:
+``_:`` prefix = blank node, ``qt:`` prefix = quoted triple (expanded
+recursively), a URI-scheme shape = IRI, anything else = literal. Round-trip
+(parse → serialize → parse) preserves the quad set for data produced by our
+parsers.
+"""
+
+from __future__ import annotations
+
+import re
+from xml.sax.saxutils import escape as xml_escape
+
+from kolibrie_spark.schema import QT_PREFIX
+
+_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:\S*$")
+
+
+def _is_iri(term: str) -> bool:
+    if term.startswith("_:") or term.startswith(QT_PREFIX):
+        return False
+    return bool(_IRI_RE.match(term)) and " " not in term
+
+
+def _escape_literal(value: str) -> str:
+    out = value.replace("\\", "\\\\").replace('"', '\\"')
+    out = out.replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    return out
+
+
+_LANG_RE = re.compile(r"^(.*)@([A-Za-z][A-Za-z0-9\-]*)$", re.S)
+
+
+def term_to_text(term: str, quoted_map: dict[str, tuple[str, str, str]]) -> str:
+    """Lexical store term → serialized token."""
+    if term.startswith(QT_PREFIX) and term in quoted_map:
+        s, p, o = quoted_map[term]
+        return (
+            f"<< {term_to_text(s, quoted_map)} {term_to_text(p, quoted_map)} "
+            f"{term_to_text(o, quoted_map)} >>"
+        )
+    if term.startswith("_:"):
+        return term
+    if _is_iri(term):
+        return f"<{term}>"
+    m = _LANG_RE.match(term)
+    if m and not m.group(1).endswith("\\"):
+        return f'"{_escape_literal(m.group(1))}"@{m.group(2)}'
+    return f'"{_escape_literal(term)}"'
+
+
+def _quoted_map(quoted_rows) -> dict[str, tuple[str, str, str]]:
+    return {qid: (s, p, o) for (qid, s, p, o) in quoted_rows}
+
+
+def serialize_ntriples(triples, quoted_rows=()) -> str:
+    qm = _quoted_map(quoted_rows)
+    lines = [
+        f"{term_to_text(s, qm)} {term_to_text(p, qm)} {term_to_text(o, qm)} ."
+        for (s, p, o) in triples
+    ]
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def serialize_nquads(quads, quoted_rows=()) -> str:
+    qm = _quoted_map(quoted_rows)
+    lines = []
+    for (s, p, o, g) in quads:
+        base = f"{term_to_text(s, qm)} {term_to_text(p, qm)} {term_to_text(o, qm)}"
+        if g is not None:
+            base += f" {term_to_text(g, qm)}"
+        lines.append(base + " .")
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def serialize_turtle(triples, quoted_rows=(), prefixes: dict[str, str] | None = None) -> str:
+    """Groups by subject with ';' predicate continuation (the reference's
+    grouped Turtle shape, sparql_database.rs:560-628)."""
+    qm = _quoted_map(quoted_rows)
+    out = []
+    for pfx, iri in (prefixes or {}).items():
+        out.append(f"@prefix {pfx}: <{iri}> .")
+    by_subject: dict[str, list[tuple[str, str]]] = {}
+    order: list[str] = []
+    for (s, p, o) in triples:
+        if s not in by_subject:
+            by_subject[s] = []
+            order.append(s)
+        by_subject[s].append((p, o))
+    for s in order:
+        parts = [
+            f"{term_to_text(p, qm)} {term_to_text(o, qm)}" for (p, o) in by_subject[s]
+        ]
+        out.append(f"{term_to_text(s, qm)} " + " ;\n    ".join(parts) + " .")
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def serialize_rdfxml(triples, quoted_rows=()) -> str:
+    """rdf:Description subset (IRI objects → rdf:resource, literals → text).
+    Quoted-triple terms are not representable in this subset and are
+    serialized as their surrogate ids (the reference's RDF/XML writer skips
+    RDF-star too)."""
+    by_subject: dict[str, list[tuple[str, str]]] = {}
+    order: list[str] = []
+    for (s, p, o) in triples:
+        if s not in by_subject:
+            by_subject[s] = []
+            order.append(s)
+        by_subject[s].append((p, o))
+    lines = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">',
+    ]
+    for s in order:
+        lines.append(f'  <rdf:Description rdf:about="{xml_escape(s, {chr(34): "&quot;"})}">')
+        for i, (p, o) in enumerate(by_subject[s]):
+            # split predicate IRI into namespace + local name
+            cut = max(p.rfind("#"), p.rfind("/"))
+            ns, local = (p[: cut + 1], p[cut + 1 :]) if cut > 0 else ("urn:p:", p)
+            if _is_iri(o):
+                lines.append(
+                    f'    <x{i}:{local} xmlns:x{i}="{xml_escape(ns, {chr(34): "&quot;"})}" '
+                    f'rdf:resource="{xml_escape(o, {chr(34): "&quot;"})}"/>'
+                )
+            else:
+                lines.append(
+                    f'    <x{i}:{local} xmlns:x{i}="{xml_escape(ns, {chr(34): "&quot;"})}">'
+                    f"{xml_escape(o)}</x{i}:{local}>"
+                )
+        lines.append("  </rdf:Description>")
+    lines.append("</rdf:RDF>")
+    return "\n".join(lines) + "\n"

@@ -1,0 +1,147 @@
+"""Ingestion/serialization round trips (FIXTURES.md §8): parse → serialize
+→ parse equals the original quad set, in each format the reference parses."""
+
+import pytest
+
+from kolibrie_spark.rdfio.parsers import (
+    RdfParseError,
+    parse_nquads,
+    parse_ntriples,
+    parse_rdfxml,
+    parse_turtle,
+)
+from kolibrie_spark.rdfio.serializers import (
+    serialize_nquads,
+    serialize_ntriples,
+    serialize_rdfxml,
+    serialize_turtle,
+)
+
+NT = """
+<http://ex/alice> <http://ex/name> "Alice" .
+<http://ex/alice> <http://ex/age> "25"^^<http://www.w3.org/2001/XMLSchema#int> .
+<http://ex/alice> <http://ex/motto> "caf\\u00e9 \\"quoted\\""@fr .
+<http://ex/alice> a <http://ex/Person> .
+_:b1 <http://ex/knows> <http://ex/alice> .
+<< <http://ex/alice> <http://ex/age> "25" >> <http://ex/certainty> "0.9" .
+"""
+
+
+def test_parse_ntriples_term_cleaning():
+    triples, quoted = parse_ntriples(NT)
+    d = {(p): (s, o) for (s, p, o) in triples}
+    assert d["http://ex/name"] == ("http://ex/alice", "Alice")
+    # datatype stripped, lang kept as value@lang, escapes decoded
+    assert d["http://ex/age"][1] == "25"
+    assert d["http://ex/motto"][1] == 'café "quoted"@fr'
+    assert d["http://www.w3.org/1999/02/22-rdf-syntax-ns#type"][1] == "http://ex/Person"
+    assert d["http://ex/knows"][0] == "_:b1"
+    # quoted triple interned with stable id
+    assert len(quoted) == 1
+    qid = quoted[0][0]
+    assert d["http://ex/certainty"][0] == qid and qid.startswith("qt:")
+
+
+def test_ntriples_roundtrip():
+    triples, quoted = parse_ntriples(NT)
+    text = serialize_ntriples(triples, quoted)
+    again, quoted2 = parse_ntriples(text)
+    assert sorted(again) == sorted(triples)
+    assert sorted(quoted2) == sorted(quoted)
+
+
+def test_nquads_roundtrip():
+    nq = """
+<http://ex/a> <http://ex/p> "1" .
+<http://ex/a> <http://ex/p> "2" <http://ex/g1> .
+<http://ex/b> <http://ex/q> <http://ex/c> <http://ex/g2> .
+"""
+    quads, quoted = parse_nquads(nq)
+    assert quads[0][3] is None and quads[1][3] == "http://ex/g1"
+    text = serialize_nquads(quads, quoted)
+    again, _ = parse_nquads(text)
+    assert sorted(again) == sorted(quads)
+
+
+TTL = """
+@prefix ex: <http://ex/> .
+PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+ex:alice foaf:name "Alice" ;
+    ex:age "25" , "26" ;
+    ex:city ex:ghent .
+ex:bob ex:age "30" {| ex:certainty "0.8" |} .
+<< ex:alice ex:age "25" >> ex:source ex:census .
+"""
+
+
+def test_parse_turtle_continuations_and_annotations():
+    triples, quoted, prefixes = parse_turtle(TTL)
+    assert prefixes["ex"] == "http://ex/"
+    got = set(triples)
+    assert ("http://ex/alice", "http://xmlns.com/foaf/0.1/name", "Alice") in got
+    assert ("http://ex/alice", "http://ex/age", "25") in got
+    assert ("http://ex/alice", "http://ex/age", "26") in got
+    assert ("http://ex/alice", "http://ex/city", "http://ex/ghent") in got
+    # annotation syntax: << bob age 30 >> certainty 0.8
+    ann = [t for t in triples if t[1] == "http://ex/certainty"]
+    assert len(ann) == 1 and ann[0][0].startswith("qt:") and ann[0][2] == "0.8"
+    # explicit quoted-triple statement
+    src = [t for t in triples if t[1] == "http://ex/source"]
+    assert src[0][0].startswith("qt:")
+    assert len(quoted) == 2
+
+
+def test_turtle_roundtrip():
+    triples, quoted, _ = parse_turtle(TTL)
+    text = serialize_turtle(triples, quoted)
+    again, quoted2, _ = parse_turtle(text)
+    assert sorted(again) == sorted(triples)
+
+
+def test_rdfxml_parse_and_roundtrip():
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="http://ex/">
+  <rdf:Description rdf:about="http://ex/alice">
+    <ex:name>Alice</ex:name>
+    <ex:city rdf:resource="http://ex/ghent"/>
+  </rdf:Description>
+</rdf:RDF>"""
+    triples = parse_rdfxml(xml)
+    assert ("http://ex/alice", "http://ex/name", "Alice") in triples
+    assert ("http://ex/alice", "http://ex/city", "http://ex/ghent") in triples
+    text = serialize_rdfxml(triples)
+    again = parse_rdfxml(text)
+    assert sorted(again) == sorted(triples)
+
+
+def test_parse_errors():
+    with pytest.raises(RdfParseError):
+        parse_ntriples("<http://ex/a> <http://ex/p> ")
+    with pytest.raises(RdfParseError):
+        parse_ntriples('<a> <b> "unclosed >>')
+
+
+def test_engine_integration(engine):
+    engine.parse_data(NT, fmt="ntriples")
+    got = engine.execute(
+        "SELECT ?n WHERE { ?s <http://ex/name> ?n }"
+    )
+    assert got == [["Alice"]]
+    # quoted triple queryable through the SPARQL surface
+    got = engine.execute(
+        'SELECT ?c WHERE { << <http://ex/alice> <http://ex/age> "25" >> '
+        "<http://ex/certainty> ?c }"
+    )
+    assert got == [["0.9"]]
+
+
+def test_distributed_ntriples_read(spark, tmp_path):
+    from kolibrie_spark.rdfio import read_ntriples_df
+
+    path = tmp_path / "data.nt"
+    path.write_text(
+        "\n".join(f'<http://ex/s{i}> <http://ex/p> "{i}" .' for i in range(100))
+    )
+    df = read_ntriples_df(spark, str(path))
+    assert df.count() == 100
+    assert df.filter("o = '42'").count() == 1
