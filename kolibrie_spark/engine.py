@@ -26,6 +26,7 @@ class SparqlEngine:
     def __init__(self, spark: SparkSession, store: QuadStore | None = None):
         self.spark = spark
         self.store = store if store is not None else QuadStore(spark)
+        self.rules: list = []
 
     # ------------------------------------------------------------ loading
     def add_triples(self, rows: list[tuple]) -> None:
@@ -81,6 +82,69 @@ class SparqlEngine:
                 "formatted"
             )
         )
+
+    # -------------------------------------------------------------- rules
+    def register_rule(self, text: str) -> None:
+        """``RULE :Name :- CONSTRUCT { ... } WHERE { ... }`` (reference
+        parser.rs:3098-3199): conclusions are materialized into the store by
+        :meth:`materialize`. The WHERE part supports patterns and simple
+        FILTER(?v op value) conditions (the reference lowers richer bodies
+        through the same Rule struct)."""
+        import re as _re
+
+        from kolibrie_spark.reasoner.n3_parser import _parse_patterns, _FILTER_RE
+        from kolibrie_spark.reasoner.rule import FilterCondition, Rule, check_rule_safety
+
+        m = _re.match(
+            r"\s*RULE\s+\S+\s*:-\s*CONSTRUCT\s*\{(.*?)\}\s*WHERE\s*\{(.*)\}\s*$",
+            text,
+            _re.S | _re.I,
+        )
+        if m is None:
+            raise ValueError("expected RULE :Name :- CONSTRUCT { ... } WHERE { ... }")
+        concl_src, where_src = m.group(1), m.group(2)
+        filters = [
+            FilterCondition(fm.group(1), fm.group(2), fm.group(3).strip().strip('"'))
+            for fm in _FILTER_RE.finditer(where_src)
+        ]
+        where_src = _FILTER_RE.sub(" ", where_src)
+        rule = Rule(
+            premise=_parse_patterns(where_src, self.store.prefixes),
+            conclusion=_parse_patterns(concl_src, self.store.prefixes),
+            filters=filters,
+        )
+        check_rule_safety(rule)
+        self.rules.append(rule)
+
+    def add_rules_n3(self, text: str) -> None:
+        """N3-logic rules: ``{ premise } => { conclusion } .``"""
+        from kolibrie_spark.reasoner.n3_parser import parse_n3_rules
+
+        self.rules.extend(parse_n3_rules(text))
+
+    def materialize(self) -> int:
+        """Forward-chain registered rules over the default graph and insert
+        the derived facts (reference materializes rule conclusions into the
+        store, parser.rs:3420+). Returns the number of new quads."""
+        from pyspark.sql import functions as F
+
+        from kolibrie_spark.reasoner.fixpoint import Reasoner as _R
+
+        if not self.rules:
+            return 0
+        facts = self.store.quads.filter(F.col("g").isNull()).select("s", "p", "o")
+        r = _R(self.spark, facts)
+        r.rules = list(self.rules)
+        before = facts.count()
+        out = r.materialize()
+        new = out.count() - before
+        if new > 0:
+            self.store.replace_quads(
+                out.withColumn("g", F.lit(None).cast("string")).unionByName(
+                    self.store.quads.filter(F.col("g").isNotNull())
+                )
+            )
+        return new
 
     # --------------------------------------------------------------- UDFs
     def register_udf(self, name: str, fn) -> None:

@@ -1,0 +1,16 @@
+"""Datalog reasoner: forward chaining (naive + semi-naive) as iterative
+DataFrame joins, negation-as-failure, provenance semirings, backward
+chaining, N3-logic rules. Reference: /root/reference/datalog/.
+"""
+
+from kolibrie_spark.reasoner.rule import FilterCondition, Rule, check_rule_safety
+from kolibrie_spark.reasoner.fixpoint import Reasoner
+from kolibrie_spark.reasoner.n3_parser import parse_n3_rules
+
+__all__ = [
+    "Rule",
+    "FilterCondition",
+    "check_rule_safety",
+    "Reasoner",
+    "parse_n3_rules",
+]

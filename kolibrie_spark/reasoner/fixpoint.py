@@ -1,0 +1,362 @@
+"""Forward/backward chaining over a facts DataFrame.
+
+Reference algorithms re-expressed as DataFrame plans:
+- naive fixpoint (datalog/src/reasoning/materialisation/my_naive.rs:74):
+  apply all rules to all facts until no growth;
+- semi-naive (semi_naive.rs:89): delta-driven — each round joins the
+  last round's delta against the full fact set in every premise position
+  (the classic distributed-datalog recipe; lineage is cut with
+  localCheckpoint each round so iteration does not stack plans);
+- negation-as-failure: LEFT ANTI join against the instantiated negated
+  pattern (single stratum, shared/src/rule.rs semantics);
+- provenance semirings (shared/src/provenance.rs:18-60): a ``tag`` column
+  flows through the joins — ⊗ combines premise tags within a derivation,
+  ⊕ merges alternative derivations of the same fact per round;
+- backward chaining (reasoning/backward_chaining.rs:150): driver-side
+  goal-directed resolution issuing DataFrame probes per subgoal.
+
+Scale notes: each round shuffles on join variables only; the delta is
+usually tiny relative to the fact set so Catalyst broadcasts it (AQE);
+counts per round are the only driver actions. Iterations are capped.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kolibrie_spark import compare
+from kolibrie_spark.reasoner.rule import FilterCondition, Rule, check_rule_safety
+from kolibrie_spark.sparql.ast import Iri, Lit, TriplePattern, Var
+
+FACTS_SCHEMA = "s string, p string, o string"
+TAGGED_SCHEMA = "s string, p string, o string, tag double"
+
+
+# ------------------------------------------------------------- semirings
+@dataclass(frozen=True)
+class Semiring:
+    """⊗ combines premises in one derivation; ⊕ merges alternative
+    derivations. Mirrors the reference's AddMultProbability (⊗ = product,
+    ⊕ = noisy-OR) and MinMaxProbability (⊗ = min, ⊕ = max)."""
+
+    name: str
+
+    def times(self, a: Column, b: Column) -> Column:
+        if self.name == "addmult":
+            return a * b
+        return F.least(a, b)
+
+    def plus_agg(self, col: Column) -> Column:
+        if self.name == "addmult":
+            # noisy-OR over the group: 1 - prod(1 - t)
+            return 1.0 - F.exp(F.sum(F.log(1.0 - col)))
+        return F.max(col)
+
+
+ADD_MULT = Semiring("addmult")
+MIN_MAX = Semiring("minmax")
+
+
+def _term_value(t) -> str:
+    if isinstance(t, Iri) or isinstance(t, Lit):
+        return t.value
+    raise TypeError(f"not a constant term: {t!r}")
+
+
+def _scan(facts: DataFrame, pat: TriplePattern, tagged: bool) -> DataFrame:
+    df = facts
+    out, seen, conds = [], {}, []
+    for pos, term in (("s", pat.s), ("p", pat.p), ("o", pat.o)):
+        if isinstance(term, Var):
+            if term.name in seen:
+                conds.append(F.col(pos) == F.col(seen[term.name]))
+            else:
+                seen[term.name] = pos
+                out.append(F.col(pos).alias(term.name))
+        else:
+            conds.append(F.col(pos) == F.lit(_term_value(term)))
+    for c in conds:
+        df = df.filter(c)
+    if tagged:
+        out.append(F.col("tag").alias(f"__tag_{id(pat)}"))
+    return df.select(*out) if out else df.select()
+
+
+def _join_premises(scans: list[DataFrame]) -> DataFrame:
+    df = scans[0]
+    for nxt in scans[1:]:
+        shared = sorted(
+            (set(df.columns) & set(nxt.columns)) - {c for c in df.columns if c.startswith("__tag_")}
+        )
+        df = df.join(nxt, on=shared, how="inner") if shared else df.crossJoin(nxt)
+    return df
+
+
+def _apply_filters(df: DataFrame, filters: list[FilterCondition]) -> DataFrame:
+    for f in filters:
+        if f.variable in df.columns:
+            df = df.filter(compare.compare(F.col(f.variable), f.operator, F.lit(f.value)))
+        else:
+            df = df.filter(F.lit(False))
+    return df
+
+
+def _apply_negation(df: DataFrame, facts: DataFrame, rule: Rule) -> DataFrame:
+    for pat in rule.negative_premise:
+        neg = _scan(facts.select("s", "p", "o"), pat, tagged=False)
+        join_vars = sorted(set(df.columns) & set(neg.columns))
+        if join_vars:
+            df = df.join(neg, on=join_vars, how="left_anti")
+        else:
+            # ground negated pattern: empty result iff the fact exists
+            df = df.join(neg.limit(1), how="left_anti", on=F.lit(True))
+    return df
+
+
+def _instantiate(df: DataFrame, patterns: list[TriplePattern], tag_col: Column | None) -> DataFrame:
+    parts = []
+    for pat in patterns:
+        cols = []
+        for pos, term in (("s", pat.s), ("p", pat.p), ("o", pat.o)):
+            if isinstance(term, Var):
+                cols.append(F.col(term.name).alias(pos))
+            else:
+                cols.append(F.lit(_term_value(term)).alias(pos))
+        if tag_col is not None:
+            cols.append(tag_col.alias("tag"))
+        parts.append(df.select(*cols))
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def apply_rule(
+    facts: DataFrame,
+    rule: Rule,
+    semiring: Semiring | None = None,
+    delta: DataFrame | None = None,
+) -> DataFrame:
+    """One rule application. With ``delta``, a semi-naive step: the union
+    over premise positions of (delta at position i) ⋈ (facts elsewhere)."""
+    tagged = semiring is not None
+
+    def one(pos_delta: int | None) -> DataFrame:
+        scans = [
+            _scan(delta if (pos_delta is not None and i == pos_delta) else facts, p, tagged)
+            for i, p in enumerate(rule.premise)
+        ]
+        df = _join_premises(scans)
+        df = _apply_filters(df, rule.filters)
+        df = _apply_negation(df, facts, rule)
+        tag = None
+        if tagged:
+            tag_cols = [c for c in df.columns if c.startswith("__tag_")]
+            tag = functools.reduce(semiring.times, [F.col(c) for c in tag_cols])
+        return _instantiate(df, rule.conclusion, tag)
+
+    if delta is None:
+        return one(None)
+    out = one(0)
+    for i in range(1, len(rule.premise)):
+        out = out.unionByName(one(i))
+    return out
+
+
+class Reasoner:
+    """Facts + rules with materialization (reference datalog/src/reasoning.rs)."""
+
+    def __init__(self, spark: SparkSession, facts: DataFrame | None = None):
+        self.spark = spark
+        self.facts = facts if facts is not None else spark.createDataFrame([], FACTS_SCHEMA)
+        self.rules: list[Rule] = []
+        self.constraints: list[Rule] = []
+
+    # -------------------------------------------------------------- input
+    def add_triples(self, rows: list[tuple[str, str, str]]) -> None:
+        new = self.spark.createDataFrame(rows, FACTS_SCHEMA)
+        self.facts = self.facts.unionByName(new).dropDuplicates()
+
+    def add_rule(self, rule: Rule) -> None:
+        check_rule_safety(rule)
+        self.rules.append(rule)
+
+    def add_constraint(self, rule: Rule) -> None:
+        """A constraint is a rule whose conclusion marks a violation
+        (reference reasoning.rs:132-186)."""
+        self.constraints.append(rule)
+
+    # -------------------------------------------------------- fixpoints
+    def materialize_naive(self, max_iter: int = 50) -> DataFrame:
+        facts = self.facts.localCheckpoint(eager=True)
+        count = facts.count()
+        for _ in range(max_iter):
+            derived = None
+            for rule in self.rules:
+                d = apply_rule(facts, rule)
+                derived = d if derived is None else derived.unionByName(d)
+            if derived is None:
+                break
+            facts = facts.unionByName(derived).dropDuplicates().localCheckpoint(eager=True)
+            new_count = facts.count()
+            if new_count == count:
+                break
+            count = new_count
+        self.facts = facts
+        return facts
+
+    def materialize(self, max_iter: int = 50) -> DataFrame:
+        """Semi-naive fixpoint (the default, like the reference)."""
+        facts = self.facts.localCheckpoint(eager=True)
+        delta = facts
+        for _ in range(max_iter):
+            derived = None
+            for rule in self.rules:
+                d = apply_rule(facts, rule, delta=delta)
+                derived = d if derived is None else derived.unionByName(d)
+            if derived is None:
+                break
+            new_delta = derived.dropDuplicates().exceptAll(facts).localCheckpoint(eager=True)
+            if new_delta.isEmpty():
+                break
+            facts = facts.unionByName(new_delta).localCheckpoint(eager=True)
+            delta = new_delta
+        self.facts = facts
+        return facts
+
+    def infer(self, s: str, p: str, o: str) -> bool:
+        return (
+            self.facts.filter(
+                (F.col("s") == s) & (F.col("p") == p) & (F.col("o") == o)
+            ).limit(1).count()
+            > 0
+        )
+
+    # ---------------------------------------------------------- provenance
+    def materialize_with_provenance(
+        self, tagged_facts: DataFrame, semiring: Semiring, max_iter: int = 25
+    ) -> DataFrame:
+        """Tagged fixpoint: (s,p,o,tag). Per round, alternative derivations
+        of the same fact merge with ⊕; existing facts keep the ⊕ of old and
+        new evidence. Iterates until the fact set stops growing (tag
+        saturation beyond max_iter is cut off, like the reference's
+        saturating semirings)."""
+        facts = tagged_facts.localCheckpoint(eager=True)
+        for _ in range(max_iter):
+            derived = None
+            for rule in self.rules:
+                d = apply_rule(facts, rule, semiring=semiring)
+                derived = d if derived is None else derived.unionByName(d)
+            if derived is None:
+                break
+            # ⊕ across the round's distinct derivations of one fact (each
+            # derivation path appears exactly once per round); a fact already
+            # in the store keeps its tag — re-deriving the same paths next
+            # round must not re-accumulate evidence (matches the reference's
+            # saturating tagged semi-naive, provenance_semi_naive.rs:210-330)
+            new_facts = (
+                derived.groupBy("s", "p", "o")
+                .agg(semiring.plus_agg(F.col("tag")).alias("tag"))
+                .join(facts.select("s", "p", "o"), on=["s", "p", "o"], how="left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if new_facts.isEmpty():
+                break
+            facts = facts.unionByName(new_facts).localCheckpoint(eager=True)
+        return facts
+
+    # ------------------------------------------------------- constraints
+    def check_constraints(self) -> DataFrame:
+        """Violations: instantiated conclusions of constraint rules."""
+        out = None
+        for c in self.constraints:
+            d = apply_rule(self.facts, c)
+            out = d if out is None else out.unionByName(d)
+        if out is None:
+            return self.spark.createDataFrame([], FACTS_SCHEMA)
+        return out.dropDuplicates()
+
+    # -------------------------------------------------- backward chaining
+    def backward_chain(
+        self, goal: TriplePattern, max_depth: int = 8
+    ) -> list[dict[str, str]]:
+        """Goal-directed resolution returning bindings
+        (reference reasoning/backward_chaining.rs:150). Driver-side control
+        with DataFrame probes per subgoal — suitable for selective goals."""
+        return self._solve(goal, {}, max_depth)
+
+    def _solve(self, goal: TriplePattern, binding: dict, depth: int) -> list[dict]:
+        if depth <= 0:
+            return []
+        g = self._substitute(goal, binding)
+        results: list[dict] = []
+        # facts matching the goal
+        rows = _scan(self.facts, g, tagged=False).dropDuplicates().collect()
+        for row in rows:
+            results.append({**binding, **row.asDict()})
+        if not any(isinstance(t, Var) for t in (g.s, g.p, g.o)):
+            if rows:
+                return [dict(binding)]
+        # rules whose conclusion unifies with the goal
+        for rule in self.rules:
+            for concl in rule.conclusion:
+                theta = self._unify(concl, g)
+                if theta is None:
+                    continue
+                partials = [theta]
+                for prem in rule.premise:
+                    nxt: list[dict] = []
+                    for b in partials:
+                        nxt.extend(self._solve(prem, b, depth - 1))
+                    partials = nxt
+                    if not partials:
+                        break
+                for b in partials:
+                    out = dict(binding)
+                    for t_goal, t_concl in ((g.s, concl.s), (g.p, concl.p), (g.o, concl.o)):
+                        if isinstance(t_goal, Var):
+                            val = (
+                                b.get(t_concl.name)
+                                if isinstance(t_concl, Var)
+                                else _term_value(t_concl)
+                            )
+                            if val is not None:
+                                out[t_goal.name] = val
+                    results.append(out)
+        # dedup
+        seen, uniq = set(), []
+        for r in results:
+            k = tuple(sorted(r.items()))
+            if k not in seen:
+                seen.add(k)
+                uniq.append(r)
+        return uniq
+
+    @staticmethod
+    def _substitute(pat: TriplePattern, binding: dict) -> TriplePattern:
+        def sub(t):
+            if isinstance(t, Var) and t.name in binding:
+                return Lit(binding[t.name])
+            return t
+
+        return TriplePattern(sub(pat.s), sub(pat.p), sub(pat.o))
+
+    @staticmethod
+    def _unify(concl: TriplePattern, goal: TriplePattern) -> dict | None:
+        """Bindings for the rule's variables from the goal's constants."""
+        theta: dict[str, str] = {}
+        for tc, tg in ((concl.s, goal.s), (concl.p, goal.p), (concl.o, goal.o)):
+            if isinstance(tc, Var):
+                if not isinstance(tg, Var):
+                    val = _term_value(tg)
+                    if tc.name in theta and theta[tc.name] != val:
+                        return None
+                    theta[tc.name] = val
+            else:
+                if not isinstance(tg, Var) and _term_value(tc) != _term_value(tg):
+                    return None
+        return theta

@@ -1,0 +1,93 @@
+"""N3-logic rule parser (reference datalog/src/parser_n3_logic.rs):
+``@prefix`` declarations plus rules of the form
+
+    { ?x :parent ?y . ?y :parent ?z . } => { ?x :grandparent ?z . } .
+
+Extensions the reference's combined grammar supports (parser.rs:286-292):
+``NOT { ... }`` atoms inside the premise (negation-as-failure) and
+``FILTER(?v op value)`` conditions.
+"""
+
+from __future__ import annotations
+
+import re
+
+from kolibrie_spark.reasoner.rule import FilterCondition, Rule
+from kolibrie_spark.schema import RDF_TYPE
+from kolibrie_spark.sparql.ast import Iri, Lit, TriplePattern, Var
+
+_PREFIX_RE = re.compile(
+    r"@prefix\s+([A-Za-z_][\w\-]*)?:\s*<([^<>\s]*)>\s*\.", re.IGNORECASE
+)
+_RULE_RE = re.compile(r"\{(.*?)\}\s*=>\s*\{(.*?)\}\s*\.", re.S)
+_NOT_RE = re.compile(r"NOT\s*\{(.*?)\}", re.S)
+_FILTER_RE = re.compile(r"FILTER\s*\(\s*\?(\w+)\s*(=|!=|<=|>=|<|>)\s*([^)]+?)\s*\)")
+_TERM_RE = re.compile(
+    r"""\?(?P<var>\w+)
+      | <(?P<iri>[^<>\s]*)>
+      | "(?P<lit>(?:[^"\\]|\\.)*)"
+      | (?P<pname>(?:[A-Za-z_][\w\-]*)?:[\w.\-/%#]*)
+      | (?P<name>[A-Za-z_][\w.]*)
+      | (?P<num>[+-]?\d+(?:\.\d+)?)
+    """,
+    re.VERBOSE,
+)
+
+
+def _parse_patterns(body: str, prefixes: dict[str, str]) -> list[TriplePattern]:
+    pats = []
+    for stmt in body.split("."):
+        stmt = stmt.strip()
+        if not stmt:
+            continue
+        terms = []
+        for m in _TERM_RE.finditer(stmt):
+            if m.group("var") is not None:
+                terms.append(Var(m.group("var")))
+            elif m.group("iri") is not None:
+                terms.append(Iri(m.group("iri")))
+            elif m.group("lit") is not None:
+                terms.append(Lit(m.group("lit")))
+            elif m.group("pname") is not None:
+                pfx, _, local = m.group("pname").partition(":")
+                terms.append(Iri(prefixes.get(pfx, "") + local))
+            elif m.group("name") is not None:
+                if m.group("name") == "a":
+                    terms.append(Iri(RDF_TYPE))
+                else:
+                    terms.append(Iri(m.group("name")))
+            else:
+                terms.append(Lit(m.group("num")))
+        if len(terms) != 3:
+            raise ValueError(f"bad N3 statement (need 3 terms): {stmt!r}")
+        pats.append(TriplePattern(*terms))
+    return pats
+
+
+def parse_n3_rules(text: str) -> list[Rule]:
+    prefixes = {m.group(1) or "": m.group(2) for m in _PREFIX_RE.finditer(text)}
+    body = _PREFIX_RE.sub("", text)
+    rules = []
+    for m in _RULE_RE.finditer(body):
+        premise_src, conclusion_src = m.group(1), m.group(2)
+        negs: list[TriplePattern] = []
+
+        def grab_not(nm, _negs=negs, _prefixes=prefixes):
+            _negs.extend(_parse_patterns(nm.group(1), _prefixes))
+            return " "
+
+        premise_src = _NOT_RE.sub(grab_not, premise_src)
+        filters = [
+            FilterCondition(fm.group(1), fm.group(2), fm.group(3).strip().strip('"'))
+            for fm in _FILTER_RE.finditer(premise_src)
+        ]
+        premise_src = _FILTER_RE.sub(" ", premise_src)
+        rules.append(
+            Rule(
+                premise=_parse_patterns(premise_src, prefixes),
+                conclusion=_parse_patterns(conclusion_src, prefixes),
+                negative_premise=negs,
+                filters=filters,
+            )
+        )
+    return rules

@@ -1,0 +1,286 @@
+"""Reasoner — ports datalog/tests/reasoning_tests.rs scenarios: forward
+chaining fixpoints, negation, provenance semirings, backward chaining."""
+
+import pytest
+
+from kolibrie_spark.reasoner import Reasoner, Rule, parse_n3_rules
+from kolibrie_spark.reasoner.fixpoint import ADD_MULT, MIN_MAX, TAGGED_SCHEMA
+from kolibrie_spark.reasoner.rule import FilterCondition, check_rule_safety
+from kolibrie_spark.sparql.ast import Iri, TriplePattern, Var
+
+
+def V(n):
+    return Var(n)
+
+
+def I(v):  # noqa: E743
+    return Iri(v)
+
+
+def P(s, p, o):
+    return TriplePattern(s, p, o)
+
+
+@pytest.fixture()
+def reasoner(spark):
+    return Reasoner(spark)
+
+
+def test_fc_2hop_transitive(reasoner):
+    """fc_2hop_transitive: parent chain + transitive ancestor rule."""
+    reasoner.add_triples(
+        [("A", "parent", "B"), ("B", "parent", "C"), ("C", "parent", "D")]
+    )
+    reasoner.add_rule(
+        Rule(
+            premise=[P(V("x"), I("parent"), V("y"))],
+            conclusion=[P(V("x"), I("ancestor"), V("y"))],
+        )
+    )
+    reasoner.add_rule(
+        Rule(
+            premise=[P(V("x"), I("ancestor"), V("y")), P(V("y"), I("ancestor"), V("z"))],
+            conclusion=[P(V("x"), I("ancestor"), V("z"))],
+        )
+    )
+    reasoner.materialize()
+    assert reasoner.infer("A", "ancestor", "D")  # 3-hop closure
+    assert reasoner.infer("A", "ancestor", "B")
+    assert not reasoner.infer("D", "ancestor", "A")  # fc_no_spurious
+
+
+def test_fc_join_sibling(reasoner):
+    """fc_join_sibling: two premises joined on the parent variable."""
+    reasoner.add_triples(
+        [("B", "parent", "A"), ("C", "parent", "A"), ("D", "parent", "X")]
+    )
+    reasoner.add_rule(
+        Rule(
+            premise=[P(V("c1"), I("parent"), V("p")), P(V("c2"), I("parent"), V("p"))],
+            conclusion=[P(V("c1"), I("sibling"), V("c2"))],
+        )
+    )
+    reasoner.materialize()
+    assert reasoner.infer("B", "sibling", "C")
+    assert reasoner.infer("B", "sibling", "B")  # reflexive (no ?c1 != ?c2 filter)
+    assert not reasoner.infer("B", "sibling", "D")
+
+
+def test_fc_filter_condition(reasoner):
+    """Overheating-style rule with a numeric filter (reference
+    examples/sparql_syntax/combination/combination.rs:51-60)."""
+    reasoner.add_triples(
+        [("s1", "temp", "85"), ("s2", "temp", "40"), ("s3", "temp", "95")]
+    )
+    reasoner.add_rule(
+        Rule(
+            premise=[P(V("s"), I("temp"), V("t"))],
+            filters=[FilterCondition("t", ">", "80")],
+            conclusion=[P(V("s"), I("status"), I("overheating"))],
+        )
+    )
+    reasoner.materialize()
+    assert reasoner.infer("s1", "status", "overheating")
+    assert reasoner.infer("s3", "status", "overheating")
+    assert not reasoner.infer("s2", "status", "overheating")
+
+
+def test_negation_as_failure(reasoner):
+    reasoner.add_triples(
+        [("A", "person", "t"), ("B", "person", "t"), ("B", "banned", "t")]
+    )
+    reasoner.add_rule(
+        Rule(
+            premise=[P(V("x"), I("person"), I("t"))],
+            negative_premise=[P(V("x"), I("banned"), I("t"))],
+            conclusion=[P(V("x"), I("allowed"), I("t"))],
+        )
+    )
+    reasoner.materialize()
+    assert reasoner.infer("A", "allowed", "t")
+    assert not reasoner.infer("B", "allowed", "t")
+
+
+def test_unsafe_negation_rejected():
+    with pytest.raises(ValueError, match="unsafe negation"):
+        check_rule_safety(
+            Rule(
+                premise=[P(V("x"), I("p"), V("y"))],
+                negative_premise=[P(V("z"), I("q"), V("x"))],
+                conclusion=[P(V("x"), I("r"), V("y"))],
+            )
+        )
+
+
+def test_naive_equals_semi_naive(spark):
+    facts = [("A", "parent", "B"), ("B", "parent", "C"), ("C", "parent", "D")]
+    rules = [
+        Rule(
+            premise=[P(V("x"), I("parent"), V("y"))],
+            conclusion=[P(V("x"), I("anc"), V("y"))],
+        ),
+        Rule(
+            premise=[P(V("x"), I("anc"), V("y")), P(V("y"), I("anc"), V("z"))],
+            conclusion=[P(V("x"), I("anc"), V("z"))],
+        ),
+    ]
+    r1, r2 = Reasoner(spark), Reasoner(spark)
+    for r in (r1, r2):
+        r.add_triples(facts)
+        for rule in rules:
+            r.add_rule(rule)
+    naive = {tuple(x) for x in r1.materialize_naive().collect()}
+    semi = {tuple(x) for x in r2.materialize().collect()}
+    assert naive == semi and len(naive) == 9  # 3 base + 6 ancestor
+
+
+def test_prov_addmult_combination(spark):
+    """prov_transitive_addmult_combination: 0.8 * 0.7 = 0.56."""
+    r = Reasoner(spark)
+    tagged = spark.createDataFrame(
+        [("A", "related", "B", 0.8), ("B", "related", "C", 0.7)], TAGGED_SCHEMA
+    )
+    r.add_rule(
+        Rule(
+            premise=[P(V("x"), I("related"), V("y")), P(V("y"), I("related"), V("z"))],
+            conclusion=[P(V("x"), I("related"), V("z"))],
+        )
+    )
+    out = r.materialize_with_provenance(tagged, ADD_MULT)
+    tag = {(x.s, x.o): x.tag for x in out.collect()}
+    assert tag[("A", "C")] == pytest.approx(0.56, abs=1e-6)
+
+
+def test_prov_addmult_multiple_paths(spark):
+    """prov_addmult_multiple_paths: noisy-OR(0.48, 0.45) ≈ 0.714."""
+    r = Reasoner(spark)
+    tagged = spark.createDataFrame(
+        [
+            ("A", "related", "B", 0.6),
+            ("A", "related", "C", 0.9),
+            ("B", "related", "D", 0.8),
+            ("C", "related", "D", 0.5),
+        ],
+        TAGGED_SCHEMA,
+    )
+    r.add_rule(
+        Rule(
+            premise=[P(V("x"), I("related"), V("y")), P(V("y"), I("related"), V("z"))],
+            conclusion=[P(V("x"), I("related"), V("z"))],
+        )
+    )
+    out = r.materialize_with_provenance(tagged, ADD_MULT)
+    tag = {(x.s, x.o): x.tag for x in out.collect()}
+    assert tag[("A", "D")] == pytest.approx(0.714, abs=1e-6)
+
+
+def test_prov_minmax(spark):
+    """prov_minmax_conjunction + multiple_paths: ⊗=min, ⊕=max."""
+    r = Reasoner(spark)
+    tagged = spark.createDataFrame(
+        [
+            ("A", "related", "B", 0.6),
+            ("A", "related", "C", 0.9),
+            ("B", "related", "D", 0.8),
+            ("C", "related", "D", 0.5),
+        ],
+        TAGGED_SCHEMA,
+    )
+    r.add_rule(
+        Rule(
+            premise=[P(V("x"), I("related"), V("y")), P(V("y"), I("related"), V("z"))],
+            conclusion=[P(V("x"), I("related"), V("z"))],
+        )
+    )
+    out = r.materialize_with_provenance(tagged, MIN_MAX)
+    tag = {(x.s, x.o): x.tag for x in out.collect()}
+    assert tag[("A", "D")] == pytest.approx(0.6, abs=1e-6)
+
+
+def test_constraints_detect_contradiction(spark):
+    """professor ∧ student → violation (python/examples/contradictions.py)."""
+    r = Reasoner(spark)
+    r.add_triples(
+        [
+            ("alice", "role", "professor"),
+            ("alice", "role", "student"),
+            ("bob", "role", "student"),
+        ]
+    )
+    r.add_constraint(
+        Rule(
+            premise=[
+                P(V("x"), I("role"), I("professor")),
+                P(V("x"), I("role"), I("student")),
+            ],
+            conclusion=[P(V("x"), I("violates"), I("role-exclusivity"))],
+        )
+    )
+    v = r.check_constraints().collect()
+    assert [(x.s, x.o) for x in v] == [("alice", "role-exclusivity")]
+
+
+def test_backward_chaining(spark):
+    """bc_2hop_transitive: goal-directed ancestor resolution."""
+    r = Reasoner(spark)
+    r.add_triples([("A", "parent", "B"), ("B", "parent", "C")])
+    r.add_rule(
+        Rule(
+            premise=[P(V("x"), I("parent"), V("y"))],
+            conclusion=[P(V("x"), I("anc"), V("y"))],
+        )
+    )
+    r.add_rule(
+        Rule(
+            premise=[P(V("x"), I("parent"), V("y")), P(V("y"), I("anc"), V("z"))],
+            conclusion=[P(V("x"), I("anc"), V("z"))],
+        )
+    )
+    results = r.backward_chain(P(I("A"), I("anc"), V("who")))
+    assert {b["who"] for b in results} == {"B", "C"}
+    # bc_no_spurious_negative
+    assert r.backward_chain(P(I("C"), I("anc"), V("who"))) == []
+
+
+def test_n3_rules_parse_and_run(spark):
+    rules = parse_n3_rules(
+        """
+        @prefix fam: <http://family/> .
+        { ?x fam:parent ?y . ?y fam:parent ?z . } => { ?x fam:grandparent ?z . } .
+        { ?x fam:parent ?y . NOT { ?x fam:dead "true" . } } => { ?x fam:guardian ?y . } .
+        """
+    )
+    assert len(rules) == 2
+    assert rules[1].negative_premise
+    r = Reasoner(spark)
+    r.add_triples(
+        [
+            ("A", "http://family/parent", "B"),
+            ("B", "http://family/parent", "C"),
+            ("A", "http://family/dead", "true"),
+        ]
+    )
+    for rule in rules:
+        r.add_rule(rule)
+    r.materialize()
+    assert r.infer("A", "http://family/grandparent", "C")
+    assert r.infer("B", "http://family/guardian", "C")
+    assert not r.infer("A", "http://family/guardian", "B")  # dead => no guardian
+
+
+def test_engine_rule_grammar_and_materialize(engine):
+    """RULE :- CONSTRUCT/WHERE registration through the engine facade."""
+    engine.add_triples(
+        [("ex:a", "ex:parent", "ex:b"), ("ex:b", "ex:parent", "ex:c")]
+    )
+    engine.register_rule(
+        "RULE :Grandparent :- CONSTRUCT { ?x <ex:grandparent> ?z } "
+        "WHERE { ?x <ex:parent> ?y . ?y <ex:parent> ?z }"
+    )
+    added = engine.materialize()
+    assert added == 1
+    assert engine.execute(
+        "SELECT ?z WHERE { <ex:a> <ex:grandparent> ?z }"
+    ) == [["ex:c"]]
+    # idempotent re-materialization
+    assert engine.materialize() == 0
