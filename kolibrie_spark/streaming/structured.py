@@ -1,0 +1,226 @@
+"""Structured Streaming compilation of RSP-QL registrations — the scale
+path (SURVEY.md §2.9 "Spark shape").
+
+Where engine.py replays the reference's event-at-a-time control plane
+faithfully, this module compiles the same registration into a distributed
+micro-batch pipeline over EVENTS_SCHEMA-shaped input
+(s, p, o, g, stream, event_time-as-seconds):
+
+    source → foreachBatch {
+        union into a bounded, checkpointed event buffer (DataFrame state);
+        control plane: per window spec, one small aggregate decides which
+        window closed under the batch high-water mark (driver sees a
+        handful of numbers, never the events);
+        data plane: fired window content = partition-prunable range filter
+        over the buffer → the registered group compiles to a DataFrame
+        plan; multi-window results join as DataFrames (compatible-mapping);
+        R2S = distinct/anti-join diffs against a state DataFrame;
+        only final emission rows reach the sink.
+    }
+
+Documented divergences from the faithful mode (SURVEY §4.2.5):
+- optional watermark drops events older than ``hwm - watermark`` instead of
+  re-opening past windows;
+- OnWindowClose fires at micro-batch granularity (the latest closed window
+  per spec per batch), not per event; Steal/Timeout coordination and the
+  exotic report strategies remain faithful-mode features.
+
+State size is bounded: the buffer keeps at most max(width)+slide seconds of
+events (plus watermark slack); R2S state is one result set per query.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kolibrie_spark.sparql import ast
+from kolibrie_spark.sparql.compiler import Bindings, Compiler, DatasetView, join_bindings
+from kolibrie_spark.store import QuadStore
+from kolibrie_spark.streaming.rspql import RSPQLQuery, parse_rspql
+
+_BUFFER_SCHEMA = "s string, p string, o string, stream string, event_time long"
+
+
+def window_assignments(df: DataFrame, time_col: str, width: int, slide: int) -> DataFrame:
+    """Explode each event into every sliding window [open, open+width) that
+    covers it — pure column math (the F.window trick on integer seconds)."""
+    n = -(-width // slide)
+    t = F.col(time_col)
+    base = (t - (t % F.lit(slide))).cast("long")
+    opens = F.array(*[base - F.lit(i * slide) for i in range(n)])
+    valid = F.filter(opens, lambda o: (o >= 0) & (t >= o) & (t < o + F.lit(width)))
+    return df.withColumn("window_open", F.explode(valid)).withColumn(
+        "window_close", F.col("window_open") + F.lit(width)
+    )
+
+
+@dataclass
+class StructuredRSP:
+    spark: SparkSession
+    query: RSPQLQuery
+    static_store: QuadStore | None = None
+    watermark: int | None = None
+    emissions: list = field(default_factory=list)
+
+    def __post_init__(self):
+        self.buffer: DataFrame = self.spark.createDataFrame([], _BUFFER_SCHEMA)
+        self.hwm = -1
+        self._fired_until: dict[str, int] = {}
+        self._last_window_results: dict[str, Bindings] = {}
+        self._r2s_state: DataFrame | None = None
+
+    # ------------------------------------------------------------ batches
+    def process_batch(self, events: DataFrame) -> list:
+        batch = events.select(
+            "s", "p", "o", "stream", F.col("event_time").cast("long").alias("event_time")
+        )
+        stats = batch.agg(F.max("event_time").alias("hi"), F.count("*").alias("n")).first()
+        if stats.n == 0:
+            return []
+        self.hwm = max(self.hwm, int(stats.hi))
+        if self.watermark is not None:
+            batch = batch.filter(F.col("event_time") >= self.hwm - self.watermark)
+        self.buffer = self.buffer.unionByName(batch)
+        # bounded state: nothing older than any window can still need
+        horizon = self.hwm - max(w.width + w.slide for w in self.query.windows)
+        if self.watermark is not None:
+            horizon = max(horizon, self.hwm - self.watermark)
+        self.buffer = self.buffer.filter(
+            F.col("event_time") > F.lit(horizon)
+        ).localCheckpoint(eager=True)
+
+        fired_any = False
+        for w in self.query.windows:
+            stream_events = (
+                self.buffer
+                if w.stream is None
+                else self.buffer.filter(F.col("stream") == w.stream)
+            )
+            # control plane: latest window of this spec closed under the hwm
+            assigned = window_assignments(stream_events, "event_time", w.width, w.slide)
+            row = (
+                assigned.filter(F.col("window_close") <= self.hwm)
+                .agg(F.max("window_close").alias("close"))
+                .first()
+            )
+            if row.close is None or row.close <= self._fired_until.get(w.iri, -1):
+                continue
+            close = int(row.close)
+            open_ = close - w.width
+            self._fired_until[w.iri] = close
+            fired_any = True
+            # data plane: evaluate the registered group over the window
+            content = stream_events.filter(
+                (F.col("event_time") >= open_) & (F.col("event_time") < close)
+            ).select("s", "p", "o")
+            self._last_window_results[w.iri] = self._eval_window(w, content)
+
+        if not fired_any or any(
+            w.iri not in self._last_window_results for w in self.query.windows
+        ):
+            return []
+        return self._emit()
+
+    def _eval_window(self, w, content: DataFrame) -> Bindings:
+        store = QuadStore(
+            self.spark,
+            quads=content.withColumn("g", F.lit(None).cast("string")),
+        )
+        compiler = Compiler(store)
+        return compiler.compile_group(w.group, DatasetView(store, [], []), None)
+
+    def _emit(self) -> list:
+        joined: Bindings | None = None
+        for w in self.query.windows:
+            b = self._last_window_results[w.iri]
+            joined = b if joined is None else join_bindings(joined, b)
+        if self.query.static_group.elements and self.static_store is not None:
+            compiler = Compiler(self.static_store)
+            sb = compiler.compile_group(
+                self.query.static_group,
+                DatasetView(self.static_store, [], []),
+                active_graph=None,
+            )
+            joined = sb if joined is None else join_bindings(joined, sb)
+        df = joined.df
+        if not self.query.select.star:
+            keep = [v.name for v in self.query.select.select if isinstance(v, ast.Var)]
+            df = df.select(
+                *[
+                    (F.col(k) if k in df.columns else F.lit("")).alias(k)
+                    for k in keep
+                ]
+            )
+        df = df.dropDuplicates().localCheckpoint(eager=True)
+
+        op = self.query.operator
+        if op == "RSTREAM":
+            out_df = df
+        elif op == "ISTREAM":
+            out_df = (
+                df
+                if self._r2s_state is None
+                else df.join(self._r2s_state, on=list(df.columns), how="left_anti")
+            )
+        else:  # DSTREAM
+            out_df = (
+                self.spark.createDataFrame([], df.schema)
+                if self._r2s_state is None
+                else self._r2s_state.join(df, on=list(df.columns), how="left_anti")
+            )
+        if op in ("ISTREAM", "DSTREAM"):
+            self._r2s_state = df
+        rows = [sorted(r.asDict().items()) for r in out_df.collect()]
+        self.emissions.extend(rows)
+        return rows
+
+    # -------------------------------------------------------------- driving
+    def run_events_df(self, events: DataFrame, batch_seconds: int = 10) -> list:
+        """Deterministic batch replay: chop an events DataFrame into
+        event-time-ordered micro-batches and process each."""
+        bounds = events.agg(
+            F.min("event_time").alias("lo"), F.max("event_time").alias("hi")
+        ).first()
+        if bounds.lo is None:
+            return []
+        out = []
+        for start in range(int(bounds.lo), int(bounds.hi) + 1, batch_seconds):
+            out.extend(
+                self.process_batch(
+                    events.filter(
+                        (F.col("event_time") >= start)
+                        & (F.col("event_time") < start + batch_seconds)
+                    )
+                )
+            )
+        return out
+
+    def start(self, stream_df: DataFrame, checkpoint_dir: str):
+        """Attach to a live streaming DataFrame via foreachBatch."""
+
+        def sink(batch_df: DataFrame, _batch_id: int):
+            self.process_batch(batch_df)
+
+        return (
+            stream_df.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+
+
+def compile_structured(
+    spark: SparkSession,
+    query_text: str,
+    static_store: QuadStore | None = None,
+    watermark: int | None = None,
+) -> StructuredRSP:
+    return StructuredRSP(
+        spark=spark,
+        query=parse_rspql(query_text),
+        static_store=static_store,
+        watermark=watermark,
+    )

@@ -1,0 +1,153 @@
+"""Structured (micro-batch, DataFrame-state) RSP compilation — the scale
+path twin of the faithful engine."""
+
+import pytest
+from pyspark.sql import functions as F
+
+ITYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def events_df(spark, rows):
+    """rows: (s, p, o, stream, event_time)"""
+    return spark.createDataFrame(
+        [(s, p, o, None, st, t) for (s, p, o, st, t) in rows],
+        "s string, p string, o string, g string, stream string, event_time long",
+    )
+
+
+def test_window_assignments(spark):
+    from kolibrie_spark.streaming.structured import window_assignments
+
+    df = spark.createDataFrame([("a", 5)], "s string, event_time long")
+    out = window_assignments(df, "event_time", 10, 2).select(
+        "window_open", "window_close"
+    )
+    got = sorted((r.window_open, r.window_close) for r in out.collect())
+    # event at t=5 belongs to windows opening at 0,2,4 (width 10, slide 2,
+    # non-negative opens, open <= 5 < open+10)
+    assert got == [(0, 10), (2, 12), (4, 14)]
+
+
+def test_rstream_micro_batches(spark):
+    from kolibrie_spark.streaming.structured import compile_structured
+
+    q = compile_structured(
+        spark,
+        """REGISTER RSTREAM <out> AS SELECT *
+           FROM NAMED WINDOW :w ON :s1 [RANGE 4 STEP 2]
+           WHERE { WINDOW :w { ?s <reading> ?v } }""",
+    )
+    ev = events_df(
+        spark,
+        [(f"dev{t}", "reading", str(t), "s1", t) for t in range(8)],
+    )
+    out = q.run_events_df(ev, batch_seconds=4)
+    assert out  # windows [0,4) and [2,6)... fire as hwm passes closes
+    # every emitted binding carries both vars
+    assert all({k for k, _ in row} == {"s", "v"} for row in out)
+
+
+def test_istream_emits_only_new(spark):
+    from kolibrie_spark.streaming.structured import compile_structured
+
+    q = compile_structured(
+        spark,
+        """REGISTER ISTREAM <out> AS SELECT *
+           FROM NAMED WINDOW :w ON :s1 [RANGE 4 STEP 2]
+           WHERE { WINDOW :w { ?s a <T> } }""",
+    )
+    ev = events_df(
+        spark,
+        [(f"x{t}", ITYPE, "T", "s1", t) for t in range(10)],
+    )
+    out = q.run_events_df(ev, batch_seconds=2)
+    # ISTREAM: each subject emitted at most once
+    subjects = [dict(r)["s"] for r in out]
+    assert len(subjects) == len(set(subjects))
+    assert len(subjects) >= 4
+
+
+def test_dstream_emits_dropped(spark):
+    from kolibrie_spark.streaming.structured import compile_structured
+
+    q = compile_structured(
+        spark,
+        """REGISTER DSTREAM <out> AS SELECT *
+           FROM NAMED WINDOW :w ON :s1 [RANGE 2 STEP 2]
+           WHERE { WINDOW :w { ?s a <T> } }""",
+    )
+    ev = events_df(
+        spark,
+        [("a", ITYPE, "T", "s1", 0), ("b", ITYPE, "T", "s1", 2), ("c", ITYPE, "T", "s1", 4)],
+    )
+    out = q.run_events_df(ev, batch_seconds=2)
+    dropped = [dict(r)["s"] for r in out]
+    assert "a" in dropped  # a left the tumbling window after [0,2) fired
+
+
+def test_watermark_drops_late_events(spark):
+    from kolibrie_spark.streaming.structured import compile_structured
+
+    mk = lambda wm: compile_structured(
+        spark,
+        """REGISTER RSTREAM <out> AS SELECT *
+           FROM NAMED WINDOW :w ON :s1 [RANGE 100 STEP 10]
+           WHERE { WINDOW :w { ?s <p> ?v } }""",
+        watermark=wm,
+    )
+    # a late event 50s behind the high-water mark
+    q = mk(5)
+    q.process_batch(events_df(spark, [("new", "p", "1", "s1", 60)]))
+    q.process_batch(events_df(spark, [("late", "p", "2", "s1", 10)]))
+    buffered = {r.s for r in q.buffer.collect()}
+    assert "late" not in buffered
+    q2 = mk(None)  # no watermark: late event kept (faithful-leaning)
+    q2.process_batch(events_df(spark, [("new", "p", "1", "s1", 60)]))
+    q2.process_batch(events_df(spark, [("late", "p", "2", "s1", 10)]))
+    assert {r.s for r in q2.buffer.collect()} == {"new", "late"}
+
+
+def test_state_buffer_is_bounded(spark):
+    from kolibrie_spark.streaming.structured import compile_structured
+
+    q = compile_structured(
+        spark,
+        """REGISTER RSTREAM <out> AS SELECT *
+           FROM NAMED WINDOW :w ON :s1 [RANGE 4 STEP 2]
+           WHERE { WINDOW :w { ?s <p> ?v } }""",
+    )
+    rows = [(f"e{t}", "p", str(t), "s1", t) for t in range(0, 60)]
+    q.run_events_df(events_df(spark, rows), batch_seconds=10)
+    # retention horizon = hwm - (width + slide) = 59 - 6
+    assert q.buffer.count() <= 8
+
+
+def test_multi_window_static_join(spark):
+    from kolibrie_spark.store import QuadStore
+    from kolibrie_spark.streaming.structured import compile_structured
+
+    static = QuadStore.from_rows(spark, [("dev1", "locatedIn", "lab")])
+    q = compile_structured(
+        spark,
+        """REGISTER RSTREAM <out> AS SELECT *
+           FROM NAMED WINDOW :w1 ON :s1 [RANGE 4 STEP 2]
+           FROM NAMED WINDOW :w2 ON :s2 [RANGE 4 STEP 2]
+           WHERE { WINDOW :w1 { ?d <temp> ?t } WINDOW :w2 { ?d <hum> ?h }
+                   ?d <locatedIn> ?room }""",
+        static_store=static,
+    )
+    ev = events_df(
+        spark,
+        [
+            ("dev1", "temp", "20", "s1", 1),
+            ("dev1", "hum", "40", "s2", 1),
+            ("dev2", "temp", "99", "s1", 2),  # no static location, no hum
+            ("dev1", "temp", "21", "s1", 5),
+            ("dev1", "hum", "41", "s2", 5),
+        ],
+    )
+    out = q.run_events_df(ev, batch_seconds=3)
+    assert out
+    for row in out:
+        d = dict(row)
+        assert d["d"] == "dev1" and d["room"] == "lab"
