@@ -27,6 +27,8 @@ class SparqlEngine:
         self.spark = spark
         self.store = store if store is not None else QuadStore(spark)
         self.rules: list = []
+        self.models: dict = {}
+        self.neural_relations: dict = {}
 
     # ------------------------------------------------------------ loading
     def add_triples(self, rows: list[tuple]) -> None:
@@ -46,6 +48,8 @@ class SparqlEngine:
     # ------------------------------------------------------------ queries
     def query(self, text: str) -> DataFrame:
         """SPARQL SELECT → DataFrame (lazy; caller collects)."""
+        if "ML.PREDICT" in text.upper().split("{")[0]:
+            return self.ml_predict(text)
         q = parse_query(text)
         if q.select is None:
             raise CompileError("not a SELECT query — use update()")
@@ -145,6 +149,50 @@ class SparqlEngine:
                 )
             )
         return new
+
+    # ----------------------------------------------------------------- ML
+    def register_model(self, name: str, fn) -> None:
+        """Model = callable(features: pandas.DataFrame) -> predictions, or
+        any object with .predict (reference registers Candle/Python models,
+        sparql_database.rs model registry)."""
+        self.models[name] = fn
+
+    def ml_predict(self, text: str) -> DataFrame:
+        """``ML.PREDICT(MODEL "name", INPUT { SELECT ... }, OUTPUT ?var)``
+        → input rows with the prediction bound to the output variable."""
+        from kolibrie_spark.ml.predict import parse_ml_predict, run_ml_predict
+
+        spec = parse_ml_predict(text)
+        if spec.model not in self.models:
+            raise CompileError(f"unknown model {spec.model!r}")
+        input_df = Compiler(self.store).compile_select(spec.input_select)
+        return run_ml_predict(input_df, self.models[spec.model], spec.output_var)
+
+    def train_neural_relation(
+        self,
+        predicate: str,
+        data_query: str,
+        anchor_var: str,
+        feature_vars: list[str],
+        label_var: str,
+        model=None,
+    ):
+        """``TRAIN NEURAL RELATION`` (reference execute_ml_train.rs): fit a
+        model on the data query's rows, register the relation, materialize
+        its predictions as ordinary predicate facts."""
+        from kolibrie_spark.ml.neural import NeuralRelation, TinyMLP
+
+        df = self.query(data_query)
+        rel = NeuralRelation(
+            predicate=predicate,
+            anchor_col=anchor_var,
+            feature_cols=list(feature_vars),
+            model=model or TinyMLP(),
+        )
+        rel.train(df, label_var)
+        rel.materialize(self.store, df.drop(label_var))
+        self.neural_relations[predicate] = rel
+        return rel
 
     # --------------------------------------------------------------- UDFs
     def register_udf(self, name: str, fn) -> None:

@@ -1,0 +1,232 @@
+"""Probabilistic evaluation over derivation lineages (reference "hybrid"
+layer: shared/src/hybrid.rs:375-760 lineage DAG + certified top-k lower
+bounds, shared/src/sdd.rs exact weighted model counting;
+datalog/src/reasoning/materialisation/hybrid_materialisation.rs:25-177).
+
+Design per SURVEY §2.10: this is compute-on-small-data — seeds are few
+(probabilistic ground facts), so lineage tracking and model counting run
+driver-side while the deterministic bulk of the data stays in DataFrames.
+
+- Lineage: AND/OR DAG over seed ids, built during forward chaining (each
+  derivation = AND of premise lineages; alternative derivations = OR).
+- exact(): weighted model counting by enumeration over the involved seed
+  variables (exact for correlated derivations — shared seeds are handled
+  properly, unlike a noisy-OR approximation). Capped at 25 variables, the
+  role the reference's SDD compiler plays at larger scale.
+- topk_lower_bound(): probability of the union of the k most probable
+  derivation paths, computed exactly over their (small) seed set — a
+  certified lower bound that converges to exact() as k grows
+  (hybrid.rs top-k escalation semantics).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+
+from kolibrie_spark.reasoner.rule import Rule
+from kolibrie_spark.sparql.ast import Iri, Lit, TriplePattern, Var
+
+Triple = tuple[str, str, str]
+
+
+@dataclass(frozen=True)
+class Seed:
+    id: Triple
+
+
+@dataclass(frozen=True)
+class And:
+    parts: tuple
+
+
+@dataclass(frozen=True)
+class Or:
+    parts: tuple
+
+
+Lineage = Seed | And | Or
+
+
+def _paths(lin: Lineage) -> list[frozenset[Triple]]:
+    """DNF: each path is the seed set of one derivation."""
+    if isinstance(lin, Seed):
+        return [frozenset([lin.id])]
+    if isinstance(lin, And):
+        acc = [frozenset()]
+        for part in lin.parts:
+            acc = [a | b for a in acc for b in _paths(part)]
+        return acc
+    out: list[frozenset[Triple]] = []
+    for part in lin.parts:
+        out.extend(_paths(part))
+    # dedupe + drop supersets (absorption)
+    uniq = sorted(set(out), key=len)
+    kept: list[frozenset[Triple]] = []
+    for p in uniq:
+        if not any(q <= p for q in kept):
+            kept.append(p)
+    return kept
+
+
+def union_probability(paths: list[frozenset[Triple]], seeds: dict[Triple, float]) -> float:
+    """Exact P(path1 ∨ path2 ∨ ...) by enumeration over involved seeds."""
+    if not paths:
+        return 0.0
+    vars_ = sorted(set().union(*paths))
+    if len(vars_) > 25:
+        raise ValueError(
+            f"exact model counting capped at 25 seed variables, got {len(vars_)} "
+            "(the reference escalates to SDD compilation here)"
+        )
+    total = 0.0
+    for assignment in itertools.product([False, True], repeat=len(vars_)):
+        world = dict(zip(vars_, assignment))
+        if any(all(world[v] for v in p) for p in paths):
+            w = 1.0
+            for v, val in world.items():
+                w *= seeds[v] if val else 1.0 - seeds[v]
+            total += w
+    return total
+
+
+class HybridEvaluator:
+    """Forward chaining with lineage over probabilistic seeds."""
+
+    def __init__(self, seeds: dict[Triple, float], rules: list[Rule],
+                 deterministic_facts: set[Triple] | None = None):
+        self.seeds = dict(seeds)
+        self.rules = rules
+        self.facts: dict[Triple, Lineage | None] = {
+            t: Seed(t) for t in seeds
+        }
+        for t in deterministic_facts or set():
+            self.facts.setdefault(t, None)  # None lineage = certain
+
+    # ------------------------------------------------------ materialization
+    def materialize(self, max_iter: int = 20) -> dict[Triple, Lineage | None]:
+        for _ in range(max_iter):
+            changed = False
+            for rule in self.rules:
+                for binding, premises in self._match(rule):
+                    for concl in rule.conclusion:
+                        fact = self._instantiate(concl, binding)
+                        if fact is None or fact in self.seeds:
+                            continue
+                        lin = self._and_of(premises)
+                        prev = self.facts.get(fact, "absent")
+                        new = self._merge(prev if prev != "absent" else None, lin,
+                                          absent=prev == "absent")
+                        if prev == "absent" or new != prev:
+                            self.facts[fact] = new
+                            changed = True
+            if not changed:
+                break
+        return self.facts
+
+    def _and_of(self, premises: list[Triple]) -> Lineage | None:
+        parts = []
+        for t in premises:
+            lin = self.facts[t]
+            if lin is not None:
+                parts.append(lin)
+        if not parts:
+            return None  # all premises certain
+        if len(parts) == 1:
+            return parts[0]
+        return And(tuple(parts))
+
+    @staticmethod
+    def _merge(old: Lineage | None, new: Lineage | None, absent: bool) -> Lineage | None:
+        if absent:
+            return new
+        if old is None or new is None:
+            return None  # a certain derivation wins
+        olds = old.parts if isinstance(old, Or) else (old,)
+        if new in olds:
+            return old
+        return Or(tuple(olds) + (new,))
+
+    def _match(self, rule: Rule):
+        """All bindings of the positive premise over current facts, with the
+        premise instances that support each binding."""
+        results: list[tuple[dict, list[Triple]]] = [({}, [])]
+        fact_list = list(self.facts.keys())
+        for pat in rule.premise:
+            nxt = []
+            for binding, used in results:
+                for t in fact_list:
+                    b2 = self._unify_fact(pat, t, binding)
+                    if b2 is not None:
+                        nxt.append((b2, used + [t]))
+            results = nxt
+            if not results:
+                return []
+        # negation-as-failure over the deterministic view
+        out = []
+        for binding, used in results:
+            ok = True
+            for neg in rule.negative_premise:
+                inst = self._instantiate(neg, binding)
+                if inst is not None and inst in self.facts:
+                    ok = False
+                    break
+            if ok:
+                out.append((binding, used))
+        return out
+
+    @staticmethod
+    def _unify_fact(pat: TriplePattern, fact: Triple, binding: dict) -> dict | None:
+        b = dict(binding)
+        for term, val in zip((pat.s, pat.p, pat.o), fact):
+            if isinstance(term, Var):
+                if b.get(term.name, val) != val:
+                    return None
+                b[term.name] = val
+            elif isinstance(term, (Iri, Lit)):
+                if term.value != val:
+                    return None
+            else:
+                return None
+        return b
+
+    @staticmethod
+    def _instantiate(pat: TriplePattern, binding: dict) -> Triple | None:
+        out = []
+        for term in (pat.s, pat.p, pat.o):
+            if isinstance(term, Var):
+                if term.name not in binding:
+                    return None
+                out.append(binding[term.name])
+            else:
+                out.append(term.value)
+        return tuple(out)
+
+    # ----------------------------------------------------------- queries
+    def probability(self, fact: Triple) -> float:
+        """Exact probability (the reference's escalated-exact path)."""
+        if fact not in self.facts:
+            return 0.0
+        lin = self.facts[fact]
+        if lin is None:
+            return 1.0
+        return union_probability(_paths(lin), self.seeds)
+
+    def topk_lower_bound(self, fact: Triple, k: int = 3) -> float:
+        """Certified lower bound from the k most probable derivations
+        (hybrid.rs top-k path); equals exact() once k covers all paths."""
+        if fact not in self.facts:
+            return 0.0
+        lin = self.facts[fact]
+        if lin is None:
+            return 1.0
+        paths = _paths(lin)
+
+        def path_prob(p: frozenset[Triple]) -> float:
+            v = 1.0
+            for t in p:
+                v *= self.seeds[t]
+            return v
+
+        top = sorted(paths, key=path_prob, reverse=True)[:k]
+        return union_probability(top, self.seeds)
