@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "sim_topk_lsh",
     "text_analyze",
     "events_window_agg",
+    "reasoner_transitive_closure",
+    "streaming_istream_replay",
+    "streaming_dstream_replay",
 ]
 
 

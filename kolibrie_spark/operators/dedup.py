@@ -114,8 +114,17 @@ WHERE c * 1.0 / (sa.sn + sb.sn - c) >= {threshold}
 
 
 # --------------------------------------------------------------- MinHash+LSH
-def base_shingle_hashes(text: Column, n: int = 3) -> Column:
-    """One polynomial fold per distinct shingle → array<long>."""
+def base_shingle_hashes(text: Column, n: int = 3, hash_fn: str = "xxhash64") -> Column:
+    """One hash per distinct shingle → array<long>.
+
+    Default xxhash64: JVM-side, whole-stage-codegen'd — the right choice
+    because MinHash internals only affect candidate recall; the emitted
+    pairs are exact-Jaccard-verified either way. hash_fn="poly" gives the
+    DuckDB-reproducible fold when cross-engine signatures matter."""
+    if hash_fn == "xxhash64":
+        return F.transform(
+            word_ngrams(text, n), lambda s: F.abs(F.xxhash64(s)) % hashing.FAMILY_P
+        )
     return F.transform(word_ngrams(text, n), lambda s: hashing.poly_hash(s))
 
 
@@ -147,6 +156,12 @@ def minhash_lsh_pairs(
     full recall the output equals ngram_jaccard_pairs.
     """
     rows = num_hashes // bands
+    # small inputs often arrive as one parquet partition; the signature
+    # computation is compute-dense (num_hashes passes over the shingle
+    # array), so spread it across the cluster first
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     # two projection stages: the base shingle hashes materialize once, the
     # 64 family members are arithmetic over that array (without the stage
     # boundary each signature slot would re-fold every shingle — Catalyst
@@ -234,6 +249,11 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         return pd.Series(out)
 
     _simhash = F.pandas_udf(_simhash_fn, LongType())
+    # modest fan-out: Python workers cost ~100ms each to warm, so spreading
+    # a small input over every core loses more than it gains; 4 partitions
+    # balances worker amortization against parallelism at test scales
+    if df.rdd.getNumPartitions() < 4:
+        df = df.repartition(4)
     return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
 
 

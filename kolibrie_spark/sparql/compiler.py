@@ -257,28 +257,40 @@ class Compiler:
         view: DatasetView,
         active_graph: ast.Iri | ast.Var | None,
     ) -> Bindings:
-        b = unit_bindings(self.spark)
+        # b stays None until the first contributing element: seeding with the
+        # unit sequence would wrap every query in a needless cross join
+        # (observed as a BroadcastNestedLoopJoin at the head of each plan)
+        b: Bindings | None = None
+
+        def absorb(nxt: Bindings) -> None:
+            nonlocal b
+            b = nxt if b is None else join_bindings(b, nxt)
+
         filters: list[ast.Filter] = []
         for el in group.elements:
             if isinstance(el, ast.TriplePattern):
-                b = join_bindings(b, self._scan(el, view, active_graph))
+                absorb(self._scan(el, view, active_graph))
             elif isinstance(el, ast.Filter):
                 filters.append(el)  # group-scoped: applied once group is built
             elif isinstance(el, ast.Bind):
+                if b is None:
+                    b = unit_bindings(self.spark)
                 b = self._bind(el, b)
             elif isinstance(el, ast.ValuesBlock):
-                b = join_bindings(b, self._values(el))
+                absorb(self._values(el))
             elif isinstance(el, ast.GraphBlock):
-                b = join_bindings(b, self._graph_block(el, view))
+                absorb(self._graph_block(el, view))
             elif isinstance(el, ast.UnionBlock):
                 branches = [
                     self.compile_group(br, view, active_graph) for br in el.branches
                 ]
-                b = join_bindings(b, self._union(branches))
+                absorb(self._union(branches))
             elif isinstance(el, ast.SubSelect):
-                b = join_bindings(b, Bindings(self.compile_select(el.query)))
+                absorb(Bindings(self.compile_select(el.query)))
             else:  # pragma: no cover
                 raise CompileError(f"unsupported group element {el!r}")
+        if b is None:
+            b = unit_bindings(self.spark)
         for f in filters:
             cond = self.compile_expr(f.expr, b, as_bool=True)
             b = Bindings(b.df.filter(cond), b.maybe_null)
