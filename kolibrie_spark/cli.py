@@ -1,0 +1,51 @@
+"""One-shot CLI (reference cli/src/main.rs:25-39):
+
+    python -m kolibrie_spark.cli --file data.nt --query 'SELECT ...'
+    python -m kolibrie_spark.cli --file data.ttl --update 'INSERT DATA {...}'
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="kolibrie_spark", description=__doc__)
+    ap.add_argument("--file", action="append", default=[], help="RDF file(s) to load")
+    ap.add_argument("--format", default=None, help="override format (nt/nq/ttl/n3/rdf)")
+    ap.add_argument("--query", default=None, help="SPARQL SELECT to run")
+    ap.add_argument("--update", default=None, help="SPARQL Update to apply")
+    ap.add_argument("--explain", action="store_true", help="print the physical plan")
+    ap.add_argument("--master", default="local[*]")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("kolibrie_spark-cli")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from kolibrie_spark import SparqlEngine
+
+    engine = SparqlEngine(spark)
+    for path in args.file:
+        engine.load_file(path, fmt=args.format)
+    if args.update:
+        engine.update(args.update)
+        print(f"update applied; store now holds {engine.triple_count()} quads")
+    if args.query:
+        if args.explain:
+            print(engine.explain(args.query))
+        for row in engine.execute(args.query):
+            print("\t".join(row))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -167,6 +167,31 @@ def apply_rule(
     return out
 
 
+PROB_PREDICATE = "prob:value"
+
+
+def materialize_tags_as_rdfstar(store, tagged_facts: DataFrame) -> None:
+    """Write provenance tags into the store as RDF-star annotations:
+    ``<< s p o >> prob:value "0.56"`` (reference reasoning.rs:84-93)."""
+    from kolibrie_spark import rdfstar
+
+    qid = rdfstar.qt_id_col(F.col("s"), F.col("p"), F.col("o"))
+    quoted = tagged_facts.select(
+        qid.alias("qid"),
+        F.col("s").alias("qs"),
+        F.col("p").alias("qp"),
+        F.col("o").alias("qo"),
+    )
+    store.insert_quoted(quoted)
+    annotations = tagged_facts.select(
+        qid.alias("s"),
+        F.lit(PROB_PREDICATE).alias("p"),
+        F.col("tag").cast("string").alias("o"),
+        F.lit(None).cast("string").alias("g"),
+    )
+    store.insert(annotations)
+
+
 class Reasoner:
     """Facts + rules with materialization (reference datalog/src/reasoning.rs)."""
 
@@ -279,6 +304,42 @@ class Reasoner:
         if out is None:
             return self.spark.createDataFrame([], FACTS_SCHEMA)
         return out.dropDuplicates()
+
+    def repair(self, max_removals: int = 4) -> list[set[tuple[str, str, str]]]:
+        """Minimal repairs (reference semi_naive_with_repairs.rs:11 /
+        reasoning.rs:132-186): smallest sets of base facts whose removal
+        clears every constraint violation. Search runs driver-side over the
+        facts that *support* violations (small by construction); candidate
+        subsets are re-checked with the DataFrame pipeline."""
+        import itertools
+
+        violations = self.check_constraints()
+        if violations.isEmpty():
+            return []
+        # support set: base facts matched by any constraint premise
+        support: set[tuple[str, str, str]] = set()
+        for c in self.constraints:
+            for pat in c.premise:
+                rows = _scan(self.facts, pat, tagged=False)
+                # recover full triples for matched bindings
+                matched = apply_rule(self.facts, Rule(premise=[pat], conclusion=[pat]))
+                support |= {tuple(r) for r in matched.dropDuplicates().collect()}
+        support_list = sorted(support)
+        base = self.facts
+        repairs: list[set] = []
+        for k in range(1, max_removals + 1):
+            for subset in itertools.combinations(support_list, k):
+                if any(r <= set(subset) for r in repairs):
+                    continue  # supersets of a found repair aren't minimal
+                trial = Reasoner(self.spark)
+                remove = self.spark.createDataFrame(list(subset), FACTS_SCHEMA)
+                trial.facts = base.exceptAll(remove)
+                trial.constraints = self.constraints
+                if trial.check_constraints().isEmpty():
+                    repairs.append(set(subset))
+            if repairs:
+                break  # all repairs of minimal cardinality found
+        return repairs
 
     # -------------------------------------------------- backward chaining
     def backward_chain(

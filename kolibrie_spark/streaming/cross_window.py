@@ -1,0 +1,182 @@
+"""Cross-window SDS+ reasoning (reference datalog/src/cross_window_sds.rs,
+reasoning/materialisation/cross_window_naive.rs and
+cross_window_incremental.rs).
+
+Model: the streaming dataset (SDS) holds, per window IRI, that window's
+current triples with their event times and the window width α. For
+reasoning, each triple's predicate is *annotated* with its window IRI
+(``window_iri + local_name`` — cross_window_sds.rs:17-19), so rules can
+relate facts from different windows explicitly. Rules run to fixpoint; a
+derived fact expires when its earliest-expiring premise leaves its window
+(expiry = event_time + α), which is what the incremental maintainer uses to
+evict without recomputation.
+
+This is driver-side control-plane state (window contents are already
+bounded by α); the per-window *content production* is the engines' job.
+``naive`` recomputes the materialization from scratch each call;
+``incremental`` evicts expired derivations and extends from the delta —
+mirroring the reference's two maintenance modes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from kolibrie_spark.reasoner.rule import Rule
+from kolibrie_spark.sparql.ast import Iri, Lit, TriplePattern, Var
+
+
+def annotate_predicate(window_iri: str, local_name: str) -> str:
+    return f"{window_iri}{local_name}"
+
+
+def strip_window_prefix(annotated: str, known_iris: list[str]) -> tuple[str, str] | None:
+    for iri in sorted(known_iris, key=len, reverse=True):
+        if annotated.startswith(iri):
+            return iri, annotated[len(iri):]
+    return None
+
+
+@dataclass
+class WindowedTriple:
+    s: str
+    p: str  # local predicate name (annotated at translation time)
+    o: str
+    event_time: int
+
+
+@dataclass
+class Sds:
+    """Streaming dataset: window contents + static graphs + output IRIs."""
+
+    windows: dict[str, tuple[int, list[WindowedTriple]]] = field(default_factory=dict)
+    static_triples: list[tuple[str, str, str]] = field(default_factory=list)
+    output_iris: set[str] = field(default_factory=set)
+
+    def set_window(self, iri: str, alpha: int, triples: list[WindowedTriple]) -> None:
+        self.windows[iri] = (alpha, list(triples))
+
+
+Fact = tuple[str, str, str]
+
+
+def _annotated_facts(sds: Sds, now: int) -> dict[Fact, int]:
+    """facts with expiry; expired (event_time + α <= now) are excluded."""
+    out: dict[Fact, int] = {}
+    for iri, (alpha, triples) in sds.windows.items():
+        for t in triples:
+            expiry = t.event_time + alpha
+            if expiry > now:
+                fact = (t.s, annotate_predicate(iri, t.p), t.o)
+                out[fact] = max(out.get(fact, 0), expiry)
+    for (s, p, o) in sds.static_triples:
+        out[(s, p, o)] = 1 << 62  # static facts never expire
+    return out
+
+
+def _match(rule: Rule, facts: dict[Fact, int]):
+    """Bindings + supporting facts of the positive premise (set matcher)."""
+    results = [({}, [])]
+    items = list(facts.keys())
+    for pat in rule.premise:
+        nxt = []
+        for binding, used in results:
+            for f in items:
+                b = dict(binding)
+                ok = True
+                for term, val in zip((pat.s, pat.p, pat.o), f):
+                    if isinstance(term, Var):
+                        if b.get(term.name, val) != val:
+                            ok = False
+                            break
+                        b[term.name] = val
+                    elif isinstance(term, (Iri, Lit)):
+                        if term.value != val:
+                            ok = False
+                            break
+                    else:
+                        ok = False
+                        break
+                if ok:
+                    nxt.append((b, used + [f]))
+        results = nxt
+        if not results:
+            break
+    return results
+
+
+def _instantiate(pat: TriplePattern, binding: dict) -> Fact | None:
+    out = []
+    for term in (pat.s, pat.p, pat.o):
+        if isinstance(term, Var):
+            if term.name not in binding:
+                return None
+            out.append(binding[term.name])
+        else:
+            out.append(term.value)
+    return tuple(out)
+
+
+def _fixpoint(rules: list[Rule], facts: dict[Fact, int], max_iter: int = 20) -> dict[Fact, int]:
+    facts = dict(facts)
+    for _ in range(max_iter):
+        changed = False
+        for rule in rules:
+            for binding, used in _match(rule, facts):
+                expiry = min(facts[f] for f in used) if used else 1 << 62
+                for concl in rule.conclusion:
+                    fact = _instantiate(concl, binding)
+                    if fact is None:
+                        continue
+                    prev = facts.get(fact)
+                    if prev is None or expiry > prev:
+                        # keep the latest-valid derivation's expiry
+                        facts[fact] = expiry
+                        changed = True
+        if not changed:
+            break
+    return facts
+
+
+def _project_outputs(facts: dict[Fact, int], sds: Sds) -> dict[str, list[Fact]]:
+    """Split derived facts back per component IRI (translate_datalog_back)."""
+    known = list(sds.windows.keys()) + sorted(sds.output_iris)
+    out: dict[str, list[Fact]] = {}
+    for (s, p, o) in facts:
+        hit = strip_window_prefix(p, known)
+        if hit is None:
+            continue
+        iri, local = hit
+        out.setdefault(iri, []).append((s, local, o))
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def naive_sds_plus(
+    rules: list[Rule], sds: Sds, now: int
+) -> dict[str, list[Fact]]:
+    """Recompute the materialized SDS+ from scratch at ``now``
+    (cross_window_naive.rs:20)."""
+    return _project_outputs(_fixpoint(rules, _annotated_facts(sds, now)), sds)
+
+
+class IncrementalSdsPlus:
+    """Maintains the materialization across calls: evicts facts whose expiry
+    passed, re-derives only from surviving + new facts
+    (cross_window_incremental.rs:26). Produces the same SDS+ as the naive
+    recomputation (the reference benches them for equivalence,
+    benches/citybench_cross_window_compare.rs)."""
+
+    def __init__(self, rules: list[Rule]):
+        self.rules = rules
+        self._facts: dict[Fact, int] = {}
+
+    def update(self, sds: Sds, now: int) -> dict[str, list[Fact]]:
+        base = _annotated_facts(sds, now)
+        # evict expired derivations, keep still-valid ones
+        survivors = {f: e for f, e in self._facts.items() if e > now}
+        for f, e in base.items():
+            survivors[f] = max(survivors.get(f, 0), e)
+        self._facts = _fixpoint(self.rules, survivors)
+        return _project_outputs(self._facts, sds)

@@ -215,3 +215,66 @@ class RSPQLParser(Parser):
 
 def parse_rspql(text: str) -> RSPQLQuery:
     return RSPQLParser(text).parse_register()
+
+
+# ------------------------------------------------------- RETRIEVE clause
+@dataclass
+class RetrieveClause:
+    """``RETRIEVE SOME|EVERY ACTIVE|LATENT STREAM ?s FROM <catalog> WITH
+    { patterns }`` — stream discovery against a catalog graph before
+    registration (reference parser.rs:3200-3263,
+    shared/src/query.rs:325-344)."""
+
+    mode: str  # SOME | EVERY
+    state: str  # ACTIVE | LATENT
+    variable: str
+    from_iri: str
+    group: "object"  # ast.Group over the catalog
+
+
+class _RetrieveParser(RSPQLParser):
+    def parse_retrieve(self) -> RetrieveClause:
+        self.expect_kw("RETRIEVE")
+        mode = self.next().text.upper()
+        if mode not in ("SOME", "EVERY"):
+            raise ParseError(f"bad RETRIEVE mode {mode!r}")
+        state = self.next().text.upper()
+        if state not in ("ACTIVE", "LATENT"):
+            raise ParseError(f"bad stream state {state!r}")
+        self.expect_kw("STREAM")
+        v = self.next()
+        if v.kind != "VAR":
+            raise ParseError("RETRIEVE expects a stream variable")
+        self.expect_kw("FROM")
+        catalog = self._iri_or_colon_name()
+        self.expect_kw("WITH")
+        group = self.parse_group()
+        return RetrieveClause(
+            mode=mode, state=state, variable=v.text[1:], from_iri=catalog, group=group
+        )
+
+
+def parse_retrieve(text: str) -> RetrieveClause:
+    return _RetrieveParser(text).parse_retrieve()
+
+
+def resolve_streams(spark, catalog_store, clause: RetrieveClause) -> list[str]:
+    """Evaluate the WITH pattern over the catalog graph and return the
+    stream IRIs bound to the clause variable (SOME → first match in sorted
+    order, EVERY → all)."""
+    from kolibrie_spark.sparql.compiler import Compiler, DatasetView
+
+    compiler = Compiler(catalog_store)
+    view = DatasetView(catalog_store, [clause.from_iri] if clause.from_iri else [], [])
+    b = compiler.compile_group(clause.group, view, active_graph=None)
+    if clause.variable not in b.vars:
+        raise ParseError(
+            f"RETRIEVE variable ?{clause.variable} is not bound by the WITH pattern"
+        )
+    names = sorted(
+        r[clause.variable]
+        for r in b.df.select(clause.variable).dropDuplicates().collect()
+    )
+    if clause.mode == "SOME":
+        return names[:1]
+    return names

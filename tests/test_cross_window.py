@@ -1,0 +1,158 @@
+"""Cross-window SDS+ reasoning — ports datalog/tests/cross_window_tests.rs
+basics: window-annotated predicates, cross-window derivation, α-expiry,
+naive vs incremental equivalence. Plus the RETRIEVE clause, CLI, constraint
+repairs, and provenance tag materialization."""
+
+from kolibrie_spark.reasoner.rule import Rule
+from kolibrie_spark.sparql.ast import Iri, TriplePattern, Var
+from kolibrie_spark.streaming.cross_window import (
+    IncrementalSdsPlus,
+    Sds,
+    WindowedTriple,
+    annotate_predicate,
+    naive_sds_plus,
+    strip_window_prefix,
+)
+
+W1, W2, OUT = "http://w1/", "http://w2/", "http://out/"
+
+
+def cross_rule():
+    # w1:temp high ∧ w2:co2 high (same room) => out:alert
+    return Rule(
+        premise=[
+            TriplePattern(Var("r"), Iri(annotate_predicate(W1, "temp")), Iri("high")),
+            TriplePattern(Var("r"), Iri(annotate_predicate(W2, "co2")), Iri("high")),
+        ],
+        conclusion=[
+            TriplePattern(Var("r"), Iri(annotate_predicate(OUT, "alert")), Iri("on"))
+        ],
+    )
+
+
+def mk_sds():
+    sds = Sds(output_iris={OUT})
+    sds.set_window(W1, 10, [WindowedTriple("room1", "temp", "high", 5)])
+    sds.set_window(W2, 20, [WindowedTriple("room1", "co2", "high", 8)])
+    return sds
+
+
+def test_annotate_and_strip():
+    a = annotate_predicate(W1, "temp")
+    assert a == "http://w1/temp"
+    assert strip_window_prefix(a, [W1, W2]) == (W1, "temp")
+    assert strip_window_prefix("http://elsewhere/x", [W1]) is None
+
+
+def test_cross_window_derivation():
+    out = naive_sds_plus([cross_rule()], mk_sds(), now=9)
+    assert out[OUT] == [("room1", "alert", "on")]
+
+
+def test_alpha_expiry_evicts_premise():
+    # at now=15 the w1:temp fact (event 5, α=10) has expired => no alert
+    out = naive_sds_plus([cross_rule()], mk_sds(), now=15)
+    assert OUT not in out
+
+
+def test_incremental_matches_naive():
+    rules = [cross_rule()]
+    inc = IncrementalSdsPlus(rules)
+    for now in (9, 12, 15, 20):
+        sds = mk_sds()
+        assert inc.update(sds, now).get(OUT) == naive_sds_plus(rules, sds, now).get(
+            OUT
+        ), f"divergence at now={now}"
+
+
+def test_derived_expiry_is_min_of_premises():
+    inc = IncrementalSdsPlus([cross_rule()])
+    out = inc.update(mk_sds(), now=9)
+    assert out[OUT]
+    # derived fact expiry = min(5+10, 8+20) = 15: gone at now=15 even if
+    # the windows report stale content
+    empty_sds = Sds(output_iris={OUT})
+    assert inc.update(empty_sds, now=15).get(OUT) is None
+
+
+# ---------------------------------------------------------- RETRIEVE clause
+def test_retrieve_clause(spark):
+    from kolibrie_spark.store import QuadStore
+    from kolibrie_spark.streaming.rspql import parse_retrieve, resolve_streams
+
+    clause = parse_retrieve(
+        "RETRIEVE EVERY ACTIVE STREAM ?s FROM <urn:catalog> "
+        "WITH { ?s <urn:type> <urn:TrafficStream> . }"
+    )
+    assert clause.mode == "EVERY" and clause.variable == "s"
+    catalog = QuadStore.from_rows(
+        spark,
+        [
+            ("urn:stream1", "urn:type", "urn:TrafficStream", "urn:catalog"),
+            ("urn:stream2", "urn:type", "urn:TrafficStream", "urn:catalog"),
+            ("urn:stream3", "urn:type", "urn:ParkingStream", "urn:catalog"),
+        ],
+    )
+    assert resolve_streams(spark, catalog, clause) == ["urn:stream1", "urn:stream2"]
+    some = parse_retrieve(
+        "RETRIEVE SOME ACTIVE STREAM ?s FROM <urn:catalog> "
+        "WITH { ?s <urn:type> <urn:TrafficStream> . }"
+    )
+    assert resolve_streams(spark, catalog, some) == ["urn:stream1"]
+
+
+# ------------------------------------------------------------------- CLI
+def test_cli_one_shot(tmp_path, capsys):
+    from kolibrie_spark.cli import main
+
+    f = tmp_path / "d.nt"
+    f.write_text(
+        '<urn:a> <urn:p> "1" .\n<urn:b> <urn:p> "5" .\n'
+    )
+    rc = main(
+        [
+            "--file", str(f),
+            "--query", "SELECT ?s WHERE { ?s <urn:p> ?o . FILTER(?o > 2) }",
+            "--master", "local[2]",
+        ]
+    )
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "urn:b"
+
+
+# ------------------------------------------------------ repairs + prov tags
+def test_constraint_repairs(spark):
+    from kolibrie_spark.reasoner import Reasoner, Rule as R
+
+    r = Reasoner(spark)
+    r.add_triples(
+        [("alice", "role", "professor"), ("alice", "role", "student")]
+    )
+    r.add_constraint(
+        R(
+            premise=[
+                TriplePattern(Var("x"), Iri("role"), Iri("professor")),
+                TriplePattern(Var("x"), Iri("role"), Iri("student")),
+            ],
+            conclusion=[TriplePattern(Var("x"), Iri("violates"), Iri("excl"))],
+        )
+    )
+    repairs = r.repair()
+    # two minimal repairs: drop either role fact
+    assert sorted(sorted(s) for s in repairs) == [
+        [("alice", "role", "professor")],
+        [("alice", "role", "student")],
+    ]
+
+
+def test_provenance_tags_materialize_as_rdfstar(spark, engine):
+    from kolibrie_spark.reasoner.fixpoint import materialize_tags_as_rdfstar
+
+    tagged = spark.createDataFrame(
+        [("ex:a", "ex:rel", "ex:c", 0.56)], "s string, p string, o string, tag double"
+    )
+    materialize_tags_as_rdfstar(engine.store, tagged)
+    got = engine.execute(
+        "SELECT ?t WHERE { << <ex:a> <ex:rel> <ex:c> >> <prob:value> ?t }"
+    )
+    assert got == [["0.56"]]
