@@ -200,7 +200,53 @@ class SparqlEngine:
         sparql_database.rs:2130-2135)."""
         self.store.udfs[name] = F.udf(fn, StringType())
 
+    # ---------------------------------------------------------- streaming
+    def has_windowing_operations(self, text: str) -> bool:
+        """Query-kind sniffing (reference QueryEngine::has_windowing_operations,
+        query_engine.rs:118-136)."""
+        upper = text.upper()
+        return "REGISTER" in upper and "WINDOW" in upper
+
+    def register_stream_query(self, text: str, consumer=None, **kw):
+        """RSP-QL registration → a live RSPEngine fed via add_to_stream
+        (reference QueryEngine routes windowed queries to the RSP layer)."""
+        from kolibrie_spark.streaming.engine import RSPEngine
+
+        return RSPEngine(
+            self.spark, text, static_store=self.store, consumer=consumer, **kw
+        )
+
     # --------------------------------------------------------------- misc
+    def execute_query(self, text: str):
+        """Unified entry (reference QueryEngine::execute, query_engine.rs:22-163):
+        windowed registrations return an RSPEngine; everything else runs as
+        SELECT/update."""
+        if self.has_windowing_operations(text):
+            return self.register_stream_query(text)
+        return self.execute(text)
+
+    def stats(self) -> dict:
+        """Dataset statistics (reference QueryEngine::stats)."""
+        from pyspark.sql import functions as F
+
+        row = self.store.quads.agg(
+            F.count(F.lit(1)).alias("quads"),
+            F.count_distinct("s").alias("subjects"),
+            F.count_distinct("p").alias("predicates"),
+            F.count_distinct("o").alias("objects"),
+            F.count_distinct("g").alias("named_graphs"),
+        ).first()
+        return {
+            "quads": row.quads,
+            "subjects": row.subjects,
+            "predicates": row.predicates,
+            "objects": row.objects,
+            "named_graphs": row.named_graphs,
+            "quoted_triples": self.store.quoted.count(),
+            "rules": len(self.rules),
+            "models": sorted(self.models),
+        }
+
     def triple_count(self) -> int:
         return self.store.triple_count()
 
