@@ -403,6 +403,62 @@ def _q_streaming_dstream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dstream_replay(_events_stream_df(spark, sf_dir), "event_time", 3600, ["u", "t"])
 
 
+def _q_ml_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML.PREDICT with a deterministic linear model — the prediction is
+    reproducible in SQL, so even the ML path gets a value-exact oracle."""
+    from kolibrie_spark.engine import SparqlEngine
+
+    e = SparqlEngine(spark, _base_store(spark, sf_dir))
+    e.register_model(
+        "price_score", lambda X: X["price"] * 0.9 + X["size"] * 2.0
+    )
+    return e.ml_predict(
+        'ML.PREDICT(MODEL "price_score", INPUT { '
+        "SELECT ?part ?price ?size WHERE { ?part <urn:part#p_retailprice> ?price . "
+        "?part <urn:part#p_size> ?size } }, OUTPUT ?score)"
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing at gate level: documents' text bytes treated as
+    opaque blobs through the mapInPandas feature extractor (deterministic
+    fake decoder — rows-only check; a real decoder is stubbed by design)."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.multimodal import extract_features
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("text/plain").alias("mime"),
+        F.encode("text", "utf-8").alias("data"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    out = extract_features(media)
+    return out.select(
+        "media_id", F.element_at("feature", 1).alias("f0"), "decode_error"
+    )
+
+
+def _q_builder_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluent QueryBuilder chain (§2.12 python API)."""
+    from kolibrie_spark.engine import SparqlEngine
+
+    e = SparqlEngine(spark, _base_store(spark, sf_dir))
+    return (
+        e.builder()
+        .with_predicate("urn:customer#c_acctbal")
+        .filter("o", ">=", "9900")
+        .order_by("o")
+        .dataframe()
+    )
+
+
 def _q_udf_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.engine import SparqlEngine
 
@@ -537,6 +593,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reasoner_transitive_closure": _q_reasoner_closure,
         "streaming_istream_replay": _q_streaming_istream_replay,
         "streaming_dstream_replay": _q_streaming_dstream_replay,
+        # --- ML / multimodal / builder (§2.11, §2.12)
+        "ml_predict": _q_ml_predict,
+        "multimodal_features": _q_multimodal_features,
+        "builder_chain": _q_builder_chain,
     }
 
 
@@ -708,6 +768,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT window_open, u, t FROM w "
             "WHERE NOT EXISTS (SELECT 1 FROM w p WHERE "
             "p.window_open = w.window_open - 3600 AND p.u = w.u AND p.t = w.t)"
+        ),
+        # multimodal_features: rows-only (the decoder is a stub by design)
+        "ml_predict": (
+            "SELECT 'urn:part:' || CAST(p_partkey AS VARCHAR) AS part, "
+            "CAST(p_retailprice AS VARCHAR) AS price, "
+            "CAST(p_size AS VARCHAR) AS size, "
+            "p_retailprice * 0.9 + p_size * 2.0 AS score FROM part"
+        ),
+        "builder_chain": (
+            "SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS s, "
+            "'urn:customer#c_acctbal' AS p, CAST(c_acctbal AS VARCHAR) AS o "
+            "FROM customer WHERE c_acctbal >= 9900"
         ),
         "streaming_dstream_replay": (
             "WITH w AS (SELECT DISTINCT "

@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "reasoner_transitive_closure",
     "streaming_istream_replay",
     "streaming_dstream_replay",
+    "ml_predict",
+    "multimodal_features",
+    "builder_chain",
 ]
 
 

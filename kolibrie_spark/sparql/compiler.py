@@ -93,7 +93,10 @@ def join_bindings(left: Bindings, right: Bindings) -> Bindings:
         return Bindings(left.df.join(right.df, on=shared, how="inner"), out_null)
 
     l = left.df.alias("__l")
-    r = right.df.alias("__r")
+    # the UNDEF side is by construction a small solution sequence (VALUES
+    # rows / a union branch) — broadcast it so the null-wildcard theta join
+    # plans as BroadcastNestedLoop instead of a CartesianProduct
+    r = F.broadcast(right.df.alias("__r"))
     conds = []
     for c in shared:
         lc, rc = F.col(f"__l.{c}"), F.col(f"__r.{c}")

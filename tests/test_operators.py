@@ -168,3 +168,35 @@ def test_frame_sample_and_resize(media):
     t = {r.media_id: r.target for r in resize_meta(media, 500).collect()}
     assert (t["m2"].width, t["m2"].height) == (500, 250)
     assert (t["m1"].width, t["m1"].height) == (64, 48)  # under limit: unchanged
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.skew import salted_join, top_heavy_keys
+
+    left = spark.createDataFrame(
+        [("hub", i) for i in range(500)] + [(f"k{i}", i) for i in range(50)],
+        "k string, v int",
+    )
+    right = spark.createDataFrame(
+        [("hub", "H"), ("k1", "A"), ("k2", "B")], "k string, tag string"
+    )
+    plain = sorted(tuple(r) for r in left.join(right, "k").collect())
+    salted = sorted(tuple(r) for r in salted_join(left, right, ["k"], salt=8).collect())
+    assert salted == plain
+    assert top_heavy_keys(left, "k", threshold=0.5) == ["hub"]
+
+
+def test_quadstore_parquet_roundtrip(spark, tmp_path):
+    from kolibrie_spark.store import QuadStore
+
+    store = QuadStore.from_rows(
+        spark, [("a", "p", "1"), ("b", "p", "2", "g1")], graphs=["empty"]
+    )
+    path = str(tmp_path / "quads")
+    store.quads.write.parquet(path)
+    again = QuadStore.from_parquet(spark, path)
+    assert sorted(tuple(r) for r in again.quads.collect()) == sorted(
+        tuple(r) for r in store.quads.collect()
+    )
