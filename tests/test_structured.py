@@ -151,3 +151,59 @@ def test_multi_window_static_join(spark):
     for row in out:
         d = dict(row)
         assert d["d"] == "dev1" and d["room"] == "lab"
+
+
+def test_real_readstream_foreachbatch(spark, tmp_path):
+    """Attach StructuredRSP to an actual file streaming source via
+    writeStream/foreachBatch (the production wiring of start())."""
+    import time
+
+    from kolibrie_spark.streaming.structured import compile_structured
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    chk = tmp_path / "chk"
+    q = compile_structured(
+        spark,
+        """REGISTER RSTREAM <out> AS SELECT *
+           FROM NAMED WINDOW :w ON :s1 [RANGE 4 STEP 2]
+           WHERE { WINDOW :w { ?s <reading> ?v } }""",
+    )
+    schema = "s string, p string, o string, g string, stream string, event_time long"
+    stream_df = spark.readStream.schema(schema).json(str(src))
+
+    # first batch of files before starting, then more
+    import json
+
+    def write_file(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps(
+                    dict(s=s, p=p, o=o, g=None, stream=st, event_time=t)
+                )
+                for (s, p, o, st, t) in rows
+            )
+        )
+
+    write_file("a.json", [(f"d{t}", "reading", str(t), "s1", t) for t in range(5)])
+    sq = q.start(stream_df, str(chk))
+    try:
+        write_file("b.json", [(f"d{t}", "reading", str(t), "s1", t) for t in range(5, 9)])
+        deadline = time.time() + 60
+        while time.time() < deadline and not q.emissions:
+            sq.processAllAvailable()
+            time.sleep(0.3)
+    finally:
+        sq.stop()
+    assert q.emissions  # windows fired through the live streaming sink
+    assert all({k for k, _ in row} == {"s", "v"} for row in q.emissions)
+
+
+def test_database_union(spark):
+    from kolibrie_spark.store import QuadStore
+
+    a = QuadStore.from_rows(spark, [("x", "p", "1"), ("y", "p", "2", "g1")])
+    b = QuadStore.from_rows(spark, [("x", "p", "1"), ("z", "q", "3")])
+    merged = a.union(b)
+    assert merged.quads.count() == 3  # shared quad deduped
+    assert merged.named_graph_names().count() == 1
