@@ -150,6 +150,35 @@ class SparqlEngine:
             )
         return new
 
+    # -------------------------------------------------------- probabilistic
+    def add_prob_seed(self, s: str, p: str, o: str, prob: float) -> None:
+        """Probability seed for a ground fact (reference
+        sparql_database.rs:419-439); the fact itself is added to the store."""
+        self.store.prob_seeds[(s, p, o)] = float(prob)
+        self.add_triples([(s, p, o)])
+
+    def hybrid_evaluator(self, rules=None):
+        """Driver-side probabilistic evaluator over the store's seeds and
+        the engine's rules (SURVEY §2.10 hybrid layer — compute-on-small-
+        data: deterministic facts stay in DataFrames, only seed-derived
+        lineage is evaluated here)."""
+        from pyspark.sql import functions as F
+
+        from kolibrie_spark.reasoner.probabilistic import HybridEvaluator
+
+        deterministic = {
+            (r.s, r.p, r.o)
+            for r in self.store.quads.filter(F.col("g").isNull()).collect()
+            if (r.s, r.p, r.o) not in self.store.prob_seeds
+        }
+        ev = HybridEvaluator(
+            dict(self.store.prob_seeds),
+            rules if rules is not None else list(self.rules),
+            deterministic_facts=deterministic,
+        )
+        ev.materialize()
+        return ev
+
     # ----------------------------------------------------------------- ML
     def register_model(self, name: str, fn) -> None:
         """Model = callable(features: pandas.DataFrame) -> predictions, or

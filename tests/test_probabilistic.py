@@ -106,3 +106,15 @@ def test_absent_fact_probability_zero():
     ev = HybridEvaluator(seeds={("A", "rel", "B"): 0.8}, rules=[TRANS])
     ev.materialize()
     assert ev.probability(("X", "rel", "Y")) == 0.0
+
+
+def test_engine_hybrid_integration(engine):
+    """Seeds on the engine + rules -> probabilities through the facade."""
+    engine.add_prob_seed("A", "rel", "B", 0.8)
+    engine.add_prob_seed("B", "rel", "C", 0.7)
+    engine.add_triples([("C", "rel", "D")])  # deterministic link
+    engine.rules.append(TRANS)
+    ev = engine.hybrid_evaluator()
+    assert ev.probability(("A", "rel", "C")) == pytest.approx(0.56)
+    # chain through a certain fact: p(A rel D) = p(A rel C) * 1.0
+    assert ev.probability(("A", "rel", "D")) == pytest.approx(0.56)
