@@ -459,6 +459,27 @@ def _q_builder_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment: each event gets the latest order date of its user
+    (checked against DuckDB's native ASOF JOIN)."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.temporal import asof_join
+    from kolibrie_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("u"), F.col("ts_us").alias("ts")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("u"),
+        # o_orderdate reads as TIMESTAMP_NTZ; the container runs UTC, so the
+        # cast matches DuckDB's naive-as-UTC epoch_us
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_us"),
+    )
+    out = asof_join(events, orders, ["u"], "ts", "order_us", ["order_us"])
+    return out.select("event_id", "u", F.col("order_us_matched").alias("last_order_us"))
+
+
 def _q_udf_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.engine import SparqlEngine
 
@@ -597,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_predict": _q_ml_predict,
         "multimodal_features": _q_multimodal_features,
         "builder_chain": _q_builder_chain,
+        "asof_join_events_orders": _q_asof_join,
     }
 
 
@@ -780,6 +802,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS s, "
             "'urn:customer#c_acctbal' AS p, CAST(c_acctbal AS VARCHAR) AS o "
             "FROM customer WHERE c_acctbal >= 9900"
+        ),
+        "asof_join_events_orders": (
+            "SELECT e.event_id, e.user_id AS u, epoch_us(o.o_orderdate) AS last_order_us "
+            "FROM events e ASOF LEFT JOIN orders o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
         ),
         "streaming_dstream_replay": (
             "WITH w AS (SELECT DISTINCT "

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "ml_predict",
     "multimodal_features",
     "builder_chain",
+    "asof_join_events_orders",
 ]
 
 

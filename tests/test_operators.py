@@ -200,3 +200,24 @@ def test_quadstore_parquet_roundtrip(spark, tmp_path):
     assert sorted(tuple(r) for r in again.quads.collect()) == sorted(
         tuple(r) for r in store.quads.collect()
     )
+
+
+def test_asof_join_backward(spark):
+    from kolibrie_spark.operators.temporal import asof_join
+
+    events = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 25), (3, 100, 5), (4, 200, 50)],
+        "event_id long, user long, ts long",
+    )
+    dims = spark.createDataFrame(
+        [(100, 8, "v1"), (100, 20, "v2"), (200, 60, "v3")],
+        "user long, valid_from long, version string",
+    )
+    out = asof_join(
+        events, dims, ["user"], "ts", "valid_from", ["version", "valid_from"]
+    )
+    got = {r.event_id: (r.version_matched, r.valid_from_matched) for r in out.collect()}
+    assert got[1] == ("v1", 8)     # ts=10 -> v1@8
+    assert got[2] == ("v2", 20)    # ts=25 -> v2@20
+    assert got[3] == (None, None)  # ts=5 predates all versions
+    assert got[4] == (None, None)  # user 200's version starts later
