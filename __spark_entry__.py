@@ -563,6 +563,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             '{ ?c <urn:customer#c_mktsegment> "MACHINERY" . '
             "?c <urn:customer#c_name> ?name } }"
         ),
+        "union_three_branches": _sparql(
+            "SELECT ?n WHERE { { ?x <urn:region#r_name> ?n } UNION "
+            "{ ?x <urn:nation#n_name> ?n } UNION "
+            "{ ?x <urn:supplier#s_name> ?n } }"
+        ),
+        "bind_arithmetic": _sparql(
+            "SELECT ?pname ?dbl WHERE { ?p <urn:part#p_name> ?pname . "
+            "?p <urn:part#p_retailprice> ?price . "
+            "BIND(?price * 2 AS ?dbl) }"
+        ),
+        "graph_default_named_join": _sparql(
+            "SELECT ?name ?bal WHERE { ?c <urn:customer#c_name> ?name . "
+            "GRAPH <urn:graph:customer> { ?c <urn:customer#c_acctbal> ?bal } }"
+        ),
         # --- BIND / VALUES / GRAPH / subquery (§2.8)
         "bind_concat": _sparql(
             "SELECT ?tag WHERE { ?c <urn:customer#c_name> ?name . "
@@ -709,6 +723,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_name AS name FROM customer WHERE c_mktsegment = 'BUILDING' "
             "UNION ALL "
             "SELECT c_name AS name FROM customer WHERE c_mktsegment = 'MACHINERY'"
+        ),
+        "union_three_branches": (
+            "SELECT r_name AS n FROM region UNION ALL "
+            "SELECT n_name FROM nation UNION ALL SELECT s_name FROM supplier"
+        ),
+        "bind_arithmetic": (
+            "SELECT p_name AS pname, CAST(p_retailprice * 2 AS VARCHAR) AS dbl "
+            "FROM part"
+        ),
+        "graph_default_named_join": (
+            "SELECT c_name AS name, CAST(c_acctbal AS VARCHAR) AS bal FROM customer"
         ),
         "bind_concat": (
             "SELECT c_name || '/' || c_mktsegment AS tag FROM customer"

@@ -23,7 +23,7 @@ import re
 from dataclasses import dataclass, field
 
 from kolibrie_spark.sparql import ast
-from kolibrie_spark.sparql.parser import ParseError, Parser, Tok
+from kolibrie_spark.sparql.parser import ParseError, Parser
 
 
 @dataclass
