@@ -235,7 +235,12 @@ class Reasoner:
         return facts
 
     def materialize(self, max_iter: int = 50) -> DataFrame:
-        """Semi-naive fixpoint (the default, like the reference)."""
+        """Semi-naive fixpoint (the default, like the reference).
+
+        Per round only the (small) delta is checkpointed — the running fact
+        set stays a union of checkpointed deltas, so its lineage is bounded
+        by the round count without re-materializing the full set each round
+        (one full-facts write per iteration saved)."""
         facts = self.facts.localCheckpoint(eager=True)
         delta = facts
         for _ in range(max_iter):
@@ -245,10 +250,14 @@ class Reasoner:
                 derived = d if derived is None else derived.unionByName(d)
             if derived is None:
                 break
-            new_delta = derived.dropDuplicates().exceptAll(facts).localCheckpoint(eager=True)
-            if new_delta.isEmpty():
+            new_delta = (
+                derived.dropDuplicates()
+                .join(facts, on=["s", "p", "o"], how="left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if not new_delta.take(1):
                 break
-            facts = facts.unionByName(new_delta).localCheckpoint(eager=True)
+            facts = facts.unionByName(new_delta)
             delta = new_delta
         self.facts = facts
         return facts
