@@ -60,7 +60,14 @@ def ngram_jaccard_pairs(
     The shared-shingle self-join is the candidate pruner: pairs with zero
     overlap never materialize. One shuffle on the shingle, one on the pair.
     """
-    sh = _shingle_table(df, id_col, text_col, n)
+    # explicit partition count on the join key: the shingle self-join is
+    # CPU-dense but byte-light, and AQE would otherwise coalesce it onto a
+    # single task (it optimizes for bytes, not compute) — an explicit
+    # repartition is exempt from AQE coalescing
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)  # parallelize the shingle explode itself
+    sh = _shingle_table(df, id_col, text_col, n).repartition(par, "__sh")
     sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -173,6 +180,8 @@ def minhash_lsh_pairs(
     # Catalyst inlines `__base` into the zip_with lambda body and the
     # per-shingle character fold re-executes once per signature slot (64x)
     par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)  # parallelize the shingle fold itself
     base = df.select(
         F.col(id_col).alias("__id"),
         base_shingle_hashes(F.col(text_col), n).alias("__base"),
