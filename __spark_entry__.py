@@ -251,6 +251,29 @@ def _q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kolibrie_spark.operators.similarity import ivf_topk
+    from kolibrie_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, _query_vector(spark, sf_dir), 10, "vec_id", "embedding",
+        ncells=16, nprobe=4,
+    )
+
+
+def _sim_topk_ivf_oracle() -> str:
+    from kolibrie_spark.operators.similarity import ivf_topk_duckdb_sql
+
+    qv = (
+        "(SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        "FROM embeddings WHERE vec_id = 0)"
+    )
+    return ivf_topk_duckdb_sql(
+        "embeddings", qv, 10, "vec_id", "embedding", ncells=16, nprobe=4
+    )
+
+
 def _q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.operators.textanalysis import analyze
     from kolibrie_spark.tables import load_table
@@ -622,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "sim_topk_cosine": _q_sim_topk_cosine,
         "sim_topk_lsh": _q_sim_topk_lsh,
+        "sim_topk_ivf": _q_sim_topk_ivf,
         "text_analyze": _q_text_analyze,
         "events_window_agg": _q_events_window_agg,
         # --- reasoner + streaming replay (§2.9/§2.10)
@@ -786,6 +810,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _ngram_jaccard_oracle(),
         "dedup_embedding_cosine": _embedding_cosine_oracle(),
         "sim_topk_cosine": _sim_topk_oracle(),
+        "sim_topk_ivf": _sim_topk_ivf_oracle(),
         "text_analyze": _text_analyze_oracle(),
         "events_window_agg": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "

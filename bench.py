@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "sim_topk_cosine",
     "sim_topk_lsh",
+    "sim_topk_ivf",
     "text_analyze",
     "events_window_agg",
     "reasoner_transitive_closure",

@@ -8,6 +8,15 @@
   by signature hamming distance. At 100 TB the table should be written
   partitioned by bucket so a probe is a partition-pruned scan, turning
   top-k from a full scan into reading nprobe/2^bits of the data.
+- ``ivf_topk`` — inverted-file partitioning: every vector is assigned to
+  its nearest of ``ncells`` centroids (argmin L2); a query brute-forces
+  only the ``nprobe`` nearest cells. Centroid seeding here is
+  deterministic (the first ``ncells`` vectors by id) so the DuckDB oracle
+  can replicate the exact cell assignment; at scale you'd fit centroids
+  with MLlib KMeans on a sample instead — the assignment/probe plan is
+  unchanged. Like LSH, the cell filter is a pushable IN-list, so a
+  cell-partitioned table layout turns a probe into reading
+  nprobe/ncells of the data.
 
 Dot products use ``zip_with`` + ``aggregate`` — JVM column expressions with
 left-to-right accumulation, bit-reproducible against DuckDB's
@@ -50,6 +59,34 @@ def dot_duckdb_sql(a: str, b: str) -> str:
     return (
         f"list_reduce(list_prepend(0.0::DOUBLE, "
         f"list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def l2sq_expr(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a left fold over squared element diffs —
+    accumulation order matches ``l2sq_py``/``l2sq_duckdb_sql`` bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(
+            a.cast("array<double>"), b.cast("array<double>"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2sq_py(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def l2sq_duckdb_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
         f"(acc, x) -> acc + x)"
     )
 
@@ -129,3 +166,92 @@ def lsh_bucket_topk(
     bucketed = with_lsh_bucket(df, vec_col, bits, seed, dim=len(query_vec))
     probed = bucketed.filter(F.col("lsh_bucket").isin(buckets))
     return cosine_topk(probed, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------- IVF index
+def seed_centroids(df: DataFrame, id_col: str, vec_col: str, ncells: int):
+    """Deterministic centroid seeds: the first ``ncells`` vectors by id.
+    Swap for MLlib KMeans centers at scale — the rest of the plan is
+    identical (centroids are always a tiny driver-side list)."""
+    rows = df.orderBy(F.col(id_col).asc()).select(id_col, vec_col).limit(ncells).collect()
+    return [(int(r[0]), [float(v) for v in r[1]]) for r in rows]
+
+
+def with_ivf_cell(df: DataFrame, vec_col: str, centroids) -> DataFrame:
+    """Assign each vector to its nearest centroid (argmin squared-L2, ties
+    to the lowest cell id). One pass, no shuffle: the centroid list is a
+    literal array-of-structs folded per row — each distance is computed
+    exactly once (transform), then reduced to the argmin (aggregate)."""
+    v = F.col(vec_col).cast("array<double>")
+    cent_arr = F.array(*[
+        F.struct(F.lit(cid).cast("bigint").alias("cid"), _vec_lit(vec).alias("cvec"))
+        for cid, vec in centroids
+    ])
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.struct(c["cid"].alias("cid"), l2sq_expr(v, c["cvec"]).alias("dist")),
+    )
+    best = F.aggregate(
+        dists,
+        F.struct(
+            F.lit(-1).cast("bigint").alias("cid"),
+            F.lit(float("inf")).cast("double").alias("dist"),
+        ),
+        lambda acc, d: F.when(d["dist"] < acc["dist"], d).otherwise(acc),
+        lambda acc: acc["cid"],
+    )
+    return df.withColumn("ivf_cell", best)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    ncells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF: brute-force cosine only inside the
+    ``nprobe`` cells whose centroids are nearest the query. nprobe=ncells
+    degenerates to exact. The cell filter is a pushable IN-list — with the
+    table written ``partitionBy('ivf_cell')`` a probe reads nprobe/ncells
+    of the data instead of scanning."""
+    centroids = seed_centroids(df, id_col, vec_col, ncells)
+    qd = [float(x) for x in query_vec]
+    probe = sorted(centroids, key=lambda c: (l2sq_py(qd, c[1]), c[0]))[:nprobe]
+    cells = [cid for cid, _ in probe]
+    assigned = with_ivf_cell(df, vec_col, centroids)
+    probed = assigned.filter(F.col("ivf_cell").isin(cells))
+    return cosine_topk(probed, query_vec, k, id_col, vec_col)
+
+
+def ivf_topk_duckdb_sql(
+    table: str,
+    query_vec_sql: str,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    ncells: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """DuckDB twin of ``ivf_topk`` (same seeds, same argmin tie-break, same
+    fold accumulation order) — value-exact differential oracle."""
+    l2_assign = l2sq_duckdb_sql("e.v", "c.cvec")
+    l2_probe = l2sq_duckdb_sql("cvec", "qv")
+    cos = cosine_duckdb_sql("v", "qv")
+    return f"""
+WITH q AS (SELECT {query_vec_sql} AS qv),
+e AS (SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}),
+cent AS (SELECT {id_col} AS cid, v AS cvec FROM e ORDER BY {id_col} LIMIT {ncells}),
+assign AS (
+  SELECT e.{id_col}, e.v, c.cid,
+         row_number() OVER (PARTITION BY e.{id_col}
+                            ORDER BY {l2_assign} ASC, c.cid ASC) AS rn
+  FROM e CROSS JOIN cent c),
+cells AS (SELECT {id_col}, v, cid AS ivf_cell FROM assign WHERE rn = 1),
+probe AS (SELECT cid FROM cent, q ORDER BY {l2_probe} ASC, cid ASC LIMIT {nprobe})
+SELECT {id_col}, {cos} AS cosine
+FROM cells, q WHERE ivf_cell IN (SELECT cid FROM probe)
+ORDER BY cosine DESC, {id_col} ASC LIMIT {k}"""

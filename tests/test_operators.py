@@ -85,6 +85,28 @@ def test_cosine_topk_and_lsh_recall(spark):
     assert len(set(approx) & set(exact)) >= 4
 
 
+def test_ivf_topk_exact_when_probing_all_cells(spark):
+    import numpy as np
+
+    from kolibrie_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[3][1]
+    exact = [(r.vec_id, r.cosine) for r in cosine_topk(df, q, 5, "vec_id", "embedding").collect()]
+    # nprobe == ncells degenerates to exact brute force
+    full = [
+        (r.vec_id, r.cosine)
+        for r in ivf_topk(df, q, 5, "vec_id", "embedding", ncells=8, nprobe=8).collect()
+    ]
+    assert full == exact
+    # narrow probe is a subset of the data but still returns k ranked rows
+    approx = ivf_topk(df, q, 5, "vec_id", "embedding", ncells=8, nprobe=2).collect()
+    assert len(approx) == 5
+    assert [r.cosine for r in approx] == sorted((r.cosine for r in approx), reverse=True)
+
+
 def test_text_analyze_fields(spark, docs):
     from kolibrie_spark.operators.textanalysis import analyze
 
