@@ -553,6 +553,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "SELECT ?tp ?cname WHERE { ?o <urn:orders#o_custkey> ?c . "
             "?o <urn:orders#o_totalprice> ?tp . ?c <urn:customer#c_name> ?cname }"
         ),
+        # --- Spark-first join extensions (absent from the reference,
+        # SURVEY §2.3/§2.8: OPTIONAL/MINUS/EXISTS; native Catalyst
+        # left-outer / anti / semi joins here)
+        "optional_left_join": _sparql(
+            "SELECT ?name ?tp WHERE { ?c <urn:customer#c_name> ?name . "
+            "OPTIONAL { ?o <urn:orders#o_custkey> ?c . "
+            "?o <urn:orders#o_totalprice> ?tp } }"
+        ),
+        "minus_anti": _sparql(
+            "SELECT ?name WHERE { ?c <urn:customer#c_name> ?name . "
+            "MINUS { ?o <urn:orders#o_custkey> ?c . "
+            "?o <urn:orders#o_totalprice> ?tp . FILTER(?tp > 250000) } }"
+        ),
+        "filter_exists": _sparql(
+            'SELECT ?name WHERE { ?c <urn:customer#c_mktsegment> "BUILDING" . '
+            "?c <urn:customer#c_name> ?name . "
+            "FILTER EXISTS { ?o <urn:orders#o_custkey> ?c } }"
+        ),
         # --- aggregation (§2.4)
         "groupby_agg": _sparql(
             "SELECT ?flag (SUM(?qty) AS ?sum_qty) (AVG(?qty) AS ?avg_qty) "
@@ -720,6 +738,21 @@ def oracle_sql() -> dict[str, str]:
         "join_fk": (
             "SELECT CAST(o_totalprice AS VARCHAR) AS tp, c_name AS cname "
             "FROM orders JOIN customer ON o_custkey = c_custkey"
+        ),
+        "optional_left_join": (
+            "SELECT c_name AS name, "
+            "coalesce(CAST(o_totalprice AS VARCHAR), '') AS tp "
+            "FROM customer LEFT JOIN orders ON o_custkey = c_custkey"
+        ),
+        "minus_anti": (
+            "SELECT c_name AS name FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c.c_custkey "
+            "AND o_totalprice > 250000)"
+        ),
+        "filter_exists": (
+            "SELECT c_name AS name FROM customer c "
+            "WHERE c_mktsegment = 'BUILDING' AND EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)"
         ),
         "groupby_agg": (
             "SELECT l_returnflag AS flag, SUM(l_quantity) AS sum_qty, "

@@ -28,6 +28,9 @@ BENCH_QUERIES = [
     "filter_arithmetic",
     "star_join",
     "join_fk",
+    "optional_left_join",
+    "minus_anti",
+    "filter_exists",
     "groupby_agg",
     "distinct_segments",
     "order_by_desc_limit",

@@ -125,7 +125,7 @@ class UnionBlock:
 
 @dataclass
 class Filter:
-    expr: Expr
+    expr: "Expr | Exists"
 
 
 @dataclass
@@ -133,7 +133,31 @@ class SubSelect:
     query: "SelectQuery"
 
 
-GroupElement = TriplePattern | Filter | Bind | ValuesBlock | GraphBlock | UnionBlock | SubSelect
+# Spark-first extensions beyond the reference's SPARQL fragment (SURVEY
+# §2.3/§2.8 mark OPTIONAL/MINUS/EXISTS as absent there) — left-outer /
+# anti / semi joins are native Catalyst operators, so we expose them.
+@dataclass
+class OptionalBlock:
+    group: "Group"
+
+
+@dataclass
+class MinusBlock:
+    group: "Group"
+
+
+@dataclass
+class Exists:
+    """FILTER [NOT] EXISTS { ... } — used as a Filter expression."""
+
+    group: "Group"
+    negated: bool = False
+
+
+GroupElement = (
+    TriplePattern | Filter | Bind | ValuesBlock | GraphBlock | UnionBlock
+    | SubSelect | OptionalBlock | MinusBlock
+)
 
 
 @dataclass

@@ -119,6 +119,95 @@ def join_bindings(left: Bindings, right: Bindings) -> Bindings:
     return Bindings(joined.select(*sel), frozenset(still_null))
 
 
+def _compat_cond(shared: list[str], nullable_shared: list[str]):
+    """Compatible-mapping join condition over aliased sides __l/__r
+    (null = UNDEF = wildcard on the nullable columns)."""
+    conds = []
+    for c in shared:
+        lc, rc = F.col(f"__l.{c}"), F.col(f"__r.{c}")
+        if c in nullable_shared:
+            conds.append(lc.isNull() | rc.isNull() | (lc == rc))
+        else:
+            conds.append(lc == rc)
+    return functools.reduce(lambda a, b: a & b, conds) if conds else F.lit(True)
+
+
+def leftjoin_bindings(left: Bindings, right: Bindings) -> Bindings:
+    """SPARQL OPTIONAL: keep every left solution, extend with compatible
+    right solutions where they exist (left outer join). Right-only
+    variables become maybe-UNDEF. The common all-bound case is a plain
+    equi left join (Catalyst picks broadcast/SMJ); the UNDEF-wildcard and
+    no-shared-vars cases take the theta path with the (small) right side
+    broadcast."""
+    shared = sorted(left.vars & right.vars)
+    nullable_shared = [c for c in shared if c in left.maybe_null or c in right.maybe_null]
+    right_only = sorted(right.vars - left.vars)
+    if shared and not nullable_shared:
+        df = left.df.join(right.df, on=shared, how="left")
+        return Bindings(
+            df, left.maybe_null | set(right_only) | (right.maybe_null - set(shared))
+        )
+    l = left.df.alias("__l")
+    r = F.broadcast(right.df.alias("__r"))
+    joined = l.join(r, on=_compat_cond(shared, nullable_shared), how="left")
+    sel: list[Column] = []
+    still_null: set[str] = set(right_only)
+    for c in sorted(left.vars | right.vars):
+        if c in left.vars and c in right.vars:
+            sel.append(F.coalesce(F.col(f"__l.{c}"), F.col(f"__r.{c}")).alias(c))
+            if c in left.maybe_null:
+                still_null.add(c)
+        elif c in left.vars:
+            sel.append(F.col(f"__l.{c}").alias(c))
+            if c in left.maybe_null:
+                still_null.add(c)
+        else:
+            sel.append(F.col(f"__r.{c}").alias(c))
+    return Bindings(joined.select(*sel), frozenset(still_null))
+
+
+def minus_bindings(left: Bindings, right: Bindings) -> Bindings:
+    """SPARQL MINUS: drop left solutions that are compatible with some
+    right solution AND share at least one mutually-bound variable
+    (disjoint domains remove nothing). All-bound case = hash anti-join."""
+    shared = sorted(left.vars & right.vars)
+    if not shared:
+        return left
+    nullable_shared = [c for c in shared if c in left.maybe_null or c in right.maybe_null]
+    if not nullable_shared:
+        df = left.df.join(right.df.select(*shared), on=shared, how="left_anti")
+        return Bindings(df, left.maybe_null)
+    compat = _compat_cond(shared, nullable_shared)
+    overlap = functools.reduce(
+        lambda a, b: a | b,
+        [F.col(f"__l.{c}").isNotNull() & F.col(f"__r.{c}").isNotNull() for c in shared],
+    )
+    l = left.df.alias("__l")
+    r = F.broadcast(right.df.select(*shared).alias("__r"))
+    return Bindings(l.join(r, on=compat & overlap, how="left_anti"), left.maybe_null)
+
+
+def exists_bindings(left: Bindings, right: Bindings, negated: bool) -> Bindings:
+    """FILTER [NOT] EXISTS: keep (drop) left solutions having a compatible
+    right solution — a semi (anti) join; with no shared variables the test
+    degenerates to 'right is non-empty'."""
+    how = "left_anti" if negated else "left_semi"
+    shared = sorted(left.vars & right.vars)
+    if not shared:
+        l = left.df.alias("__l")
+        r = F.broadcast(right.df.limit(1).select().alias("__r"))
+        return Bindings(l.join(r, on=F.lit(True), how=how), left.maybe_null)
+    nullable_shared = [c for c in shared if c in left.maybe_null or c in right.maybe_null]
+    if not nullable_shared:
+        df = left.df.join(right.df.select(*shared), on=shared, how=how)
+        return Bindings(df, left.maybe_null)
+    l = left.df.alias("__l")
+    r = F.broadcast(right.df.select(*shared).alias("__r"))
+    return Bindings(
+        l.join(r, on=_compat_cond(shared, nullable_shared), how=how), left.maybe_null
+    )
+
+
 class DatasetView:
     """FROM / FROM NAMED visibility (reference engine.rs:31-209):
     - FROM graphs form the *replacement* default graph: their RDF merge,
@@ -290,11 +379,25 @@ class Compiler:
                 absorb(self._union(branches))
             elif isinstance(el, ast.SubSelect):
                 absorb(Bindings(self.compile_select(el.query)))
+            elif isinstance(el, ast.OptionalBlock):
+                right = self.compile_group(el.group, view, active_graph)
+                b = leftjoin_bindings(
+                    b if b is not None else unit_bindings(self.spark), right
+                )
+            elif isinstance(el, ast.MinusBlock):
+                right = self.compile_group(el.group, view, active_graph)
+                b = minus_bindings(
+                    b if b is not None else unit_bindings(self.spark), right
+                )
             else:  # pragma: no cover
                 raise CompileError(f"unsupported group element {el!r}")
         if b is None:
             b = unit_bindings(self.spark)
         for f in filters:
+            if isinstance(f.expr, ast.Exists):
+                right = self.compile_group(f.expr.group, view, active_graph)
+                b = exists_bindings(b, right, f.expr.negated)
+                continue
             cond = self.compile_expr(f.expr, b, as_bool=True)
             b = Bindings(b.df.filter(cond), b.maybe_null)
         return b

@@ -33,6 +33,7 @@ from kolibrie_spark.sparql.ast import (
     BlankNode,
     Cmp,
     DeleteData,
+    Exists,
     Filter,
     FuncCall,
     GraphBlock,
@@ -40,8 +41,10 @@ from kolibrie_spark.sparql.ast import (
     InsertData,
     Iri,
     Lit,
+    MinusBlock,
     Modify,
     Not,
+    OptionalBlock,
     Or,
     Query,
     QuotedTriple,
@@ -61,7 +64,7 @@ KEYWORDS = {
     "SELECT", "DISTINCT", "WHERE", "FILTER", "BIND", "VALUES", "UNION",
     "GRAPH", "GROUP", "BY", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET",
     "FROM", "NAMED", "AS", "PREFIX", "INSERT", "DELETE", "DATA", "UNDEF",
-    "WITH", "USING",
+    "WITH", "USING", "OPTIONAL", "MINUS", "EXISTS", "NOT",
 }
 
 
@@ -385,10 +388,21 @@ class Parser:
                 raise ParseError("unterminated group (missing '}')")
             if self.at_kw("FILTER"):
                 self.i += 1
+                if self.at_kw("EXISTS") or (self.at_kw("NOT") and self.at_kw("EXISTS", ahead=1)):
+                    negated = self.take_kw("NOT")
+                    self.expect_kw("EXISTS")
+                    g.elements.append(Filter(Exists(self.parse_group(), negated)))
+                    continue
                 self.expect_op("(")
                 expr = self.parse_or_expr()
                 self.expect_op(")")
                 g.elements.append(Filter(expr))
+            elif self.at_kw("OPTIONAL"):
+                self.i += 1
+                g.elements.append(OptionalBlock(self.parse_group()))
+            elif self.at_kw("MINUS"):
+                self.i += 1
+                g.elements.append(MinusBlock(self.parse_group()))
             elif self.at_kw("BIND"):
                 self.i += 1
                 self.expect_op("(")

@@ -177,3 +177,16 @@ def test_rejects_garbage():
     ]:
         with pytest.raises(ParseError):
             parse_query(bad)
+
+
+def test_optional_minus_exists_parse():
+    from kolibrie_spark.sparql import ast
+
+    q = parse_query(
+        "SELECT ?n WHERE { ?x <ex:n> ?n . OPTIONAL { ?x <ex:p> ?p } "
+        "MINUS { ?x <ex:q> ?q } FILTER NOT EXISTS { ?x <ex:r> ?r } }"
+    ).select
+    kinds = [type(el).__name__ for el in q.where.elements]
+    assert kinds == ["TriplePattern", "OptionalBlock", "MinusBlock", "Filter"]
+    f = q.where.elements[3]
+    assert isinstance(f.expr, ast.Exists) and f.expr.negated

@@ -176,3 +176,72 @@ def test_try_numeric_comparison_false_for_strings(engine):
     # equality is string equality
     got = e.execute('SELECT ?n WHERE { ?s <ex:name> ?n . FILTER(?n = "Alice") }')
     assert got == [["Alice"]]
+
+
+# --- OPTIONAL / MINUS / EXISTS (Spark-first extensions; the reference's
+# grammar has none of these — SURVEY §2.3/§2.8)
+def seed_opt(engine):
+    engine.add_triples(
+        [
+            ("ex:alice", "ex:name", "Alice"),
+            ("ex:bob", "ex:name", "Bob"),
+            ("ex:carol", "ex:name", "Carol"),
+            ("ex:alice", "ex:age", "25"),
+            ("ex:bob", "ex:age", "17"),
+            ("ex:alice", "ex:pet", "cat"),
+        ]
+    )
+    return engine
+
+
+def test_optional_keeps_unmatched_left(engine):
+    e = seed_opt(engine)
+    got = sorted(e.execute(
+        "SELECT ?n ?p WHERE { ?x <ex:name> ?n . OPTIONAL { ?x <ex:pet> ?p } }"
+    ))
+    assert got == [["Alice", "cat"], ["Bob", ""], ["Carol", ""]]
+
+
+def test_optional_filter_scoped_inside(engine):
+    e = seed_opt(engine)
+    got = sorted(e.execute(
+        "SELECT ?n ?a WHERE { ?x <ex:name> ?n . "
+        "OPTIONAL { ?x <ex:age> ?a . FILTER(?a > 20) } }"
+    ))
+    assert got == [["Alice", "25"], ["Bob", ""], ["Carol", ""]]
+
+
+def test_minus_removes_compatible(engine):
+    e = seed_opt(engine)
+    got = sorted(e.execute(
+        "SELECT ?n WHERE { ?x <ex:name> ?n . MINUS { ?x <ex:pet> ?p } }"
+    ))
+    assert got == [["Bob"], ["Carol"]]
+
+
+def test_minus_disjoint_domains_removes_nothing(engine):
+    e = seed_opt(engine)
+    got = e.execute(
+        "SELECT ?n WHERE { ?x <ex:name> ?n . MINUS { ?y <ex:pet> ?p } }"
+    )
+    assert len(got) == 3  # no shared vars => MINUS is a no-op
+
+
+def test_filter_exists_and_not_exists(engine):
+    e = seed_opt(engine)
+    assert sorted(e.execute(
+        "SELECT ?n WHERE { ?x <ex:name> ?n . FILTER EXISTS { ?x <ex:age> ?a } }"
+    )) == [["Alice"], ["Bob"]]
+    assert e.execute(
+        "SELECT ?n WHERE { ?x <ex:name> ?n . FILTER NOT EXISTS { ?x <ex:age> ?a } }"
+    ) == [["Carol"]]
+
+
+def test_optional_with_values_undef_left(engine):
+    e = seed_opt(engine)
+    # UNDEF on the left side of OPTIONAL takes the null-wildcard path
+    got = sorted(e.execute(
+        "SELECT ?n ?p WHERE { VALUES (?x ?n) { (<ex:alice> \"A\") (UNDEF \"Z\") } "
+        "OPTIONAL { ?x <ex:pet> ?p } }"
+    ))
+    assert got == [["A", "cat"], ["Z", "cat"]]
