@@ -571,6 +571,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "?c <urn:customer#c_name> ?name . "
             "FILTER EXISTS { ?o <urn:orders#o_custkey> ?c } }"
         ),
+        # --- property paths (Spark-first extension): sequence over the FK
+        # chain, and a ground-endpoint transitive closure that compiles to
+        # a frontier BFS instead of the full O(V^2) closure
+        "path_seq_fk": _sparql(
+            "SELECT ?name ?rname WHERE { ?c <urn:customer#c_name> ?name . "
+            "?c (<urn:customer#c_nationkey>/<urn:nation#n_regionkey>) ?r . "
+            "?r <urn:region#r_name> ?rname }"
+        ),
+        "path_plus_reach": _sparql(
+            "SELECT ?x WHERE { ?x (<urn:orders#o_custkey>|"
+            "<urn:customer#c_nationkey>|<urn:nation#n_regionkey>)+ "
+            "<urn:region:0> }"
+        ),
         # --- aggregation (§2.4)
         "groupby_agg": _sparql(
             "SELECT ?flag (SUM(?qty) AS ?sum_qty) (AVG(?qty) AS ?avg_qty) "
@@ -753,6 +766,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_name AS name FROM customer c "
             "WHERE c_mktsegment = 'BUILDING' AND EXISTS "
             "(SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)"
+        ),
+        "path_seq_fk": (
+            "SELECT c_name AS name, r_name AS rname FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "path_plus_reach": (
+            "WITH RECURSIVE edges AS ("
+            "  SELECT 'urn:orders:' || CAST(o_orderkey AS VARCHAR) AS x, "
+            "         'urn:customer:' || CAST(o_custkey AS VARCHAR) AS y FROM orders"
+            "  UNION ALL SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR), "
+            "         'urn:nation:' || CAST(c_nationkey AS VARCHAR) FROM customer"
+            "  UNION ALL SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR), "
+            "         'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation"
+            "), reach AS ("
+            "  SELECT x FROM edges WHERE y = 'urn:region:0'"
+            "  UNION SELECT e.x FROM edges e JOIN reach r ON e.y = r.x"
+            ") SELECT x FROM reach"
         ),
         "groupby_agg": (
             "SELECT l_returnflag AS flag, SUM(l_quantity) AS sum_qty, "

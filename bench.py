@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "optional_left_join",
     "minus_anti",
     "filter_exists",
+    "path_seq_fk",
+    "path_plus_reach",
     "groupby_agg",
     "distinct_segments",
     "order_by_desc_limit",

@@ -154,9 +154,44 @@ class Exists:
     negated: bool = False
 
 
+# Property paths (also absent from the reference's grammar): ^p inverse,
+# p1/p2 sequence, p1|p2 alternative, p+ one-or-more (transitive closure
+# via the semi-naive DataFrame fixpoint). Zero-length forms (*, ?) are
+# deliberately unsupported — their SPARQL semantics (every graph term
+# paired with itself) don't scale and have no reference counterpart.
+@dataclass
+class PathInverse:
+    inner: "Path"
+
+
+@dataclass
+class PathSeq:
+    parts: "list[Path]"
+
+
+@dataclass
+class PathAlt:
+    parts: "list[Path]"
+
+
+@dataclass
+class PathPlus:
+    inner: "Path"
+
+
+Path = Iri | PathInverse | PathSeq | PathAlt | PathPlus
+
+
+@dataclass
+class PathPattern:
+    s: Term
+    path: Path
+    o: Term
+
+
 GroupElement = (
     TriplePattern | Filter | Bind | ValuesBlock | GraphBlock | UnionBlock
-    | SubSelect | OptionalBlock | MinusBlock
+    | SubSelect | OptionalBlock | MinusBlock | PathPattern
 )
 
 

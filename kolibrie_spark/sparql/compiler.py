@@ -379,6 +379,8 @@ class Compiler:
                 absorb(self._union(branches))
             elif isinstance(el, ast.SubSelect):
                 absorb(Bindings(self.compile_select(el.query)))
+            elif isinstance(el, ast.PathPattern):
+                absorb(self._path_pattern(el, view, active_graph))
             elif isinstance(el, ast.OptionalBlock):
                 right = self.compile_group(el.group, view, active_graph)
                 b = leftjoin_bindings(
@@ -509,6 +511,147 @@ class Compiler:
         for tmp, qt in qt_terms:
             b = rdfstar.match_quoted(self, b, tmp, qt)
         return b
+
+    # ------------------------------------------------------ property paths
+    def _path_edges(
+        self,
+        path,
+        view: DatasetView,
+        active_graph: ast.Iri | ast.Var | None,
+    ) -> DataFrame:
+        """Evaluate a path expression to its edge set — a 2-column
+        DataFrame (__src, __dst). Leaves reuse _scan, so constant
+        predicates stay pushed down / partition-pruned; sequence = join,
+        alternative = union, inverse = column swap, '+' = semi-naive
+        transitive closure (delta joins the base edges; only the delta is
+        checkpointed, so lineage stays flat across iterations)."""
+        if isinstance(path, ast.Iri):
+            pat = ast.TriplePattern(ast.Var("__src"), path, ast.Var("__dst"))
+            return self._scan(pat, view, active_graph).df
+        if isinstance(path, ast.PathInverse):
+            e = self._path_edges(path.inner, view, active_graph)
+            return e.select(
+                F.col("__dst").alias("__src"), F.col("__src").alias("__dst")
+            )
+        if isinstance(path, ast.PathSeq):
+            e = self._path_edges(path.parts[0], view, active_graph)
+            for part in path.parts[1:]:
+                nxt = self._path_edges(part, view, active_graph).select(
+                    F.col("__src").alias("__mid"), F.col("__dst").alias("__nxt")
+                )
+                e = (
+                    e.join(nxt, on=F.col("__dst") == F.col("__mid"))
+                    .select(F.col("__src"), F.col("__nxt").alias("__dst"))
+                )
+            return e
+        if isinstance(path, ast.PathAlt):
+            parts = [self._path_edges(p, view, active_graph) for p in path.parts]
+            e = parts[0]
+            for p in parts[1:]:
+                e = e.unionByName(p)
+            return e
+        if isinstance(path, ast.PathPlus):
+            base = (
+                self._path_edges(path.inner, view, active_graph)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            step = base.select(
+                F.col("__src").alias("__mid"), F.col("__dst").alias("__nxt")
+            )
+            acc, delta = base, base
+            while True:
+                grown = (
+                    delta.join(step, on=F.col("__dst") == F.col("__mid"))
+                    .select(F.col("__src"), F.col("__nxt").alias("__dst"))
+                    .distinct()
+                    .join(
+                        acc.select(
+                            F.col("__src").alias("__asrc"),
+                            F.col("__dst").alias("__adst"),
+                        ),
+                        on=(F.col("__src") == F.col("__asrc"))
+                        & (F.col("__dst") == F.col("__adst")),
+                        how="left_anti",
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                if not grown.take(1):
+                    return acc
+                acc = acc.unionByName(grown)
+                delta = grown
+        raise CompileError(f"unsupported path element {path!r} (paths need IRI leaves)")
+
+    def _reachable_from(self, edges: DataFrame, start_value: str) -> DataFrame:
+        """Frontier BFS over an edge set from one ground node — returns the
+        reachable nodes (1 column __dst). Linear in edges touched, unlike
+        the full O(V^2)-pairs closure; this is what makes a ground-endpoint
+        `+` path viable at scale."""
+        base = edges.distinct().localCheckpoint(eager=True)
+        step = base.select(F.col("__src").alias("__mid"), F.col("__dst").alias("__nxt"))
+        frontier = (
+            base.filter(F.col("__src") == start_value)
+            .select("__dst")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        acc = frontier
+        while True:
+            grown = (
+                frontier.join(step, on=F.col("__dst") == F.col("__mid"))
+                .select(F.col("__nxt").alias("__dst"))
+                .distinct()
+                .join(
+                    acc.select(F.col("__dst").alias("__adst")),
+                    on=F.col("__dst") == F.col("__adst"),
+                    how="left_anti",
+                )
+                .localCheckpoint(eager=True)
+            )
+            if not grown.take(1):
+                return acc
+            acc = acc.unionByName(grown)
+            frontier = grown
+
+    def _path_pattern(
+        self,
+        el: ast.PathPattern,
+        view: DatasetView,
+        active_graph: ast.Iri | ast.Var | None,
+    ) -> Bindings:
+        if isinstance(el.path, ast.PathPlus):
+            s_ground = not isinstance(el.s, ast.Var)
+            o_ground = not isinstance(el.o, ast.Var)
+            if s_ground != o_ground:
+                # seeded BFS from the ground end (inverse edges when the
+                # object end is the ground one)
+                inner = el.path.inner if s_ground else ast.PathInverse(el.path.inner)
+                start = el.s if s_ground else el.o
+                other = el.o if s_ground else el.s
+                edges = self._path_edges(inner, view, active_graph)
+                nodes = self._reachable_from(edges, self._ground_term_value(start))
+                if isinstance(other, ast.Var):
+                    return Bindings(nodes.select(F.col("__dst").alias(other.name)))
+                return Bindings(
+                    nodes.filter(
+                        F.col("__dst") == self._ground_term_value(other)
+                    ).limit(1).select()
+                )
+        df = self._path_edges(el.path, view, active_graph)
+        out: list[Column] = []
+        seen: dict[str, str] = {}
+        for pos, term in (("__src", el.s), ("__dst", el.o)):
+            if isinstance(term, ast.Var):
+                if term.name in seen:
+                    df = df.filter(F.col(pos) == F.col(seen[term.name]))
+                else:
+                    seen[term.name] = pos
+                    out.append(F.col(pos).alias(term.name))
+            else:
+                df = df.filter(F.col(pos) == F.lit(self._ground_term_value(term)))
+        if out:
+            return Bindings(df.select(*out))
+        return Bindings(df.limit(1).select())
 
     def _qt_has_vars(self, qt: ast.QuotedTriple) -> bool:
         for t in (qt.s, qt.p, qt.o):

@@ -46,6 +46,11 @@ from kolibrie_spark.sparql.ast import (
     Not,
     OptionalBlock,
     Or,
+    PathAlt,
+    PathInverse,
+    PathPattern,
+    PathPlus,
+    PathSeq,
     Query,
     QuotedTriple,
     SelectQuery,
@@ -85,7 +90,7 @@ _TOKEN_RE = re.compile(
   | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_-]*)?:[A-Za-z0-9_.\-/%]*)
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_.]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].,;=<>!+\-*/@])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].,;=<>!+\-*/@^|])
     """,
     re.VERBOSE,
 )
@@ -488,13 +493,16 @@ class Parser:
         return self.parse_term(allow_var=False)
 
     def parse_triples_block(self, g: Group) -> None:
-        """subject (predicate object (',' object)*) (';' pred obj...)* '.'"""
+        """subject (path object (',' object)*) (';' path obj...)* '.'"""
         s = self.parse_term()
         while True:
-            p = self.parse_term()
+            p = self.parse_path()
             while True:
                 o = self.parse_term()
-                g.elements.append(TriplePattern(s, p, o))
+                if isinstance(p, (PathInverse, PathSeq, PathAlt, PathPlus)):
+                    g.elements.append(PathPattern(s, p, o))
+                else:
+                    g.elements.append(TriplePattern(s, p, o))
                 if not self.take_op(","):
                     break
             if not self.take_op(";"):
@@ -502,6 +510,45 @@ class Parser:
             if self.at_op(".") or self.at_op("}"):  # trailing ';'
                 break
         self.take_op(".")
+
+    # -- property paths (predicate position). NOTE: prefixed names may
+    # contain '/' in their local part, so sequence paths should be written
+    # with bracketed IRIs (<a>/<b>), not pnames.
+    def parse_path(self):
+        """path_alt := path_seq ('|' path_seq)* ; returns a Term when the
+        path is just an IRI/variable (plain triple pattern)."""
+        parts = [self._parse_path_seq()]
+        while self.take_op("|"):
+            parts.append(self._parse_path_seq())
+        return parts[0] if len(parts) == 1 else PathAlt(parts)
+
+    def _parse_path_seq(self):
+        parts = [self._parse_path_elt()]
+        while self.take_op("/"):
+            parts.append(self._parse_path_elt())
+        return parts[0] if len(parts) == 1 else PathSeq(parts)
+
+    def _parse_path_elt(self):
+        if self.take_op("^"):
+            inner = self._parse_path_primary()
+            elt = PathInverse(inner)
+        else:
+            elt = self._parse_path_primary()
+        while self.take_op("+"):
+            elt = PathPlus(elt)
+        if self.at_op("*") or self.at_op("?"):
+            raise ParseError(
+                "zero-length path forms (*, ?) are unsupported "
+                "(see ast.py path notes)"
+            )
+        return elt
+
+    def _parse_path_primary(self):
+        if self.take_op("("):
+            inner = self.parse_path()
+            self.expect_op(")")
+            return inner
+        return self.parse_term()
 
     # -- expressions (FILTER / BIND)
     def parse_or_expr(self):

@@ -245,3 +245,71 @@ def test_optional_with_values_undef_left(engine):
         "OPTIONAL { ?x <ex:pet> ?p } }"
     ))
     assert got == [["A", "cat"], ["Z", "cat"]]
+
+
+# --- property paths (Spark-first extension; reference grammar has none)
+def seed_path(engine):
+    engine.add_triples(
+        [
+            ("ex:a", "ex:knows", "ex:b"),
+            ("ex:b", "ex:knows", "ex:c"),
+            ("ex:c", "ex:knows", "ex:d"),
+            ("ex:a", "ex:name", "A"),
+            ("ex:b", "ex:name", "B"),
+            ("ex:c", "ex:name", "C"),
+            ("ex:d", "ex:name", "D"),
+        ]
+    )
+    return engine
+
+
+def test_path_sequence_and_alternative(engine):
+    e = seed_path(engine)
+    assert e.execute(
+        "SELECT ?n WHERE { <ex:a> (<ex:knows>/<ex:name>) ?n }"
+    ) == [["B"]]
+    assert sorted(e.execute(
+        "SELECT ?v WHERE { <ex:b> (<ex:knows>|<ex:name>) ?v }"
+    )) == [["B"], ["ex:c"]]
+
+
+def test_path_inverse(engine):
+    e = seed_path(engine)
+    assert e.execute("SELECT ?x WHERE { <ex:b> ^<ex:knows> ?x }") == [["ex:a"]]
+
+
+def test_path_plus_ground_start_bfs(engine):
+    e = seed_path(engine)
+    assert sorted(e.execute("SELECT ?x WHERE { <ex:a> <ex:knows>+ ?x }")) == [
+        ["ex:b"], ["ex:c"], ["ex:d"],
+    ]
+    # ground object end => BFS over inverse edges
+    assert sorted(e.execute("SELECT ?x WHERE { ?x <ex:knows>+ <ex:d> }")) == [
+        ["ex:a"], ["ex:b"], ["ex:c"],
+    ]
+
+
+def test_path_plus_var_var_closure(engine):
+    e = seed_path(engine)
+    got = sorted(e.execute("SELECT ?x ?y WHERE { ?x <ex:knows>+ ?y }"))
+    assert len(got) == 6  # all ordered reachable pairs of the 4-chain
+    assert ["ex:a", "ex:d"] in got
+
+
+def test_path_combo_closure_then_sequence(engine):
+    e = seed_path(engine)
+    assert sorted(e.execute(
+        "SELECT ?n WHERE { <ex:a> (<ex:knows>+/<ex:name>) ?n }"
+    )) == [["B"], ["C"], ["D"]]
+    assert sorted(e.execute(
+        "SELECT ?n WHERE { <ex:d> (^<ex:knows>)+/<ex:name> ?n }"
+    )) == [["A"], ["B"], ["C"]]
+
+
+def test_path_zero_length_forms_rejected(engine):
+    import pytest
+
+    from kolibrie_spark.sparql.parser import ParseError
+
+    with pytest.raises(ParseError):
+        engine.query("SELECT ?x WHERE { <ex:a> <ex:knows>* ?x }")
