@@ -24,9 +24,13 @@ from kolibrie_spark.operators import hashing
 # --------------------------------------------------------------- exact dedup
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep one representative row (min id) per exact key — hash groupBy,
-    map-side combinable, one shuffle on the key."""
+    map-side combinable, one shuffle on the key. Fully duplicated input rows
+    (same key AND same id) would all survive the keep-set join, so the result
+    is deduplicated on key+id."""
     keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
-    return keep.join(df, on=key_cols + [id_col], how="inner")
+    return keep.join(df, on=key_cols + [id_col], how="inner").dropDuplicates(
+        key_cols + [id_col]
+    )
 
 
 # ----------------------------------------------------------------- shingling
@@ -52,13 +56,28 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
 
 # ------------------------------------------------------------ n-gram Jaccard
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    heavy_df: int = 64,
+    salt: int = 16,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram shingle sets for every pair sharing at
     least one shingle. Returns (id_a, id_b, jaccard), id_a < id_b.
 
     The shared-shingle self-join is the candidate pruner: pairs with zero
     overlap never materialize. One shuffle on the shingle, one on the pair.
+
+    Skew guard: a shingle shared by m documents produces O(m²) pairs on ONE
+    join key — an ultra-common ("stop") shingle turns the self-join into a
+    single straggler task. Shingles with document frequency >= ``heavy_df``
+    are salted: the a-side gets a deterministic salt hash(id) % salt, the
+    b-side is replicated across all ``salt`` values, so each unordered pair
+    still appears exactly once but the hot key spreads over ``salt`` reducers.
+    Values are bit-identical to the unsalted join (no recall loss, unlike
+    stop-shingle dropping), so the DuckDB oracle is unchanged.
     """
     # explicit partition count on the join key: the shingle self-join is
     # CPU-dense but byte-light, and AQE would otherwise coalesce it onto a
@@ -69,11 +88,43 @@ def ngram_jaccard_pairs(
         df = df.repartition(par)  # parallelize the shingle explode itself
     sh = _shingle_table(df, id_col, text_col, n).repartition(par, "__sh")
     sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    heavy = (
+        sh.groupBy("__sh")
+        .agg(F.count("*").alias("__dfreq"))
+        .filter(F.col("__dfreq") >= heavy_df)
+        .select("__sh", F.lit(True).alias("__heavy"))
+    )
+    marked = sh.join(F.broadcast(heavy), on="__sh", how="left")
+    # rename-projections (not alias()) so the self-join carries no ambiguous
+    # attribute references
+    a = marked.select(
+        F.col("__id").alias("id_a"),
+        F.col("__sh").alias("__sha"),
+        F.when(
+            F.col("__heavy"), F.pmod(F.xxhash64("__id"), F.lit(salt)).cast("int")
+        )
+        .otherwise(F.lit(0))
+        .alias("__salta"),
+    ).repartition(par, "__sha", "__salta")
+    b = marked.select(
+        F.col("__id").alias("id_b"),
+        F.col("__sh").alias("__shb"),
+        F.explode(
+            F.when(
+                F.col("__heavy"), F.sequence(F.lit(0), F.lit(salt - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ).alias("__saltb"),
+    ).repartition(par, "__shb", "__saltb")
     shared = (
-        a.join(b, on=[F.col("a.__sh") == F.col("b.__sh"), F.col("a.__id") < F.col("b.__id")])
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        a.join(
+            b,
+            on=[
+                F.col("__sha") == F.col("__shb"),
+                F.col("__salta") == F.col("__saltb"),
+                F.col("id_a") < F.col("id_b"),
+            ],
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("__c"))
     )
     sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))

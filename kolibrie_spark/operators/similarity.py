@@ -133,10 +133,10 @@ def signature_expr(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def with_lsh_bucket(
-    df: DataFrame, vec_col: str, bits: int = 8, seed: int = 42, dim: int | None = None
+    df: DataFrame, vec_col: str, dim: int, bits: int = 8, seed: int = 42
 ) -> DataFrame:
-    if dim is None:  # one-row probe job; pass dim when known to skip it
-        dim = len(df.select(vec_col).first()[0])
+    """``dim`` is required: inferring it would run a hidden one-row Spark job
+    inside a library function (every call site knows its embedding dim)."""
     planes = hyperplanes(dim, bits, seed)
     return df.withColumn("lsh_bucket", signature_expr(F.col(vec_col), planes))
 
@@ -163,7 +163,7 @@ def lsh_bucket_topk(
         if float(np.dot(query_vec, p)) >= 0:
             qsig |= 1 << i
     buckets = sorted(range(1 << bits), key=lambda b: bin(b ^ qsig).count("1"))[:nprobe]
-    bucketed = with_lsh_bucket(df, vec_col, bits, seed, dim=len(query_vec))
+    bucketed = with_lsh_bucket(df, vec_col, dim=len(query_vec), bits=bits, seed=seed)
     probed = bucketed.filter(F.col("lsh_bucket").isin(buckets))
     return cosine_topk(probed, query_vec, k, id_col, vec_col)
 

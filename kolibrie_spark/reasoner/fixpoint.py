@@ -52,8 +52,12 @@ class Semiring:
 
     def plus_agg(self, col: Column) -> Column:
         if self.name == "addmult":
-            # noisy-OR over the group: 1 - prod(1 - t)
-            return 1.0 - F.exp(F.sum(F.log(1.0 - col)))
+            # noisy-OR over the group: 1 - prod(1 - t). A tag of exactly 1.0
+            # would hit log(0) -> NULL (and sum() skips NULLs, silently
+            # dropping the certain derivation), so saturate the group first.
+            return F.when(F.max(col) >= 1.0, F.lit(1.0)).otherwise(
+                1.0 - F.exp(F.sum(F.log(1.0 - col)))
+            )
         return F.max(col)
 
 

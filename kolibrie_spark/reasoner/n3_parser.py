@@ -22,44 +22,57 @@ _PREFIX_RE = re.compile(
 _RULE_RE = re.compile(r"\{(.*?)\}\s*=>\s*\{(.*?)\}\s*\.", re.S)
 _NOT_RE = re.compile(r"NOT\s*\{(.*?)\}", re.S)
 _FILTER_RE = re.compile(r"FILTER\s*\(\s*\?(\w+)\s*(=|!=|<=|>=|<|>)\s*([^)]+?)\s*\)")
+# Term tokens plus a '.' statement terminator. PNAME locals and bare names
+# may contain *internal* dots (the normal RDF case, e.g. <http://ex.org/p>
+# or ex:v1.2) but never end with one, so a trailing '.' always lexes as the
+# statement terminator rather than part of the term.
 _TERM_RE = re.compile(
     r"""\?(?P<var>\w+)
       | <(?P<iri>[^<>\s]*)>
       | "(?P<lit>(?:[^"\\]|\\.)*)"
-      | (?P<pname>(?:[A-Za-z_][\w\-]*)?:[\w.\-/%#]*)
-      | (?P<name>[A-Za-z_][\w.]*)
+      | (?P<pname>(?:[A-Za-z_][\w\-]*)?:[\w\-/%#]*(?:\.[\w\-/%#]+)*)
+      | (?P<name>[A-Za-z_]\w*(?:\.\w+)*)
       | (?P<num>[+-]?\d+(?:\.\d+)?)
+      | (?P<dot>\.)
     """,
     re.VERBOSE,
 )
 
 
+def _term_of(m: "re.Match", prefixes: dict[str, str]):
+    if m.group("var") is not None:
+        return Var(m.group("var"))
+    if m.group("iri") is not None:
+        return Iri(m.group("iri"))
+    if m.group("lit") is not None:
+        return Lit(m.group("lit"))
+    if m.group("pname") is not None:
+        pfx, _, local = m.group("pname").partition(":")
+        return Iri(prefixes.get(pfx, "") + local)
+    if m.group("name") is not None:
+        return Iri(RDF_TYPE) if m.group("name") == "a" else Iri(m.group("name"))
+    return Lit(m.group("num"))
+
+
 def _parse_patterns(body: str, prefixes: dict[str, str]) -> list[TriplePattern]:
-    pats = []
-    for stmt in body.split("."):
-        stmt = stmt.strip()
-        if not stmt:
+    """Tokenize the body; '.' is a statement terminator only between terms
+    (IRIs/pnames/decimals keep their internal dots)."""
+    pats: list[TriplePattern] = []
+    terms: list = []
+    for m in _TERM_RE.finditer(body):
+        if m.group("dot") is not None:
+            if terms:
+                if len(terms) != 3:
+                    raise ValueError(
+                        f"bad N3 statement (need 3 terms, got {len(terms)}): {body!r}"
+                    )
+                pats.append(TriplePattern(*terms))
+                terms = []
             continue
-        terms = []
-        for m in _TERM_RE.finditer(stmt):
-            if m.group("var") is not None:
-                terms.append(Var(m.group("var")))
-            elif m.group("iri") is not None:
-                terms.append(Iri(m.group("iri")))
-            elif m.group("lit") is not None:
-                terms.append(Lit(m.group("lit")))
-            elif m.group("pname") is not None:
-                pfx, _, local = m.group("pname").partition(":")
-                terms.append(Iri(prefixes.get(pfx, "") + local))
-            elif m.group("name") is not None:
-                if m.group("name") == "a":
-                    terms.append(Iri(RDF_TYPE))
-                else:
-                    terms.append(Iri(m.group("name")))
-            else:
-                terms.append(Lit(m.group("num")))
+        terms.append(_term_of(m, prefixes))
+    if terms:
         if len(terms) != 3:
-            raise ValueError(f"bad N3 statement (need 3 terms): {stmt!r}")
+            raise ValueError(f"bad N3 statement (need 3 terms, got {len(terms)}): {body!r}")
         pats.append(TriplePattern(*terms))
     return pats
 

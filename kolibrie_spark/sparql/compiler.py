@@ -287,7 +287,7 @@ class Compiler:
         else:
             out_cols = [i.name if isinstance(i, ast.Var) else i.alias for i in q.select]
 
-        if q.order_by:
+        if q.order_by and not q.distinct:
             keys: list[Column] = []
             for var, asc in q.order_by:
                 keys.extend(compare.order_keys(self._var_col(df, var.name), asc))
@@ -307,14 +307,20 @@ class Compiler:
         df = df.select(*proj)
 
         if q.distinct:
+            # dedup first, then sort — sorting before dropDuplicates loses the
+            # ordering. SPARQL requires DISTINCT's ORDER BY vars be projected;
+            # a non-projected key cannot be honored post-dedup, so reject it.
             df = df.dropDuplicates()
             if q.order_by:
                 keys = []
                 for var, asc in q.order_by:
-                    if var.name in df.columns:
-                        keys.extend(compare.order_keys(F.col(var.name), asc))
-                if keys:
-                    df = df.orderBy(*keys)
+                    if var.name not in df.columns:
+                        raise CompileError(
+                            f"ORDER BY ?{var.name} with SELECT DISTINCT requires "
+                            "the variable to be projected"
+                        )
+                    keys.extend(compare.order_keys(F.col(var.name), asc))
+                df = df.orderBy(*keys)
         if q.offset:
             df = df.offset(q.offset)
         if q.limit is not None:

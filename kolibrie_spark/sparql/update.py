@@ -147,8 +147,11 @@ def _instantiate(
         for t in (tq.s, tq.p, tq.o)
     ):
         # one fresh suffix per solution; the same label within a solution
-        # maps to the same blank node (execute_query.rs:854-865)
-        df = df.withColumn("__sol_id", F.expr("uuid()"))
+        # maps to the same blank node (execute_query.rs:854-865). The ids
+        # are materialized once — template quads reference __sol_id from
+        # separate selects, and a nondeterministic uuid() must not be
+        # re-evaluated per branch under re-optimization/AQE.
+        df = df.withColumn("__sol_id", F.expr("uuid()")).localCheckpoint(eager=True)
 
     parts: list[DataFrame] = []
     quoted_parts: list[DataFrame] = []

@@ -284,3 +284,55 @@ def test_engine_rule_grammar_and_materialize(engine):
     ) == [["ex:c"]]
     # idempotent re-materialization
     assert engine.materialize() == 0
+
+
+def test_prov_addmult_certain_path_saturates(spark):
+    """A derivation tagged 1.0 must saturate noisy-OR to exactly 1.0 —
+    log(1-1.0) is NULL and sum() skips NULLs, which silently dropped the
+    certain derivation before the saturation guard (ADVICE r1)."""
+    r = Reasoner(spark)
+    tagged = spark.createDataFrame(
+        [
+            ("A", "related", "B", 1.0),
+            ("B", "related", "D", 1.0),  # certain path: 1.0 ⊗ 1.0
+            ("A", "related", "C", 0.9),
+            ("C", "related", "D", 0.5),  # second path: 0.45
+        ],
+        TAGGED_SCHEMA,
+    )
+    r.add_rule(
+        Rule(
+            premise=[P(V("x"), I("related"), V("y")), P(V("y"), I("related"), V("z"))],
+            conclusion=[P(V("x"), I("related"), V("z"))],
+        )
+    )
+    out = r.materialize_with_provenance(tagged, ADD_MULT)
+    tag = {(x.s, x.o): x.tag for x in out.collect()}
+    assert tag[("A", "D")] == 1.0  # not NULL, not 0.45
+
+
+def test_n3_rules_dotted_iris_and_decimals(spark):
+    """IRIs with dots (the normal RDF case) and decimal literals must not be
+    split mid-term by the statement terminator (ADVICE r1)."""
+    rules = parse_n3_rules(
+        """
+        @prefix ex: <http://ex.org/> .
+        { ?x <http://ex.org/parent> ?y . ?y ex:parent ?z . } => { ?x ex:grandparent ?z . } .
+        { ?x ex:score 1.5 . } => { ?x ex:high "yes" . } .
+        """
+    )
+    assert len(rules) == 2
+    assert len(rules[0].premise) == 2 and len(rules[0].conclusion) == 1
+    r = Reasoner(spark)
+    r.add_triples(
+        [
+            ("A", "http://ex.org/parent", "B"),
+            ("B", "http://ex.org/parent", "C"),
+            ("A", "http://ex.org/score", "1.5"),
+        ]
+    )
+    for rule in rules:
+        r.add_rule(rule)
+    r.materialize()
+    assert r.infer("A", "http://ex.org/grandparent", "C")
+    assert r.infer("A", "http://ex.org/high", "yes")

@@ -313,3 +313,23 @@ def test_path_zero_length_forms_rejected(engine):
 
     with pytest.raises(ParseError):
         engine.query("SELECT ?x WHERE { <ex:a> <ex:knows>* ?x }")
+
+
+def test_distinct_order_by_projected(engine):
+    """DISTINCT dedups first, then sorts on the projected key (ADVICE r1:
+    sorting before dropDuplicates silently lost the ordering)."""
+    e = seed(engine)
+    got = e.execute(
+        "SELECT DISTINCT ?c WHERE { ?s <ex:city> ?c } ORDER BY DESC(?c)"
+    )
+    assert got == [["Paris"], ["Ghent"]]
+
+
+def test_distinct_order_by_non_projected_rejected(engine):
+    import pytest
+
+    from kolibrie_spark.sparql.compiler import CompileError
+
+    e = seed(engine)
+    with pytest.raises(CompileError):
+        e.execute("SELECT DISTINCT ?c WHERE { ?s <ex:city> ?c . ?s <ex:age> ?a } ORDER BY ?a")
