@@ -400,6 +400,64 @@ def _q_reasoner_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("s", "o")
 
 
+def _q_prob_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid probabilistic reasoning gate (§2.10, reference hybrid.rs):
+    supplier→nation and nation→region edges carry deterministic seed
+    probabilities; the transitive rule derives supplier→region facts whose
+    lineage has exactly one derivation path, so the exact WMC equals the
+    two-seed product and DuckDB replicates it bit-for-bit (single IEEE
+    multiply of identical factors).
+
+    The seed sample is 10% of suppliers: the probabilistic layer is
+    compute-on-small-data by design (lineage lives driver-side, the
+    deterministic bulk stays distributed — see engine.hybrid_evaluator's
+    premise-predicate bounded collect)."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.reasoner.probabilistic import HybridEvaluator
+    from kolibrie_spark.reasoner.rule import Rule
+    from kolibrie_spark.sparql.ast import Iri, TriplePattern, Var
+    from kolibrie_spark.tables import load_table
+
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 0)
+        .select("s_suppkey", "s_nationkey")
+        .collect()
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey").collect()
+    seeds = {}
+    for r in sup:
+        seeds[
+            (f"urn:supplier:{r.s_suppkey}", "urn:rel", f"urn:nation:{r.s_nationkey}")
+        ] = (50 + r.s_suppkey % 40) / 100.0
+    for r in nat:
+        seeds[
+            (f"urn:nation:{r.n_nationkey}", "urn:rel", f"urn:region:{r.n_regionkey}")
+        ] = (60 + r.n_nationkey % 30) / 100.0
+    rule = Rule(
+        premise=[
+            TriplePattern(Var("x"), Iri("urn:rel"), Var("y")),
+            TriplePattern(Var("y"), Iri("urn:rel"), Var("z")),
+        ],
+        conclusion=[TriplePattern(Var("x"), Iri("urn:rel"), Var("z"))],
+    )
+    ev = HybridEvaluator(seeds, [rule])
+    ev.materialize()
+    rows = [(f[0], f[2], ev.probability(f)) for f in ev.inferred()]
+    return spark.createDataFrame(rows, "supplier string, region string, prob double")
+
+
+def _prob_hybrid_oracle() -> str:
+    return (
+        "SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR) AS supplier, "
+        "'urn:region:' || CAST(n_regionkey AS VARCHAR) AS region, "
+        "((50 + s_suppkey % 40) / 100.0) * ((60 + n_nationkey % 30) / 100.0) AS prob "
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE s_suppkey % 10 = 0"
+    )
+
+
 def _events_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -681,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": _q_events_window_agg,
         # --- reasoner + streaming replay (§2.9/§2.10)
         "reasoner_transitive_closure": _q_reasoner_closure,
+        "prob_hybrid": _q_prob_hybrid,
         "streaming_istream_replay": _q_streaming_istream_replay,
         "streaming_dstream_replay": _q_streaming_dstream_replay,
         # --- ML / multimodal / builder (§2.11, §2.12)
@@ -896,6 +955,7 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT e.x, c.y FROM edges e JOIN closure c ON e.y = c.x"
             ") SELECT x AS s, y AS o FROM closure"
         ),
+        "prob_hybrid": _prob_hybrid_oracle(),
         "streaming_istream_replay": (
             "WITH w AS (SELECT DISTINCT "
             "CAST(epoch_us(ts) // 1000000 AS BIGINT) "

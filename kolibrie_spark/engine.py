@@ -88,24 +88,37 @@ class SparqlEngine:
         )
 
     # -------------------------------------------------------------- rules
-    def register_rule(self, text: str) -> None:
-        """``RULE :Name :- CONSTRUCT { ... } WHERE { ... }`` (reference
-        parser.rs:3098-3199): conclusions are materialized into the store by
-        :meth:`materialize`. The WHERE part supports patterns and simple
-        FILTER(?v op value) conditions (the reference lowers richer bodies
-        through the same Rule struct)."""
+    def register_rule(self, text: str) -> list:
+        """``RULE :Name [PROB(...)] :- CONSTRUCT { ... } WHERE { ... }``
+        (reference parser.rs:3098-3199 + PROB grammar parser.rs:2845-3095).
+
+        Without PROB, the rule is registered and later run by
+        :meth:`materialize`; returns []. With ``PROB(provenance=hybrid,
+        threshold=...)`` the rule is processed immediately like the
+        reference's ``process_rule_definition``: lineage-materialize,
+        evaluate each inferred fact under the annotation's HybridConfig,
+        insert the facts plus RDF-star ``prob:*`` annotations, and return
+        the inferred triples. Recursive hybrid rules are rejected."""
         import re as _re
 
+        from kolibrie_spark.reasoner.hybrid import parse_prob_annotation
         from kolibrie_spark.reasoner.n3_parser import _parse_patterns, _FILTER_RE
         from kolibrie_spark.reasoner.rule import FilterCondition, Rule, check_rule_safety
 
+        head = _re.match(r"\s*RULE\s+\S+\s*", text, _re.I)
+        if head is None:
+            raise ValueError("expected RULE :Name [PROB(...)] :- CONSTRUCT { ... } WHERE { ... }")
+        rest = text[head.end():]
+        ann = None
+        if _re.match(r"PROB\s*\(", rest, _re.I):
+            ann, rest = parse_prob_annotation(rest)
         m = _re.match(
-            r"\s*RULE\s+\S+\s*:-\s*CONSTRUCT\s*\{(.*?)\}\s*WHERE\s*\{(.*)\}\s*$",
-            text,
+            r"\s*:-\s*CONSTRUCT\s*\{(.*?)\}\s*WHERE\s*\{(.*)\}\s*\.?\s*$",
+            rest,
             _re.S | _re.I,
         )
         if m is None:
-            raise ValueError("expected RULE :Name :- CONSTRUCT { ... } WHERE { ... }")
+            raise ValueError("expected RULE :Name [PROB(...)] :- CONSTRUCT { ... } WHERE { ... }")
         concl_src, where_src = m.group(1), m.group(2)
         filters = [
             FilterCondition(fm.group(1), fm.group(2), fm.group(3).strip().strip('"'))
@@ -116,9 +129,30 @@ class SparqlEngine:
             premise=_parse_patterns(where_src, self.store.prefixes),
             conclusion=_parse_patterns(concl_src, self.store.prefixes),
             filters=filters,
+            prob=ann,
         )
         check_rule_safety(rule)
+        if ann is not None and ann.combination == "hybrid":
+            return self._process_hybrid_rule(rule, ann.hybrid_config)
         self.rules.append(rule)
+        return []
+
+    def _process_hybrid_rule(self, rule, config) -> list:
+        """Reference process_rule_definition for hybrid rules
+        (hybrid_materialisation.rs:25-177 + hybrid.rs annotations)."""
+        from kolibrie_spark.reasoner.hybrid import (
+            annotate_results_rdfstar,
+            validate_hybrid_rules,
+        )
+
+        validate_hybrid_rules([rule])  # raises on predicate recursion
+        ev = self.hybrid_evaluator(rules=[rule])
+        inferred = ev.inferred()
+        results = {fact: ev.evaluate(fact, config) for fact in inferred}
+        if inferred:
+            self.add_triples(list(inferred))
+        annotate_results_rdfstar(self.store, results)
+        return inferred
 
     def add_rules_n3(self, text: str) -> None:
         """N3-logic rules: ``{ premise } => { conclusion } .``"""
@@ -161,23 +195,53 @@ class SparqlEngine:
         """Driver-side probabilistic evaluator over the store's seeds and
         the engine's rules (SURVEY §2.10 hybrid layer — compute-on-small-
         data: deterministic facts stay in DataFrames, only seed-derived
-        lineage is evaluated here)."""
+        lineage is evaluated here).
+
+        The deterministic fact set is bounded by a premise-predicate
+        semi-join: only default-graph facts whose predicate appears in some
+        rule premise are collected to the driver (a full-graph collect
+        would OOM the driver at scale). Variable premise predicates are
+        rejected, as in the reference's hybrid layer
+        (hybrid_materialisation.rs:65-75)."""
         from pyspark.sql import functions as F
 
         from kolibrie_spark.reasoner.probabilistic import HybridEvaluator
+        from kolibrie_spark.sparql.ast import Var
 
+        rules = rules if rules is not None else list(self.rules)
+        preds: set[str] = set()
+        for rule in rules:
+            for pat in list(rule.premise) + list(rule.negative_premise):
+                if isinstance(pat.p, Var):
+                    raise ValueError(
+                        f"variable predicate ?{pat.p.name} prevents bounded "
+                        "fact collection for hybrid evaluation"
+                    )
+                preds.add(pat.p.value)
+        base = self.store.quads.filter(F.col("g").isNull()).select("s", "p", "o")
+        base = base.filter(F.col("p").isin(sorted(preds))) if preds else base.limit(0)
         deterministic = {
             (r.s, r.p, r.o)
-            for r in self.store.quads.filter(F.col("g").isNull()).collect()
+            for r in base.collect()
             if (r.s, r.p, r.o) not in self.store.prob_seeds
         }
         ev = HybridEvaluator(
             dict(self.store.prob_seeds),
-            rules if rules is not None else list(self.rules),
+            rules,
             deterministic_facts=deterministic,
         )
         ev.materialize()
         return ev
+
+    def add_tagged_triple(self, s: str, p: str, o: str, prob: float) -> None:
+        """Reference SparqlDatabase::add_tagged_triple alias."""
+        self.add_prob_seed(s, p, o, prob)
+
+    def evaluate_probability(self, s: str, p: str, o: str, config=None):
+        """Hybrid escalation result for one fact (reference
+        LineageMaterialization::evaluate)."""
+        ev = self.hybrid_evaluator()
+        return ev.evaluate((s, p, o), config)
 
     # ----------------------------------------------------------------- ML
     def register_model(self, name: str, fn) -> None:

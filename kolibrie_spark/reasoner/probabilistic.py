@@ -48,20 +48,9 @@ class Or:
 Lineage = Seed | And | Or
 
 
-def _paths(lin: Lineage) -> list[frozenset[Triple]]:
-    """DNF: each path is the seed set of one derivation."""
-    if isinstance(lin, Seed):
-        return [frozenset([lin.id])]
-    if isinstance(lin, And):
-        acc = [frozenset()]
-        for part in lin.parts:
-            acc = [a | b for a in acc for b in _paths(part)]
-        return acc
-    out: list[frozenset[Triple]] = []
-    for part in lin.parts:
-        out.extend(_paths(part))
-    # dedupe + drop supersets (absorption)
-    uniq = sorted(set(out), key=len)
+def _absorb(paths) -> list[frozenset[Triple]]:
+    """Dedupe + drop supersets (absorption law for monotone DNF)."""
+    uniq = sorted(set(paths), key=len)
     kept: list[frozenset[Triple]] = []
     for p in uniq:
         if not any(q <= p for q in kept):
@@ -69,16 +58,56 @@ def _paths(lin: Lineage) -> list[frozenset[Triple]]:
     return kept
 
 
+def _paths(lin: Lineage) -> list[frozenset[Triple]]:
+    """DNF: each path is the seed set of one derivation.
+
+    Absorption is applied at EVERY And/Or combination step, not just at the
+    end — a deep derivation DAG (e.g. a transitive chain, whose fact has
+    Catalan-many derivation trees that all collapse to the same seed set)
+    would otherwise expand exponentially before dedup. Shared sub-lineages
+    are memoized by identity (the evaluator reuses lineage objects)."""
+    memo: dict[int, list[frozenset[Triple]]] = {}
+
+    def go(node: Lineage) -> list[frozenset[Triple]]:
+        if isinstance(node, Seed):
+            return [frozenset([node.id])]
+        hit = memo.get(id(node))
+        if hit is not None:
+            return hit
+        if isinstance(node, And):
+            acc = [frozenset()]
+            for part in node.parts:
+                acc = _absorb(a | b for a in acc for b in go(part))
+            out = acc
+        else:
+            collected: list[frozenset[Triple]] = []
+            for part in node.parts:
+                collected.extend(go(part))
+            out = _absorb(collected)
+        memo[id(node)] = out
+        return out
+
+    return go(lin)
+
+
 def union_probability(paths: list[frozenset[Triple]], seeds: dict[Triple, float]) -> float:
-    """Exact P(path1 ∨ path2 ∨ ...) by enumeration over involved seeds."""
+    """Exact P(path1 ∨ path2 ∨ ...) — delegated to the Shannon-expansion
+    weighted model counter (reasoner/hybrid.py), which has no variable-count
+    cap (the round-1 25-variable enumeration limit is gone; time/node budgets
+    bound the work instead, matching the reference's SDD escalation role)."""
+    from kolibrie_spark.reasoner.hybrid import exact_wmc
+
+    return exact_wmc(paths, seeds)
+
+
+def union_probability_enumerated(
+    paths: list[frozenset[Triple]], seeds: dict[Triple, float]
+) -> float:
+    """Brute-force 2^n enumeration — kept as the differential-test oracle
+    for exact_wmc (small variable counts only)."""
     if not paths:
         return 0.0
     vars_ = sorted(set().union(*paths))
-    if len(vars_) > 25:
-        raise ValueError(
-            f"exact model counting capped at 25 seed variables, got {len(vars_)} "
-            "(the reference escalates to SDD compilation here)"
-        )
     total = 0.0
     for assignment in itertools.product([False, True], repeat=len(vars_)):
         world = dict(zip(vars_, assignment))
@@ -102,6 +131,11 @@ class HybridEvaluator:
         }
         for t in deterministic_facts or set():
             self.facts.setdefault(t, None)  # None lineage = certain
+        self._initial: set[Triple] = set(self.facts)
+
+    def inferred(self) -> list[Triple]:
+        """Facts derived by materialize() beyond the seeds/deterministic base."""
+        return [t for t in self.facts if t not in self._initial]
 
     # ------------------------------------------------------ materialization
     def materialize(self, max_iter: int = 20) -> dict[Triple, Lineage | None]:
@@ -230,3 +264,24 @@ class HybridEvaluator:
 
         top = sorted(paths, key=path_prob, reverse=True)[:k]
         return union_probability(top, self.seeds)
+
+    def evaluate(self, fact: Triple, config=None, clock=None):
+        """Full hybrid escalation (reference evaluate_hybrid,
+        hybrid.rs:1415-1589): certified top-k at growing k, then exact WMC
+        under budgets. Returns a HybridResult."""
+        import time as _time
+
+        from kolibrie_spark.reasoner.hybrid import (
+            HybridConfig,
+            HybridResult,
+            evaluate_hybrid,
+        )
+
+        cfg = config or HybridConfig()
+        clk = clock or _time.monotonic
+        if fact not in self.facts:
+            return HybridResult(
+                "Exact", "NoAlert" if cfg.threshold > 0 else "Alert",
+                "top-k-exhausted", 0.0,
+            )
+        return evaluate_hybrid(self.facts[fact], self.seeds, cfg, clk)

@@ -26,6 +26,9 @@ class Rule:
     conclusion: list[TriplePattern]
     negative_premise: list[TriplePattern] = field(default_factory=list)
     filters: list[FilterCondition] = field(default_factory=list)
+    # optional PROB(...) annotation (reasoner.hybrid.ProbAnnotation);
+    # reference CombinedRule carries the same (shared/src/query.rs:292-299)
+    prob: object | None = None
 
 
 def pattern_variables(pat: TriplePattern):

@@ -95,11 +95,62 @@ def test_deterministic_facts_are_certain():
     assert ev.probability(("A", "rel", "C")) == pytest.approx(0.8)
 
 
-def test_union_probability_enumeration_cap():
+def test_union_probability_beyond_25_vars():
+    """The round-1 25-variable enumeration cap is gone: 30 disjoint
+    single-seed paths = 1 - (1-p)^30, computed exactly by Shannon/WMC."""
     paths = [frozenset({(f"s{i}", "p", "o")}) for i in range(30)]
     seeds = {(f"s{i}", "p", "o"): 0.5 for i in range(30)}
-    with pytest.raises(ValueError, match="capped at 25"):
-        union_probability(paths, seeds)
+    assert union_probability(paths, seeds) == pytest.approx(1.0 - 0.5**30)
+
+
+def test_exact_wmc_matches_bruteforce_enumeration():
+    """Differential: Shannon-expansion WMC == 2^n world enumeration on
+    random correlated DNFs (shared vars across paths)."""
+    import random
+
+    from kolibrie_spark.reasoner.hybrid import exact_wmc
+    from kolibrie_spark.reasoner.probabilistic import union_probability_enumerated
+
+    rng = random.Random(7)
+    for trial in range(25):
+        nvars = rng.randint(2, 11)
+        vars_ = [(f"v{i}", "p", "o") for i in range(nvars)]
+        seeds = {v: rng.uniform(0.05, 0.95) for v in vars_}
+        paths = [
+            frozenset(rng.sample(vars_, rng.randint(1, min(4, nvars))))
+            for _ in range(rng.randint(1, 8))
+        ]
+        assert exact_wmc(paths, seeds) == pytest.approx(
+            union_probability_enumerated(paths, seeds), abs=1e-12
+        ), f"trial {trial}: {paths}"
+
+
+def test_correlated_lineage_beyond_25_seeds():
+    """53 seed variables, all paths correlated through one shared head seed
+    — raised ValueError under the round-1 25-var cap. Analytic value:
+    P = p_head * (1 - prod_i (1 - p_i * q_i))."""
+    n_mid = 26
+    seeds = {("A", "rel", "B"): 0.5}
+    prod = 1.0
+    for i in range(n_mid):
+        p_i, q_i = 0.6, 0.7
+        seeds[("B", "rel", f"M{i}")] = p_i
+        seeds[(f"M{i}", "rel", "Z")] = q_i
+        prod *= 1.0 - p_i * q_i
+    ev = HybridEvaluator(seeds, [TRANS])
+    ev.materialize()
+    assert ev.probability(("A", "rel", "Z")) == pytest.approx(0.5 * (1.0 - prod))
+
+
+def test_chain_catalan_derivations_collapse():
+    """A 12-edge transitive chain: (A0 rel A12) has Catalan-many derivation
+    trees that must collapse (absorption+memo in _paths) to the single seed
+    set — the probability is exactly the product of the edge seeds."""
+    n = 12
+    seeds = {(f"A{i}", "rel", f"A{i+1}"): 0.9 for i in range(n)}
+    ev = HybridEvaluator(seeds, [TRANS])
+    ev.materialize(max_iter=2 * n)
+    assert ev.probability(("A0", "rel", f"A{n}")) == pytest.approx(0.9**n)
 
 
 def test_absent_fact_probability_zero():
@@ -118,3 +169,238 @@ def test_engine_hybrid_integration(engine):
     assert ev.probability(("A", "rel", "C")) == pytest.approx(0.56)
     # chain through a certain fact: p(A rel D) = p(A rel C) * 1.0
     assert ev.probability(("A", "rel", "D")) == pytest.approx(0.56)
+
+
+# ---------------------------------------------------- escalation controller
+def _inject_clock(start=0.0):
+    """Deterministic injectable clock (reference uses HybridClock trait)."""
+    state = {"t": start}
+
+    def clock():
+        state["t"] += 1e-6
+        return state["t"]
+
+    return clock
+
+
+def test_escalation_exhausted_frontier_is_exact():
+    from kolibrie_spark.reasoner.hybrid import HybridConfig
+
+    seeds = {("A", "rel", "B"): 0.8, ("B", "rel", "C"): 0.7}
+    ev = HybridEvaluator(seeds, [TRANS])
+    ev.materialize()
+    r = ev.evaluate(("A", "rel", "C"), HybridConfig(threshold=0.5), _inject_clock())
+    assert r.status == "Exact" and r.reason == "top-k-exhausted"
+    assert r.probability == pytest.approx(0.56)
+    assert r.decision == "Alert" and r.metrics["frontier_exhausted"]
+
+
+def test_escalation_lower_bound_crosses_threshold():
+    """Many disjoint paths: the k-proof lower bound crosses a low threshold
+    before the frontier is exhausted → certified Alert without exact WMC."""
+    from kolibrie_spark.reasoner.hybrid import HybridConfig, evaluate_hybrid
+    from kolibrie_spark.reasoner.probabilistic import Or, Seed
+
+    n = 100
+    seeds = {(f"s{i}", "p", "o"): 0.3 for i in range(n)}
+    lin = Or(tuple(Seed((f"s{i}", "p", "o")) for i in range(n)))
+    cfg = HybridConfig(threshold=0.2, k_initial=8, k_max=8)
+    r = evaluate_hybrid(lin, seeds, cfg, _inject_clock())
+    assert r.status == "Bounded" and r.reason == "lower-bound-crossed-threshold"
+    assert r.decision == "Alert"
+    assert r.lower == pytest.approx(1.0 - 0.7**8) and r.lower < 1.0
+    assert not r.metrics["exact_used"]
+
+
+def test_escalation_upper_bound_below_threshold():
+    from kolibrie_spark.reasoner.hybrid import HybridConfig, evaluate_hybrid
+    from kolibrie_spark.reasoner.probabilistic import Or, Seed
+
+    seeds = {(f"s{i}", "p", "o"): 0.1 for i in range(3)}
+    lin = Or(tuple(Seed((f"s{i}", "p", "o")) for i in range(3)))
+    cfg = HybridConfig(threshold=0.9, k_initial=1, k_max=1)
+    r = evaluate_hybrid(lin, seeds, cfg, _inject_clock())
+    assert r.status == "Bounded" and r.reason == "upper-bound-below-threshold"
+    assert r.decision == "NoAlert"
+    assert r.lower == pytest.approx(0.1) and r.upper < 0.9
+
+
+def test_escalation_falls_through_to_exact_wmc():
+    """Bounds straddle the threshold at k_max → escalate to the exact stage
+    (reference reason string 'exact-sdd'; our exact engine is the memoized
+    Shannon counter playing the SDD role)."""
+    from kolibrie_spark.reasoner.hybrid import HybridConfig, evaluate_hybrid
+    from kolibrie_spark.reasoner.probabilistic import Or, Seed
+
+    n = 200
+    seeds = {(f"s{i}", "p", "o"): 0.01 for i in range(n)}
+    lin = Or(tuple(Seed((f"s{i}", "p", "o")) for i in range(n)))
+    cfg = HybridConfig(threshold=0.5, k_initial=8, k_max=16)
+    r = evaluate_hybrid(lin, seeds, cfg, _inject_clock())
+    assert r.status == "Exact" and r.reason == "exact-sdd"
+    assert r.probability == pytest.approx(1.0 - 0.99**n)
+    assert r.decision == "Alert" and r.metrics["exact_used"]
+
+
+def test_escalation_node_budget_exhausts_to_needs_exact():
+    from kolibrie_spark.reasoner.hybrid import HybridConfig, evaluate_hybrid
+    from kolibrie_spark.reasoner.probabilistic import And, Or, Seed
+    import random
+
+    rng = random.Random(3)
+    vars_ = [(f"s{i}", "p", "o") for i in range(40)]
+    seeds = {v: 0.5 for v in vars_}
+    lin = Or(
+        tuple(
+            And(tuple(Seed(v) for v in rng.sample(vars_, 5))) for _ in range(60)
+        )
+    )
+    cfg = HybridConfig(threshold=0.5, sdd_node_budget=3)
+    r = evaluate_hybrid(lin, seeds, cfg, _inject_clock())
+    assert r.status == "NeedsExact" and r.decision == "Indeterminate"
+    assert r.reason == "sdd-node-budget"
+
+
+def test_certain_lineage_is_exact_one():
+    from kolibrie_spark.reasoner.hybrid import HybridConfig, evaluate_hybrid
+
+    r = evaluate_hybrid(None, {}, HybridConfig(threshold=0.7), _inject_clock())
+    assert r.status == "Exact" and r.probability == 1.0 and r.decision == "Alert"
+
+
+# ------------------------------------------------------------- PROB grammar
+def test_prob_annotation_legacy_independent():
+    from kolibrie_spark.reasoner.hybrid import parse_prob_annotation
+
+    ann, rest = parse_prob_annotation(
+        "PROB(combination=independent, threshold=0.3, confidence=0.9) :- rest"
+    )
+    assert ann.combination == "independent"
+    assert ann.threshold == pytest.approx(0.3)
+    assert ann.confidence == pytest.approx(0.9)
+    assert ann.hybrid_config is None
+    assert rest.strip() == ":- rest"
+
+
+def test_prob_annotation_hybrid_full_overrides():
+    from kolibrie_spark.reasoner.hybrid import parse_prob_annotation
+
+    ann, _ = parse_prob_annotation(
+        "PROB(provenance=hybrid, threshold=0.7, band_epsilon=0.05,"
+        " marginal_floor=0.001, k_initial=4, k_max=32, k_growth=4,"
+        " topk_budget_ms=50, sdd_budget_ms=500, node_budget=5000)"
+    )
+    cfg = ann.hybrid_config
+    assert cfg is not None
+    assert cfg.threshold == pytest.approx(0.7)
+    assert cfg.band_epsilon == pytest.approx(0.05)
+    assert cfg.marginal_gain_floor == pytest.approx(0.001)
+    assert (cfg.k_initial, cfg.k_max, cfg.k_growth) == (4, 32, 4)
+    assert (cfg.topk_budget_ms, cfg.sdd_budget_ms) == (50, 500)
+    assert cfg.sdd_node_budget == 5000
+
+
+def test_prob_annotation_auto_cost_threshold():
+    from kolibrie_spark.reasoner.hybrid import parse_prob_annotation
+
+    ann, _ = parse_prob_annotation(
+        "PROB(provenance=hybrid, threshold=auto:cost(fp=1, fn=3))"
+    )
+    assert ann.threshold == pytest.approx(0.25)
+    assert ann.hybrid_config.threshold_policy == "auto:cost"
+
+
+def test_prob_annotation_hybrid_rejections():
+    from kolibrie_spark.reasoner.hybrid import parse_prob_annotation
+
+    with pytest.raises(ValueError):  # threshold required
+        parse_prob_annotation("PROB(provenance=hybrid)")
+    with pytest.raises(ValueError):  # unknown key
+        parse_prob_annotation("PROB(provenance=hybrid, threshold=0.5, nope=1)")
+    with pytest.raises(ValueError):  # confidence disallowed for hybrid
+        parse_prob_annotation("PROB(provenance=hybrid, threshold=0.5, confidence=0.9)")
+    with pytest.raises(ValueError):  # out-of-range threshold
+        parse_prob_annotation("PROB(provenance=hybrid, threshold=1.5)")
+
+
+# ------------------------------------------- engine scenarios (hybrid_test.rs)
+def test_hybrid_rule_emits_typed_status_annotations(engine):
+    """Ports hybrid_test.rs::hybrid_rule_emits_typed_status_annotations."""
+    from pyspark.sql import functions as F
+
+    engine.add_tagged_triple(
+        "http://example.org/a", "http://example.org/input",
+        "http://example.org/yes", 0.8,
+    )
+    inferred = engine.register_rule(
+        "RULE :Hybrid PROB(provenance=hybrid, threshold=0.7) :- "
+        "CONSTRUCT { ?x <http://example.org/result> <http://example.org/yes> . } "
+        "WHERE { ?x <http://example.org/input> <http://example.org/yes> . } ."
+    )
+    assert inferred == [
+        ("http://example.org/a", "http://example.org/result", "http://example.org/yes")
+    ]
+    quads = engine.store.quads
+    assert quads.filter(F.col("p") == "http://www.w3.org/ns/prob#status").count() > 0
+    assert quads.filter(F.col("p") == "http://www.w3.org/ns/prob#value").count() > 0
+    status = quads.filter(
+        F.col("p") == "http://www.w3.org/ns/prob#status"
+    ).select("o").first()[0]
+    assert status == "Exact"
+    value = quads.filter(
+        F.col("p") == "http://www.w3.org/ns/prob#value"
+    ).select("o").first()[0]
+    assert float(value) == pytest.approx(0.8)
+
+
+def test_hybrid_rule_rejects_recursive_dependency(engine):
+    """Ports hybrid_test.rs::hybrid_rule_rejects_recursive_dependency."""
+    engine.add_tagged_triple("a", "ancestor", "b", 0.8)
+    with pytest.raises(ValueError, match="recursion"):
+        engine.register_rule(
+            "RULE :Recursive PROB(provenance=hybrid, threshold=0.7) :- "
+            "CONSTRUCT { ?x <ancestor> ?z . } "
+            "WHERE { ?x <ancestor> ?y . ?y <ancestor> ?z . } ."
+        )
+
+
+def test_cost_ratio_threshold_is_recorded_in_rdf_metadata(engine):
+    """Ports hybrid_test.rs::cost_ratio_threshold_is_recorded_in_rdf_metadata."""
+    from pyspark.sql import functions as F
+
+    engine.add_tagged_triple(
+        "http://example.org/a", "http://example.org/input",
+        "http://example.org/yes", 0.8,
+    )
+    engine.register_rule(
+        "RULE :Hybrid PROB(provenance=hybrid, threshold=auto:cost(fp=1,fn=3)) :- "
+        "CONSTRUCT { ?x <http://example.org/result> <http://example.org/yes> . } "
+        "WHERE { ?x <http://example.org/input> <http://example.org/yes> . } ."
+    )
+    quads = engine.store.quads
+    thr = quads.filter(
+        F.col("p") == "http://www.w3.org/ns/prob#effectiveThreshold"
+    ).select("o").first()[0]
+    assert "0.25" in thr
+    pol = quads.filter(
+        F.col("p") == "http://www.w3.org/ns/prob#thresholdPolicy"
+    ).select("o").first()[0]
+    assert "auto:cost" in pol
+
+
+def test_hybrid_evaluator_bounded_collect(engine, spark):
+    """VERDICT r1 #2: the deterministic fact set must be bounded by the rule
+    premise predicates, not a full-graph collect."""
+    # 5000 facts on an unrelated predicate + 2 facts the rules touch
+    bulk = spark.range(5000).selectExpr(
+        "concat('s', id) as s", "'bulk:pred' as p", "concat('o', id) as o",
+        "cast(null as string) as g",
+    )
+    engine.store.replace_quads(engine.store.quads.unionByName(bulk))
+    engine.add_prob_seed("A", "rel", "B", 0.8)
+    engine.add_triples([("B", "rel", "C")])
+    engine.rules.append(TRANS)
+    ev = engine.hybrid_evaluator()
+    # only rel-predicate facts reach the driver: seeds + 1 deterministic (+ derived)
+    assert len(ev._initial) <= 5
+    assert ev.probability(("A", "rel", "C")) == pytest.approx(0.8)
