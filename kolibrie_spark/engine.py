@@ -29,6 +29,11 @@ class SparqlEngine:
         self.rules: list = []
         self.models: dict = {}
         self.neural_relations: dict = {}
+        # MODEL / NEURAL RELATION / TRAIN declarations parsed from query
+        # text (reference SparqlDatabase registries, neural_relations.rs)
+        self.ml_model_decls: dict = {}
+        self.neural_relation_decls: dict = {}
+        self.neural_materialized: dict = {}
 
     # ------------------------------------------------------------ loading
     def add_triples(self, rows: list[tuple]) -> None:
@@ -312,10 +317,18 @@ class SparqlEngine:
     # --------------------------------------------------------------- misc
     def execute_query(self, text: str):
         """Unified entry (reference QueryEngine::execute, query_engine.rs:22-163):
-        windowed registrations return an RSPEngine; everything else runs as
+        windowed registrations return an RSPEngine; MODEL / NEURAL RELATION /
+        TRAIN programs run through the neural runtime (returning the trailing
+        ML.PREDICT DataFrame when present); everything else runs as
         SELECT/update."""
+        from kolibrie_spark.ml.program import execute_neural_program, is_neural_program
+
         if self.has_windowing_operations(text):
             return self.register_stream_query(text)
+        if is_neural_program(text):
+            return execute_neural_program(self, text)
+        if "ML.PREDICT" in text.upper().split("{")[0]:
+            return self.ml_predict(text)
         return self.execute(text)
 
     def stats(self) -> dict:

@@ -73,6 +73,136 @@ class TinyMLP:
         return z.ravel()
 
 
+class MLPClassifier:
+    """Multi-hidden-layer MLP for ``MODEL { ARCH MLP { HIDDEN [...] } }``
+    declarations (reference neural_relations.rs:405-470): softmax +
+    cross-entropy for ``OUTPUT EXCLUSIVE { labels }``, sigmoid for
+    ``OUTPUT BINARY { positive }``. Deterministic seeded init; full-batch
+    SGD or Adam; numpy only (the container has no torch — the reference
+    likewise trains driver-side with Candle)."""
+
+    output_type = "string"  # run_ml_predict emits label strings
+
+    def __init__(
+        self,
+        hidden_layers=(16, 8),
+        labels: list[str] | None = None,
+        positive_literal: str | None = None,
+        lr: float = 0.1,
+        epochs: int = 80,
+        optimizer: str = "adam",
+        seed: int = 42,
+    ):
+        self.hidden_layers = [int(h) for h in hidden_layers]
+        self.labels = list(labels) if labels is not None else None
+        self.positive_literal = positive_literal
+        self.lr, self.epochs, self.optimizer, self.seed = lr, int(epochs), optimizer, seed
+        self._params = None
+        self._norm = None
+
+    def _forward(self, Xn):
+        acts = [Xn]
+        h = Xn
+        for w, b in self._params[:-1]:
+            h = np.tanh(h @ w + b)
+            acts.append(h)
+        w, b = self._params[-1]
+        z = h @ w + b
+        return acts, z
+
+    def fit(self, X, y):
+        """y: label strings (exclusive) or positives (binary)."""
+        X = np.asarray(X, dtype=float)
+        mu, sd = X.mean(axis=0), X.std(axis=0) + 1e-9
+        self._norm = (mu, sd)
+        Xn = (X - mu) / sd
+        n = len(X)
+        binary = self.labels is None
+        if binary:
+            Y = np.asarray(
+                [1.0 if str(v) == str(self.positive_literal) else 0.0 for v in y]
+            ).reshape(-1, 1)
+            out_dim = 1
+        else:
+            idx = {l: i for i, l in enumerate(self.labels)}
+            Y = np.zeros((n, len(self.labels)))
+            for r, v in enumerate(y):
+                Y[r, idx[str(v)]] = 1.0
+            out_dim = len(self.labels)
+        rng = np.random.RandomState(self.seed)
+        dims = [X.shape[1]] + self.hidden_layers + [out_dim]
+        self._params = [
+            (rng.randn(dims[i], dims[i + 1]) * 0.5, np.zeros(dims[i + 1]))
+            for i in range(len(dims) - 1)
+        ]
+        adam = self.optimizer == "adam"
+        if adam:
+            mstate = [(np.zeros_like(w), np.zeros_like(b)) for w, b in self._params]
+            vstate = [(np.zeros_like(w), np.zeros_like(b)) for w, b in self._params]
+            b1, b2, eps = 0.9, 0.999, 1e-8
+        for t in range(1, self.epochs + 1):
+            acts, z = self._forward(Xn)
+            if binary:
+                p = 1.0 / (1.0 + np.exp(-z))
+            else:
+                e = np.exp(z - z.max(axis=1, keepdims=True))
+                p = e / e.sum(axis=1, keepdims=True)
+            dz = (p - Y) / n  # cross-entropy gradient for both heads
+            grads = []
+            for li in range(len(self._params) - 1, -1, -1):
+                w, _ = self._params[li]
+                grads.append((acts[li].T @ dz, dz.sum(axis=0)))
+                if li > 0:
+                    dz = dz @ w.T * (1 - acts[li] ** 2)
+            grads.reverse()
+            new_params = []
+            for li, ((w, b), (dw, db)) in enumerate(zip(self._params, grads)):
+                if adam:
+                    mw, mb = mstate[li]
+                    vw, vb = vstate[li]
+                    mw = b1 * mw + (1 - b1) * dw
+                    mb = b1 * mb + (1 - b1) * db
+                    vw = b2 * vw + (1 - b2) * dw**2
+                    vb = b2 * vb + (1 - b2) * db**2
+                    mstate[li], vstate[li] = (mw, mb), (vw, vb)
+                    mw_h, mb_h = mw / (1 - b1**t), mb / (1 - b1**t)
+                    vw_h, vb_h = vw / (1 - b2**t), vb / (1 - b2**t)
+                    w = w - self.lr * mw_h / (np.sqrt(vw_h) + eps)
+                    b = b - self.lr * mb_h / (np.sqrt(vb_h) + eps)
+                else:
+                    w = w - self.lr * dw
+                    b = b - self.lr * db
+                new_params.append((w, b))
+            self._params = new_params
+        return self
+
+    def predict_proba(self, X):
+        X = np.asarray(X, dtype=float)
+        mu, sd = self._norm
+        _, z = self._forward((X - mu) / sd)
+        if self.labels is None:
+            return 1.0 / (1.0 + np.exp(-z))
+        e = np.exp(z - z.max(axis=1, keepdims=True))
+        return e / e.sum(axis=1, keepdims=True)
+
+    def predict(self, X):
+        """Label strings: argmax label (exclusive) or the positive literal /
+        '' below threshold (binary; reference materializes only positives)."""
+        p = self.predict_proba(X)
+        if self.labels is None:
+            return [self.positive_literal if v >= 0.5 else "" for v in p.ravel()]
+        return [self.labels[i] for i in p.argmax(axis=1)]
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            **{f"w{i}": w for i, (w, _) in enumerate(self._params)},
+            **{f"b{i}": b for i, (_, b) in enumerate(self._params)},
+            mu=self._norm[0],
+            sd=self._norm[1],
+        )
+
+
 @dataclass
 class NeuralRelation:
     """``NEURAL RELATION pred { features, anchor }`` — after fit(), the

@@ -68,13 +68,17 @@ def numeric_feature_columns(df: DataFrame) -> list[str]:
 
 
 def run_ml_predict(df: DataFrame, model_fn, output_var: str) -> DataFrame:
-    """Append the model's prediction for each input row."""
+    """Append the model's prediction for each input row. Models declaring
+    ``output_type = "string"`` (classifiers emitting labels, e.g.
+    MLPClassifier for OUTPUT EXCLUSIVE/BINARY) get a string output column;
+    everything else stays double (regression)."""
     feats = numeric_feature_columns(df)
     if not feats:
         raise ValueError("ML.PREDICT input has no numeric feature columns")
     cols = list(df.columns)
+    out_type = getattr(model_fn, "output_type", "double")
     out_schema = ", ".join(
-        [f"`{c}` string" for c in cols] + [f"`{output_var}` double"]
+        [f"`{c}` string" for c in cols] + [f"`{output_var}` {out_type}"]
     )
 
     def run(batches):
@@ -85,7 +89,10 @@ def run_ml_predict(df: DataFrame, model_fn, output_var: str) -> DataFrame:
             fn = getattr(model_fn, "predict", model_fn)
             preds = fn(X)
             out = pdf[cols].astype(str)
-            out[output_var] = [float(p) for p in preds]
+            if out_type == "string":
+                out[output_var] = [str(p) for p in preds]
+            else:
+                out[output_var] = [float(p) for p in preds]
             yield out
 
     return df.mapInPandas(run, schema=out_schema)

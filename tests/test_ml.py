@@ -88,3 +88,167 @@ def test_neural_relation_train_and_materialize(engine):
     p2 = rel.model.predict(np.array([[20.0, 40.0]]))[0]
     p3 = rel.model.predict(np.array([[20.0, 40.0]]))[0]
     assert p2 == p3
+
+
+# ---------------- MODEL / NEURAL RELATION / TRAIN query-text grammar
+# (reference parser.rs:2219-2503, neural_relations.rs:375-553; scenario
+# mirrors examples/sparql_syntax/ml_train/predict_after_train.rs)
+def _seed_digit_store(engine):
+    for sample, label, x0, x1, x2 in [
+        ("s0", "A", "1", "0", "0"),
+        ("s1", "A", "1", "0", "0"),
+        ("s2", "B", "0", "1", "0"),
+        ("s3", "B", "0", "1", "0"),
+        ("s4", "C", "0", "0", "1"),
+        ("s5", "C", "0", "0", "1"),
+    ]:
+        engine.add_triples(
+            [
+                (sample, "http://example.org/x0", x0),
+                (sample, "http://example.org/x1", x1),
+                (sample, "http://example.org/x2", x2),
+                (sample, "http://example.org/gold", label),
+            ]
+        )
+
+
+TRAIN_PROGRAM = """
+PREFIX ex: <http://example.org/>
+
+MODEL "digit_model" {
+    ARCH MLP { HIDDEN [16, 8] }
+    OUTPUT EXCLUSIVE { "A", "B", "C" }
+}
+
+NEURAL RELATION ex:predictedDigit USING MODEL "digit_model" {
+    INPUT {
+        ?sample ex:x0 ?x0 .
+        ?sample ex:x1 ?x1 .
+        ?sample ex:x2 ?x2 .
+    }
+    FEATURES { ?x0, ?x1, ?x2 }
+}
+
+TRAIN NEURAL RELATION ex:predictedDigit {
+    DATA { ?sample ex:gold ?label . }
+    LABEL ?label
+    TARGET { ?sample ex:predictedDigit ?label }
+    LOSS cross_entropy
+    OPTIMIZER adam
+    LEARNING_RATE 0.1
+    EPOCHS 80
+    BATCH_SIZE 4
+}
+"""
+
+
+def test_neural_program_parses_full_grammar():
+    from kolibrie_spark.ml.program import parse_neural_program
+
+    prog = parse_neural_program(TRAIN_PROGRAM)
+    assert [m.name for m in prog.models] == ["digit_model"]
+    assert prog.models[0].hidden_layers == [16, 8]
+    assert prog.models[0].labels == ["A", "B", "C"]
+    nr = prog.relations[0]
+    assert nr.predicate == "http://example.org/predictedDigit"
+    assert nr.model_name == "digit_model"
+    assert nr.feature_vars == ["x0", "x1", "x2"]
+    assert nr.anchor_var == "sample"
+    tr = prog.trains[0]
+    assert tr.predicate == "http://example.org/predictedDigit"
+    assert (tr.label_var, tr.loss, tr.optimizer) == ("?label".lstrip("?"), "cross_entropy", "adam")
+    assert (tr.learning_rate, tr.epochs, tr.batch_size) == (0.1, 80, 4)
+    assert "ex:predictedDigit" in tr.target_triple
+
+
+def test_neural_program_train_materializes_and_predicts(engine):
+    """execute_query accepts the full TRAIN script, materializes the
+    relation as predicate facts, then answers a top-level ML.PREDICT."""
+    _seed_digit_store(engine)
+    assert engine.execute_query(TRAIN_PROGRAM) is None
+    got = dict(
+        engine.execute(
+            "SELECT ?s ?l WHERE { ?s <http://example.org/predictedDigit> ?l }"
+        )
+    )
+    assert got == {
+        "s0": "A", "s1": "A", "s2": "B", "s3": "B", "s4": "C", "s5": "C",
+    }
+    predict = """
+PREFIX ex: <http://example.org/>
+ML.PREDICT(MODEL "digit_model",
+    INPUT {
+        SELECT ?sample ?x0 ?x1 ?x2
+        WHERE {
+            ?sample ex:x0 ?x0 .
+            ?sample ex:x1 ?x1 .
+            ?sample ex:x2 ?x2 .
+            FILTER (?x0 > 0)
+        }
+    },
+    OUTPUT ?label
+)
+"""
+    rows = engine.execute_query(predict).collect()
+    assert {(r.sample, r.label) for r in rows} == {("s0", "A"), ("s1", "A")}
+
+
+def test_neural_program_binary_output_materializes_positives_only(engine):
+    for sample, hot, x in [
+        ("m0", "hot", "5"), ("m1", "hot", "6"), ("m2", "cold", "0"),
+        ("m3", "cold", "1"), ("m4", "hot", "7"), ("m5", "cold", "0"),
+    ]:
+        engine.add_triples(
+            [
+                (sample, "http://example.org/temp", x),
+                (sample, "http://example.org/goldTag", hot),
+            ]
+        )
+    program = """
+PREFIX ex: <http://example.org/>
+MODEL "hot_model" {
+    ARCH MLP { HIDDEN [8] }
+    OUTPUT BINARY { "hot" }
+}
+NEURAL RELATION ex:isHot USING MODEL "hot_model" {
+    INPUT { ?m ex:temp ?t . }
+    FEATURES { ?t }
+}
+TRAIN NEURAL RELATION ex:isHot {
+    DATA { ?m ex:goldTag ?g . }
+    LABEL ?g
+    TARGET { ?m ex:isHot ?g }
+    LOSS cross_entropy
+    OPTIMIZER adam
+    LEARNING_RATE 0.2
+    EPOCHS 200
+    BATCH_SIZE 6
+}
+"""
+    engine.execute_query(program)
+    got = engine.execute("SELECT ?s ?l WHERE { ?s <http://example.org/isHot> ?l }")
+    assert sorted(r[0] for r in got) == ["m0", "m1", "m4"]
+    assert {r[1] for r in got} == {"hot"}
+
+
+def test_neural_program_save_to(engine, tmp_path):
+    import numpy as np
+
+    _seed_digit_store(engine)
+    path = str(tmp_path / "digit.npz")
+    engine.execute_query(
+        TRAIN_PROGRAM.replace(
+            "    BATCH_SIZE 4\n", f'    BATCH_SIZE 4\n    SAVE_TO "{path}"\n'
+        )
+    )
+    saved = np.load(path)
+    assert "w0" in saved and "mu" in saved
+
+
+def test_neural_program_rejects_garbage_tail():
+    from kolibrie_spark.ml.program import parse_neural_program
+
+    with pytest.raises(ValueError, match="only MODEL"):
+        parse_neural_program(
+            'MODEL "m" { ARCH MLP { HIDDEN [4] } OUTPUT BINARY { "x" } } SELECT ?s'
+        )
