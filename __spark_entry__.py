@@ -501,28 +501,56 @@ def _q_ml_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing at gate level: documents' text bytes treated as
-    opaque blobs through the mapInPandas feature extractor (deterministic
-    fake decoder — rows-only check; a real decoder is stubbed by design)."""
-    from pyspark.sql import functions as F
-
-    from kolibrie_spark.operators.multimodal import extract_features
+    """Multimodal gate with REAL header-level decode: each document row
+    synthesizes a valid media file (PNG / JPEG / WAV rotating by doc_id,
+    dimensions/duration derived from doc_id), and ``extract_headers``
+    parses the actual container bytes back (PNG IHDR, JPEG SOF0, RIFF
+    fmt+data) — so the DuckDB oracle can verify every decoded value.
+    Pixel/sample decoding remains behind the pluggable decoder stub."""
+    from kolibrie_spark.operators.multimodal import (
+        build_jpeg,
+        build_png,
+        build_wav,
+        extract_headers,
+    )
     from kolibrie_spark.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").cast("string").alias("media_id"),
-        F.lit("text/plain").alias("mime"),
-        F.encode("text", "utf-8").alias("data"),
-        F.struct(
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("int").alias("duration_ms"),
-        ).alias("meta"),
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 3 == 0:
+                    blob, mime = build_png(did % 64 + 8, did % 48 + 8), "image/png"
+                elif did % 3 == 1:
+                    blob, mime = build_jpeg(did % 320 + 8, did % 240 + 8), "image/jpeg"
+                else:
+                    blob, mime = build_wav((did % 100 + 10) * 8), "audio/wav"
+                out.append((str(did), mime, blob))
+            yield pd.DataFrame(out, columns=["media_id", "mime", "data"])
+
+    media = docs.mapInPandas(make, schema="media_id string, mime string, data binary")
+    return extract_headers(media).select(
+        "media_id", "format", "width", "height", "duration_ms"
     )
-    out = extract_features(media)
-    return out.select(
-        "media_id", F.element_at("feature", 1).alias("f0"), "decode_error"
+
+
+def _multimodal_features_oracle() -> str:
+    """The decoded header values must round-trip the construction formulas
+    (WAV: n=(d%100+10)*8 samples at 8 kHz mono 16-bit → d%100+10 ms)."""
+    return (
+        "SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+        "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format, "
+        "CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 64 + 8 AS INT) "
+        "WHEN 1 THEN CAST(doc_id % 320 + 8 AS INT) END AS width, "
+        "CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 48 + 8 AS INT) "
+        "WHEN 1 THEN CAST(doc_id % 240 + 8 AS INT) END AS height, "
+        "CASE doc_id % 3 WHEN 2 THEN CAST(doc_id % 100 + 10 AS INT) END AS duration_ms "
+        "FROM documents"
     )
 
 
@@ -776,6 +804,96 @@ def _sim_topk_oracle() -> str:
     )
 
 
+def _dedup_simhash_oracle() -> str:
+    """DuckDB twin of simhash_near_pairs: FNV-1a-64 per token (hugeint
+    arithmetic mod 2^64), per-bit majority vote, byte-reversed packing
+    (numpy packbits MSB-first + big-endian view), exact all-pairs hamming
+    (the Spark side's 4-block join is pure candidate pruning — for
+    max_hamming=3 at least one 16-bit block matches, so results are equal).
+    Documents are ASCII, so ord(char) == utf8 byte."""
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+utoks AS (SELECT DISTINCT tok FROM toks),
+hashed AS (
+  SELECT tok,
+    CAST(list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+        list_transform(generate_series(1, length(tok)), i -> ord(tok[i])::HUGEINT)),
+      (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+    ) AS UBIGINT) AS h
+  FROM utoks
+),
+bits AS (
+  SELECT t.doc_id, g.b,
+    CASE WHEN (h.h >> (8*(7 - g.b//8) + (g.b%8))) & 1 = 1 THEN 1 ELSE -1 END AS pm
+  FROM toks t JOIN hashed h USING (tok)
+  CROSS JOIN generate_series(0, 63) g(b)
+),
+agg AS (
+  SELECT doc_id, b, CASE WHEN SUM(pm) > 0 THEN 1 ELSE 0 END AS bit
+  FROM bits GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id,
+    SUM(CASE WHEN bit = 1 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END) AS uh
+  FROM agg GROUP BY 1
+),
+final AS (
+  SELECT doc_id,
+    CAST(CASE WHEN uh >= 9223372036854775808 THEN uh - 18446744073709551616
+              ELSE uh END AS BIGINT) AS simhash
+  FROM sh
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM final a JOIN final b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _sim_topk_lsh_oracle() -> str:
+    """DuckDB twin of lsh_bucket_topk (bits=8, nprobe=32, seed=42): the
+    hyperplanes are deterministic (seeded, rounded to 6 decimals) and baked
+    in as literals; signatures use the same left-fold dot product as the
+    Spark side; probed buckets = 32 nearest by hamming with ascending-id
+    tie-break (Python's stable sort over an increasing range)."""
+    from kolibrie_spark.operators.similarity import cosine_duckdb_sql, hyperplanes
+
+    planes = hyperplanes(64, 8, 42)
+    plane_sql = (
+        "[" + ", ".join("[" + ", ".join(repr(x) for x in p) + "]" for p in planes) + "]"
+    )
+    dot_vp = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform(generate_series(1, 64), k -> {v}[k] * ps[j+1][k])), "
+        "(acc, x) -> acc + x)"
+    )
+    sig = (
+        "list_aggregate(list_transform(generate_series(0, 7), "
+        "j -> CASE WHEN " + dot_vp + " >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END), 'sum')"
+    )
+    cos = cosine_duckdb_sql("v", "qv")
+    return f"""
+WITH planes AS (SELECT {plane_sql}::DOUBLE[][] AS ps),
+q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0),
+qs AS (SELECT {sig.format(v='qv')} AS qsig FROM q, planes),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+esig AS (SELECT vec_id, v, {sig.format(v='v')} AS bucket FROM e, planes),
+probed AS (
+  SELECT g.b FROM generate_series(0, 255) g(b), qs
+  ORDER BY bit_count(xor(g.b, qs.qsig)), g.b LIMIT 32
+)
+SELECT vec_id, {cos} AS cosine
+FROM esig, q WHERE bucket IN (SELECT b FROM probed)
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
 def _ngram_jaccard_oracle() -> str:
     from kolibrie_spark.operators.dedup import ngram_jaccard_pairs_duckdb_sql
 
@@ -923,14 +1041,17 @@ def oracle_sql() -> dict[str, str]:
             "'urn:supplier:' || CAST(s_suppkey AS VARCHAR) AS subj, "
             "s_name AS obj FROM supplier"
         ),
-        # --- LLM-pipeline operators (dedup_simhash / sim_topk_lsh are
-        # approximate-by-design => rows-only checks, deliberately no oracle)
+        # --- LLM-pipeline operators. dedup_simhash / sim_topk_lsh are
+        # approximate indexes but fully DETERMINISTIC (FNV token hashes,
+        # seeded hyperplanes), so they get value-exact DuckDB twins too.
         "dedup_exact": (
             "SELECT MIN(doc_id) AS doc_id, substr(text, 1, 40) AS key "
             "FROM documents GROUP BY substr(text, 1, 40)"
         ),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "dedup_minhash_lsh": _ngram_jaccard_oracle(),
+        "dedup_simhash": _dedup_simhash_oracle(),
+        "sim_topk_lsh": _sim_topk_lsh_oracle(),
         "dedup_embedding_cosine": _embedding_cosine_oracle(),
         "sim_topk_cosine": _sim_topk_oracle(),
         "sim_topk_ivf": _sim_topk_ivf_oracle(),
@@ -965,7 +1086,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT EXISTS (SELECT 1 FROM w p WHERE "
             "p.window_open = w.window_open - 3600 AND p.u = w.u AND p.t = w.t)"
         ),
-        # multimodal_features: rows-only (the decoder is a stub by design)
+        "multimodal_features": _multimodal_features_oracle(),
         "ml_predict": (
             "SELECT 'urn:part:' || CAST(p_partkey AS VARCHAR) AS part, "
             "CAST(p_retailprice AS VARCHAR) AS price, "

@@ -278,3 +278,38 @@ def test_ngram_jaccard_heavy_shingle_salting_exact(spark):
         ).collect()
     }
     assert salted == unsalted and len(salted) == 190  # all C(20,2) pairs share
+
+
+def test_media_header_roundtrip():
+    """Real container codecs: build → parse recovers the header values."""
+    from kolibrie_spark.operators.multimodal import (
+        build_jpeg, build_png, build_wav,
+        parse_jpeg_header, parse_media_header, parse_png_header, parse_wav_header,
+    )
+
+    png = parse_png_header(build_png(123, 45))
+    assert (png["format"], png["width"], png["height"]) == ("png", 123, 45)
+    jpg = parse_jpeg_header(build_jpeg(640, 480))
+    assert (jpg["format"], jpg["width"], jpg["height"]) == ("jpeg", 640, 480)
+    wav = parse_wav_header(build_wav(4000, sample_rate=8000, channels=2, bits=16))
+    assert wav["duration_ms"] == 500 and wav["sample_rate"] == 8000
+    assert wav["channels"] == 2
+    # sniffing dispatches on magic bytes
+    assert parse_media_header(build_png(3, 4))["format"] == "png"
+    assert parse_media_header(build_wav(80))["format"] == "wav"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown media container"):
+        parse_media_header(b"garbage")
+
+
+def test_extract_headers_isolates_corrupt_blobs(spark):
+    from kolibrie_spark.operators.multimodal import build_png, extract_headers
+
+    rows = [
+        ("ok", "image/png", bytearray(build_png(10, 20))),
+        ("bad", "image/png", bytearray(b"\x89PNG\r\n\x1a\nXXXX")),  # truncated
+    ]
+    df = spark.createDataFrame(rows, "media_id string, mime string, data binary")
+    out = {r.media_id: r for r in extract_headers(df).collect()}
+    assert out["ok"].width == 10 and out["ok"].decode_error is None
+    assert out["bad"].width is None and out["bad"].decode_error is not None
