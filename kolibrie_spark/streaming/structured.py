@@ -59,10 +59,17 @@ def window_assignments(df: DataFrame, time_col: str, width: int, slide: int) -> 
 
 @dataclass
 class StructuredRSP:
+    """``sink``: a callable(DataFrame) receiving each emission *as a
+    DataFrame inside the batch* — the scale path; result rows never touch
+    the driver (write to a results table, forward to a writer, ...).
+    Without a sink, emissions collect into ``self.emissions`` — the debug/
+    test mode. ``parquet_sink(path)`` is a ready-made appending sink."""
+
     spark: SparkSession
     query: RSPQLQuery
     static_store: QuadStore | None = None
     watermark: int | None = None
+    sink: object | None = None
     emissions: list = field(default_factory=list)
 
     def __post_init__(self):
@@ -173,6 +180,11 @@ class StructuredRSP:
             )
         if op in ("ISTREAM", "DSTREAM"):
             self._r2s_state = df
+        if self.sink is not None:
+            # scale path: hand the emission DataFrame to the sink inside
+            # the batch — no driver-side materialization of result rows
+            self.sink(out_df)
+            return []
         rows = [sorted(r.asDict().items()) for r in out_df.collect()]
         self.emissions.extend(rows)
         return rows
@@ -212,15 +224,27 @@ class StructuredRSP:
         )
 
 
+def parquet_sink(path: str):
+    """Appending results-table sink for StructuredRSP (one parquet append
+    per emission; executors write, the driver never sees rows)."""
+
+    def sink(out_df: DataFrame) -> None:
+        out_df.write.mode("append").parquet(path)
+
+    return sink
+
+
 def compile_structured(
     spark: SparkSession,
     query_text: str,
     static_store: QuadStore | None = None,
     watermark: int | None = None,
+    sink=None,
 ) -> StructuredRSP:
     return StructuredRSP(
         spark=spark,
         query=parse_rspql(query_text),
         static_store=static_store,
         watermark=watermark,
+        sink=sink,
     )

@@ -207,3 +207,71 @@ def test_database_union(spark):
     merged = a.union(b)
     assert merged.quads.count() == 3  # shared quad deduped
     assert merged.named_graph_names().count() == 1
+
+
+def test_sink_mode_no_driver_materialization(spark, tmp_path):
+    """Scale path (VERDICT r1 #3): with a sink, emissions are handed to it
+    as DataFrames inside the batch and nothing collects on the driver; the
+    sunk results equal collect-mode output."""
+    from kolibrie_spark.streaming.structured import compile_structured, parquet_sink
+
+    query = """REGISTER RSTREAM <out> AS SELECT *
+           FROM NAMED WINDOW :w ON :s1 [RANGE 4 STEP 2]
+           WHERE { WINDOW :w { ?s <reading> ?v } }"""
+    rows = [(f"dev{t}", "reading", str(t), "s1", t) for t in range(8)]
+
+    path = str(tmp_path / "results")
+    sunk_frames = []
+
+    def spy_sink(out_df):
+        assert hasattr(out_df, "write")  # a DataFrame, not rows
+        sunk_frames.append(out_df)
+        parquet_sink(path)(out_df)
+
+    q_sink = compile_structured(spark, query, sink=spy_sink)
+    returned = q_sink.run_events_df(events_df(spark, rows), batch_seconds=4)
+    assert returned == [] and q_sink.emissions == []  # nothing on the driver
+    assert sunk_frames
+
+    q_collect = compile_structured(spark, query)
+    q_collect.run_events_df(events_df(spark, rows), batch_seconds=4)
+    expected = sorted(tuple(sorted(r)) for r in q_collect.emissions)
+    got = sorted(
+        tuple(sorted(r.asDict().items())) for r in spark.read.parquet(path).collect()
+    )
+    assert got == expected
+
+
+def test_start_foreachbatch_with_sink(spark, tmp_path):
+    """start() drives process_batch through a real foreachBatch stream; in
+    sink mode the results land in the results table only."""
+    import time
+
+    from kolibrie_spark.streaming.structured import compile_structured, parquet_sink
+
+    src_dir, ckpt, results = (
+        str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "res"),
+    )
+    rows = [(f"dev{t}", "reading", str(t), None, "s1", t) for t in range(8)]
+    spark.createDataFrame(
+        rows,
+        "s string, p string, o string, g string, stream string, event_time long",
+    ).write.parquet(src_dir)
+
+    q = compile_structured(
+        spark,
+        """REGISTER RSTREAM <out> AS SELECT *
+           FROM NAMED WINDOW :w ON :s1 [RANGE 4 STEP 2]
+           WHERE { WINDOW :w { ?s <reading> ?v } }""",
+        sink=parquet_sink(results),
+    )
+    stream = (
+        spark.readStream.schema(
+            "s string, p string, o string, g string, stream string, event_time long"
+        ).parquet(src_dir)
+    )
+    sq = q.start(stream, ckpt)
+    sq.processAllAvailable()
+    sq.stop()
+    assert q.emissions == []
+    assert spark.read.parquet(results).count() > 0
