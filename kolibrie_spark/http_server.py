@@ -1,0 +1,249 @@
+"""HTTP endpoint over SparqlEngine / RSPEngine.
+
+Mirrors the reference server's routes (kolibrie-http-server/src/main.rs:
+598-623 request router, 649-773 rsp_register, 775-826 rsp_push, 828-878
+SSE handler, 896-1127 /query with RDF context + rules):
+
+- ``GET  /``                 playground placeholder
+- ``POST /query``            {sparql | queries[], rdf?, format?, n3logic?,
+                              rule? | rules[]} → {"results": [...]}
+- ``POST /update``           {sparql} SPARQL Update against the app store
+- ``POST /rsp-query``        one-shot RSP replay: {query, events[]}
+- ``POST /rsp/register``     {query, static_rdf?, static_format?, n3logic?,
+                              sparql_rules?} → {"session_id": "..."}
+- ``POST /rsp/push``         {session_id, stream, timestamp, ntriples}
+- ``GET  /rsp/events/<id>``  text/event-stream of result rows as JSON
+
+Divergence (documented): the reference's SSE connection stays open and
+forwards rows live from a channel; Flask's test-oriented generator here
+drains the session's buffered emissions and closes after a trailing
+``event: firing`` — the payload format (one JSON object per ``data:``
+line) is identical, so a client consuming the reference's stream parses
+ours unchanged. Gate the import so environments without Flask still
+import kolibrie_spark (SURVEY scoped the server out-of-core in round 1;
+this closes the gap where Flask is available).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import time
+
+try:
+    from flask import Flask, Response, jsonify, request
+except ImportError as _e:  # pragma: no cover — container ships flask
+    Flask = None
+    _flask_error = _e
+
+_PLAYGROUND = """<!doctype html>
+<html><head><title>kolibrie_spark playground</title></head>
+<body><h1>kolibrie_spark</h1>
+<p>POST /query | /update | /rsp/register | /rsp/push; GET /rsp/events/&lt;id&gt;</p>
+</body></html>"""
+
+
+def _json_error(message: str, code: int = 400):
+    return jsonify({"error": message}), code
+
+
+def create_app(spark, store=None):
+    """App factory: one Spark session serves all requests (the reference
+    likewise builds one SparqlDatabase per /query call but shares the
+    process)."""
+    if Flask is None:  # pragma: no cover
+        raise ImportError(f"flask is required for the HTTP server: {_flask_error}")
+
+    from kolibrie_spark.engine import SparqlEngine
+    from kolibrie_spark.store import QuadStore
+
+    app = Flask("kolibrie_spark")
+    app.config["SPARK"] = spark
+    # persistent store for /update round-trips
+    app.config["ENGINE"] = SparqlEngine(spark, store or QuadStore(spark))
+    sessions: dict[str, dict] = {}
+    session_counter = itertools.count()
+
+    # ------------------------------------------------------------------ UI
+    @app.get("/")
+    def playground():
+        return Response(_PLAYGROUND, mimetype="text/html")
+
+    # --------------------------------------------------------------- query
+    def _load_context_engine(req: dict) -> SparqlEngine:
+        engine = SparqlEngine(spark)
+        rdf = (req.get("rdf") or "").strip()
+        if rdf:
+            fmt = {
+                "ntriples": "ntriples",
+                "turtle": "turtle",
+                "rdfxml": "rdfxml",
+            }.get(req.get("format", "rdfxml"), "rdfxml")
+            engine.parse_data(rdf, fmt=fmt)
+        n3 = (req.get("n3logic") or "").strip()
+        if n3 and "=>" in n3:
+            engine.add_rules_n3(n3)
+            engine.materialize()
+        rules = list(req.get("rules") or [])
+        if req.get("rule"):
+            rules.insert(0, req["rule"])
+        for rule_def in rules:
+            if rule_def.strip():
+                engine.register_rule(rule_def)
+                engine.materialize()
+        return engine
+
+    @app.post("/query")
+    def query():
+        req = request.get_json(silent=True)
+        if req is None:
+            return _json_error("Invalid JSON")
+        queries = []
+        if req.get("sparql"):
+            queries.append(req["sparql"])
+        queries.extend(req.get("queries") or [])
+        if not queries:
+            return _json_error("No queries provided")
+        try:
+            engine = _load_context_engine(req)
+        except Exception as e:  # noqa: BLE001
+            return _json_error(f"{type(e).__name__}: {e}")
+        results = []
+        for idx, q in enumerate(queries):
+            t0 = time.time()
+            try:
+                data = engine.execute(q)
+            except Exception as e:  # noqa: BLE001
+                return _json_error(f"query {idx}: {type(e).__name__}: {e}")
+            results.append(
+                {
+                    "query_index": idx,
+                    "query": q,
+                    "data": data,
+                    "execution_time_ms": (time.time() - t0) * 1000.0,
+                }
+            )
+        return jsonify({"results": results})
+
+    @app.post("/update")
+    def update():
+        req = request.get_json(silent=True)
+        if req is None or not req.get("sparql"):
+            return _json_error("No update provided")
+        try:
+            app.config["ENGINE"].update(req["sparql"])
+        except Exception as e:  # noqa: BLE001
+            return _json_error(f"{type(e).__name__}: {e}")
+        return jsonify({"status": "ok"})
+
+    # ----------------------------------------------------------------- RSP
+    def _build_rsp(req: dict):
+        from kolibrie_spark.streaming.engine import RSPEngine
+
+        results: list[dict] = []
+
+        def consumer(row):
+            results.append(dict(row))
+
+        engine = RSPEngine(spark, req["query"], consumer=consumer)
+        static_rdf = (req.get("static_rdf") or "").strip()
+        if static_rdf:
+            from kolibrie_spark import rdfio
+
+            rdfio.parse_into(
+                engine.static_store, static_rdf, fmt=req.get("static_format", "turtle")
+            )
+        return engine, results
+
+    def _push_ntriples(engine, stream: str, timestamp: int, ntriples: str) -> int:
+        from kolibrie_spark.rdfio.parsers import parse_ntriples
+
+        triples, _quoted = parse_ntriples(ntriples)
+        for t in triples:
+            engine.add_to_stream(stream, t, timestamp)
+        return len(triples)
+
+    @app.post("/rsp-query")
+    def rsp_query():
+        """One-shot replay: {query, events: [{stream, timestamp, ntriples}]}
+        (the reference's legacy /rsp-query evaluates a query over a pushed
+        timeline in one request)."""
+        req = request.get_json(silent=True)
+        if req is None or not req.get("query"):
+            return _json_error("No query provided")
+        try:
+            engine, results = _build_rsp(req)
+            for ev in req.get("events") or []:
+                _push_ntriples(
+                    engine, ev.get("stream", "default"),
+                    int(ev.get("timestamp", 0)), ev.get("ntriples", ""),
+                )
+        except Exception as e:  # noqa: BLE001
+            return _json_error(f"{type(e).__name__}: {e}")
+        return jsonify({"results": results})
+
+    @app.post("/rsp/register")
+    def rsp_register():
+        req = request.get_json(silent=True)
+        if req is None or not req.get("query"):
+            return _json_error("No query provided")
+        try:
+            engine, results = _build_rsp(req)
+            # rules enrich the static side before windows join against it
+            n3 = (req.get("n3logic") or "").strip()
+            sparql_rules = [r for r in (req.get("sparql_rules") or []) if r.strip()]
+            if (n3 and "=>" in n3) or sparql_rules:
+                se = SparqlEngine(spark, engine.static_store)
+                if n3 and "=>" in n3:
+                    se.add_rules_n3(n3)
+                for rule_def in sparql_rules:
+                    se.register_rule(rule_def)
+                se.materialize()
+        except Exception as e:  # noqa: BLE001
+            return _json_error(f"Failed to build RSP engine: {type(e).__name__}: {e}")
+        sid = str(next(session_counter))
+        sessions[sid] = {"engine": engine, "results": results, "cursor": 0}
+        return jsonify({"session_id": sid})
+
+    @app.post("/rsp/push")
+    def rsp_push():
+        req = request.get_json(silent=True)
+        if req is None:
+            return _json_error("Invalid JSON")
+        sess = sessions.get(str(req.get("session_id")))
+        if sess is None:
+            return _json_error("Session not found", 404)
+        ntriples = (req.get("ntriples") or "").strip()
+        if not ntriples:
+            return jsonify({"status": "ok"})
+        try:
+            n = _push_ntriples(
+                sess["engine"], req.get("stream", "default"),
+                int(req.get("timestamp", 0)), ntriples,
+            )
+        except Exception as e:  # noqa: BLE001
+            return _json_error(f"{type(e).__name__}: {e}")
+        return jsonify({"status": "ok", "triples": n})
+
+    @app.get("/rsp/events/<sid>")
+    def rsp_events(sid):
+        sess = sessions.get(sid)
+        if sess is None:
+            return _json_error("Session not found", 404)
+
+        def stream():
+            start = sess["cursor"]
+            emitted = sess["results"][start:]
+            sess["cursor"] = start + len(emitted)
+            for row in emitted:
+                yield f"data: {json.dumps(row)}\n\n"
+            yield "event: firing\ndata: {}\n\n"
+
+        return Response(stream(), mimetype="text/event-stream")
+
+    return app
+
+
+def serve(spark, host: str = "127.0.0.1", port: int = 7878):  # pragma: no cover
+    """Run the endpoint (reference binds 0.0.0.0:7878)."""
+    create_app(spark).run(host=host, port=port, threaded=False)

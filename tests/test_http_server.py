@@ -1,0 +1,171 @@
+"""HTTP endpoint (reference kolibrie-http-server/src/main.rs routes):
+/query with RDF context + rules, /update round-trip, RSP register → push →
+events session flow — all through Flask's test client."""
+
+import json
+
+import pytest
+
+flask = pytest.importorskip("flask")
+
+
+@pytest.fixture(scope="module")
+def client(spark):
+    from kolibrie_spark.http_server import create_app
+
+    app = create_app(spark)
+    app.testing = True
+    return app.test_client()
+
+
+def test_playground(client):
+    r = client.get("/")
+    assert r.status_code == 200 and b"kolibrie_spark" in r.data
+
+
+def test_query_with_turtle_context(client):
+    r = client.post(
+        "/query",
+        json={
+            "sparql": "SELECT ?n WHERE { ?s <http://ex/name> ?n } ORDER BY ?n",
+            "rdf": """@prefix ex: <http://ex/> .
+                      ex:a ex:name "alice" . ex:b ex:name "bob" .""",
+            "format": "turtle",
+        },
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["results"][0]["data"] == [["alice"], ["bob"]]
+    assert body["results"][0]["execution_time_ms"] > 0
+
+
+def test_query_multiple_queries_and_rule(client):
+    r = client.post(
+        "/query",
+        json={
+            "queries": [
+                "SELECT ?z WHERE { <http://ex/a> <http://ex/grandparent> ?z }",
+                "SELECT (COUNT(?s) AS ?c) WHERE { ?s ?p ?o }",
+            ],
+            "rdf": "<http://ex/a> <http://ex/parent> <http://ex/b> .\n"
+            "<http://ex/b> <http://ex/parent> <http://ex/c> .\n",
+            "format": "ntriples",
+            "rule": "RULE :Grandparent :- "
+            "CONSTRUCT { ?x <http://ex/grandparent> ?z } "
+            "WHERE { ?x <http://ex/parent> ?y . ?y <http://ex/parent> ?z }",
+        },
+    )
+    assert r.status_code == 200
+    results = r.get_json()["results"]
+    assert results[0]["data"] == [["http://ex/c"]]
+    assert results[1]["data"] == [["3"]]  # 2 base + 1 inferred
+
+
+def test_query_with_n3logic(client):
+    r = client.post(
+        "/query",
+        json={
+            "sparql": "SELECT ?g WHERE { <A> <http://fam/guardian> ?g }",
+            "rdf": "<A> <http://fam/parent> <B> .",
+            "format": "ntriples",
+            "n3logic": "@prefix fam: <http://fam/> .\n"
+            "{ ?x fam:parent ?y . } => { ?x fam:guardian ?y . } .",
+        },
+    )
+    assert r.status_code == 200
+    assert r.get_json()["results"][0]["data"] == [["B"]]
+
+
+def test_query_errors(client):
+    assert client.post("/query", data="not json",
+                       content_type="application/json").status_code == 400
+    assert client.post("/query", json={}).status_code == 400
+
+
+def test_update_round_trip(client):
+    r = client.post(
+        "/update",
+        json={"sparql": 'INSERT DATA { <u:s> <u:p> "v" }'},
+    )
+    assert r.status_code == 200 and r.get_json()["status"] == "ok"
+    q = client.post("/query", json={"sparql": "SELECT ?o WHERE { <u:s> <u:p> ?o }"})
+    # /query uses a fresh context store; the /update store is the app's own
+    assert q.get_json()["results"][0]["data"] == []
+    # but a second update against the same store sees the first
+    r2 = client.post(
+        "/update",
+        json={"sparql": "DELETE WHERE { <u:s> <u:p> ?o }"},
+    )
+    assert r2.status_code == 200
+
+
+def test_rsp_register_push_events_round_trip(client):
+    reg = client.post(
+        "/rsp/register",
+        json={
+            "query": """REGISTER RSTREAM <out> AS SELECT *
+                FROM NAMED WINDOW <w> ON <s1> [RANGE 10 STEP 10]
+                WHERE { WINDOW <w> { ?s <http://ex/reading> ?v } }""",
+        },
+    )
+    assert reg.status_code == 200
+    sid = reg.get_json()["session_id"]
+
+    for t, (s, v) in enumerate([("d1", "7"), ("d2", "9")]):
+        push = client.post(
+            "/rsp/push",
+            json={
+                "session_id": sid,
+                "stream": "s1",
+                "timestamp": t,
+                "ntriples": f'<{s}> <http://ex/reading> "{v}" .',
+            },
+        )
+        assert push.status_code == 200 and push.get_json()["status"] == "ok"
+    # event at t=11 closes window [0,10)
+    client.post(
+        "/rsp/push",
+        json={
+            "session_id": sid, "stream": "s1", "timestamp": 11,
+            "ntriples": '<d3> <http://ex/reading> "1" .',
+        },
+    )
+    ev = client.get(f"/rsp/events/{sid}")
+    assert ev.status_code == 200
+    assert ev.mimetype == "text/event-stream"
+    payloads = [
+        json.loads(line[len("data: "):])
+        for line in ev.get_data(as_text=True).splitlines()
+        if line.startswith("data: ") and line != "data: {}"
+    ]
+    got = {(p["s"], p["v"]) for p in payloads}
+    assert got == {("d1", "7"), ("d2", "9")}
+
+
+def test_rsp_push_unknown_session(client):
+    r = client.post(
+        "/rsp/push",
+        json={"session_id": "nope", "stream": "s", "timestamp": 0,
+              "ntriples": "<a> <b> <c> ."},
+    )
+    assert r.status_code == 404
+
+
+def test_rsp_one_shot_query(client):
+    r = client.post(
+        "/rsp-query",
+        json={
+            "query": """REGISTER RSTREAM <out> AS SELECT *
+                FROM NAMED WINDOW <w> ON <s1> [RANGE 5 STEP 5]
+                WHERE { WINDOW <w> { ?s <http://ex/t> ?v } }""",
+            "events": [
+                {"stream": "s1", "timestamp": 1,
+                 "ntriples": '<x> <http://ex/t> "1" .'},
+                {"stream": "s1", "timestamp": 6,
+                 "ntriples": '<y> <http://ex/t> "2" .'},
+            ],
+        },
+    )
+    assert r.status_code == 200
+    rows = r.get_json()["results"]
+    assert {(p["s"], p["v"]) for p in rows} == {("x", "1")}
