@@ -22,46 +22,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_QUERIES = [
-    "scan_project",
-    "filter_numeric_gt",
-    "filter_arithmetic",
-    "star_join",
-    "join_fk",
-    "optional_left_join",
-    "minus_anti",
-    "filter_exists",
-    "path_seq_fk",
-    "path_plus_reach",
-    "groupby_agg",
-    "distinct_segments",
-    "order_by_desc_limit",
-    "union_multiset",
-    "values_undef",
-    "graph_var",
-    "from_merge_dedup",
-    "subquery_count_join",
-    "bind_concat",
-    "update_insert_where",
-    "rdf_star_annotate",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "sim_topk_cosine",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    "text_analyze",
-    "events_window_agg",
-    "reasoner_transitive_closure",
-    "streaming_istream_replay",
-    "streaming_dstream_replay",
-    "ml_predict",
-    "multimodal_features",
-    "builder_chain",
-    "asof_join_events_orders",
-]
+# The bench covers EVERY gate query (queries() is the source of truth), so
+# round-over-round regressions are visible on every operator.
 
 
 def main() -> None:
@@ -84,6 +46,7 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+    bench_queries = list(qs)
 
     t0 = time.time()
     entry_mod._base_store(spark, sf_dir)  # materialize the triplified quads
@@ -93,7 +56,7 @@ def main() -> None:
     # timing that shakes out GC pauses and first-touch JIT noise (each run
     # still covers plan construction + execution + count)
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         best, n = float("inf"), 0
         for _ in range(2):
             t1 = time.time()
