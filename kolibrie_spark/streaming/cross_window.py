@@ -161,6 +161,58 @@ def naive_sds_plus(
     return _project_outputs(_fixpoint(rules, _annotated_facts(sds, now)), sds)
 
 
+def dataframe_sds_plus(
+    spark, rules: list[Rule], sds: Sds, now: int, max_iter: int = 20
+) -> dict[str, list[Fact]]:
+    """DataFrame-backed SDS+ recompute for LARGE windows: the fixpoint runs
+    distributed through reasoner/fixpoint's tagged rule application with the
+    expiry as the provenance tag (⊗ = min over premise expiries, ⊕ = max
+    over alternative derivations — fixpoint.MIN_MAX is exactly that
+    algebra). Matches naive_sds_plus/IncrementalSdsPlus output
+    (cross_window_incremental.rs:26 maintenance semantics); the driver-side
+    variants stay the faithful small-window modes.
+
+    Per round: derive (fact, expiry) from all rules, merge with max() per
+    fact, stop when the (count, sum-of-expiry) pair stops changing —
+    expiries only grow and are drawn from a finite set, so this converges.
+    Static facts carry a never-expiring sentinel (2^62, an exact double).
+    """
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.reasoner.fixpoint import MIN_MAX, TAGGED_SCHEMA, apply_rule
+
+    base = _annotated_facts(sds, now)
+    facts = spark.createDataFrame(
+        [(s, p, o, float(e)) for (s, p, o), e in base.items()], TAGGED_SCHEMA
+    ).localCheckpoint(eager=True)
+    prev_stats = None
+    for _ in range(max_iter):
+        derived = None
+        for rule in rules:
+            d = apply_rule(facts, rule, semiring=MIN_MAX)
+            derived = d if derived is None else derived.unionByName(d)
+        if derived is None:
+            break
+        facts = (
+            facts.unionByName(derived)
+            .groupBy("s", "p", "o")
+            .agg(F.max("tag").alias("tag"))
+            .localCheckpoint(eager=True)
+        )
+        row = facts.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("tag").alias("te")
+        ).first()
+        stats = (row.n, row.te)
+        if stats == prev_stats:
+            break
+        prev_stats = stats
+    derived_facts = {
+        (r.s, r.p, r.o): int(r.tag)
+        for r in facts.filter(F.col("tag") > now).collect()
+    }
+    return _project_outputs(derived_facts, sds)
+
+
 class IncrementalSdsPlus:
     """Maintains the materialization across calls: evicts facts whose expiry
     passed, re-derives only from surviving + new facts

@@ -156,3 +156,58 @@ def test_provenance_tags_materialize_as_rdfstar(spark, engine):
         "SELECT ?t WHERE { << <ex:a> <ex:rel> <ex:c> >> <prob:value> ?t }"
     )
     assert got == [["0.56"]]
+
+
+def test_dataframe_path_matches_naive_and_incremental(spark):
+    """naive == incremental == dataframe on the citybench-style scenario
+    (VERDICT r1 #9: the DataFrame-backed path for large windows)."""
+    from kolibrie_spark.streaming.cross_window import dataframe_sds_plus
+
+    rules = [cross_rule()]
+    inc = IncrementalSdsPlus(rules)
+    for now in (9, 12, 15, 20):
+        sds = mk_sds()
+        naive = naive_sds_plus(rules, sds, now)
+        assert dataframe_sds_plus(spark, rules, sds, now) == naive, f"now={now}"
+        assert inc.update(sds, now).get(OUT) == naive.get(OUT), f"now={now}"
+
+
+def test_dataframe_path_multihop_with_static(spark):
+    """Two-hop derivation chain through a static fact — exercises multiple
+    fixpoint rounds and the never-expiring static sentinel."""
+    from kolibrie_spark.streaming.cross_window import dataframe_sds_plus
+
+    rules = [
+        # w1:temp high ∧ static located-in => out:zone_warm
+        Rule(
+            premise=[
+                TriplePattern(Var("r"), Iri(annotate_predicate(W1, "temp")), Iri("high")),
+                TriplePattern(Var("r"), Iri("locatedIn"), Var("z")),
+            ],
+            conclusion=[
+                TriplePattern(Var("z"), Iri(annotate_predicate(OUT, "zone_warm")), Iri("yes"))
+            ],
+        ),
+        # zone_warm ∧ w2:co2 high in same zone => out:evacuate (2nd round)
+        Rule(
+            premise=[
+                TriplePattern(Var("z"), Iri(annotate_predicate(OUT, "zone_warm")), Iri("yes")),
+                TriplePattern(Var("z"), Iri(annotate_predicate(W2, "co2")), Iri("high")),
+            ],
+            conclusion=[
+                TriplePattern(Var("z"), Iri(annotate_predicate(OUT, "evacuate")), Iri("now"))
+            ],
+        ),
+    ]
+    sds = Sds(output_iris={OUT})
+    sds.set_window(W1, 10, [WindowedTriple("room1", "temp", "high", 5)])
+    sds.set_window(W2, 20, [WindowedTriple("zoneA", "co2", "high", 8)])
+    sds.static_triples.append(("room1", "locatedIn", "zoneA"))
+    got = dataframe_sds_plus(spark, rules, sds, now=9)
+    naive = naive_sds_plus(rules, sds, now=9)
+    assert got == naive
+    assert ("zoneA", "evacuate", "now") in got[OUT]
+    # at now=15 the temp premise expired -> whole chain gone, both paths
+    assert dataframe_sds_plus(spark, rules, sds, now=15) == naive_sds_plus(
+        rules, sds, now=15
+    )
