@@ -139,8 +139,79 @@ class SparqlEngine:
         check_rule_safety(rule)
         if ann is not None and ann.combination == "hybrid":
             return self._process_hybrid_rule(rule, ann.hybrid_config)
+        if ann is not None:
+            return self._process_provenance_rule(rule, ann)
         self.rules.append(rule)
         return []
+
+    def _process_provenance_rule(self, rule, ann) -> list:
+        """Non-hybrid PROB variants (reference parser.rs:3785-3930):
+
+        - ``minmax``/``min``/``boolean`` → tagged semi-naive fixpoint with
+          the (min, max) semiring (boolean degenerates to it with all-1.0
+          tags), run DISTRIBUTED via reasoner/fixpoint;
+        - ``addmult``/``independent`` → same with (product, noisy-OR);
+        - ``wmc``/``sdd`` → exact lineage probability per inferred fact via
+          the Shannon-expansion counter (the reference's WMC/SDD provenance
+          — both are exact, differing only in compilation backend);
+        - ``topk`` → k most-probable-proof lower bound, k from the
+          threshold field (default 5).
+
+        All variants insert the inferred facts plus RDF-star
+        ``prob:value`` tag annotations, and return the inferred triples."""
+        from pyspark.sql import functions as F
+
+        from kolibrie_spark.reasoner.fixpoint import (
+            ADD_MULT,
+            MIN_MAX,
+            TAGGED_SCHEMA,
+            Reasoner as _R,
+            materialize_tags_as_rdfstar,
+        )
+
+        comb = ann.combination
+        if comb in ("minmax", "min", "boolean", "addmult", "independent"):
+            semiring = ADD_MULT if comb in ("addmult", "independent") else MIN_MAX
+            base = self.store.quads.filter(F.col("g").isNull()).select("s", "p", "o")
+            if self.store.prob_seeds:
+                seeds_df = self.spark.createDataFrame(
+                    [(s, p, o, t) for (s, p, o), t in self.store.prob_seeds.items()],
+                    TAGGED_SCHEMA,
+                )
+                tagged = base.join(seeds_df, on=["s", "p", "o"], how="left").select(
+                    "s", "p", "o", F.coalesce(F.col("tag"), F.lit(1.0)).alias("tag")
+                )
+            else:
+                tagged = base.withColumn("tag", F.lit(1.0))
+            r = _R(self.spark)
+            r.rules = [rule]
+            out = r.materialize_with_provenance(tagged, semiring)
+            derived = out.join(base, on=["s", "p", "o"], how="left_anti").localCheckpoint(
+                eager=True
+            )
+            self.store.insert(
+                derived.select("s", "p", "o", F.lit(None).cast("string").alias("g"))
+            )
+            materialize_tags_as_rdfstar(self.store, derived)
+            return [(row.s, row.p, row.o) for row in derived.select("s", "p", "o").collect()]
+
+        if comb in ("wmc", "sdd", "topk"):
+            ev = self.hybrid_evaluator(rules=[rule])
+            inferred = ev.inferred()
+            if comb == "topk":
+                k = int(ann.threshold) if ann.threshold else 5
+                tags = {f: ev.topk_lower_bound(f, k=k) for f in inferred}
+            else:
+                tags = {f: ev.probability(f) for f in inferred}
+            if inferred:
+                self.add_triples(list(inferred))
+                tagged = self.spark.createDataFrame(
+                    [(s, p, o, t) for (s, p, o), t in tags.items()], TAGGED_SCHEMA
+                )
+                materialize_tags_as_rdfstar(self.store, tagged)
+            return inferred
+
+        raise ValueError(f"unknown PROB provenance {comb!r}")
 
     def _process_hybrid_rule(self, rule, config) -> list:
         """Reference process_rule_definition for hybrid rules

@@ -403,7 +403,12 @@ def simhash_near_pairs(
 
 # --------------------------------------------------- embedding cosine near-dup
 def _blas_candidate_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float, block_rows: int
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_rows: int,
+    row_count: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine >= threshold via blocked matrix products.
 
@@ -412,10 +417,12 @@ def _blas_candidate_pairs(
     one BLAS matmul. Total shuffle = B copies of the data (each row joins B
     groups); per-task memory = two blocks. Pick block_rows so a
     (block_rows x dim) matrix is comfortable — the standard all-pairs
-    blocking scheme, ~1000x faster than per-pair fold expressions."""
+    blocking scheme, ~1000x faster than per-pair fold expressions.
+
+    ``row_count``: pass when known to skip the sizing count() job."""
     import pandas as pd
 
-    n = df.count()
+    n = row_count if row_count is not None else df.count()
     b = max(1, -(-n // block_rows))
     base = df.select(
         F.col(id_col).cast("long").alias("__id"),
@@ -464,15 +471,19 @@ def embedding_cosine_pairs(
     vec_col: str,
     threshold: float = 0.4,
     block_rows: int = 2048,
+    row_count: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by cosine similarity: BLAS-blocked candidate
     generation at (threshold - 1e-6), then exact re-scoring of the (few)
     candidates with the deterministic fold expression — so the output is
     bit-identical to a naive exact all-pairs computation (and the DuckDB
-    oracle) while the heavy lifting runs as matrix products."""
+    oracle) while the heavy lifting runs as matrix products. Pass
+    ``row_count`` when known to avoid the block-sizing count() job."""
     from kolibrie_spark.operators.similarity import cosine_expr
 
-    cand = _blas_candidate_pairs(df, id_col, vec_col, threshold - 1e-6, block_rows)
+    cand = _blas_candidate_pairs(
+        df, id_col, vec_col, threshold - 1e-6, block_rows, row_count
+    )
     e = df.select(
         F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v")
     )

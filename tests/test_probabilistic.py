@@ -404,3 +404,76 @@ def test_hybrid_evaluator_bounded_collect(engine, spark):
     # only rel-predicate facts reach the driver: seeds + 1 deterministic (+ derived)
     assert len(ev._initial) <= 5
     assert ev.probability(("A", "rel", "C")) == pytest.approx(0.8)
+
+
+def test_prob_rule_minmax_materializes_tags(engine):
+    """PROB(provenance=minmax, threshold=...) runs the tagged fixpoint
+    distributed and writes RDF-star prob:value tags (parser.rs:3793-3806)."""
+    from pyspark.sql import functions as F
+
+    engine.add_tagged_triple("A", "rel", "B", 0.8)
+    engine.add_tagged_triple("B", "rel", "C", 0.6)
+    inferred = engine.register_rule(
+        "RULE :Trans PROB(provenance=minmax, threshold=0.3) :- "
+        "CONSTRUCT { ?x <rel2> ?z . } WHERE { ?x <rel> ?y . ?y <rel> ?z . } ."
+    )
+    assert inferred == [("A", "rel2", "C")]
+    tag = (
+        engine.store.quads.filter(F.col("p") == "prob:value").select("o").first()[0]
+    )
+    assert float(tag) == pytest.approx(0.6)  # min(0.8, 0.6)
+    assert engine.execute("SELECT ?z WHERE { <A> <rel2> ?z }") == [["C"]]
+
+
+def test_prob_rule_addmult_product(engine):
+    from pyspark.sql import functions as F
+
+    engine.add_tagged_triple("A", "rel", "B", 0.8)
+    engine.add_tagged_triple("B", "rel", "C", 0.5)
+    engine.register_rule(
+        "RULE :Trans PROB(combination=independent, threshold=0.1) :- "
+        "CONSTRUCT { ?x <rel2> ?z . } WHERE { ?x <rel> ?y . ?y <rel> ?z . } ."
+    )
+    tag = (
+        engine.store.quads.filter(F.col("p") == "prob:value").select("o").first()[0]
+    )
+    assert float(tag) == pytest.approx(0.4)  # 0.8 * 0.5
+
+
+def test_prob_rule_wmc_exact_shared_seed(engine):
+    """PROB(provenance=wmc): exact lineage probability — two paths sharing
+    a seed must not double-count."""
+    from pyspark.sql import functions as F
+
+    engine.add_tagged_triple("A", "rel", "B", 0.5)
+    engine.add_tagged_triple("B", "rel", "C", 1.0)
+    engine.add_tagged_triple("B", "rel", "D", 1.0)
+    inferred = engine.register_rule(
+        "RULE :Step PROB(provenance=wmc, threshold=0.1) :- "
+        "CONSTRUCT { ?x <reach> ?z . } WHERE { ?x <rel> ?y . ?y <rel> ?z . } ."
+    )
+    assert set(inferred) == {("A", "reach", "C"), ("A", "reach", "D")}
+    tags = {
+        r.o
+        for r in engine.store.quads.filter(F.col("p") == "prob:value").collect()
+    }
+    assert all(float(t) == pytest.approx(0.5) for t in tags)
+
+
+def test_prob_rule_topk_estimate(engine):
+    engine.add_tagged_triple("A", "rel", "B", 0.6)
+    engine.add_tagged_triple("B", "rel", "D", 0.8)
+    engine.add_tagged_triple("A", "rel", "C", 0.9)
+    engine.add_tagged_triple("C", "rel", "D", 0.5)
+    inferred = engine.register_rule(
+        "RULE :Best PROB(combination=topk, threshold=1) :- "
+        "CONSTRUCT { ?x <reach> ?z . } WHERE { ?x <rel> ?y . ?y <rel> ?z . } ."
+    )
+    assert ("A", "reach", "D") in inferred
+    from pyspark.sql import functions as F
+
+    tags = [
+        float(r.o)
+        for r in engine.store.quads.filter(F.col("p") == "prob:value").collect()
+    ]
+    assert any(t == pytest.approx(0.48) for t in tags)  # best single proof
