@@ -4,14 +4,12 @@ flagship entry runs on the smoke scale factor."""
 import __spark_entry__ as entry_mod
 
 
-def test_oracle_keys_subset_of_queries():
+def test_every_query_has_an_oracle():
     qs = set(entry_mod.queries())
     oracles = set(entry_mod.oracle_sql())
     assert oracles <= qs, f"orphan oracles: {oracles - qs}"
-    # rows-only (approximate-by-design) entries are the only ones allowed
-    # to lack an oracle
-    rows_only = qs - oracles
-    assert rows_only == {"dedup_simhash", "sim_topk_lsh", "multimodal_features"}
+    # round 2: every gate query is value-checked (no rows-only entries)
+    assert qs - oracles == set(), f"queries lacking an oracle: {qs - oracles}"
 
 
 def test_entry_smoke(spark):
@@ -23,9 +21,9 @@ def test_entry_smoke(spark):
     )
 
 
-def test_bench_queries_exist():
-    import bench
+def test_bench_covers_every_query():
+    # bench.py derives its suite from queries() at runtime; confirm the
+    # module imports and the derivation source is the full gate
+    import bench  # noqa: F401
 
-    qs = set(entry_mod.queries())
-    missing = [q for q in bench.BENCH_QUERIES if q not in qs]
-    assert not missing
+    assert len(entry_mod.queries()) >= 51
