@@ -86,22 +86,23 @@ def ngram_jaccard_pairs(
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)  # parallelize the shingle explode itself
+    from pyspark.sql import Window
+
     sh = _shingle_table(df, id_col, text_col, n).repartition(par, "__sh")
     sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
-    heavy = (
-        sh.groupBy("__sh")
-        .agg(F.count("*").alias("__dfreq"))
-        .filter(F.col("__dfreq") >= heavy_df)
-        .select("__sh", F.lit(True).alias("__heavy"))
-    )
-    marked = sh.join(F.broadcast(heavy), on="__sh", how="left")
+    # per-shingle document frequency as a window count: reuses the __sh
+    # hash partitioning, costs no extra job or driver round-trip. Shingles
+    # below heavy_df keep salt 0 everywhere, so the no-skew case joins on
+    # (shingle, 0) — the original plan plus one int column.
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("__sh"))
+    marked = sh.withColumn("__hvy", dfreq >= F.lit(heavy_df))
     # rename-projections (not alias()) so the self-join carries no ambiguous
     # attribute references
     a = marked.select(
         F.col("__id").alias("id_a"),
         F.col("__sh").alias("__sha"),
         F.when(
-            F.col("__heavy"), F.pmod(F.xxhash64("__id"), F.lit(salt)).cast("int")
+            F.col("__hvy"), F.pmod(F.xxhash64("__id"), F.lit(salt)).cast("int")
         )
         .otherwise(F.lit(0))
         .alias("__salta"),
@@ -111,7 +112,7 @@ def ngram_jaccard_pairs(
         F.col("__sh").alias("__shb"),
         F.explode(
             F.when(
-                F.col("__heavy"), F.sequence(F.lit(0), F.lit(salt - 1))
+                F.col("__hvy"), F.sequence(F.lit(0), F.lit(salt - 1))
             ).otherwise(F.array(F.lit(0)))
         ).alias("__saltb"),
     ).repartition(par, "__shb", "__saltb")
