@@ -305,6 +305,7 @@ class SparqlEngine:
             dict(self.store.prob_seeds),
             rules,
             deterministic_facts=deterministic,
+            exclusive_groups=dict(self.store.prob_groups),
         )
         ev.materialize()
         return ev
@@ -312,6 +313,16 @@ class SparqlEngine:
     def add_tagged_triple(self, s: str, p: str, o: str, prob: float) -> None:
         """Reference SparqlDatabase::add_tagged_triple alias."""
         self.add_prob_seed(s, p, o, prob)
+
+    def add_exclusive_seed(
+        self, group_id: int, s: str, p: str, o: str, prob: float
+    ) -> None:
+        """Annotated-disjunction seed: exactly one member of ``group_id`` is
+        true, P(member) = prob (reference SeedSnapshot::register_exclusive,
+        hybrid.rs:201-221). Member probabilities of a group should sum
+        to 1."""
+        self.add_prob_seed(s, p, o, prob)
+        self.store.prob_groups[(s, p, o)] = int(group_id)
 
     def evaluate_probability(self, s: str, p: str, o: str, config=None):
         """Hybrid escalation result for one fact (reference

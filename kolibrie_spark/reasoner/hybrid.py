@@ -339,11 +339,18 @@ def exact_wmc(
     deadline: float | None = None,
     node_budget: int | None = None,
     clock=time.monotonic,
+    groups: dict | None = None,
 ) -> float:
     """Exact P(path₁ ∨ path₂ ∨ ...) for independent seeds — correct for
     correlated paths (shared variables). Shannon expansion with memoization
     plus independent-component factorization; no variable-count cap, the
-    budgets bound the work instead (the reference's SDD compiler role)."""
+    budgets bound the work instead (the reference's SDD compiler role).
+
+    ``groups`` maps seed → exclusive-group id (reference
+    SeedKind::ExclusiveGroup, sdd.rs annotated-disjunction encoding):
+    members of one group are mutually exclusive with EXACTLY ONE chosen —
+    branching selects a member (weight p_m, other members false) or, with
+    residual mass 1 - Σ p_present, a member no path references."""
     # absorption: drop supersets, dedupe
     uniq = sorted(set(paths), key=len)
     kept: list[frozenset] = []
@@ -390,17 +397,52 @@ def exact_wmc(
             for v in p:
                 counts[v] = counts.get(v, 0) + 1
         var = max(counts, key=lambda v: (counts[v], v))
+
+        def _absorbed(ps) -> frozenset:
+            kept2: list[frozenset] = []
+            for p in sorted(ps, key=len):
+                if not any(q <= p for q in kept2):
+                    kept2.append(p)
+            return frozenset(kept2)
+
+        if groups and var in groups:
+            # exclusive branch: exactly one member of the group holds
+            gid = groups[var]
+            members = sorted(
+                {v for v in counts if groups.get(v) == gid}
+            )
+            out = 0.0
+            other = set(members)
+            for m in members:
+                rest = other - {m}
+                cond = set()
+                sat = False
+                for p in pset:
+                    if p & rest:
+                        continue  # contains a false member → path false
+                    p2 = p - {m}
+                    if not p2:
+                        sat = True
+                        break
+                    cond.add(p2)
+                out += seeds[m] * (1.0 if sat else solve(_absorbed(cond)))
+            residual = 1.0 - sum(seeds[m] for m in members)
+            if residual > 1e-15:
+                # an unreferenced member of the group was chosen:
+                # every referenced member is false
+                cond = frozenset(p for p in pset if not (p & other))
+                out += residual * solve(cond)
+            out = min(1.0, max(0.0, out))
+            memo[pset] = out
+            return out
+
         pv = seeds[var]
         # v = true: remove v from its paths (absorb supersets of new paths)
         pos = {p - {var} if var in p else p for p in pset}
         if frozenset() in pos:
             p_true = 1.0
         else:
-            pos_kept: list[frozenset] = []
-            for p in sorted(pos, key=len):
-                if not any(q <= p for q in pos_kept):
-                    pos_kept.append(p)
-            p_true = solve(frozenset(pos_kept))
+            p_true = solve(_absorbed(pos))
         # v = false: drop paths containing v
         neg = frozenset(p for p in pset if var not in p)
         p_false = solve(neg)
@@ -423,16 +465,19 @@ def exact_wmc(
         var_owner: dict = {}
         for i, p in enumerate(plist):
             for v in p:
-                if v in var_owner:
-                    ra, rb = find(var_owner[v]), find(i)
+                # exclusive-group members are dependent even without a
+                # shared variable — key them by group so their paths merge
+                key = ("__grp", groups[v]) if groups and v in groups else v
+                if key in var_owner:
+                    ra, rb = find(var_owner[key]), find(i)
                     if ra != rb:
                         parent[ra] = rb
                 else:
-                    var_owner[v] = i
-        groups: dict = {}
+                    var_owner[key] = i
+        comps_out: dict = {}
         for i, p in enumerate(plist):
-            groups.setdefault(find(i), []).append(p)
-        return list(groups.values())
+            comps_out.setdefault(find(i), []).append(p)
+        return list(comps_out.values())
 
     return solve(frozenset(kept))
 
@@ -470,11 +515,29 @@ def _decide(p: float, threshold: float) -> str:
     return "Alert" if p >= threshold else "NoAlert"
 
 
+def _lineage_seeds(lin, out: set) -> set:
+    from kolibrie_spark.reasoner.probabilistic import And, Or, Seed
+
+    if isinstance(lin, Seed):
+        out.add(lin.id)
+    elif isinstance(lin, (And, Or)):
+        for part in lin.parts:
+            _lineage_seeds(part, out)
+    return out
+
+
 def evaluate_hybrid(
-    lin, seeds: dict, config: HybridConfig, clock=time.monotonic
+    lin,
+    seeds: dict,
+    config: HybridConfig,
+    clock=time.monotonic,
+    groups: dict | None = None,
 ) -> HybridResult:
     """The escalation controller (hybrid.rs:1415-1589): growing-k certified
-    top-k, then exact WMC under budgets."""
+    top-k, then exact WMC under budgets. Lineages touching an
+    exclusive-group seed skip the top-k stage (the proof-mass bound assumes
+    independence) and go straight to exact — the reference's
+    ExclusivityRequiresExact policy (hybrid.rs:1185,1451)."""
     config.validate()
     metrics: dict = {
         "k_used": 0,
@@ -498,7 +561,10 @@ def evaluate_hybrid(
     lower = None
     last_interval = None
     k = config.k_initial
-    while True:
+    supported_topk = not (
+        groups and any(s in groups for s in _lineage_seeds(lin, set()))
+    )
+    while supported_topk:
         proofs, residual = enumerate_proofs(lin, seeds, k + 1, topk_deadline, clock)
         if residual is None:  # deadline hit mid-enumeration
             break
@@ -563,7 +629,7 @@ def evaluate_hybrid(
 
         paths = _paths(lin)
         probability = exact_wmc(
-            paths, seeds, sdd_deadline, config.sdd_node_budget, clock
+            paths, seeds, sdd_deadline, config.sdd_node_budget, clock, groups=groups
         )
         metrics["exact_used"] = True
         metrics["interval_width"] = 0.0

@@ -123,8 +123,10 @@ class HybridEvaluator:
     """Forward chaining with lineage over probabilistic seeds."""
 
     def __init__(self, seeds: dict[Triple, float], rules: list[Rule],
-                 deterministic_facts: set[Triple] | None = None):
+                 deterministic_facts: set[Triple] | None = None,
+                 exclusive_groups: dict[Triple, int] | None = None):
         self.seeds = dict(seeds)
+        self.groups = dict(exclusive_groups or {})
         self.rules = rules
         self.facts: dict[Triple, Lineage | None] = {
             t: Seed(t) for t in seeds
@@ -239,12 +241,14 @@ class HybridEvaluator:
     # ----------------------------------------------------------- queries
     def probability(self, fact: Triple) -> float:
         """Exact probability (the reference's escalated-exact path)."""
+        from kolibrie_spark.reasoner.hybrid import exact_wmc
+
         if fact not in self.facts:
             return 0.0
         lin = self.facts[fact]
         if lin is None:
             return 1.0
-        return union_probability(_paths(lin), self.seeds)
+        return exact_wmc(_paths(lin), self.seeds, groups=self.groups or None)
 
     def topk_lower_bound(self, fact: Triple, k: int = 3) -> float:
         """Certified lower bound from the k most probable derivations
@@ -284,4 +288,6 @@ class HybridEvaluator:
                 "Exact", "NoAlert" if cfg.threshold > 0 else "Alert",
                 "top-k-exhausted", 0.0,
             )
-        return evaluate_hybrid(self.facts[fact], self.seeds, cfg, clk)
+        return evaluate_hybrid(
+            self.facts[fact], self.seeds, cfg, clk, groups=self.groups or None
+        )

@@ -60,6 +60,8 @@ class QuadStore:
         # input probabilities for the probabilistic layer
         # (reference sparql_database.rs:185): (s,p,o) -> prob
         self.prob_seeds: dict[tuple[str, str, str], float] = {}
+        # exclusive-group (annotated-disjunction) membership for seeds
+        self.prob_groups: dict[tuple[str, str, str], int] = {}
         self.prefixes: dict[str, str] = {}
 
     # ------------------------------------------------------------- loading
@@ -141,6 +143,7 @@ class QuadStore:
         )
         merged.udfs = {**self.udfs, **other.udfs}
         merged.prob_seeds = {**self.prob_seeds, **other.prob_seeds}
+        merged.prob_groups = {**self.prob_groups, **other.prob_groups}
         merged.prefixes = {**self.prefixes, **other.prefixes}
         return merged
 

@@ -477,3 +477,118 @@ def test_prob_rule_topk_estimate(engine):
         for r in engine.store.quads.filter(F.col("p") == "prob:value").collect()
     ]
     assert any(t == pytest.approx(0.48) for t in tags)  # best single proof
+
+
+# ----------------------------------------------------- exclusive groups
+def test_exclusive_group_single_choice_exact():
+    """Ports hybrid.rs::exclusive_group_is_compiled_with_exactly_one_constraint:
+    P(choice0) in a {0.2, 0.3, 0.5} group is exactly 0.2, computed by the
+    exact stage (top-k refuses exclusivity)."""
+    from kolibrie_spark.reasoner.hybrid import HybridConfig, evaluate_hybrid
+    from kolibrie_spark.reasoner.probabilistic import Seed
+
+    seeds = {("t1", "p", "o"): 0.2, ("t2", "p", "o"): 0.3, ("t3", "p", "o"): 0.5}
+    groups = {k: 7 for k in seeds}
+    r = evaluate_hybrid(
+        Seed(("t1", "p", "o")), seeds, HybridConfig(), _inject_clock(), groups=groups
+    )
+    assert r.status == "Exact" and r.probability == pytest.approx(0.2)
+    assert r.metrics["exact_used"]  # escalated straight to exact
+    assert r.metrics["k_used"] == 0  # top-k never ran
+
+
+def test_exclusive_group_mutual_exclusion():
+    """Ports sdd.rs::exclusive_mutual_exclusion: a conjunction of two
+    members of one group is unsatisfiable — probability 0."""
+    from kolibrie_spark.reasoner.hybrid import exact_wmc
+
+    seeds = {("a", "p", "o"): 0.7, ("b", "p", "o"): 0.3}
+    groups = {k: 0 for k in seeds}
+    both = [frozenset(seeds)]
+    assert exact_wmc(both, seeds, groups=groups) == 0.0
+    # but each alone keeps its annotated probability
+    assert exact_wmc([frozenset([("a", "p", "o")])], seeds, groups=groups) == (
+        pytest.approx(0.7)
+    )
+
+
+def test_exclusive_group_or_and_mixing_with_independent():
+    """P((g0a ∧ x) ∨ (g0b ∧ x)) with exclusive {a: 0.4, b: 0.6} and
+    independent x=0.5: the choices are disjoint, so P = (0.4+0.6)*0.5."""
+    from kolibrie_spark.reasoner.hybrid import exact_wmc
+
+    a, b, x = ("a", "p", "o"), ("b", "p", "o"), ("x", "p", "o")
+    seeds = {a: 0.4, b: 0.6, x: 0.5}
+    groups = {a: 1, b: 1}
+    got = exact_wmc([frozenset([a, x]), frozenset([b, x])], seeds, groups=groups)
+    assert got == pytest.approx(0.5)
+
+
+def test_exclusive_group_residual_mass():
+    """A group member not referenced by any path absorbs residual mass:
+    P(a) with group {a: 0.2, b: 0.3, c: 0.5} but only a in the formula."""
+    from kolibrie_spark.reasoner.hybrid import exact_wmc
+
+    a, b, c = ("a", "p", "o"), ("b", "p", "o"), ("c", "p", "o")
+    seeds = {a: 0.2, b: 0.3, c: 0.5}
+    groups = {a: 2, b: 2, c: 2}
+    assert exact_wmc([frozenset([a])], seeds, groups=groups) == pytest.approx(0.2)
+    # complement through two referenced members: P(b ∨ c) = 0.8
+    assert exact_wmc(
+        [frozenset([b]), frozenset([c])], seeds, groups=groups
+    ) == pytest.approx(0.8)
+
+
+def test_exclusive_group_matches_bruteforce():
+    """Differential vs explicit world enumeration with the exactly-one
+    constraint, mixing grouped and independent seeds."""
+    import itertools
+    import random
+
+    from kolibrie_spark.reasoner.hybrid import exact_wmc
+
+    rng = random.Random(11)
+    for _ in range(10):
+        g = [(f"g{i}", "p", "o") for i in range(3)]
+        ind = [(f"x{i}", "p", "o") for i in range(3)]
+        probs = [rng.uniform(0.1, 0.8) for _ in range(2)]
+        gp = [probs[0], probs[1] * (1 - probs[0])]  # sum < 1
+        gp.append(1.0 - sum(gp))
+        seeds = dict(zip(g, gp)) | {v: rng.uniform(0.1, 0.9) for v in ind}
+        groups = {v: 9 for v in g}
+        paths = [
+            frozenset(
+                rng.sample(g, 1) + rng.sample(ind, rng.randint(0, 2))
+            )
+            for _ in range(rng.randint(1, 4))
+        ]
+        # brute force: pick exactly one group member × independent worlds
+        total = 0.0
+        for choice in g:
+            for world_bits in itertools.product([False, True], repeat=len(ind)):
+                world = dict(zip(ind, world_bits))
+                world.update({v: v == choice for v in g})
+                if any(all(world[v] for v in p) for p in paths):
+                    w = seeds[choice]
+                    for v, bit in zip(ind, world_bits):
+                        w *= seeds[v] if bit else 1.0 - seeds[v]
+                    total += w
+        assert exact_wmc(paths, seeds, groups=groups) == pytest.approx(
+            total, abs=1e-12
+        )
+
+
+def test_engine_exclusive_seed_api(engine):
+    """add_exclusive_seed flows through the evaluator: a rule deriving from
+    each choice keeps the annotated-disjunction semantics."""
+    engine.add_exclusive_seed(3, "doc", "lang", "en", 0.7)
+    engine.add_exclusive_seed(3, "doc", "lang", "de", 0.3)
+    engine.rules.append(
+        Rule(
+            premise=[P(I("doc"), I("lang"), V("l"))],
+            conclusion=[P(I("doc"), I("hasLang"), V("l"))],
+        )
+    )
+    ev = engine.hybrid_evaluator()
+    assert ev.probability(("doc", "hasLang", "en")) == pytest.approx(0.7)
+    assert ev.probability(("doc", "hasLang", "de")) == pytest.approx(0.3)
