@@ -204,6 +204,45 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup pipeline tail: MinHash+LSH pairs → connected components
+    (distributed min-label propagation) → a cluster id per document
+    (singletons cluster to themselves). The keep-set is cluster == doc_id."""
+    from kolibrie_spark.operators.dedup import minhash_lsh_pairs, near_dup_clusters
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.5
+    )
+    return near_dup_clusters(docs, pairs, "doc_id")
+
+
+def _dedup_cluster_oracle() -> str:
+    """Recursive-CTE connected components over the exact-Jaccard pair set
+    (LSH pair recall is exact-verified, so the edge sets match)."""
+    from kolibrie_spark.operators.dedup import ngram_jaccard_pairs_duckdb_sql
+
+    pairs_sql = ngram_jaccard_pairs_duckdb_sql("documents", "doc_id", "text", 3, 0.5)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+comp AS (
+  SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id
+)
+SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.operators.dedup import simhash_near_pairs
     from kolibrie_spark.tables import load_table
@@ -758,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_cluster": _q_dedup_cluster,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "sim_topk_cosine": _q_sim_topk_cosine,
@@ -1050,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "dedup_minhash_lsh": _ngram_jaccard_oracle(),
+        "dedup_cluster": _dedup_cluster_oracle(),
         "dedup_simhash": _dedup_simhash_oracle(),
         "sim_topk_lsh": _sim_topk_lsh_oracle(),
         "dedup_embedding_cosine": _embedding_cosine_oracle(),

@@ -402,6 +402,89 @@ def simhash_near_pairs(
     )
 
 
+# ------------------------------------------------------- near-dup clustering
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair graph → (id, component)
+    with component = min node id reachable. Iterative min-label
+    propagation: each round every node takes the min of its own and its
+    neighbors' labels; rounds needed = graph diameter (near-dup clusters
+    are shallow — a handful of rounds), each round one shuffle on the edge
+    key. Scales: state is one (node, label) row per node, no driver-side
+    graph."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .dropDuplicates()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("component").alias("__nl")
+                ),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("__nl").alias("__nmin"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min.select(F.col("src").alias("id"), "__nmin"),
+                on="id",
+                how="left",
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("component").alias("__old")), on="id"
+            )
+            .filter(F.col("component") != F.col("__old"))
+            .take(1)
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels.select("id", "component")
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster assignment for every row of ``df``: documents joined by a
+    dup pair share a component (min id); untouched documents are singleton
+    clusters of themselves. The canonical keep-set is ``component ==
+    id`` rows — the standard dedup pipeline tail (pairs → clusters →
+    one representative per cluster)."""
+    comp = connected_components(pairs, id_a, id_b)
+    return df.select(F.col(id_col)).join(
+        comp.withColumnRenamed("id", id_col), on=id_col, how="left"
+    ).select(
+        id_col, F.coalesce(F.col("component"), F.col(id_col)).alias("cluster")
+    )
+
+
 # --------------------------------------------------- embedding cosine near-dup
 def _blas_candidate_pairs(
     df: DataFrame,

@@ -313,3 +313,23 @@ def test_extract_headers_isolates_corrupt_blobs(spark):
     out = {r.media_id: r for r in extract_headers(df).collect()}
     assert out["ok"].width == 10 and out["ok"].decode_error is None
     assert out["bad"].width is None and out["bad"].decode_error is not None
+
+
+def test_connected_components_chain_and_triangle(spark):
+    from kolibrie_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_near_dup_clusters_with_singletons(docs):
+    from kolibrie_spark.operators.dedup import minhash_lsh_pairs, near_dup_clusters
+
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", 3, 64, 32, 0.5)
+    got = {r.doc_id: r.cluster for r in near_dup_clusters(docs, pairs, "doc_id").collect()}
+    # docs 1,2,3 are (near-)dups of each other; 4 and 5 are singletons
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
