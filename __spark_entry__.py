@@ -313,6 +313,30 @@ def _sim_topk_ivf_oracle() -> str:
     )
 
 
+def _q_sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized top-k: integer dot products over per-vector
+    symmetric int8 codes (4x less IO than float32 at scale), rescaled by
+    the two quantization scales — deterministic, so DuckDB reproduces
+    every score bit-for-bit."""
+    from kolibrie_spark.operators.similarity import quantized_topk
+    from kolibrie_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, _query_vector(spark, sf_dir), 10, "vec_id", "embedding")
+
+
+def _sim_topk_quantized_oracle() -> str:
+    from kolibrie_spark.operators.similarity import quantized_topk_duckdb_sql
+
+    return quantized_topk_duckdb_sql(
+        "embeddings",
+        "(SELECT embedding FROM embeddings WHERE vec_id = 0)",
+        10,
+        "vec_id",
+        "embedding",
+    )
+
+
 def _q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.operators.textanalysis import analyze
     from kolibrie_spark.tables import load_table
@@ -803,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_cosine": _q_sim_topk_cosine,
         "sim_topk_lsh": _q_sim_topk_lsh,
         "sim_topk_ivf": _q_sim_topk_ivf,
+        "sim_topk_quantized": _q_sim_topk_quantized,
         "text_analyze": _q_text_analyze,
         "events_window_agg": _q_events_window_agg,
         # --- reasoner + streaming replay (§2.9/§2.10)
@@ -1096,6 +1121,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _embedding_cosine_oracle(),
         "sim_topk_cosine": _sim_topk_oracle(),
         "sim_topk_ivf": _sim_topk_ivf_oracle(),
+        "sim_topk_quantized": _sim_topk_quantized_oracle(),
         "text_analyze": _text_analyze_oracle(),
         "events_window_agg": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "

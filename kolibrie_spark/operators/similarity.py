@@ -255,3 +255,96 @@ probe AS (SELECT cid FROM cent, q ORDER BY {l2_probe} ASC, cid ASC LIMIT {nprobe
 SELECT {id_col}, {cos} AS cosine
 FROM cells, q WHERE ivf_cell IN (SELECT cid FROM probe)
 ORDER BY cosine DESC, {id_col} ASC LIMIT {k}"""
+
+
+# ------------------------------------------------- int8 scalar quantization
+def with_int8_quantization(df: DataFrame, vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v| / 127,
+    q_i = floor(v_i/scale + 0.5) — the storage-side half of quantized ANN
+    (4x less IO than float32 at 100 TB; scores are integer dot products
+    rescaled by the two scales). floor(x + 0.5) instead of round() keeps
+    the rounding rule identical across Spark, Python and DuckDB.
+
+    Adds ``q_scale`` (double) and ``q_vec`` (array<int>)."""
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-30),
+    )
+    return df.withColumn("q_scale", scale).withColumn(
+        "q_vec",
+        F.transform(v, lambda x: F.floor(x / F.col("q_scale") + F.lit(0.5)).cast("int")),
+    )
+
+
+def quantized_topk(
+    df: DataFrame, query_vec: list[float], k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Top-k by quantized dot product: integer arithmetic per element (no
+    float accumulation drift), one multiply by the two scales at the end —
+    deterministic and exactly reproducible cross-engine. Returns
+    (id, qscore)."""
+    qmax = max(abs(float(x)) for x in query_vec)
+    qscale = max(qmax / 127.0, 1e-30)
+    qq = [int(math_floor(float(x) / qscale + 0.5)) for x in query_vec]
+    quant = with_int8_quantization(df, vec_col)
+    qlit = F.array(*[F.lit(x) for x in qq])
+    int_dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), qlit, lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = quant.select(
+        F.col(id_col),
+        (int_dot.cast("double") * F.col("q_scale") * F.lit(qscale)).alias("qscore"),
+    )
+    return scored.orderBy(F.col("qscore").desc(), F.col(id_col).asc()).limit(k)
+
+
+def math_floor(x: float) -> int:
+    import math
+
+    return int(math.floor(x))
+
+
+def quantized_topk_duckdb_sql(
+    table: str, query_vec_sql: str, k: int, id_col: str, vec_col: str
+) -> str:
+    """DuckDB twin of quantized_topk: same scale rule, same floor(x+0.5)
+    rounding, integer dot, same final two multiplies."""
+    return f"""
+WITH q AS (
+  SELECT list_transform({query_vec_sql}, x -> CAST(x AS DOUBLE)) AS qv
+),
+qq AS (
+  SELECT qv,
+    GREATEST(list_max(list_transform(qv, x -> abs(x))) / 127.0, 1e-30) AS qscale
+  FROM q
+),
+qvec AS (
+  SELECT qscale,
+    list_transform(qv, x -> CAST(floor(x / qscale + 0.5) AS BIGINT)) AS qq
+  FROM qq
+),
+e AS (
+  SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+),
+eq AS (
+  SELECT {id_col},
+    GREATEST(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-30) AS escale,
+    v
+  FROM e
+),
+ev AS (
+  SELECT {id_col}, escale,
+    list_transform(v, x -> CAST(floor(x / escale + 0.5) AS BIGINT)) AS ev
+  FROM eq
+)
+SELECT {id_col},
+  CAST(list_reduce(list_prepend(0::BIGINT,
+    list_transform(generate_series(1, len(ev)), i -> ev[i] * qq[i])),
+    (acc, x) -> acc + x) AS DOUBLE) * escale * qscale AS qscore
+FROM ev, qvec
+ORDER BY qscore DESC, {id_col} ASC LIMIT {k}
+"""

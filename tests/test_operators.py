@@ -333,3 +333,30 @@ def test_near_dup_clusters_with_singletons(docs):
     got = {r.doc_id: r.cluster for r in near_dup_clusters(docs, pairs, "doc_id").collect()}
     # docs 1,2,3 are (near-)dups of each other; 4 and 5 are singletons
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+
+def test_quantized_topk_close_to_exact(spark):
+    """Int8 quantization: top-k by quantized score overlaps exact cosine
+    top-k heavily, and quantized scores approximate the true dot product."""
+    import numpy as np
+
+    from kolibrie_spark.operators.similarity import (
+        cosine_topk, quantized_topk, with_int8_quantization,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(200, 16).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+
+    quant = with_int8_quantization(df, "embedding").limit(5).collect()
+    for r in quant:
+        assert all(-127 <= x <= 127 for x in r.q_vec)
+        back = np.array(r.q_vec) * r.q_scale
+        assert np.allclose(back, np.array(r.embedding), atol=r.q_scale * 0.51)
+
+    exact = {r.vec_id for r in cosine_topk(df, q, 10, "vec_id", "embedding").collect()}
+    qk = {r.vec_id for r in quantized_topk(df, q, 10, "vec_id", "embedding").collect()}
+    assert len(exact & qk) >= 8  # int8 error is small at dim 16
+    assert 0 in qk  # the query vector itself always wins
