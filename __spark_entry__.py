@@ -534,6 +534,42 @@ def _events_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events table (30-min gap): lag +
+    conditional cumsum windows, one shuffle on the user key — the batch
+    twin of streaming.sessionize_stream (applyInPandasWithState)."""
+    from kolibrie_spark.operators.temporal import sessionize
+
+    ev = _events_stream_df(spark, sf_dir).select("u", "event_time")
+    out = sessionize(ev, "u", "event_time", gap=1800)
+    return out.select("u", "event_time", "session_seq", "session_id")
+
+
+def _events_sessionize_oracle() -> str:
+    return """
+WITH e AS (
+  SELECT user_id AS u, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS event_time
+  FROM events
+),
+m AS (
+  SELECT u, event_time,
+    CASE WHEN lag(event_time) OVER w IS NULL
+           OR event_time - lag(event_time) OVER w > 1800
+         THEN 1 ELSE 0 END AS nw
+  FROM e WINDOW w AS (PARTITION BY u ORDER BY event_time)
+),
+s AS (
+  SELECT u, event_time,
+    CAST(SUM(nw) OVER (PARTITION BY u ORDER BY event_time
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM m
+)
+SELECT u, event_time, session_seq,
+  MIN(event_time) OVER (PARTITION BY u, session_seq) AS session_id
+FROM s
+"""
+
+
 def _q_streaming_istream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch replay of ISTREAM over hourly tumbling windows (§2.9 R2S)."""
     from kolibrie_spark.streaming.replay import istream_replay
@@ -830,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_quantized": _q_sim_topk_quantized,
         "text_analyze": _q_text_analyze,
         "events_window_agg": _q_events_window_agg,
+        "events_sessionize": _q_events_sessionize,
         # --- reasoner + streaming replay (§2.9/§2.10)
         "reasoner_transitive_closure": _q_reasoner_closure,
         "prob_hybrid": _q_prob_hybrid,
@@ -1144,6 +1181,7 @@ def oracle_sql() -> dict[str, str]:
             ") SELECT x AS s, y AS o FROM closure"
         ),
         "prob_hybrid": _prob_hybrid_oracle(),
+        "events_sessionize": _events_sessionize_oracle(),
         "streaming_istream_replay": (
             "WITH w AS (SELECT DISTINCT "
             "CAST(epoch_us(ts) // 1000000 AS BIGINT) "

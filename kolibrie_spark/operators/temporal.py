@@ -64,3 +64,44 @@ def asof_join(
         *left_cols,
         *[F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in payload_cols],
     )
+
+
+def sessionize(
+    df,
+    user_col: str,
+    time_col: str,
+    gap: int,
+) -> "DataFrame":
+    """Assign gap-based session ids per user: a new session starts when the
+    time since the user's previous event exceeds ``gap`` (seconds).
+
+    Batch shape: lag + conditional cumsum over a (user, time) window — two
+    pure window passes, shuffles once on the user key, no Python. Output
+    adds ``session_id`` (the session's start time, a stable natural key)
+    and ``session_seq`` (1-based session ordinal per user).
+
+    At 100 TB this is the standard telemetry/sessionization plan: the
+    shuffle is one hash partition by user; skewed power-users can be
+    pre-split by (user, day) if a single user's events exceed a partition.
+    For live streams see ``streaming.sessionize_stream`` —
+    applyInPandasWithState with a per-user open-session state row and
+    event-time timeout."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(user_col).orderBy(time_col)
+    prev = F.lag(F.col(time_col)).over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col(time_col) - prev > gap), F.lit(1)
+    ).otherwise(F.lit(0))
+    df2 = df.withColumn("__new", new_session)
+    seq = F.sum("__new").over(
+        Window.partitionBy(user_col).orderBy(time_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    df3 = df2.withColumn("session_seq", seq)
+    start = F.min(time_col).over(
+        Window.partitionBy(user_col, "session_seq")
+    )
+    return df3.withColumn("session_id", start).drop("__new")

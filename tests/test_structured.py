@@ -275,3 +275,63 @@ def test_start_foreachbatch_with_sink(spark, tmp_path):
     sq.stop()
     assert q.emissions == []
     assert spark.read.parquet(results).count() > 0
+
+
+def test_sessionize_stream_applyinpandaswithstate(spark, tmp_path):
+    """Custom stateful operator path: per-user open-session state via
+    applyInPandasWithState; closed sessions emit across micro-batches and
+    match the batch sessionize() twin."""
+    import time
+
+    from kolibrie_spark.streaming.sessionize import sessionize_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = [("u1", 0), ("u1", 10), ("u1", 1000), ("u1", 1005), ("u2", 5)]
+    spark.createDataFrame(batch1, "u string, t long").write.parquet(src)
+
+    stream = spark.readStream.schema("u string, t long").parquet(src)
+    out = sessionize_stream(stream, "u", "t", gap=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    got1 = {
+        (r.u, r.session_id, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_test").collect()
+    }
+    # u1's first session (0..10) closed by the 1000 event; (1000,1005) open
+    assert got1 == {("u1", 0, 10, 2)}
+
+    # a later batch closes u1's open session; u2 stays open forever
+    spark.createDataFrame([("u1", 5000)], "u string, t long").write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got2 = {
+        (r.u, r.session_id, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_test").collect()
+    }
+    assert got2 == {("u1", 0, 10, 2), ("u1", 1000, 1005, 2)}
+
+
+def test_sessionize_batch_matches_manual(spark):
+    from kolibrie_spark.operators.temporal import sessionize
+
+    rows = [("u1", 0), ("u1", 100), ("u1", 5000), ("u2", 50)]
+    df = spark.createDataFrame(rows, "u string, t long")
+    got = {
+        (r.u, r.t): (r.session_seq, r.session_id)
+        for r in sessionize(df, "u", "t", gap=1800).collect()
+    }
+    assert got == {
+        ("u1", 0): (1, 0),
+        ("u1", 100): (1, 0),
+        ("u1", 5000): (2, 5000),
+        ("u2", 50): (1, 50),
+    }
