@@ -534,6 +534,42 @@ def _events_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling over orders: per-priority keep
+    rates via the cross-engine polynomial hash — the kept set is a pure
+    function of the key (reproducible across runs/backfills), and the
+    filter pushes down to the scan."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.sampling import stratified_sample
+    from kolibrie_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = stratified_sample(
+        orders,
+        "o_orderkey",
+        "o_orderpriority",
+        {"1-URGENT": 1.0, "2-HIGH": 0.5, "3-MEDIUM": 0.1},
+        default=0.02,
+    )
+    return out.select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").alias("price")
+    )
+
+
+def _sample_stratified_oracle() -> str:
+    from kolibrie_spark.operators.sampling import bucket_duckdb
+
+    b = bucket_duckdb("o_orderkey")
+    return f"""
+SELECT o_orderkey, o_orderpriority, o_totalprice AS price
+FROM orders
+WHERE {b} < CASE o_orderpriority
+  WHEN '1-URGENT' THEN 10000 WHEN '2-HIGH' THEN 5000
+  WHEN '3-MEDIUM' THEN 1000 ELSE 200 END
+"""
+
+
 def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events table (30-min gap): lag +
     conditional cumsum windows, one shuffle on the user key — the batch
@@ -867,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analyze": _q_text_analyze,
         "events_window_agg": _q_events_window_agg,
         "events_sessionize": _q_events_sessionize,
+        "sample_stratified": _q_sample_stratified,
         # --- reasoner + streaming replay (§2.9/§2.10)
         "reasoner_transitive_closure": _q_reasoner_closure,
         "prob_hybrid": _q_prob_hybrid,
@@ -1182,6 +1219,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "prob_hybrid": _prob_hybrid_oracle(),
         "events_sessionize": _events_sessionize_oracle(),
+        "sample_stratified": _sample_stratified_oracle(),
         "streaming_istream_replay": (
             "WITH w AS (SELECT DISTINCT "
             "CAST(epoch_us(ts) // 1000000 AS BIGINT) "

@@ -360,3 +360,38 @@ def test_quantized_topk_close_to_exact(spark):
     qk = {r.vec_id for r in quantized_topk(df, q, 10, "vec_id", "embedding").collect()}
     assert len(exact & qk) >= 8  # int8 error is small at dim 16
     assert 0 in qk  # the query vector itself always wins
+
+
+def test_deterministic_sample_stable_and_rate(spark):
+    from kolibrie_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(10000).selectExpr("id AS k")
+    a = sorted(r.k for r in deterministic_sample(df, "k", 0.2).collect())
+    b = sorted(
+        r.k
+        for r in deterministic_sample(df.repartition(7), "k", 0.2).collect()
+    )
+    assert a == b  # pure function of the key: layout-independent
+    assert 0.15 < len(a) / 10000 < 0.25
+    # rate monotonicity: a smaller rate selects a subset
+    small = set(r.k for r in deterministic_sample(df, "k", 0.05).collect())
+    assert small <= set(a)
+
+
+def test_stratified_sample_rates(spark):
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.sampling import stratified_sample
+
+    df = spark.range(6000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "keep")
+        .when(F.col("id") % 3 == 1, "half")
+        .otherwise("drop")
+        .alias("s"),
+    )
+    out = stratified_sample(df, "k", "s", {"keep": 1.0, "half": 0.5}, default=0.0)
+    counts = {r.s: r.c for r in out.groupBy("s").agg(F.count("*").alias("c")).collect()}
+    assert counts["keep"] == 2000
+    assert 800 < counts.get("half", 0) < 1200
+    assert "drop" not in counts
