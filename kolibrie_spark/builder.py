@@ -48,6 +48,24 @@ class QueryBuilder:
     def with_object(self, o: str) -> "QueryBuilder":
         return self._op(lambda df: df.filter(F.col("o") == o))
 
+    def with_subject_like(self, sub: str) -> "QueryBuilder":
+        return self._op(lambda df: df.filter(F.col("s").contains(sub)))
+
+    def with_subject_starting(self, prefix: str) -> "QueryBuilder":
+        return self._op(lambda df: df.filter(F.col("s").startswith(prefix)))
+
+    def with_subject_ending(self, suffix: str) -> "QueryBuilder":
+        return self._op(lambda df: df.filter(F.col("s").endswith(suffix)))
+
+    def with_predicate_like(self, sub: str) -> "QueryBuilder":
+        return self._op(lambda df: df.filter(F.col("p").contains(sub)))
+
+    def with_predicate_starting(self, prefix: str) -> "QueryBuilder":
+        return self._op(lambda df: df.filter(F.col("p").startswith(prefix)))
+
+    def with_predicate_ending(self, suffix: str) -> "QueryBuilder":
+        return self._op(lambda df: df.filter(F.col("p").endswith(suffix)))
+
     def with_object_like(self, sub: str) -> "QueryBuilder":
         return self._op(lambda df: df.filter(F.col("o").contains(sub)))
 

@@ -354,6 +354,35 @@ class Reasoner:
                 break  # all repairs of minimal cardinality found
         return repairs
 
+    # ------------------------------------------------------------- queries
+    def query_abox(
+        self, s: str | None = None, p: str | None = None, o: str | None = None
+    ) -> list[tuple[str, str, str]]:
+        """Triples matching the optional constants (reference
+        python/src/py_knowledge_graph.rs::query_abox)."""
+        df = self.facts
+        for col, val in (("s", s), ("p", p), ("o", o)):
+            if val is not None:
+                df = df.filter(F.col(col) == val)
+        return sorted(tuple(r) for r in df.dropDuplicates().collect())
+
+    def query_with_repairs(self, pattern: TriplePattern) -> list[dict[str, str]]:
+        """Inconsistency-tolerant query under IAR semantics (reference
+        reasoning/repairs.rs:10): bindings that hold in EVERY minimal
+        repair (facts minus one minimal removal set). A consistent store
+        degenerates to a plain pattern query."""
+        removals = self.repair()
+        answer_sets: list[set] = []
+        for removal in removals or [set()]:
+            facts = self.facts
+            if removal:
+                rm = self.spark.createDataFrame(sorted(removal), FACTS_SCHEMA)
+                facts = facts.join(rm, on=["s", "p", "o"], how="left_anti")
+            rows = _scan(facts, pattern, tagged=False).dropDuplicates().collect()
+            answer_sets.append({tuple(sorted(r.asDict().items())) for r in rows})
+        common = set.intersection(*answer_sets) if answer_sets else set()
+        return [dict(t) for t in sorted(common)]
+
     # -------------------------------------------------- backward chaining
     def backward_chain(
         self, goal: TriplePattern, max_depth: int = 8

@@ -336,3 +336,59 @@ def test_n3_rules_dotted_iris_and_decimals(spark):
     r.materialize()
     assert r.infer("A", "http://ex.org/grandparent", "C")
     assert r.infer("A", "http://ex.org/high", "yes")
+
+
+def test_query_abox_bound_positions(spark):
+    r = Reasoner(spark)
+    r.add_triples([("A", "p", "B"), ("A", "q", "C"), ("B", "p", "C")])
+    assert r.query_abox(s="A") == [("A", "p", "B"), ("A", "q", "C")]
+    assert r.query_abox(p="p") == [("A", "p", "B"), ("B", "p", "C")]
+    assert r.query_abox(s="A", p="p", o="B") == [("A", "p", "B")]
+    assert r.query_abox(o="missing") == []
+
+
+def test_query_with_repairs_iar_semantics(spark):
+    """IAR: only answers that survive EVERY minimal repair (reference
+    reasoning/repairs.rs). professor ∧ student conflict on X: neither role
+    fact survives all repairs; Y's single role does."""
+    r = Reasoner(spark)
+    r.add_triples(
+        [
+            ("X", "role", "professor"),
+            ("X", "role", "student"),
+            ("Y", "role", "professor"),
+        ]
+    )
+    r.add_constraint(
+        Rule(
+            premise=[
+                P(V("x"), I("role"), I("professor")),
+                P(V("x"), I("role"), I("student")),
+            ],
+            conclusion=[P(V("x"), I("violates"), I("exclusivity"))],
+        )
+    )
+    got = r.query_with_repairs(P(V("who"), I("role"), I("professor")))
+    assert got == [{"who": "Y"}]
+    # consistent store: plain query behavior
+    r2 = Reasoner(spark)
+    r2.add_triples([("Y", "role", "professor")])
+    assert r2.query_with_repairs(P(V("who"), I("role"), I("professor"))) == [
+        {"who": "Y"}
+    ]
+
+
+def test_builder_subject_predicate_filters(engine):
+    engine.add_triples(
+        [
+            ("urn:a1", "urn:name", "x"),
+            ("urn:b2", "urn:name", "y"),
+            ("urn:a1", "other:tag", "z"),
+        ]
+    )
+    mk = engine.builder
+    assert mk().with_subject_starting("urn:a").with_predicate_like("name").count() == 1
+    assert mk().with_subject_ending("2").count() == 1
+    assert mk().with_predicate_starting("other").count() == 1
+    assert mk().with_subject_like("a1").count() == 2
+    assert mk().with_predicate_ending("tag").count() == 1
