@@ -354,6 +354,69 @@ class Reasoner:
                 break  # all repairs of minimal cardinality found
         return repairs
 
+    def materialize_with_repairs(self, max_iter: int = 50) -> DataFrame:
+        """Inconsistency-tolerant materialization (reference
+        semi_naive_with_repairs.rs:11): an inconsistent base is first
+        replaced by its largest minimal repair (fewest removals,
+        deterministic tie-break), then the semi-naive fixpoint runs while
+        refusing derived facts that would (re)introduce a constraint
+        violation.
+
+        Divergence (documented): the reference admits candidate facts one
+        at a time in HashSet iteration order — nondeterministic when two
+        new facts violate jointly. Here every derived fact participating
+        in a violation is dropped per round: deterministic and
+        order-independent."""
+        if not self.check_constraints().isEmpty():
+            repairs = self.repair()
+            if repairs:
+                best = sorted(repairs, key=lambda r: (len(r), sorted(r)))[0]
+                rm = self.spark.createDataFrame(sorted(best), FACTS_SCHEMA)
+                self.facts = self.facts.join(
+                    rm, on=["s", "p", "o"], how="left_anti"
+                )
+        facts = self.facts.localCheckpoint(eager=True)
+        delta = facts
+        for _ in range(max_iter):
+            derived = None
+            for rule in self.rules:
+                d = apply_rule(facts, rule, delta=delta)
+                derived = d if derived is None else derived.unionByName(d)
+            if derived is None:
+                break
+            new_delta = (
+                derived.dropDuplicates()
+                .join(facts, on=["s", "p", "o"], how="left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if not new_delta.take(1):
+                break
+            candidate = facts.unionByName(new_delta)
+            support = self._violation_support(candidate)
+            if support is not None:
+                new_delta = new_delta.join(
+                    support, on=["s", "p", "o"], how="left_anti"
+                ).localCheckpoint(eager=True)
+                if not new_delta.take(1):
+                    break
+            facts = facts.unionByName(new_delta)
+            delta = new_delta
+        self.facts = facts
+        return facts
+
+    def _violation_support(self, facts: DataFrame) -> DataFrame | None:
+        """Facts instantiating any constraint premise within a violation
+        binding over ``facts`` (None when there are no constraints)."""
+        sup = None
+        for c in self.constraints:
+            scans = [_scan(facts, p, tagged=False) for p in c.premise]
+            df = _join_premises(scans)
+            df = _apply_filters(df, c.filters)
+            df = _apply_negation(df, facts, c)
+            inst = _instantiate(df, c.premise, None)
+            sup = inst if sup is None else sup.unionByName(inst)
+        return sup.dropDuplicates() if sup is not None else None
+
     # ------------------------------------------------------------- queries
     def query_abox(
         self, s: str | None = None, p: str | None = None, o: str | None = None

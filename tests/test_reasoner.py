@@ -392,3 +392,62 @@ def test_builder_subject_predicate_filters(engine):
     assert mk().with_predicate_starting("other").count() == 1
     assert mk().with_subject_like("a1").count() == 2
     assert mk().with_predicate_ending("tag").count() == 1
+
+
+def test_materialize_with_repairs_skips_violating_derivations(spark):
+    """semi_naive_with_repairs.rs scenario: an inconsistent base is
+    repaired first; derived facts that would re-introduce a violation are
+    refused while safe derivations proceed."""
+    r = Reasoner(spark)
+    r.add_triples(
+        [
+            ("X", "teaches", "algebra"),
+            ("X", "role", "student"),
+            ("Y", "teaches", "logic"),
+        ]
+    )
+    r.add_rule(
+        Rule(
+            premise=[P(V("x"), I("teaches"), V("c"))],
+            conclusion=[P(V("x"), I("role"), I("professor"))],
+        )
+    )
+    r.add_constraint(
+        Rule(
+            premise=[
+                P(V("x"), I("role"), I("professor")),
+                P(V("x"), I("role"), I("student")),
+            ],
+            conclusion=[P(V("x"), I("violates"), I("exclusivity"))],
+        )
+    )
+    out = {tuple(row) for row in r.materialize_with_repairs().collect()}
+    assert ("Y", "role", "professor") in out  # safe derivation lands
+    assert ("X", "role", "professor") not in out  # would violate → refused
+    assert r.check_constraints().isEmpty()
+
+
+def test_materialize_with_repairs_repairs_inconsistent_base(spark):
+    r = Reasoner(spark)
+    r.add_triples(
+        [
+            ("X", "role", "professor"),
+            ("X", "role", "student"),
+            ("X", "employed", "yes"),
+        ]
+    )
+    r.add_constraint(
+        Rule(
+            premise=[
+                P(V("x"), I("role"), I("professor")),
+                P(V("x"), I("role"), I("student")),
+            ],
+            conclusion=[P(V("x"), I("violates"), I("exclusivity"))],
+        )
+    )
+    out = {tuple(row) for row in r.materialize_with_repairs().collect()}
+    # one of the two conflicting roles was removed (largest repair = 1
+    # removal), the unrelated fact survives
+    assert ("X", "employed", "yes") in out
+    assert sum(1 for f in out if f[1] == "role") == 1
+    assert r.check_constraints().isEmpty()
