@@ -592,3 +592,34 @@ def test_engine_exclusive_seed_api(engine):
     ev = engine.hybrid_evaluator()
     assert ev.probability(("doc", "hasLang", "en")) == pytest.approx(0.7)
     assert ev.probability(("doc", "hasLang", "de")) == pytest.approx(0.3)
+
+
+def test_exact_wmc_hypothesis_differential():
+    """Property-based differential: Shannon WMC == 2^n enumeration for
+    arbitrary small DNFs (hypothesis-generated)."""
+    from hypothesis import given, settings, strategies as st
+
+    from kolibrie_spark.reasoner.hybrid import exact_wmc
+    from kolibrie_spark.reasoner.probabilistic import union_probability_enumerated
+
+    vars_ = [(f"h{i}", "p", "o") for i in range(8)]
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        probs=st.lists(
+            st.floats(min_value=0.01, max_value=0.99), min_size=8, max_size=8
+        ),
+        paths=st.lists(
+            st.sets(st.integers(min_value=0, max_value=7), min_size=1, max_size=4),
+            min_size=1,
+            max_size=6,
+        ),
+    )
+    def check(probs, paths):
+        seeds = dict(zip(vars_, probs))
+        psets = [frozenset(vars_[i] for i in p) for p in paths]
+        assert exact_wmc(psets, seeds) == pytest.approx(
+            union_probability_enumerated(psets, seeds), abs=1e-11
+        )
+
+    check()
