@@ -813,6 +813,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "<urn:customer#c_nationkey>|<urn:nation#n_regionkey>)+ "
             "<urn:region:0> }"
         ),
+        "path_star_reach": _sparql(
+            "SELECT ?x WHERE { <urn:orders:1> (<urn:orders#o_custkey>|"
+            "<urn:customer#c_nationkey>|<urn:nation#n_regionkey>)* ?x }"
+        ),
+        "path_opt_direct": _sparql(
+            "SELECT ?n WHERE { ?n <urn:customer#c_nationkey>? <urn:nation:3> }"
+        ),
         # --- aggregation (§2.4)
         "groupby_agg": _sparql(
             "SELECT ?flag (SUM(?qty) AS ?sum_qty) (AVG(?qty) AS ?avg_qty) "
@@ -1108,6 +1115,24 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT x FROM edges WHERE y = 'urn:region:0'"
             "  UNION SELECT e.x FROM edges e JOIN reach r ON e.y = r.x"
             ") SELECT x FROM reach"
+        ),
+        "path_star_reach": (
+            "WITH RECURSIVE edges AS ("
+            "  SELECT 'urn:orders:' || CAST(o_orderkey AS VARCHAR) AS x, "
+            "         'urn:customer:' || CAST(o_custkey AS VARCHAR) AS y FROM orders"
+            "  UNION ALL SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR), "
+            "         'urn:nation:' || CAST(c_nationkey AS VARCHAR) FROM customer"
+            "  UNION ALL SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR), "
+            "         'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation"
+            "), reach AS ("
+            "  SELECT 'urn:orders:1' AS x"  # zero-length: the start itself
+            "  UNION SELECT e.y FROM edges e JOIN reach r ON e.x = r.x"
+            ") SELECT x FROM reach"
+        ),
+        "path_opt_direct": (
+            "SELECT 'urn:nation:3' AS n"  # zero-length: the object itself
+            " UNION SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR)"
+            " FROM customer WHERE c_nationkey = 3"
         ),
         "groupby_agg": (
             "SELECT l_returnflag AS flag, SUM(l_quantity) AS sum_qty, "

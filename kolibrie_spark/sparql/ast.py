@@ -156,9 +156,10 @@ class Exists:
 
 # Property paths (also absent from the reference's grammar): ^p inverse,
 # p1/p2 sequence, p1|p2 alternative, p+ one-or-more (transitive closure
-# via the semi-naive DataFrame fixpoint). Zero-length forms (*, ?) are
-# deliberately unsupported — their SPARQL semantics (every graph term
-# paired with itself) don't scale and have no reference counterpart.
+# via the semi-naive DataFrame fixpoint). Zero-length forms p* and p?
+# are supported ONLY with a ground endpoint (seeded BFS / direct edges
+# plus the start term): the var-var zero-length semantics — every graph
+# term paired with itself — doesn't scale and is rejected at compile.
 @dataclass
 class PathInverse:
     inner: "Path"
@@ -179,7 +180,17 @@ class PathPlus:
     inner: "Path"
 
 
-Path = Iri | PathInverse | PathSeq | PathAlt | PathPlus
+@dataclass
+class PathStar:
+    inner: "Path"
+
+
+@dataclass
+class PathOpt:
+    inner: "Path"
+
+
+Path = Iri | PathInverse | PathSeq | PathAlt | PathPlus | PathStar | PathOpt
 
 
 @dataclass

@@ -586,7 +586,15 @@ class Compiler:
                     return acc
                 acc = acc.unionByName(grown)
                 delta = grown
-        raise CompileError(f"unsupported path element {path!r} (paths need IRI leaves)")
+        raise CompileError(
+            f"unsupported path element {path!r} — IRI leaves only; "
+            "zero-length forms (*, ?) are supported solely as the outermost "
+            "path with a ground endpoint"
+        )
+
+    def _unit_df(self) -> DataFrame:
+        """One row, no columns: the 'pattern matched, nothing bound' unit."""
+        return self.store.spark.range(1).select()
 
     def _reachable_from(self, edges: DataFrame, start_value: str) -> DataFrame:
         """Frontier BFS over an edge set from one ground node — returns the
@@ -625,24 +633,83 @@ class Compiler:
         view: DatasetView,
         active_graph: ast.Iri | ast.Var | None,
     ) -> Bindings:
-        if isinstance(el.path, ast.PathPlus):
-            s_ground = not isinstance(el.s, ast.Var)
-            o_ground = not isinstance(el.o, ast.Var)
-            if s_ground != o_ground:
-                # seeded BFS from the ground end (inverse edges when the
-                # object end is the ground one)
-                inner = el.path.inner if s_ground else ast.PathInverse(el.path.inner)
-                start = el.s if s_ground else el.o
-                other = el.o if s_ground else el.s
-                edges = self._path_edges(inner, view, active_graph)
-                nodes = self._reachable_from(edges, self._ground_term_value(start))
-                if isinstance(other, ast.Var):
-                    return Bindings(nodes.select(F.col("__dst").alias(other.name)))
+        s_ground = not isinstance(el.s, ast.Var)
+        o_ground = not isinstance(el.o, ast.Var)
+        if isinstance(el.path, (ast.PathPlus, ast.PathStar)) and (
+            s_ground or o_ground
+        ):
+            # seeded BFS from a ground end (inverse edges when the object
+            # end is the ground one); `*` additionally includes the start
+            # term itself (zero-length path). Linear in touched edges.
+            zero = isinstance(el.path, ast.PathStar)
+            inner = el.path.inner if s_ground else ast.PathInverse(el.path.inner)
+            start = el.s if s_ground else el.o
+            other = el.o if s_ground else el.s
+            start_v = self._ground_term_value(start)
+            if s_ground and o_ground:
+                if zero and start_v == self._ground_term_value(el.o):
+                    return Bindings(self._unit_df())
+                edges = self._path_edges(el.path.inner, view, active_graph)
+                nodes = self._reachable_from(edges, start_v)
                 return Bindings(
                     nodes.filter(
-                        F.col("__dst") == self._ground_term_value(other)
+                        F.col("__dst") == self._ground_term_value(el.o)
                     ).limit(1).select()
                 )
+            edges = self._path_edges(inner, view, active_graph)
+            nodes = self._reachable_from(edges, start_v)
+            if zero:
+                nodes = nodes.unionByName(
+                    self.store.spark.createDataFrame([(start_v,)], "__dst string")
+                ).dropDuplicates()
+            if isinstance(other, ast.Var):
+                return Bindings(nodes.select(F.col("__dst").alias(other.name)))
+            return Bindings(
+                nodes.filter(
+                    F.col("__dst") == self._ground_term_value(other)
+                ).limit(1).select()
+            )
+        if isinstance(el.path, ast.PathOpt):
+            if not (s_ground or o_ground):
+                raise CompileError(
+                    "zero-length path forms (*, ?) need a ground endpoint — "
+                    "the var-var zero-length semantics (every term paired "
+                    "with itself) does not scale"
+                )
+            inner = el.path.inner if s_ground else ast.PathInverse(el.path.inner)
+            start = el.s if s_ground else el.o
+            other = el.o if s_ground else el.s
+            start_v = self._ground_term_value(start)
+            if s_ground and o_ground:
+                if start_v == self._ground_term_value(el.o):
+                    return Bindings(self._unit_df())
+                hit = (
+                    self._path_edges(el.path.inner, view, active_graph)
+                    .filter(
+                        (F.col("__src") == start_v)
+                        & (F.col("__dst") == self._ground_term_value(el.o))
+                    )
+                    .limit(1)
+                )
+                return Bindings(hit.select())
+            direct = (
+                self._path_edges(inner, view, active_graph)
+                .filter(F.col("__src") == start_v)
+                .select("__dst")
+                .unionByName(
+                    self.store.spark.createDataFrame([(start_v,)], "__dst string")
+                )
+                .dropDuplicates()
+            )
+            if isinstance(other, ast.Var):
+                return Bindings(direct.select(F.col("__dst").alias(other.name)))
+            return Bindings(direct.limit(1).select())
+        if isinstance(el.path, (ast.PathStar, ast.PathOpt)):
+            raise CompileError(
+                "zero-length path forms (*, ?) need a ground endpoint — "
+                "the var-var zero-length semantics (every term paired "
+                "with itself) does not scale"
+            )
         df = self._path_edges(el.path, view, active_graph)
         out: list[Column] = []
         seen: dict[str, str] = {}

@@ -48,9 +48,11 @@ from kolibrie_spark.sparql.ast import (
     Or,
     PathAlt,
     PathInverse,
+    PathOpt,
     PathPattern,
     PathPlus,
     PathSeq,
+    PathStar,
     Query,
     QuotedTriple,
     SelectQuery,
@@ -90,7 +92,7 @@ _TOKEN_RE = re.compile(
   | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_-]*)?:[A-Za-z0-9_.\-/%]*)
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_.]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].,;=<>!+\-*/@^|])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\].,;=<>!+\-*/@^|?])
     """,
     re.VERBOSE,
 )
@@ -499,7 +501,7 @@ class Parser:
             p = self.parse_path()
             while True:
                 o = self.parse_term()
-                if isinstance(p, (PathInverse, PathSeq, PathAlt, PathPlus)):
+                if isinstance(p, (PathInverse, PathSeq, PathAlt, PathPlus, PathStar, PathOpt)):
                     g.elements.append(PathPattern(s, p, o))
                 else:
                     g.elements.append(TriplePattern(s, p, o))
@@ -534,13 +536,15 @@ class Parser:
             elt = PathInverse(inner)
         else:
             elt = self._parse_path_primary()
-        while self.take_op("+"):
-            elt = PathPlus(elt)
-        if self.at_op("*") or self.at_op("?"):
-            raise ParseError(
-                "zero-length path forms (*, ?) are unsupported "
-                "(see ast.py path notes)"
-            )
+        while True:
+            if self.take_op("+"):
+                elt = PathPlus(elt)
+            elif self.take_op("*"):
+                elt = PathStar(elt)
+            elif self.take_op("?"):
+                elt = PathOpt(elt)
+            else:
+                break
         return elt
 
     def _parse_path_primary(self):

@@ -190,3 +190,14 @@ def test_optional_minus_exists_parse():
     assert kinds == ["TriplePattern", "OptionalBlock", "MinusBlock", "Filter"]
     f = q.where.elements[3]
     assert isinstance(f.expr, ast.Exists) and f.expr.negated
+
+
+def test_path_star_and_opt_parse():
+    from kolibrie_spark.sparql.ast import PathOpt, PathPattern, PathStar
+    from kolibrie_spark.sparql.parser import parse_query
+
+    q = parse_query("SELECT ?x WHERE { <urn:a> <urn:p>* ?x }")
+    el = q.select.where.elements[0]
+    assert isinstance(el, PathPattern) and isinstance(el.path, PathStar)
+    q2 = parse_query("SELECT ?x WHERE { ?x <urn:p>? <urn:b> }")
+    assert isinstance(q2.select.where.elements[0].path, PathOpt)

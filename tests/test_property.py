@@ -131,3 +131,56 @@ def test_engine_facade_stats_and_sniffing(engine):
     from kolibrie_spark.streaming.engine import RSPEngine
 
     assert isinstance(rsp, RSPEngine)
+
+
+def seed_chain(engine):
+    engine.add_triples(
+        [
+            ("urn:a", "urn:next", "urn:b"),
+            ("urn:b", "urn:next", "urn:c"),
+            ("urn:c", "urn:next", "urn:d"),
+            ("urn:x", "urn:next", "urn:y"),
+        ]
+    )
+    return engine
+
+
+def test_path_star_includes_start(engine):
+    e = seed_chain(engine)
+    got = sorted(v[0] for v in e.execute("SELECT ?x WHERE { <urn:b> <urn:next>* ?x }"))
+    assert got == ["urn:b", "urn:c", "urn:d"]  # zero-length + closure
+
+
+def test_path_star_inverse_direction(engine):
+    e = seed_chain(engine)
+    got = sorted(v[0] for v in e.execute("SELECT ?x WHERE { ?x <urn:next>* <urn:c> }"))
+    assert got == ["urn:a", "urn:b", "urn:c"]
+
+
+def test_path_star_ground_both(engine):
+    e = seed_chain(engine)
+
+    def ask(q):
+        return e.execute(f'SELECT ?g WHERE {{ {q} . BIND("y" AS ?g) }}') == [["y"]]
+
+    assert ask("<urn:a> <urn:next>* <urn:d>")
+    assert ask("<urn:a> <urn:next>* <urn:a>")  # zero-length self-match
+    assert not ask("<urn:a> <urn:next>* <urn:y>")
+
+
+def test_path_opt_zero_or_one(engine):
+    e = seed_chain(engine)
+    got = sorted(v[0] for v in e.execute("SELECT ?x WHERE { <urn:b> <urn:next>? ?x }"))
+    assert got == ["urn:b", "urn:c"]  # self + direct successor only
+    got2 = sorted(v[0] for v in e.execute("SELECT ?x WHERE { ?x <urn:next>? <urn:b> }"))
+    assert got2 == ["urn:a", "urn:b"]
+
+
+def test_path_star_var_var_rejected(engine):
+    import pytest as _pytest
+
+    from kolibrie_spark.sparql.compiler import CompileError
+
+    e = seed_chain(engine)
+    with _pytest.raises(CompileError, match="ground endpoint"):
+        e.execute("SELECT ?x ?y WHERE { ?x <urn:next>* ?y }")

@@ -306,13 +306,20 @@ def test_path_combo_closure_then_sequence(engine):
     )) == [["A"], ["B"], ["C"]]
 
 
-def test_path_zero_length_forms_rejected(engine):
+def test_path_zero_length_needs_ground_endpoint(engine):
+    """Round 2: * and ? parse and run with a ground endpoint (seeded BFS
+    plus the start term); the var-var zero-length form stays rejected."""
     import pytest
 
-    from kolibrie_spark.sparql.parser import ParseError
+    from kolibrie_spark.sparql.compiler import CompileError
 
-    with pytest.raises(ParseError):
-        engine.query("SELECT ?x WHERE { <ex:a> <ex:knows>* ?x }")
+    engine.add_triples([("ex:a", "ex:knows", "ex:b")])
+    got = sorted(v[0] for v in engine.execute(
+        "SELECT ?x WHERE { <ex:a> <ex:knows>* ?x }"
+    ))
+    assert got == ["ex:a", "ex:b"]
+    with pytest.raises(CompileError, match="ground endpoint"):
+        engine.execute("SELECT ?x ?y WHERE { ?x <ex:knows>* ?y }")
 
 
 def test_distinct_order_by_projected(engine):
