@@ -158,7 +158,12 @@ class SparqlEngine:
           threshold field (default 5).
 
         All variants insert the inferred facts plus RDF-star
-        ``prob:value`` tag annotations, and return the inferred triples."""
+        ``prob:value`` tag annotations, and return the inferred triples —
+        the returned LIST mirrors the reference API's Vec<Triple>; the
+        facts themselves are inserted via DataFrames, so a caller that
+        doesn't need the list can ignore it, and rules expected to derive
+        huge sets should go through ``self.rules`` + :meth:`materialize`
+        (fully distributed, nothing returned)."""
         from pyspark.sql import functions as F
 
         from kolibrie_spark.reasoner.fixpoint import (

@@ -333,6 +333,16 @@ class WmcBudgetExceeded(Exception):
         self.reason = reason  # "sdd-budget" | "sdd-node-budget"
 
 
+def _norm_lit(l):
+    """Normalize a literal: plain seed triples become (triple, True);
+    (triple, bool) pairs pass through — exact_wmc accepts both plain DNF
+    paths (monotone lineages) and SIGNED paths from
+    probabilistic.signed_paths (lineages with Not nodes)."""
+    if isinstance(l, tuple) and len(l) == 2 and isinstance(l[1], bool):
+        return l
+    return (l, True)
+
+
 def exact_wmc(
     paths: list[frozenset],
     seeds: dict,
@@ -346,17 +356,19 @@ def exact_wmc(
     plus independent-component factorization; no variable-count cap, the
     budgets bound the work instead (the reference's SDD compiler role).
 
+    Literals may be plain seed triples or signed ``(triple, polarity)``
+    pairs (negation-as-failure lineages, reference LineageNode::Not —
+    P(¬v) = 1 - P(v) with full correlation handling).
+
     ``groups`` maps seed → exclusive-group id (reference
     SeedKind::ExclusiveGroup, sdd.rs annotated-disjunction encoding):
     members of one group are mutually exclusive with EXACTLY ONE chosen —
     branching selects a member (weight p_m, other members false) or, with
     residual mass 1 - Σ p_present, a member no path references."""
-    # absorption: drop supersets, dedupe
-    uniq = sorted(set(paths), key=len)
-    kept: list[frozenset] = []
-    for p in uniq:
-        if not any(q <= p for q in kept):
-            kept.append(p)
+    from kolibrie_spark.reasoner.probabilistic import _signed_absorb
+
+    signed = [frozenset(_norm_lit(l) for l in p) for p in paths]
+    kept = _signed_absorb(signed)
     if not kept:
         return 0.0
     if frozenset() in kept:
@@ -364,6 +376,23 @@ def exact_wmc(
 
     memo: dict[frozenset, float] = {}
     nodes = 0
+
+    def _absorbed(ps) -> frozenset:
+        return frozenset(_signed_absorb(ps))
+
+    def _cond(pset, var, value: bool):
+        """Condition the DNF on var=value: satisfied literals vanish,
+        contradicted literals kill their path. Returns (paths, sat) where
+        sat means some path became empty (formula true)."""
+        out = set()
+        for p in pset:
+            if (var, not value) in p:
+                continue  # contradicted literal → path false
+            p2 = p - {(var, value)}
+            if not p2:
+                return None, True
+            out.add(p2)
+        return _absorbed(out), False
 
     def solve(pset: frozenset) -> float:
         nonlocal nodes
@@ -394,58 +423,68 @@ def exact_wmc(
         # Shannon on the most shared variable
         counts: dict = {}
         for p in pset:
-            for v in p:
+            for v, _pol in p:
                 counts[v] = counts.get(v, 0) + 1
         var = max(counts, key=lambda v: (counts[v], v))
-
-        def _absorbed(ps) -> frozenset:
-            kept2: list[frozenset] = []
-            for p in sorted(ps, key=len):
-                if not any(q <= p for q in kept2):
-                    kept2.append(p)
-            return frozenset(kept2)
 
         if groups and var in groups:
             # exclusive branch: exactly one member of the group holds
             gid = groups[var]
-            members = sorted(
-                {v for v in counts if groups.get(v) == gid}
-            )
+            members = sorted({v for v in counts if groups.get(v) == gid})
+            referenced = set(members)
             out = 0.0
-            other = set(members)
             for m in members:
-                rest = other - {m}
                 cond = set()
                 sat = False
                 for p in pset:
-                    if p & rest:
-                        continue  # contains a false member → path false
-                    p2 = p - {m}
+                    p2 = set()
+                    dead = False
+                    for (v, pol) in p:
+                        if groups.get(v) != gid:
+                            p2.add((v, pol))
+                        elif v == m:
+                            if not pol:  # ¬m while m chosen → false
+                                dead = True
+                                break
+                        else:  # another member: false under choice m
+                            if pol:
+                                dead = True
+                                break
+                    if dead:
+                        continue
                     if not p2:
                         sat = True
                         break
-                    cond.add(p2)
+                    cond.add(frozenset(p2))
                 out += seeds[m] * (1.0 if sat else solve(_absorbed(cond)))
             residual = 1.0 - sum(seeds[m] for m in members)
             if residual > 1e-15:
-                # an unreferenced member of the group was chosen:
-                # every referenced member is false
-                cond = frozenset(p for p in pset if not (p & other))
-                out += residual * solve(cond)
+                # an unreferenced member was chosen: every referenced
+                # member is false — positive literals die, negated ones hold
+                cond = set()
+                sat = False
+                for p in pset:
+                    p2 = {
+                        (v, pol) for (v, pol) in p if groups.get(v) != gid
+                    }
+                    if any(
+                        pol for (v, pol) in p if groups.get(v) == gid
+                    ):
+                        continue
+                    if not p2:
+                        sat = True
+                        break
+                    cond.add(frozenset(p2))
+                out += residual * (1.0 if sat else solve(_absorbed(cond)))
             out = min(1.0, max(0.0, out))
             memo[pset] = out
             return out
 
         pv = seeds[var]
-        # v = true: remove v from its paths (absorb supersets of new paths)
-        pos = {p - {var} if var in p else p for p in pset}
-        if frozenset() in pos:
-            p_true = 1.0
-        else:
-            p_true = solve(_absorbed(pos))
-        # v = false: drop paths containing v
-        neg = frozenset(p for p in pset if var not in p)
-        p_false = solve(neg)
+        pos, sat = _cond(pset, var, True)
+        p_true = 1.0 if sat else solve(pos)
+        neg, sat = _cond(pset, var, False)
+        p_false = 1.0 if sat else solve(neg)
         out = pv * p_true + (1.0 - pv) * p_false
         memo[pset] = out
         return out
@@ -464,7 +503,7 @@ def exact_wmc(
             parent[i] = i
         var_owner: dict = {}
         for i, p in enumerate(plist):
-            for v in p:
+            for v, _pol in p:
                 # exclusive-group members are dependent even without a
                 # shared variable — key them by group so their paths merge
                 key = ("__grp", groups[v]) if groups and v in groups else v
@@ -516,10 +555,12 @@ def _decide(p: float, threshold: float) -> str:
 
 
 def _lineage_seeds(lin, out: set) -> set:
-    from kolibrie_spark.reasoner.probabilistic import And, Or, Seed
+    from kolibrie_spark.reasoner.probabilistic import And, Not, Or, Seed
 
     if isinstance(lin, Seed):
         out.add(lin.id)
+    elif isinstance(lin, Not):
+        _lineage_seeds(lin.inner, out)
     elif isinstance(lin, (And, Or)):
         for part in lin.parts:
             _lineage_seeds(part, out)
@@ -556,12 +597,15 @@ def evaluate_hybrid(
             metrics=metrics,
         )
 
+    from kolibrie_spark.reasoner.probabilistic import has_negation, signed_paths
+
     topk_start = clock()
     topk_deadline = topk_start + config.topk_budget_ms / 1000.0
     lower = None
     last_interval = None
     k = config.k_initial
-    supported_topk = not (
+    negated = has_negation(lin)
+    supported_topk = not negated and not (
         groups and any(s in groups for s in _lineage_seeds(lin, set()))
     )
     while supported_topk:
@@ -627,7 +671,7 @@ def evaluate_hybrid(
     try:
         from kolibrie_spark.reasoner.probabilistic import _paths
 
-        paths = _paths(lin)
+        paths = signed_paths(lin) if negated else _paths(lin)
         probability = exact_wmc(
             paths, seeds, sdd_deadline, config.sdd_node_budget, clock, groups=groups
         )

@@ -45,7 +45,18 @@ class Or:
     parts: tuple
 
 
-Lineage = Seed | And | Or
+@dataclass(frozen=True)
+class Not:
+    """Negation-as-failure over a probabilistic lineage (reference
+    LineageNode::Not, hybrid.rs:390): the derivation holds in worlds where
+    the negated fact is NOT derivable. Top-k refuses negated lineages
+    (NegationRequiresExact); the exact counter handles them via signed
+    literals."""
+
+    inner: "Lineage"
+
+
+Lineage = Seed | And | Or | Not
 
 
 def _absorb(paths) -> list[frozenset[Triple]]:
@@ -56,6 +67,67 @@ def _absorb(paths) -> list[frozenset[Triple]]:
         if not any(q <= p for q in kept):
             kept.append(p)
     return kept
+
+
+def has_negation(lin: Lineage | None) -> bool:
+    if lin is None or isinstance(lin, Seed):
+        return False
+    if isinstance(lin, Not):
+        return True
+    return any(has_negation(p) for p in lin.parts)
+
+
+def _signed_absorb(paths) -> list[frozenset]:
+    """Absorption over SIGNED literal sets ((triple, polarity)): drop
+    inconsistent paths (v asserted both ways) and supersets."""
+    consistent = []
+    for p in set(paths):
+        vars_ = [v for v, _pol in p]
+        if len(vars_) == len(set(vars_)):
+            consistent.append(p)
+    kept: list[frozenset] = []
+    for p in sorted(consistent, key=len):
+        if not any(q <= p for q in kept):
+            kept.append(p)
+    return kept
+
+
+def signed_paths(lin: Lineage) -> list[frozenset]:
+    """DNF over signed literals ((triple, True/False)) — handles Not by
+    De Morgan expansion (¬(∨ paths) = ∧ ¬path, distributed back to DNF
+    with absorption at every step)."""
+    memo: dict[int, list[frozenset]] = {}
+
+    def go(node: Lineage) -> list[frozenset]:
+        if isinstance(node, Seed):
+            return [frozenset([(node.id, True)])]
+        hit = memo.get(id(node))
+        if hit is not None:
+            return hit
+        if isinstance(node, And):
+            acc = [frozenset()]
+            for part in node.parts:
+                acc = _signed_absorb(a | b for a in acc for b in go(part))
+            out = acc
+        elif isinstance(node, Or):
+            collected: list[frozenset] = []
+            for part in node.parts:
+                collected.extend(go(part))
+            out = _signed_absorb(collected)
+        else:  # Not
+            inner = go(node.inner)
+            acc = [frozenset()]
+            for p in inner:  # ∧ over ¬path; ¬path = ∨ of flipped literals
+                acc = _signed_absorb(
+                    a | {(v, not pol)} for a in acc for (v, pol) in p
+                )
+                if not acc:
+                    break
+            out = acc
+        memo[id(node)] = out
+        return out
+
+    return go(lin)
 
 
 def _paths(lin: Lineage) -> list[frozenset[Triple]]:
@@ -144,12 +216,12 @@ class HybridEvaluator:
         for _ in range(max_iter):
             changed = False
             for rule in self.rules:
-                for binding, premises in self._match(rule):
+                for binding, premises, negs in self._match(rule):
                     for concl in rule.conclusion:
                         fact = self._instantiate(concl, binding)
                         if fact is None or fact in self.seeds:
                             continue
-                        lin = self._and_of(premises)
+                        lin = self._and_of(premises, negs)
                         prev = self.facts.get(fact, "absent")
                         new = self._merge(prev if prev != "absent" else None, lin,
                                           absent=prev == "absent")
@@ -160,12 +232,15 @@ class HybridEvaluator:
                 break
         return self.facts
 
-    def _and_of(self, premises: list[Triple]) -> Lineage | None:
+    def _and_of(
+        self, premises: list[Triple], negs: tuple = ()
+    ) -> Lineage | None:
         parts = []
         for t in premises:
             lin = self.facts[t]
             if lin is not None:
                 parts.append(lin)
+        parts.extend(negs)  # Not(...) parts from probabilistic NAF
         if not parts:
             return None  # all premises certain
         if len(parts) == 1:
@@ -198,17 +273,25 @@ class HybridEvaluator:
             results = nxt
             if not results:
                 return []
-        # negation-as-failure over the deterministic view
+        # negation-as-failure: a negated match on a CERTAIN fact kills the
+        # binding (reference deterministic view); a match on a
+        # PROBABILISTIC fact contributes a Not(lineage) part instead — the
+        # derivation holds only in worlds where that fact is absent
+        # (reference LineageNode::Not)
         out = []
         for binding, used in results:
             ok = True
+            negs: list[Not] = []
             for neg in rule.negative_premise:
                 inst = self._instantiate(neg, binding)
                 if inst is not None and inst in self.facts:
-                    ok = False
-                    break
+                    lin = self.facts[inst]
+                    if lin is None:
+                        ok = False
+                        break
+                    negs.append(Not(lin))
             if ok:
-                out.append((binding, used))
+                out.append((binding, used, tuple(negs)))
         return out
 
     @staticmethod
@@ -240,7 +323,8 @@ class HybridEvaluator:
 
     # ----------------------------------------------------------- queries
     def probability(self, fact: Triple) -> float:
-        """Exact probability (the reference's escalated-exact path)."""
+        """Exact probability (the reference's escalated-exact path);
+        negated lineages go through the signed-literal DNF."""
         from kolibrie_spark.reasoner.hybrid import exact_wmc
 
         if fact not in self.facts:
@@ -248,7 +332,8 @@ class HybridEvaluator:
         lin = self.facts[fact]
         if lin is None:
             return 1.0
-        return exact_wmc(_paths(lin), self.seeds, groups=self.groups or None)
+        paths = signed_paths(lin) if has_negation(lin) else _paths(lin)
+        return exact_wmc(paths, self.seeds, groups=self.groups or None)
 
     def topk_lower_bound(self, fact: Triple, k: int = 3) -> float:
         """Certified lower bound from the k most probable derivations
@@ -258,6 +343,10 @@ class HybridEvaluator:
         lin = self.facts[fact]
         if lin is None:
             return 1.0
+        if has_negation(lin):
+            # negation requires exact (reference NegationRequiresExact);
+            # the exact value is trivially a certified lower bound
+            return self.probability(fact)
         paths = _paths(lin)
 
         def path_prob(p: frozenset[Triple]) -> float:

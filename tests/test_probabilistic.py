@@ -623,3 +623,102 @@ def test_exact_wmc_hypothesis_differential():
         )
 
     check()
+
+
+# --------------------------------------------------------- negated lineages
+def test_negated_probabilistic_premise_not_lineage():
+    """A NOT match on a probabilistic fact contributes Not(lineage):
+    P(derived) = P(premise) * (1 - P(blocked)) for independent seeds."""
+    from kolibrie_spark.reasoner.probabilistic import Not
+
+    seeds = {("A", "status", "raw"): 0.6, ("A", "blocked", "yes"): 0.3}
+    rule = Rule(
+        premise=[P(V("x"), I("status"), I("raw"))],
+        negative_premise=[P(V("x"), I("blocked"), I("yes"))],
+        conclusion=[P(V("x"), I("clean"), I("yes"))],
+    )
+    ev = HybridEvaluator(seeds, [rule])
+    ev.materialize()
+    lin = ev.facts[("A", "clean", "yes")]
+    assert any(isinstance(p, Not) for p in lin.parts)
+    assert ev.probability(("A", "clean", "yes")) == pytest.approx(0.6 * 0.7)
+
+
+def test_negated_certain_fact_still_kills_binding():
+    seeds = {("A", "status", "raw"): 0.6}
+    rule = Rule(
+        premise=[P(V("x"), I("status"), I("raw"))],
+        negative_premise=[P(V("x"), I("blocked"), I("yes"))],
+        conclusion=[P(V("x"), I("clean"), I("yes"))],
+    )
+    ev = HybridEvaluator(
+        seeds, [rule], deterministic_facts={("A", "blocked", "yes")}
+    )
+    ev.materialize()
+    assert ("A", "clean", "yes") not in ev.facts
+
+
+def test_negation_correlated_same_seed_is_contradiction():
+    """And(Seed(s), Not(Seed(s))) is unsatisfiable — correlation through
+    the shared seed must drive the probability to exactly 0 (a noisy
+    independence assumption would give p*(1-p) > 0)."""
+    from kolibrie_spark.reasoner.hybrid import exact_wmc
+
+    s = ("A", "p", "o")
+    paths = [frozenset([(s, True), (s, False)])]
+    assert exact_wmc(paths, {s: 0.5}) == 0.0
+
+
+def test_negation_escalates_to_exact():
+    from kolibrie_spark.reasoner.hybrid import HybridConfig, evaluate_hybrid
+    from kolibrie_spark.reasoner.probabilistic import And, Not, Seed
+
+    a, b = ("a", "p", "o"), ("b", "p", "o")
+    seeds = {a: 0.8, b: 0.25}
+    lin = And((Seed(a), Not(Seed(b))))
+    r = evaluate_hybrid(lin, seeds, HybridConfig(threshold=0.5), _inject_clock())
+    assert r.status == "Exact" and r.reason == "exact-sdd"
+    assert r.probability == pytest.approx(0.8 * 0.75)
+    assert r.metrics["k_used"] == 0  # top-k refused (NegationRequiresExact)
+
+
+def test_signed_wmc_matches_bruteforce():
+    """Differential for signed DNFs: random mixed-polarity paths vs 2^n
+    world enumeration."""
+    import itertools
+    import random
+
+    from kolibrie_spark.reasoner.hybrid import exact_wmc
+
+    rng = random.Random(13)
+    for trial in range(20):
+        nvars = rng.randint(2, 9)
+        vars_ = [(f"v{i}", "p", "o") for i in range(nvars)]
+        seeds = {v: rng.uniform(0.05, 0.95) for v in vars_}
+        paths = [
+            frozenset(
+                (v, rng.random() < 0.6)
+                for v in rng.sample(vars_, rng.randint(1, min(4, nvars)))
+            )
+            for _ in range(rng.randint(1, 6))
+        ]
+        total = 0.0
+        for bits in itertools.product([False, True], repeat=nvars):
+            world = dict(zip(vars_, bits))
+            if any(all(world[v] == pol for v, pol in p) for p in paths):
+                w = 1.0
+                for v, bit in zip(vars_, bits):
+                    w *= seeds[v] if bit else 1.0 - seeds[v]
+                total += w
+        assert exact_wmc(paths, seeds) == pytest.approx(total, abs=1e-12), (
+            f"trial {trial}"
+        )
+
+
+def test_double_negation_collapses():
+    from kolibrie_spark.reasoner.hybrid import exact_wmc
+    from kolibrie_spark.reasoner.probabilistic import Not, Seed, signed_paths
+
+    s = ("A", "p", "o")
+    assert signed_paths(Not(Not(Seed(s)))) == [frozenset([(s, True)])]
+    assert exact_wmc(signed_paths(Not(Seed(s))), {s: 0.3}) == pytest.approx(0.7)
