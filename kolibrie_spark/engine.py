@@ -110,13 +110,27 @@ class SparqlEngine:
         from kolibrie_spark.reasoner.n3_parser import _parse_patterns, _FILTER_RE
         from kolibrie_spark.reasoner.rule import FilterCondition, Rule, check_rule_safety
 
-        head = _re.match(r"\s*RULE\s+\S+\s*", text, _re.I)
+        head = _re.search(r"RULE\s+\S+\s*", text, _re.I)
         if head is None:
             raise ValueError("expected RULE :Name [PROB(...)] :- CONSTRUCT { ... } WHERE { ... }")
+        # PREFIX declarations before RULE extend the store's prefix map for
+        # this rule's patterns
+        prefixes = dict(self.store.prefixes)
+        for pm in _re.finditer(
+            r"PREFIX\s+([A-Za-z_][\w\-]*)?:\s*<([^<>\s]*)>", text[: head.start()], _re.I
+        ):
+            prefixes[pm.group(1) or ""] = pm.group(2)
         rest = text[head.end():]
         ann = None
         if _re.match(r"PROB\s*\(", rest, _re.I):
             ann, rest = parse_prob_annotation(rest)
+        if _re.match(r"\s*:-\s*(RSTREAM|ISTREAM|DSTREAM|FROM)\b", rest, _re.I):
+            # streaming (RSP) rule — lowered to a windowed registration
+            # whose emissions materialize the CONSTRUCT template
+            # (reference parser.rs:3098-3199 RSP path)
+            from kolibrie_spark.streaming.rules import register_streaming_rule
+
+            return register_streaming_rule(self, text)
         m = _re.match(
             r"\s*:-\s*CONSTRUCT\s*\{(.*?)\}\s*WHERE\s*\{(.*)\}\s*\.?\s*$",
             rest,
@@ -131,8 +145,8 @@ class SparqlEngine:
         ]
         where_src = _FILTER_RE.sub(" ", where_src)
         rule = Rule(
-            premise=_parse_patterns(where_src, self.store.prefixes),
-            conclusion=_parse_patterns(concl_src, self.store.prefixes),
+            premise=_parse_patterns(where_src, prefixes),
+            conclusion=_parse_patterns(concl_src, prefixes),
             filters=filters,
             prob=ann,
         )

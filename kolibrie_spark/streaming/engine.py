@@ -118,8 +118,13 @@ class RSPEngine:
 
         self.runners: dict[str, CSparqlWindow] = {}
         for w in self.q.windows:
+            # inline [... REPORT ... TICK ...] clauses on the window spec
+            # override the engine-level default (reference window grammar)
+            w_report = list(w.report) if getattr(w, "report", None) else (
+                list(report) if report else None
+            )
             runner = CSparqlWindow(
-                w.width, w.slide, report=list(report) if report else None, uri=w.iri, t0=t0
+                w.width, w.slide, report=w_report, uri=w.iri, t0=t0
             )
             runner.on_fire = self._make_on_fire(w)
             self.runners[w.iri] = runner

@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 
 from kolibrie_spark.sparql import ast
 from kolibrie_spark.sparql.parser import ParseError, Parser
+from kolibrie_spark.streaming.s2r import Periodic, ReportStrategy
 
 
 @dataclass
@@ -34,6 +35,10 @@ class WindowSpec:
     slide: int
     group: ast.Group = field(default_factory=ast.Group)
     policy: tuple | None = None  # ("WAIT",) | ("STEAL",) | ("TIMEOUT", n, fb)
+    # inline REPORT/TICK clauses (reference window spec grammar,
+    # e.g. [SLIDING 10 SLIDE 2 REPORT ON_WINDOW_CLOSE TICK TIME_DRIVEN])
+    report: list = field(default_factory=list)
+    tick: str | None = None
 
 
 @dataclass
@@ -124,10 +129,13 @@ class RSPQLParser(Parser):
             wiri = self._iri_or_colon_name()
             self.expect_kw("ON")
             stream = self._stream_term()
-            spec_w, spec_s = self._parse_window_spec()
+            spec_w, spec_s, spec_report, spec_tick = self._parse_window_spec()
             policy = self._parse_policy()
             windows.append(
-                WindowSpec(iri=wiri, stream=stream, width=spec_w, slide=spec_s, policy=policy)
+                WindowSpec(
+                    iri=wiri, stream=stream, width=spec_w, slide=spec_s,
+                    policy=policy, report=spec_report, tick=spec_tick,
+                )
             )
         if not windows:
             raise ParseError("REGISTER requires at least one FROM NAMED WINDOW")
@@ -172,7 +180,7 @@ class RSPQLParser(Parser):
             static_group=static_group,
         )
 
-    def _parse_window_spec(self) -> tuple[int, int]:
+    def _parse_window_spec(self):
         # [RANGE n STEP m] | [TUMBLING n] | [SLIDING n STEP m]
         if not self.at_op("["):
             # '[' is not in the OP set; it arrives as a lex error otherwise —
@@ -186,13 +194,34 @@ class RSPQLParser(Parser):
             raise ParseError(f"bad window kind {kind!r}")
         width = parse_duration(self.next().text)
         slide = width
-        if self.at_kw("STEP"):
-            self.i += 1
-            slide = parse_duration(self.next().text)
+        report: list = []
+        tick = None
+        while True:
+            # SLIDE is the reference RULE-grammar synonym for STEP
+            if self.at_kw("STEP") or self.at_kw("SLIDE"):
+                self.i += 1
+                slide = parse_duration(self.next().text)
+            elif self.at_kw("REPORT"):
+                self.i += 1
+                strat = self.next().text.upper()
+                if strat == "PERIODIC":
+                    report.append(Periodic(parse_duration(self.next().text)))
+                else:
+                    try:
+                        report.append(
+                            ReportStrategy[strat]
+                        )
+                    except KeyError as e:
+                        raise ParseError(f"bad REPORT strategy {strat!r}") from e
+            elif self.at_kw("TICK"):
+                self.i += 1
+                tick = self.next().text.upper()
+            else:
+                break
         tok = self.peek()
         if tok is not None and tok.kind == "OP" and tok.text == "]":
             self.i += 1
-        return width, slide
+        return width, slide, report, tick
 
     def _parse_policy(self) -> tuple | None:
         if not self.at_kw("WITH"):

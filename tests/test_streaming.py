@@ -303,3 +303,67 @@ def test_filter_in_window_block_uses_spark_path(spark):
     eng.add(("x", "temp", "0"), 3)
     assert out
     assert all(dict(row)["s"] == "roomB" for row in out)
+
+
+def test_streaming_rule_materializes_construct(spark):
+    """Ports combination_stream.rs: RULE :- RSTREAM FROM NAMED WINDOW
+    [SLIDING 10 SLIDE 2 REPORT ON_WINDOW_CLOSE TICK TIME_DRIVEN]
+    CONSTRUCT/WHERE — firings instantiate the template into the store."""
+    from kolibrie_spark.engine import SparqlEngine
+
+    engine = SparqlEngine(spark)
+    rows = []
+    rsp = engine.register_rule(
+        """PREFIX ex: <http://example.org#>
+RULE :TemperatureAlert :-
+RSTREAM
+FROM NAMED WINDOW <http://example.org/window1> ON <http://example.org/temperatureStream> [SLIDING 10 SLIDE 2 REPORT ON_WINDOW_CLOSE TICK TIME_DRIVEN]
+CONSTRUCT {
+    ?room <http://example.org#hasAlert> "high_temperature" .
+}
+WHERE {
+    ?reading <http://example.org#room> ?room .
+    ?reading <http://example.org#temperature> ?temp .
+    FILTER (?temp > 90)
+}"""
+    )
+    # RSPEngine returned; feed readings — r1 hot, r2 cool
+    for t, (rid, room, temp) in enumerate(
+        [("r1", "room101", "95"), ("r2", "room102", "45")]
+    ):
+        rsp.add_to_stream(
+            "http://example.org/temperatureStream",
+            (rid, "http://example.org#room", room),
+            t,
+        )
+        rsp.add_to_stream(
+            "http://example.org/temperatureStream",
+            (rid, "http://example.org#temperature", temp),
+            t,
+        )
+    # advance app time to t=10: the latest closed window is [0,10), which
+    # holds both readings (C-SPARQL reports the max-close closed window)
+    rsp.add_to_stream(
+        "http://example.org/temperatureStream",
+        ("r3", "http://example.org#temperature", "10"),
+        10,
+    )
+    got = engine.execute(
+        "SELECT ?room WHERE { ?room <http://example.org#hasAlert> ?a }"
+    )
+    assert got == [["room101"]]  # hot room materialized, cool room not
+
+
+def test_streaming_rule_parse_shapes():
+    from kolibrie_spark.streaming.rules import parse_streaming_rule
+
+    r = parse_streaming_rule(
+        """RULE :X :- DSTREAM
+FROM NAMED WINDOW <w> ON <s> [RANGE 15 REPORT PERIODIC 5 TICK TIME_DRIVEN]
+CONSTRUCT { ?a <p> "v" . }
+WHERE { ?a <q> ?b . }"""
+    )
+    assert r.operator == "DSTREAM" and r.name == "X"
+    assert "REGISTER DSTREAM <urn:rule:X>" in r.register_text
+    assert "WINDOW <w>" in r.register_text
+    assert len(r.template) == 1
