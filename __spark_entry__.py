@@ -644,17 +644,20 @@ def _q_ml_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal gate with REAL header-level decode: each document row
-    synthesizes a valid media file (PNG / JPEG / WAV rotating by doc_id,
-    dimensions/duration derived from doc_id), and ``extract_headers``
-    parses the actual container bytes back (PNG IHDR, JPEG SOF0, RIFF
-    fmt+data) — so the DuckDB oracle can verify every decoded value.
-    Pixel/sample decoding remains behind the pluggable decoder stub."""
+    """Multimodal gate with REAL content decode (round-3 upgrade): each
+    document row synthesizes a valid media file (PNG / JPEG / WAV rotating
+    by doc_id) with deterministic CONTENT — PNG pixel(x,y) = (7x+13y+d)%256
+    encoded with filter type y%5 (so all five PNG unfilters must work),
+    WAV sample(i) = ((37i+11d)%4001)-2000.  ``extract_media_features``
+    inflates the actual IDAT / PCM bytes back out, so the DuckDB oracle
+    verifies header fields AND content-derived features (mean luminance,
+    audio RMS/peak) bit-exactly.  JPEG stays header-only (entropy decode
+    needs a real codec)."""
     from kolibrie_spark.operators.multimodal import (
         build_jpeg,
         build_png,
         build_wav,
-        extract_headers,
+        extract_media_features,
     )
     from kolibrie_spark.tables import load_table
 
@@ -668,23 +671,39 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 if did % 3 == 0:
-                    blob, mime = build_png(did % 64 + 8, did % 48 + 8), "image/png"
+                    blob, mime = (
+                        build_png(
+                            did % 64 + 8,
+                            did % 48 + 8,
+                            pixel_fn=lambda x, y, d=did: (x * 7 + y * 13 + d) % 256,
+                            filter_cycle=True,
+                        ),
+                        "image/png",
+                    )
                 elif did % 3 == 1:
                     blob, mime = build_jpeg(did % 320 + 8, did % 240 + 8), "image/jpeg"
                 else:
-                    blob, mime = build_wav((did % 100 + 10) * 8), "audio/wav"
+                    blob, mime = (
+                        build_wav(
+                            (did % 100 + 10) * 8,
+                            sample_fn=lambda i, d=did: ((i * 37 + d * 11) % 4001) - 2000,
+                        ),
+                        "audio/wav",
+                    )
                 out.append((str(did), mime, blob))
             yield pd.DataFrame(out, columns=["media_id", "mime", "data"])
 
     media = docs.mapInPandas(make, schema="media_id string, mime string, data binary")
-    return extract_headers(media).select(
-        "media_id", "format", "width", "height", "duration_ms"
+    return extract_media_features(media).select(
+        "media_id", "format", "width", "height", "duration_ms",
+        "mean_luminance", "audio_rms", "audio_peak",
     )
 
 
 def _multimodal_features_oracle() -> str:
-    """The decoded header values must round-trip the construction formulas
-    (WAV: n=(d%100+10)*8 samples at 8 kHz mono 16-bit → d%100+10 ms)."""
+    """Header fields round-trip the construction formulas; content features
+    recompute the pixel/sample generators in DuckDB with the same integer
+    arithmetic (exact int sums → one double division/sqrt → bit-equal)."""
     return (
         "SELECT CAST(doc_id AS VARCHAR) AS media_id, "
         "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format, "
@@ -692,7 +711,21 @@ def _multimodal_features_oracle() -> str:
         "WHEN 1 THEN CAST(doc_id % 320 + 8 AS INT) END AS width, "
         "CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 48 + 8 AS INT) "
         "WHEN 1 THEN CAST(doc_id % 240 + 8 AS INT) END AS height, "
-        "CASE doc_id % 3 WHEN 2 THEN CAST(doc_id % 100 + 10 AS INT) END AS duration_ms "
+        "CASE doc_id % 3 WHEN 2 THEN CAST(doc_id % 100 + 10 AS INT) END AS duration_ms, "
+        "CASE doc_id % 3 WHEN 0 THEN "
+        "CAST(list_sum(flatten(list_transform(range(0, doc_id % 48 + 8), y -> "
+        "list_transform(range(0, doc_id % 64 + 8), x -> (x*7 + y*13 + doc_id) % 256)"
+        "))) AS DOUBLE) / ((doc_id % 64 + 8) * (doc_id % 48 + 8)) "
+        "END AS mean_luminance, "
+        "CASE doc_id % 3 WHEN 2 THEN "
+        "sqrt(CAST(list_sum(list_transform(range(0, (doc_id % 100 + 10) * 8), i -> "
+        "((i*37 + doc_id*11) % 4001 - 2000) * ((i*37 + doc_id*11) % 4001 - 2000)"
+        ")) AS DOUBLE) / ((doc_id % 100 + 10) * 8)) "
+        "END AS audio_rms, "
+        "CASE doc_id % 3 WHEN 2 THEN "
+        "CAST(list_max(list_transform(range(0, (doc_id % 100 + 10) * 8), i -> "
+        "abs((i*37 + doc_id*11) % 4001 - 2000))) AS INT) "
+        "END AS audio_peak "
         "FROM documents"
     )
 

@@ -192,6 +192,95 @@ def test_frame_sample_and_resize(media):
     assert (t["m1"].width, t["m1"].height) == (64, 48)  # under limit: unchanged
 
 
+def test_png_content_roundtrip_all_filters():
+    """Encoder writes filter type y%5 per row; decoder must reverse Sub/Up/
+    Average/Paeth to recover the exact pixel bytes."""
+    from kolibrie_spark.operators.multimodal import (
+        build_png,
+        decode_png,
+        png_luminance_stats,
+    )
+
+    w, h = 17, 12
+
+    def fn(x, y):
+        return (x * 31 + y * 7 + 3) % 256
+
+    blob = build_png(w, h, pixel_fn=fn, filter_cycle=True)
+    dec = decode_png(blob)
+    assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 1)
+    assert dec["pixels"] == bytes(fn(x, y) for y in range(h) for x in range(w))
+    st = png_luminance_stats(blob)
+    assert st["mean_luminance"] == sum(
+        fn(x, y) for y in range(h) for x in range(w)
+    ) / (w * h)
+    # default builder (zeros, filter 0) unchanged and decodable
+    assert decode_png(build_png(5, 4))["pixels"] == bytes(20)
+
+
+def test_png_decode_rejects_unsupported():
+    from kolibrie_spark.operators.multimodal import build_png, decode_png
+
+    blob = bytearray(build_png(4, 4))
+    blob[24] = 16  # bit depth 16
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bytes(blob))
+    blob = bytearray(build_png(4, 4))
+    blob[28] = 1  # Adam7
+    with pytest.raises(ValueError, match="interlac"):
+        decode_png(bytes(blob))
+
+
+def test_wav_pcm_roundtrip_and_stats():
+    import math
+
+    from kolibrie_spark.operators.multimodal import (
+        build_wav,
+        decode_wav_samples,
+        wav_pcm_stats,
+    )
+
+    n = 160
+
+    def fn(i):
+        return ((i * 37 + 11) % 4001) - 2000
+
+    blob = build_wav(n, sample_fn=fn)
+    dec = decode_wav_samples(blob)
+    assert dec["samples"] == [fn(i) for i in range(n)]
+    st = wav_pcm_stats(blob)
+    assert st["audio_rms"] == math.sqrt(sum(fn(i) ** 2 for i in range(n)) / n)
+    assert st["audio_peak"] == max(abs(fn(i)) for i in range(n))
+    # silence still round-trips
+    assert wav_pcm_stats(build_wav(8))["audio_rms"] == 0.0
+
+
+def test_extract_media_features_content_columns(spark):
+    from kolibrie_spark.operators.multimodal import (
+        build_jpeg,
+        build_png,
+        build_wav,
+        extract_media_features,
+    )
+
+    rows = [
+        ("p", "image/png", build_png(8, 8, pixel_fn=lambda x, y: x + y, filter_cycle=True)),
+        ("j", "image/jpeg", build_jpeg(32, 16)),
+        ("w", "audio/wav", build_wav(80, sample_fn=lambda i: (i % 7) - 3)),
+        ("bad", "image/png", b"\x89PNG truncated"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, mime string, data binary")
+    out = {r.media_id: r for r in extract_media_features(df).collect()}
+    assert out["p"].mean_luminance == sum(
+        x + y for y in range(8) for x in range(8)
+    ) / 64
+    assert out["p"].audio_rms is None and out["p"].decode_error is None
+    assert out["j"].width == 32 and out["j"].mean_luminance is None
+    assert "jpeg entropy" in out["j"].decode_error
+    assert out["w"].audio_peak == 3 and out["w"].duration_ms == 10
+    assert out["bad"].format is None and out["bad"].decode_error
+
+
 def test_salted_join_equals_plain_join(spark):
     from pyspark.sql import functions as F
 
