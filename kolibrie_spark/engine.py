@@ -22,6 +22,52 @@ from kolibrie_spark.sparql.update import execute_update
 from kolibrie_spark.store import QuadStore
 
 
+class DerivedFacts:
+    """Lazy handle over a derived-facts DataFrame returned by PROB rule
+    registration.  Mirrors the reference API's ``Vec<Triple>`` (iteration,
+    ``in``, ``==`` against a list) WITHOUT materializing on the driver at
+    registration time — the facts are inserted into the store distributed,
+    and the triple list is only collected if a caller explicitly iterates
+    (test convenience / small rule heads).  Large derived sets should be
+    consumed via ``.df`` or ``.count()``."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df.select("s", "p", "o")
+        self._rows: list[tuple] | None = None
+
+    def _materialize(self) -> list[tuple]:
+        if self._rows is None:
+            self._rows = [(r.s, r.p, r.o) for r in self.df.collect()]
+        return self._rows
+
+    def count(self) -> int:
+        return self.df.count() if self._rows is None else len(self._rows)
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+    def __len__(self) -> int:
+        return len(self._materialize())
+
+    def __contains__(self, item) -> bool:
+        return item in self._materialize()
+
+    def __getitem__(self, i):
+        return self._materialize()[i]
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, DerivedFacts):
+            other = other._materialize()
+        if isinstance(other, (list, tuple, set)):
+            mine = self._materialize()
+            return set(mine) == set(other) if isinstance(other, set) else mine == list(other)
+        return NotImplemented
+
+    def __repr__(self) -> str:  # no collect: repr must stay cheap
+        n = "?" if self._rows is None else str(len(self._rows))
+        return f"<DerivedFacts rows={n} (lazy)>"
+
+
 class SparqlEngine:
     def __init__(self, spark: SparkSession, store: QuadStore | None = None):
         self.spark = spark
@@ -158,7 +204,7 @@ class SparqlEngine:
         self.rules.append(rule)
         return []
 
-    def _process_provenance_rule(self, rule, ann) -> list:
+    def _process_provenance_rule(self, rule, ann) -> "DerivedFacts | list":
         """Non-hybrid PROB variants (reference parser.rs:3785-3930):
 
         - ``minmax``/``min``/``boolean`` → tagged semi-naive fixpoint with
@@ -172,12 +218,12 @@ class SparqlEngine:
           threshold field (default 5).
 
         All variants insert the inferred facts plus RDF-star
-        ``prob:value`` tag annotations, and return the inferred triples —
-        the returned LIST mirrors the reference API's Vec<Triple>; the
-        facts themselves are inserted via DataFrames, so a caller that
-        doesn't need the list can ignore it, and rules expected to derive
-        huge sets should go through ``self.rules`` + :meth:`materialize`
-        (fully distributed, nothing returned)."""
+        ``prob:value`` tag annotations.  The distributed variants return a
+        :class:`DerivedFacts` lazy handle (list semantics on demand, no
+        driver materialization at registration); the hybrid-counter
+        variants (wmc/sdd/topk) return the plain triple list their
+        driver-side evaluator already holds — that path is bounded by the
+        premise-predicate semi-join in :meth:`hybrid_evaluator`."""
         from pyspark.sql import functions as F
 
         from kolibrie_spark.reasoner.fixpoint import (
@@ -209,10 +255,14 @@ class SparqlEngine:
                 eager=True
             )
             self.store.insert(
-                derived.select("s", "p", "o", F.lit(None).cast("string").alias("g"))
+                derived.select("s", "p", "o", F.lit(None).cast("string").alias("g")),
+                graphs=[],  # default graph only: skip graph-discovery job
             )
             materialize_tags_as_rdfstar(self.store, derived)
-            return [(row.s, row.p, row.o) for row in derived.select("s", "p", "o").collect()]
+            # facts are already inserted distributed; hand back a LAZY view
+            # so a large derived set is never forced onto the driver unless
+            # the caller explicitly iterates it
+            return DerivedFacts(derived)
 
         if comb in ("wmc", "sdd", "topk"):
             ev = self.hybrid_evaluator(rules=[rule])

@@ -193,7 +193,7 @@ def materialize_tags_as_rdfstar(store, tagged_facts: DataFrame) -> None:
         F.col("tag").cast("string").alias("o"),
         F.lit(None).cast("string").alias("g"),
     )
-    store.insert(annotations)
+    store.insert(annotations, graphs=[])  # default graph only
 
 
 class Reasoner:

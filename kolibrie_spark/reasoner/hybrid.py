@@ -178,9 +178,16 @@ def parse_prob_annotation(text: str) -> tuple[ProbAnnotation, str]:
             try:
                 ann.confidence = float(value)
             except ValueError:
-                ann.confidence = None
+                raise ValueError(f"bad PROB confidence {value!r}") from None
+            if not math.isfinite(ann.confidence):
+                raise ValueError(f"bad PROB confidence {value!r}")
         elif key not in _HYBRID_KEYS:
             unknown.append(key)
+
+    # a typoed key (e.g. 'thresold=0.9') must not silently change rule
+    # semantics — reject for EVERY combination, not just hybrid
+    if unknown:
+        raise ValueError(f"unknown PROB key(s): {', '.join(sorted(unknown))}")
 
     if "threshold" in raw:
         if ann.combination == "hybrid":

@@ -118,13 +118,18 @@ class QuadStore:
         equivalent of the reference's in-place index mutation."""
         self.quads = df.localCheckpoint(eager=True) if materialize else df
 
-    def insert(self, rows_df: DataFrame) -> None:
+    def insert(self, rows_df: DataFrame, graphs: list[str] | None = None) -> None:
+        """``graphs``: the named graphs present in ``rows_df``, if the
+        caller knows them (e.g. ``[]`` for default-graph-only inserts) —
+        skips the distinct-graph discovery job.  The discovery collect is
+        bounded by the number of distinct graph NAMES, never fact count."""
         self.replace_quads(self.quads.unionByName(rows_df).dropDuplicates())
-        new_graphs = [
-            r.g for r in rows_df.select("g").dropna().dropDuplicates().collect()
-        ]
-        if new_graphs:
-            self.register_graphs(new_graphs)
+        if graphs is None:
+            graphs = [
+                r.g for r in rows_df.select("g").dropna().dropDuplicates().collect()
+            ]
+        if graphs:
+            self.register_graphs(graphs)
 
     def delete(self, rows_df: DataFrame) -> None:
         # set semantics: the reference's index is a hash-set, so delete is

@@ -722,3 +722,54 @@ def test_double_negation_collapses():
     s = ("A", "p", "o")
     assert signed_paths(Not(Not(Seed(s)))) == [frozenset([(s, True)])]
     assert exact_wmc(signed_paths(Not(Seed(s))), {s: 0.3}) == pytest.approx(0.7)
+
+
+def test_prob_annotation_strict_for_all_combinations():
+    """A typoed key or unparsable confidence must raise for EVERY
+    provenance combination, not only hybrid (round-3 ADVICE fix)."""
+    from kolibrie_spark.reasoner.hybrid import parse_prob_annotation
+
+    with pytest.raises(ValueError, match="unknown PROB key"):
+        parse_prob_annotation("PROB(provenance=minmax, thresold=0.9)")
+    with pytest.raises(ValueError, match="unknown PROB key"):
+        parse_prob_annotation("PROB(combination=topk, threshold=1, nope=2)")
+    with pytest.raises(ValueError, match="confidence"):
+        parse_prob_annotation("PROB(provenance=wmc, confidence=abc)")
+    with pytest.raises(ValueError, match="confidence"):
+        parse_prob_annotation("PROB(provenance=addmult, confidence=nan)")
+    # well-formed still parses for every combination
+    for comb in ("minmax", "addmult", "boolean", "wmc", "sdd", "topk"):
+        ann, _ = parse_prob_annotation(f"PROB(provenance={comb}, threshold=0.5)")
+        assert ann.combination == comb and ann.threshold == 0.5
+
+
+def test_prob_rule_distributed_return_is_lazy(engine, monkeypatch):
+    """The minmax/addmult PROB path must not force derived facts onto the
+    driver at registration (VERDICT r2 what's-wrong #2): registration does
+    no DataFrame.collect; the returned handle still behaves like the
+    reference's triple list when iterated, and count() stays an aggregate."""
+    from kolibrie_spark.engine import DerivedFacts
+
+    engine.add_tagged_triple("A", "rel", "B", 0.8)
+    engine.add_tagged_triple("B", "rel", "C", 0.6)
+
+    # patch the CONCRETE DataFrame class (pyspark 4's classic subclass
+    # overrides collect; patching the abstract base is a no-op)
+    cls = type(engine.store.quads)
+    calls = []
+    orig = cls.collect
+    monkeypatch.setattr(
+        cls, "collect", lambda self: (calls.append(1), orig(self))[1]
+    )
+    derived = engine.register_rule(
+        "RULE :Trans PROB(provenance=minmax, threshold=0.3) :- "
+        "CONSTRUCT { ?x <rel2> ?z . } WHERE { ?x <rel> ?y . ?y <rel> ?z . } ."
+    )
+    assert isinstance(derived, DerivedFacts)
+    assert calls == [], "registration must not collect to the driver"
+    assert derived.count() == 1
+    assert calls == [], "count() is an aggregate, not a collect"
+    # list semantics on demand (collects exactly once, then caches)
+    assert derived == [("A", "rel2", "C")]
+    assert ("A", "rel2", "C") in derived and len(derived) == 1
+    assert calls == [1]
