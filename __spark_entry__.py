@@ -45,7 +45,9 @@ def _base_store(spark: SparkSession, sf_dir: str):
     # mtime: one triplify+write per dataset version, reused across
     # processes (a fresh driver run skips the ~15s rebuild).
     import glob
+    import hashlib
     import os
+    import shutil
     import tempfile
 
     src_mtime = max(
@@ -53,9 +55,12 @@ def _base_store(spark: SparkSession, sf_dir: str):
         default=0,
     )
     cache_root = os.environ.get("SPARK_GRAFT_CACHE", tempfile.gettempdir())
+    # key = basename + mtime + HASH OF ABSOLUTE PATH: two datasets sharing a
+    # basename and mtime must not collide on the same cache entry
+    dir_tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     path = os.path.join(
         cache_root,
-        f"kolibrie_quads_{os.path.basename(sf_dir.rstrip('/'))}_{src_mtime}",
+        f"kolibrie_quads_{os.path.basename(sf_dir.rstrip('/'))}_{src_mtime}_{dir_tag}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         parts = [triplify(load_table(spark, sf_dir, t), t) for t in RELATIONAL]
@@ -70,7 +75,28 @@ def _base_store(spark: SparkSession, sf_dir: str):
         quads = parts[0]
         for p in parts[1:]:
             quads = quads.unionByName(p)
-        quads.write.mode("overwrite").partitionBy("p").parquet(path)
+        # write to a private temp dir, then PUBLISH with an atomic rename:
+        # concurrent processes either see the complete published layout or
+        # nothing — never a half-overwritten directory (a published path is
+        # immutable: the key pins source mtime + dataset path)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        quads.write.mode("overwrite").partitionBy("p").parquet(tmp)
+        published = False
+        for _ in range(2):
+            try:
+                os.rename(tmp, path)
+                published = True
+                break
+            except OSError:
+                if os.path.exists(os.path.join(path, "_SUCCESS")):
+                    shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+                    published = True
+                    break
+                # leftover dir with no _SUCCESS: crashed writer; clear and
+                # retry the publish once
+                shutil.rmtree(path, ignore_errors=True)
+        if not published:
+            path = tmp  # last resort: serve this process its private copy
     quads = spark.read.parquet(path).select("s", "p", "o", "g")
     store = QuadStore(spark, quads=quads)
     store.register_graphs(

@@ -412,7 +412,13 @@ def connected_components(
     neighbors' labels; rounds needed = graph diameter (near-dup clusters
     are shallow — a handful of rounds), each round one shuffle on the edge
     key. Scales: state is one (node, label) row per node, no driver-side
-    graph."""
+    graph.
+
+    Raises RuntimeError if ``max_iter`` rounds pass without reaching the
+    fixpoint — silently returning split components would hand the caller
+    wrong cluster ids with no signal (a component's diameter exceeding 25
+    means the pair graph is a long chain, not a near-dup cluster; raise
+    ``max_iter`` explicitly if that topology is intended)."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -462,6 +468,11 @@ def connected_components(
         labels = new_labels
         if not changed:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds; component labels would be split — raise max_iter"
+        )
     return labels.select("id", "component")
 
 

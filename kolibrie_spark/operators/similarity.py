@@ -133,10 +133,12 @@ def signature_expr(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def with_lsh_bucket(
-    df: DataFrame, vec_col: str, dim: int, bits: int = 8, seed: int = 42
+    df: DataFrame, vec_col: str, *, dim: int, bits: int = 8, seed: int = 42
 ) -> DataFrame:
-    """``dim`` is required: inferring it would run a hidden one-row Spark job
-    inside a library function (every call site knows its embedding dim)."""
+    """``dim`` is required and KEYWORD-ONLY (as are bits/seed): a positional
+    caller from the pre-``dim`` signature would silently build wrong-sized
+    hyperplanes.  Inferring dim would run a hidden one-row Spark job inside
+    a library function (every call site knows its embedding dim)."""
     planes = hyperplanes(dim, bits, seed)
     return df.withColumn("lsh_bucket", signature_expr(F.col(vec_col), planes))
 

@@ -84,8 +84,9 @@ def sessionize(
     shuffle is one hash partition by user; skewed power-users can be
     pre-split by (user, day) if a single user's events exceed a partition.
     For live streams see ``streaming.sessionize_stream`` —
-    applyInPandasWithState with a per-user open-session state row and
-    event-time timeout."""
+    applyInPandasWithState with a per-user open-session state row;
+    pass ``flush_open_sessions=True`` there for the event-time-timeout
+    mode that emits idle users' final sessions and frees their state."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 

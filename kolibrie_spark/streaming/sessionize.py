@@ -13,19 +13,36 @@ key.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def sessionize_stream(
-    events: DataFrame, user_col: str, time_col: str, gap: int
+    events: DataFrame,
+    user_col: str,
+    time_col: str,
+    gap: int,
+    flush_open_sessions: bool = False,
 ) -> DataFrame:
-    """events: a STREAMING DataFrame. Emits one row per closed session:
-    (user, session_id = start, session_end, n_events). The currently-open
-    session stays in state until a later event exceeds ``gap``.
+    """events: a STREAMING DataFrame with a long epoch-seconds ``time_col``.
+    Emits one row per closed session: (user, session_id = start,
+    session_end, n_events).
+
+    ``flush_open_sessions=False`` (default): GroupStateTimeout.NoTimeout —
+    an idle user's final open session is only emitted when a LATER event
+    from that user arrives (and its state is held until then).  This is
+    the faithful at-most-state shape when no watermark is available.
+
+    ``flush_open_sessions=True``: EventTimeTimeout — a watermark of ``gap``
+    seconds is applied on ``time_col`` and each open session registers a
+    timeout at ``last + gap``; once the watermark passes it, the session is
+    emitted as closed and its state row is freed.  This is the shape a
+    long-lived deployment wants: state size stays bounded by the number of
+    *currently active* users instead of all users ever seen.
 
     Caveat (documented): within one micro-batch events are sorted by event
     time; across batches, late events older than the open session's last
-    timestamp extend n_events but not ordering — add a watermark upstream
-    to bound lateness, like the structured RSP path."""
+    timestamp extend n_events but not ordering — the watermark bounds that
+    lateness in the timeout mode."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = (
@@ -36,6 +53,14 @@ def sessionize_stream(
     def fn(key, pdfs, state):
         import pandas as pd
 
+        if flush_open_sessions and state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], start, last, n)],
+                columns=[user_col, "session_id", "session_end", "n_events"],
+            )
+            return
         times: list[int] = []
         for pdf in pdfs:
             times.extend(int(t) for t in pdf[time_col])
@@ -56,16 +81,22 @@ def sessionize_stream(
                 n += 1
         if start is not None:
             state.update((start, last, n))
+            if flush_open_sessions:
+                # fire once the event-time watermark passes session close
+                state.setTimeoutTimestamp((last + gap) * 1000 + 1)
         if closed:
             yield pd.DataFrame(
                 closed,
                 columns=[user_col, "session_id", "session_end", "n_events"],
             )
 
+    if flush_open_sessions:
+        events = events.withColumn(
+            "__event_ts", F.timestamp_seconds(F.col(time_col))
+        ).withWatermark("__event_ts", f"{gap} seconds")
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return events.groupBy(user_col).applyInPandasWithState(
-        fn,
-        out_schema,
-        state_schema,
-        "append",
-        GroupStateTimeout.NoTimeout,
+        fn, out_schema, state_schema, "append", timeout
     )

@@ -484,3 +484,28 @@ def test_stratified_sample_rates(spark):
     assert counts["keep"] == 2000
     assert 800 < counts.get("half", 0) < 1200
     assert "drop" not in counts
+
+
+def test_lsh_bucket_dim_is_keyword_only(spark):
+    """A positional caller from the pre-dim signature (df, col, bits) must
+    get a TypeError, not silently wrong-sized hyperplanes."""
+    from kolibrie_spark.operators.similarity import with_lsh_bucket
+
+    df = spark.createDataFrame([(1, [0.1] * 4)], "id int, vec array<float>")
+    with pytest.raises(TypeError):
+        with_lsh_bucket(df, "vec", 16)  # old positional style
+    assert "lsh_bucket" in with_lsh_bucket(df, "vec", dim=4).columns
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A chain longer than max_iter rounds must raise, not silently return
+    split components."""
+    from kolibrie_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    ok = connected_components(chain, max_iter=10)
+    assert {r.component for r in ok.collect()} == {0}

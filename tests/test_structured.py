@@ -320,6 +320,50 @@ def test_sessionize_stream_applyinpandaswithstate(spark, tmp_path):
     assert got2 == {("u1", 0, 10, 2), ("u1", 1000, 1005, 2)}
 
 
+def test_sessionize_stream_event_time_timeout_flushes_idle(spark, tmp_path):
+    """flush_open_sessions=True: once the event-time watermark passes an
+    idle user's last+gap, the open session is emitted and its state freed
+    (round-3 ADVICE fix: NoTimeout held idle sessions forever)."""
+    from kolibrie_spark.streaming.sessionize import sessionize_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # times sit well above epoch 0: the initial watermark is 0 and rows at
+    # exactly the watermark are dropped as late
+    batch1 = [("u1", 1000), ("u1", 1010), ("u2", 1005)]
+    spark.createDataFrame(batch1, "u string, t long").write.parquet(src)
+
+    stream = spark.readStream.schema("u string, t long").parquet(src)
+    out = sessionize_stream(stream, "u", "t", gap=60, flush_open_sessions=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_flush_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    # an unrelated user's much-later event advances the watermark past
+    # u1's and u2's last+gap — their open sessions must flush WITHOUT any
+    # further u1/u2 events
+    spark.createDataFrame([("u3", 10_000)], "u string, t long").write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    # one more batch: the watermark computed at batch N flushes at N+1
+    spark.createDataFrame([("u3", 10_001)], "u string, t long").write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.u, r.session_id, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_flush_test").collect()
+    }
+    assert ("u1", 1000, 1010, 2) in got
+    assert ("u2", 1005, 1005, 1) in got
+
+
 def test_sessionize_batch_matches_manual(spark):
     from kolibrie_spark.operators.temporal import sessionize
 
