@@ -179,6 +179,37 @@ def seed_centroids(df: DataFrame, id_col: str, vec_col: str, ncells: int):
     return [(int(r[0]), [float(v) for v in r[1]]) for r in rows]
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    ncells: int,
+    seed: int = 42,
+    max_iter: int = 20,
+):
+    """MLlib KMeans centroid provider (initMode='k-means||') — the scale
+    path for IVF: real cluster centers give balanced cells and better
+    probe recall than first-N seeds.  Same return shape as
+    :func:`seed_centroids` ((cid, vector) list, driver-side and tiny), so
+    the two are drop-in interchangeable via ``ivf_topk``'s
+    ``centroid_provider``.  Seeded: same data + seed → same centers.
+    ``id_col`` is unused (cells are numbered 0..ncells-1) but kept so the
+    provider signature is uniform."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=ncells, seed=seed, maxIter=max_iter, initMode="k-means||"
+    ).fit(feats)
+    return [
+        (i, [float(x) for x in center])
+        for i, center in enumerate(model.clusterCenters())
+    ]
+
+
 def with_ivf_cell(df: DataFrame, vec_col: str, centroids) -> DataFrame:
     """Assign each vector to its nearest centroid (argmin squared-L2, ties
     to the lowest cell id). One pass, no shuffle: the centroid list is a
@@ -213,13 +244,20 @@ def ivf_topk(
     vec_col: str,
     ncells: int = 16,
     nprobe: int = 4,
+    centroid_provider=None,
 ) -> DataFrame:
     """Approximate top-k via IVF: brute-force cosine only inside the
     ``nprobe`` cells whose centroids are nearest the query. nprobe=ncells
     degenerates to exact. The cell filter is a pushable IN-list — with the
     table written ``partitionBy('ivf_cell')`` a probe reads nprobe/ncells
-    of the data instead of scanning."""
-    centroids = seed_centroids(df, id_col, vec_col, ncells)
+    of the data instead of scanning.
+
+    ``centroid_provider(df, id_col, vec_col, ncells)`` picks the cell
+    centers: default :func:`seed_centroids` (deterministic first-N, the
+    DuckDB-oracle-matched path); pass :func:`kmeans_centroids` for real
+    clustering at scale (higher recall at equal nprobe)."""
+    provider = centroid_provider or seed_centroids
+    centroids = provider(df, id_col, vec_col, ncells)
     qd = [float(x) for x in query_vec]
     probe = sorted(centroids, key=lambda c: (l2sq_py(qd, c[1]), c[0]))[:nprobe]
     cells = [cid for cid, _ in probe]

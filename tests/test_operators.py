@@ -509,3 +509,45 @@ def test_connected_components_raises_when_unconverged(spark):
         connected_components(chain, max_iter=2)
     ok = connected_components(chain, max_iter=10)
     assert {r.component for r in ok.collect()} == {0}
+
+
+def test_kmeans_ivf_recall_beats_first_n(spark):
+    """KMeans centroids must give >= recall than first-N seeds at equal
+    nprobe on clustered data where the first N ids all sit in ONE cluster
+    (the adversarial case for first-N seeding)."""
+    import numpy as np
+
+    from kolibrie_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(8, 16) * 10.0
+    rows = []
+    # ids 0..7 all in cluster 0 => first-N centroids are degenerate
+    for i in range(8):
+        rows.append((i, [float(x) for x in centers[0] + rng.randn(16) * 0.3]))
+    for i in range(8, 400):
+        c = centers[i % 8]
+        rows.append((i, [float(x) for x in c + rng.randn(16) * 0.3]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in centers[3] + rng.randn(16) * 0.05]
+
+    exact = {r.vec_id for r in cosine_topk(df, q, 10, "vec_id", "embedding").collect()}
+
+    def recall(provider):
+        got = {
+            r.vec_id
+            for r in ivf_topk(
+                df, q, 10, "vec_id", "embedding",
+                ncells=8, nprobe=2, centroid_provider=provider,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_first = recall(None)  # default seed_centroids
+    r_kmeans = recall(kmeans_centroids)
+    assert r_kmeans >= r_first
+    assert r_kmeans >= 0.9  # real centroids recover the query's cluster
