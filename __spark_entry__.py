@@ -653,6 +653,86 @@ def _q_streaming_dstream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dstream_replay(_events_stream_df(spark, sf_dir), "event_time", 3600, ["u", "t"])
 
 
+def _q_streaming_istream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE Structured Streaming twin of the ISTREAM replay gate (§2.9):
+    a real ``readStream`` file source feeds the events through
+    ``foreachBatch`` into the StructuredRSP incremental R2S pipeline, and
+    emissions land in a parquet results table tagged with the fired
+    window.  One file per 10-day tumbling window + ``maxFilesPerTrigger=1``
+    (ascending mtimes) makes windows close one per micro-batch in event
+    order, so the live incremental diff state equals the batch replay
+    semantics exactly.  The last partial window never closes live, so the
+    oracle restricts to windows with close <= the final high-water mark."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.streaming.structured import compile_structured
+
+    width = 864000  # 10-day tumbling: 4 windows over the 30-day span
+    trip = (
+        _events_stream_df(spark, sf_dir)
+        .select(
+            F.col("u").cast("string").alias("s"),
+            F.lit("t").alias("p"),
+            F.col("t").alias("o"),
+            F.lit(None).cast("string").alias("g"),
+            F.lit("ev").alias("stream"),
+            F.col("event_time"),
+        )
+        .withColumn(
+            "win", (F.col("event_time") - F.col("event_time") % width).cast("long")
+        )
+    )
+    wins = sorted(r.win for r in trip.select("win").distinct().collect())
+    base = tempfile.mkdtemp(prefix="kolibrie_live_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    results = os.path.join(base, "results")
+    for k, w0 in enumerate(wins):
+        part_dir = os.path.join(base, f"part{k}")
+        trip.filter(F.col("win") == w0).drop("win").coalesce(1).write.json(part_dir)
+        jfile = next(f for f in os.listdir(part_dir) if f.endswith(".json"))
+        dst = os.path.join(src, f"w{k:03d}.json")
+        shutil.move(os.path.join(part_dir, jfile), dst)
+        os.utime(dst, (k * 1000, k * 1000))  # mtime order == window order
+
+    q = compile_structured(
+        spark,
+        f"REGISTER ISTREAM <out> AS SELECT * "
+        f"FROM NAMED WINDOW :w ON :ev [RANGE {width} STEP {width}] "
+        "WHERE { WINDOW :w { ?u <t> ?t } }",
+    )
+    wiri = q.query.windows[0].iri
+
+    def sink(out_df: DataFrame) -> None:
+        # tag the emission with the window that fired it (close is already
+        # recorded in _fired_until when the sink runs)
+        out_df.withColumn(
+            "window_open", F.lit(q._fired_until[wiri] - width).cast("long")
+        ).write.mode("append").parquet(results)
+
+    q.sink = sink
+    stream = (
+        spark.readStream.schema(
+            "s string, p string, o string, g string, stream string, event_time long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    sq = q.start(stream, os.path.join(base, "ckpt"))
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    shutil.rmtree(src, ignore_errors=True)  # results/ must outlive the return
+    return spark.read.parquet(results).select(
+        "window_open", F.col("u").cast("long").alias("u"), "t"
+    )
+
+
 def _q_ml_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML.PREDICT with a deterministic linear model — the prediction is
     reproducible in SQL, so even the ML path gets a value-exact oracle."""
@@ -821,6 +901,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round 3 head = the 7 gates the r2 driver never checked (VERDICT r2 item 1;
 # prob_hybrid had NEVER had a driver row) + gates newly added in round 3.
 _DRIVER_FIRST = [
+    "streaming_istream_live",  # new in round 3
     "prob_hybrid",
     "streaming_istream_replay",
     "streaming_dstream_replay",
@@ -1009,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prob_hybrid": _q_prob_hybrid,
         "streaming_istream_replay": _q_streaming_istream_replay,
         "streaming_dstream_replay": _q_streaming_dstream_replay,
+        "streaming_istream_live": _q_streaming_istream_live,
         # --- ML / multimodal / builder (§2.11, §2.12)
         "ml_predict": _q_ml_predict,
         "multimodal_features": _q_multimodal_features,
@@ -1346,6 +1428,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT window_open, u, t FROM w "
             "WHERE NOT EXISTS (SELECT 1 FROM w p WHERE "
             "p.window_open = w.window_open - 3600 AND p.u = w.u AND p.t = w.t)"
+        ),
+        "streaming_istream_live": (
+            "WITH e AS (SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) AS et, "
+            "user_id AS u, event_type AS t FROM events), "
+            "w AS (SELECT DISTINCT et - et % 864000 AS window_open, u, t FROM e), "
+            "hwm AS (SELECT max(et) AS h FROM e) "
+            "SELECT window_open, u, t FROM w, hwm "
+            "WHERE window_open + 864000 <= h "
+            "AND NOT EXISTS (SELECT 1 FROM w p WHERE "
+            "p.window_open = w.window_open - 864000 AND p.u = w.u AND p.t = w.t)"
         ),
         "multimodal_features": _multimodal_features_oracle(),
         "ml_predict": (

@@ -379,3 +379,29 @@ def test_sessionize_batch_matches_manual(spark):
         ("u1", 5000): (2, 5000),
         ("u2", 50): (1, 50),
     }
+
+
+def test_live_istream_gate_matches_replay_twin(spark):
+    """The live readStream->foreachBatch ISTREAM gate must emit exactly the
+    batch replay twin's rows, restricted to windows that close under the
+    final high-water mark (the last partial window never fires live)."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.streaming.replay import istream_replay
+
+    sf = "/root/testdata/sf0.001"
+    width = 864000
+    live = {
+        (r.window_open, r.u, r.t)
+        for r in entry_mod._q_streaming_istream_live(spark, sf).collect()
+    }
+    ev = entry_mod._events_stream_df(spark, sf)
+    hwm = ev.agg(F.max("event_time")).first()[0]
+    twin = {
+        (r.window_open, r.u, r.t)
+        for r in istream_replay(ev, "event_time", width, ["u", "t"])
+        .filter(F.col("window_open") + width <= hwm)
+        .collect()
+    }
+    assert live == twin and live
