@@ -15,8 +15,10 @@ benches time queries against an already-loaded database
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -24,6 +26,99 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # The bench covers EVERY gate query (queries() is the source of truth), so
 # round-over-round regressions are visible on every operator.
+
+
+def _previous_round_timings() -> tuple[str | None, dict[str, float]]:
+    """Latest BENCH_r{N}.json in the repo root → (filename, per-query secs).
+
+    The regression tripwire (VERDICT r2 item 6): round N+1 must not silently
+    regress what round N fixed, so every bench run diffs itself against the
+    most recent recorded round and annotates >1.5x per-query slowdowns.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best_path = -1, None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > best_n:
+            best_n, best_path = int(m.group(1)), path
+    if best_path is None:
+        return None, {}
+    try:
+        with open(best_path) as fh:
+            prev = json.load(fh)
+        # the driver wraps the bench JSON line under "parsed"
+        if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+            prev = prev["parsed"]
+        return os.path.basename(best_path), dict(prev.get("queries", {}))
+    except Exception:
+        return None, {}
+
+
+def _find_regressions(
+    timings: dict[str, float], prev: dict[str, float]
+) -> dict[str, dict[str, float]]:
+    """Queries >1.5x slower than the previous round AND >0.3s absolute —
+    the absolute floor keeps sub-100ms scheduling jitter from tripping."""
+    out: dict[str, dict[str, float]] = {}
+    for name, now in timings.items():
+        old = prev.get(name)
+        if old is None or old <= 0:
+            continue
+        if now > 1.5 * old and now - old > 0.3:
+            out[name] = {"prev": old, "now": now, "ratio": round(now / old, 2)}
+    return out
+
+
+def _bench_cross_window(spark) -> dict[str, float]:
+    """Cross-window SDS+ at bench scale (VERDICT r2 item 7): one large
+    synthetic window, chain rule to fixpoint — time the DataFrame-backed
+    path vs the driver-side naive fixpoint to show where each wins.
+
+    Sized so the driver-side O(F^2) matcher is measurably slower but still
+    finishes; the crossover analysis lives in ARCHITECTURE.md.
+    """
+    from kolibrie_spark.reasoner.rule import Rule
+    from kolibrie_spark.sparql.ast import Iri, TriplePattern, Var
+    from kolibrie_spark.streaming.cross_window import (
+        Sds,
+        WindowedTriple,
+        dataframe_sds_plus,
+        naive_sds_plus,
+    )
+
+    w_iri = "urn:w1#"
+    # 2400 triples sits past the measured crossover (~1500-2000 facts on
+    # local[32]): the distributed path wins while the O(F^2) driver-side
+    # matcher stays cheap enough to time in the same run.
+    n = 2400
+    triples = [
+        WindowedTriple(f"urn:n{i}", "next", f"urn:n{i + 1}", event_time=i % 50)
+        for i in range(n)
+    ]
+    sds = Sds()
+    sds.set_window(w_iri, alpha=1000, triples=triples)
+    rule = Rule(
+        premise=[
+            TriplePattern(Var("x"), Iri(w_iri + "next"), Var("y")),
+            TriplePattern(Var("y"), Iri(w_iri + "next"), Var("z")),
+        ],
+        conclusion=[TriplePattern(Var("x"), Iri(w_iri + "hop2"), Var("z"))],
+    )
+    sds.output_iris.add(w_iri)
+
+    t0 = time.time()
+    df_out = dataframe_sds_plus(spark, [rule], sds, now=0)
+    t_df = time.time() - t0
+
+    t0 = time.time()
+    naive_out = naive_sds_plus([rule], sds, now=0)
+    t_naive = time.time() - t0
+
+    assert df_out == naive_out, "cross-window DataFrame/naive mismatch"
+    return {
+        "xw_dataframe_sds_plus": round(t_df, 3),
+        "xw_naive_sds_plus": round(t_naive, 3),
+    }
 
 
 def main() -> None:
@@ -66,6 +161,23 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    try:
+        xw = _bench_cross_window(spark)
+        timings.update(xw)
+        for name, sec in xw.items():
+            print(f"# {name}: {sec:.3f}s", file=sys.stderr)
+    except Exception as exc:  # bench must still emit its JSON line
+        print(f"# cross-window bench skipped: {exc}", file=sys.stderr)
+
+    prev_file, prev = _previous_round_timings()
+    regressions = _find_regressions(timings, prev)
+    for name, info in regressions.items():
+        print(
+            f"# REGRESSION {name}: {info['prev']:.3f}s -> {info['now']:.3f}s "
+            f"({info['ratio']}x vs {prev_file})",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -77,6 +189,8 @@ def main() -> None:
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
                 "setup_sec": round(setup, 3),
                 "cpus": int(cpus),
+                "regressions": regressions,
+                "regressions_vs": prev_file,
             }
         )
     )

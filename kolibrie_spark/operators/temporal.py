@@ -71,6 +71,7 @@ def sessionize(
     user_col: str,
     time_col: str,
     gap: int,
+    split_by: int | None = None,
 ) -> "DataFrame":
     """Assign gap-based session ids per user: a new session starts when the
     time since the user's previous event exceeds ``gap`` (seconds).
@@ -81,14 +82,24 @@ def sessionize(
     and ``session_seq`` (1-based session ordinal per user).
 
     At 100 TB this is the standard telemetry/sessionization plan: the
-    shuffle is one hash partition by user; skewed power-users can be
-    pre-split by (user, day) if a single user's events exceed a partition.
+    shuffle is one hash partition by user. A power user whose events
+    dominate the table turns that into a single straggler task —
+    ``split_by`` (seconds, e.g. 86400 for daily) pre-splits every user's
+    timeline into (user, time-bucket) groups, runs the windows locally per
+    bucket, and stitches the buckets back with a per-(user, bucket)
+    aggregate table (one row per user-bucket: last event time, new-session
+    count, open-session start) that is window-scanned per user and joined
+    back — output is bit-identical to the unsplit plan, but the serial
+    per-user work drops from O(user's events) to O(events per bucket).
     For live streams see ``streaming.sessionize_stream`` —
     applyInPandasWithState with a per-user open-session state row;
     pass ``flush_open_sessions=True`` there for the event-time-timeout
     mode that emits idle users' final sessions and frees their state."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    if split_by is not None:
+        return _sessionize_split(df, user_col, time_col, gap, split_by)
 
     w = Window.partitionBy(user_col).orderBy(time_col)
     prev = F.lag(F.col(time_col)).over(w)
@@ -106,3 +117,71 @@ def sessionize(
         Window.partitionBy(user_col, "session_seq")
     )
     return df3.withColumn("session_id", start).drop("__new")
+
+
+def _sessionize_split(
+    df, user_col: str, time_col: str, gap: int, split_by: int
+) -> "DataFrame":
+    """Skew-safe sessionize: local windows per (user, bucket) + cross-bucket
+    stitch through a tiny per-bucket summary. Three facts make the stitch
+    exact:
+      * the previous event of a bucket's first event is the max event time
+        of the user's earlier buckets (times in bucket b exceed all times
+        in buckets < b);
+      * session_seq = local new-session cumsum + the count of new-session
+        flags in earlier buckets;
+      * the session open at a bucket's start began at the most recent
+        earlier bucket's last new-session event (carried with
+        last(ignorenulls) over the summary rows).
+    The events shuffle once on (user, bucket); the summary table has one
+    row per user-bucket, so its per-user window and the joins back (which
+    Catalyst/AQE broadcast) are noise at any scale."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t = F.col(time_col)
+    bucketed = df.withColumn("__b", (t.cast("long") / F.lit(split_by)).cast("long"))
+
+    # per-(user, bucket) last event time -> previous-bucket last, per user
+    summary_a = bucketed.groupBy(user_col, "__b").agg(F.max(t).alias("__last_t"))
+    w_user = Window.partitionBy(user_col).orderBy("__b")
+    summary_a = summary_a.withColumn(
+        "__prev_last", F.lag("__last_t").over(w_user)
+    ).drop("__last_t")
+
+    ev = bucketed.join(summary_a, on=[user_col, "__b"], how="left")
+    w_local = Window.partitionBy(user_col, "__b").orderBy(time_col)
+    prev_t = F.coalesce(F.lag(t).over(w_local), F.col("__prev_last"))
+    ev = ev.withColumn(
+        "__new",
+        F.when(prev_t.isNull() | (t - prev_t > gap), F.lit(1)).otherwise(F.lit(0)),
+    )
+    w_cum = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = ev.withColumn("__seq_local", F.sum("__new").over(w_cum)).withColumn(
+        "__start_local",
+        F.last(F.when(F.col("__new") == 1, t), ignorenulls=True).over(w_cum),
+    )
+
+    # per-(user, bucket) new-session count + open-session start -> per-user
+    # prefix sums over the summary (strictly earlier buckets)
+    summary_b = ev.groupBy(user_col, "__b").agg(
+        F.sum("__new").alias("__n_new"),
+        F.max(F.when(F.col("__new") == 1, t)).alias("__open_start"),
+    )
+    w_prev = w_user.rowsBetween(Window.unboundedPreceding, -1)
+    summary_b = summary_b.select(
+        user_col,
+        "__b",
+        F.coalesce(F.sum("__n_new").over(w_prev), F.lit(0)).alias("__seq_off"),
+        F.last("__open_start", ignorenulls=True).over(w_prev).alias("__inherited"),
+    )
+
+    out = ev.join(summary_b, on=[user_col, "__b"], how="left")
+    return (
+        out.withColumn("session_seq", F.col("__seq_local") + F.col("__seq_off"))
+        .withColumn(
+            "session_id", F.coalesce(F.col("__start_local"), F.col("__inherited"))
+        )
+        .drop("__b", "__prev_last", "__new", "__seq_local", "__start_local",
+              "__seq_off", "__inherited")
+    )

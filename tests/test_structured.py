@@ -381,6 +381,72 @@ def test_sessionize_batch_matches_manual(spark):
     }
 
 
+def test_sessionize_split_by_bit_identical(spark):
+    """split_by pre-split must match the unsplit plan exactly, including
+    sessions that span bucket boundaries and buckets with no new session
+    (a single session crossing 3+ buckets exercises the open-start carry)."""
+    import random
+
+    from kolibrie_spark.operators.temporal import sessionize
+
+    rng = random.Random(7)
+    rows = []
+    for u in range(6):
+        t = rng.randrange(0, 500)
+        for _ in range(rng.randrange(30, 80)):
+            # mix of small steps (same session, often crossing the 1000s
+            # bucket edge) and > gap jumps (new sessions)
+            t += rng.choice([5, 40, 200, 900, 2500])
+            rows.append((f"u{u}", t))
+    # one session fully covering many buckets: steps always < gap
+    t = 100
+    for _ in range(50):
+        t += 400  # bucket width 1000, gap 600 -> no new flags for 20 buckets
+        rows.append(("marathon", t))
+    df = spark.createDataFrame(rows, "u string, t long")
+    base = {
+        (r.u, r.t, r.session_seq, r.session_id)
+        for r in sessionize(df, "u", "t", gap=600).collect()
+    }
+    split = {
+        (r.u, r.t, r.session_seq, r.session_id)
+        for r in sessionize(df, "u", "t", gap=600, split_by=1000).collect()
+    }
+    assert split == base
+
+
+def test_sessionize_split_by_breaks_power_user_chain(spark):
+    """Skew guard: with one user holding 50% of all events, the unsplit
+    plan funnels that user into ONE window task; split_by bounds every
+    (user, bucket) group so no single task owns the power user's timeline."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.temporal import sessionize
+
+    rows = [("whale", i * 10) for i in range(4000)]
+    rows += [(f"u{i % 40}", 40_000 + i * 7) for i in range(4000)]
+    df = spark.createDataFrame(rows, "u string, t long")
+
+    split_by = 2000  # whale: 4000 events over 40000s -> 200 events/bucket
+    out = sessionize(df, "u", "t", gap=600, split_by=split_by)
+    base = {
+        (r.u, r.t, r.session_seq, r.session_id)
+        for r in sessionize(df, "u", "t", gap=600).collect()
+    }
+    assert {
+        (r.u, r.t, r.session_seq, r.session_id) for r in out.collect()
+    } == base
+
+    # the serial unit of work is the (user, bucket) group: the whale's
+    # worst group must be a small slice of its 4000-event timeline
+    sizes = (
+        df.withColumn("b", (F.col("t") / split_by).cast("long"))
+        .groupBy("u", "b")
+        .count()
+    )
+    assert sizes.agg(F.max("count")).first()[0] <= 220
+
+
 def test_live_istream_gate_matches_replay_twin(spark):
     """The live readStream->foreachBatch ISTREAM gate must emit exactly the
     batch replay twin's rows, restricted to windows that close under the
