@@ -371,6 +371,63 @@ def _sim_topk_quantized_oracle() -> str:
     )
 
 
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+def _q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over documents: doc-local tf expressions (no
+    explode), one broadcast corpus-stats row, TakeOrdered top-k; the
+    fixed-order score sum makes every double bit-identical in DuckDB."""
+    from kolibrie_spark.operators.search import bm25_topk
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=20)
+
+
+def _text_bm25_topk_oracle() -> str:
+    from kolibrie_spark.operators.search import bm25_topk_duckdb_sql
+
+    return bm25_topk_duckdb_sql("documents", "doc_id", "text", _BM25_TERMS, k=20)
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing of the document stream
+    into 2048-token training sequences, sharded 8 ways so the layout cumsum
+    parallelizes; the layout is a pure function of (doc ids, token counts),
+    reproducible on any engine."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.packing import pack_sequences
+    from kolibrie_spark.operators.textanalysis import token_count
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("toks")
+    )
+    out = pack_sequences(docs, "doc_id", "toks", budget=2048, shards=8)
+    return out.select(
+        F.col("doc_id").alias("id"),
+        "shard",
+        "token_start",
+        "seq_first",
+        "seq_last",
+        "n_seqs",
+    )
+
+
+def _pack_sequences_oracle() -> str:
+    from kolibrie_spark.operators.packing import pack_sequences_duckdb_sql
+
+    return pack_sequences_duckdb_sql(
+        "documents",
+        "doc_id",
+        "len(string_split_regex(trim(text), '\\s+'))",
+        budget=2048,
+        shards=8,
+    )
+
+
 def _q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.operators.textanalysis import analyze
     from kolibrie_spark.tables import load_table
@@ -901,6 +958,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round 3 head = the 7 gates the r2 driver never checked (VERDICT r2 item 1;
 # prob_hybrid had NEVER had a driver row) + gates newly added in round 3.
 _DRIVER_FIRST = [
+    "text_bm25_topk",  # new in round 3
+    "pack_sequences",  # new in round 3
     "streaming_istream_live",  # new in round 3
     "prob_hybrid",
     "streaming_istream_replay",
@@ -1082,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf": _q_sim_topk_ivf,
         "sim_topk_quantized": _q_sim_topk_quantized,
         "text_analyze": _q_text_analyze,
+        "text_bm25_topk": _q_text_bm25_topk,
+        "pack_sequences": _q_pack_sequences,
         "events_window_agg": _q_events_window_agg,
         "events_sessionize": _q_events_sessionize,
         "sample_stratified": _q_sample_stratified,
@@ -1397,6 +1458,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_ivf": _sim_topk_ivf_oracle(),
         "sim_topk_quantized": _sim_topk_quantized_oracle(),
         "text_analyze": _text_analyze_oracle(),
+        "text_bm25_topk": _text_bm25_topk_oracle(),
+        "pack_sequences": _pack_sequences_oracle(),
         "events_window_agg": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "
             "event_type, COUNT(*) AS cnt, MIN(value) AS min_value, "

@@ -72,7 +72,7 @@ def bm25_topk(
     scored = df.crossJoin(F.broadcast(stats)).select(
         F.col(id_col),
         F.size(words).alias("__dl"),
-        *[_tf(words, t).alias(f"__tf_{i}") for i in range(len(terms))],
+        *[_tf(words, t).alias(f"__tf_{i}") for i, t in enumerate(terms)],
         F.col("n_docs"),
         F.col("avgdl"),
         *[F.col(f"df_{i}") for i in range(len(terms))],
@@ -91,8 +91,12 @@ def bm25_topk(
         # term contributions add LEFT-TO-RIGHT in the terms order — keep
         # the oracle SQL in the same order for bit equality
         score = score + idf * tf * F.lit(k1 + 1.0) / denom
+    # ln() is only 1-ulp-accurate and differs between the JVM and libm, so
+    # the raw double is NOT cross-engine bit-stable; round to 9 dp (scores
+    # are O(1-10), noise is ~2e-16) and sort on the rounded key so ordering
+    # and values are both engine-identical.
     return (
-        scored.withColumn("bm25", score)
+        scored.withColumn("bm25", F.round(score, 9))
         .filter(F.col("bm25") > 0)
         .select(F.col(id_col), F.col("bm25"))
         .orderBy(F.col("bm25").desc(), F.col(id_col))
@@ -146,9 +150,9 @@ WITH w AS (
          {df_aggs}
   FROM t
 )
-SELECT id, (0.0 + {score}) AS bm25
+SELECT id AS {id_col}, ROUND(0.0 + {score}, 9) AS bm25
 FROM t, stats
-WHERE (0.0 + {score}) > 0
+WHERE ROUND(0.0 + {score}, 9) > 0
 ORDER BY bm25 DESC, id
 LIMIT {k}
 """

@@ -1,10 +1,11 @@
 """Loaders for the driver's TPC-H-ish parquet tables (TESTDATA.md).
 
-Handles the events table's TIMESTAMP(NANOS) parquet type, which Spark's
-vectorized reader rejects: ``spark.sql.legacy.parquet.nanosAsLong`` reads it
-as BIGINT nanoseconds and ``ts_micros``/``ts_timestamp`` derive the usual
-forms (integer ``div`` — not ``/`` — so truncation matches DuckDB's
-``epoch_us``).
+Handles both historical schemas of the events table's ``ts`` column:
+TIMESTAMP(NANOS) parquet (which Spark's vectorized reader rejects —
+``spark.sql.legacy.parquet.nanosAsLong`` reads it as BIGINT nanoseconds,
+then integer ``div`` truncates to micros) and plain ``timestamp[us]``
+parquet (cast to TIMESTAMP under a pinned UTC session zone so
+``unix_micros`` matches DuckDB's naive-as-UTC ``epoch_us``).
 """
 
 from __future__ import annotations
@@ -30,8 +31,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # ts arrives as BIGINT nanos; provide both micro-int and timestamp
-        return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        dt = df.schema["ts"].dataType.simpleString()
+        if dt == "bigint":
+            # TIMESTAMP(NANOS) parquet read as BIGINT nanos
+            ts_us = F.expr("ts div 1000")
+        else:
+            # plain timestamp[us] parquet (timestamp or timestamp_ntz);
+            # pin the cast to UTC so ts_us matches DuckDB's epoch_us
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            ts_us = F.expr("unix_micros(cast(ts as timestamp))")
+        return df.withColumn("ts_us", ts_us).withColumn(
+            "event_time", F.timestamp_micros(F.col("ts_us"))
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
