@@ -428,6 +428,88 @@ def _pack_sequences_oracle() -> str:
     )
 
 
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition profile: per-doc duplicate 1/2/3-gram
+    fractions, all doc-local array arithmetic (no shuffle)."""
+    from kolibrie_spark.operators.textanalysis import repetition_metrics
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(docs, "doc_id", "text")
+
+
+def _text_repetition_oracle() -> str:
+    from kolibrie_spark.operators.textanalysis import dup_ngram_fraction_duckdb
+
+    return (
+        f"SELECT doc_id, {dup_ngram_fraction_duckdb('text', 1)} AS dup_word_frac, "
+        f"{dup_ngram_fraction_duckdb('text', 2)} AS dup_2gram_frac, "
+        f"{dup_ngram_fraction_duckdb('text', 3)} AS dup_3gram_frac "
+        f"FROM documents"
+    )
+
+
+def _q_sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (alpha=0.5) domain resampling over the source
+    column: tiny per-domain aggregate broadcast back, keep decision is a
+    deterministic hash filter — no corpus shuffle."""
+    from kolibrie_spark.operators.sampling import domain_mix_sample
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = domain_mix_sample(docs, "doc_id", "source", alpha=0.5, target_frac=0.3)
+    return out.select("doc_id", "source")
+
+
+def _sample_domain_mix_oracle() -> str:
+    from kolibrie_spark.operators.sampling import domain_mix_duckdb_sql
+
+    return domain_mix_duckdb_sql("documents", "doc_id", "source", 0.5, 0.3)
+
+
+def _q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 5-gram containment of every document
+    against the src0 slice as the 'eval set' (broadcast n-gram relation,
+    doc-local dedup before explode, one doc-keyed aggregation)."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.contamination import ngram_containment
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0").select("text")
+    return ngram_containment(docs, "doc_id", "text", bench, "text", n=5)
+
+
+def _text_contamination_oracle() -> str:
+    from kolibrie_spark.operators.contamination import ngram_containment_duckdb_sql
+
+    return ngram_containment_duckdb_sql(
+        "documents",
+        "doc_id",
+        "text",
+        "(SELECT text FROM documents WHERE source = 'src0')",
+        "text",
+        n=5,
+    )
+
+
+def _q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: explode + map-side-combined count
+    + TakeOrdered top-25."""
+    from kolibrie_spark.operators.search import top_terms
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_terms(docs, "text", k=25)
+
+
+def _text_top_terms_oracle() -> str:
+    from kolibrie_spark.operators.search import top_terms_duckdb_sql
+
+    return top_terms_duckdb_sql("documents", "text", k=25)
+
+
 def _q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.operators.textanalysis import analyze
     from kolibrie_spark.tables import load_table
@@ -960,6 +1042,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_FIRST = [
     "text_bm25_topk",  # new in round 3
     "pack_sequences",  # new in round 3
+    "text_repetition",  # new in round 3
+    "sample_domain_mix",  # new in round 3
+    "text_contamination",  # new in round 3
+    "text_top_terms",  # new in round 3
     "streaming_istream_live",  # new in round 3
     "prob_hybrid",
     "streaming_istream_replay",
@@ -1143,6 +1229,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analyze": _q_text_analyze,
         "text_bm25_topk": _q_text_bm25_topk,
         "pack_sequences": _q_pack_sequences,
+        "text_repetition": _q_text_repetition,
+        "sample_domain_mix": _q_sample_domain_mix,
+        "text_contamination": _q_text_contamination,
+        "text_top_terms": _q_text_top_terms,
         "events_window_agg": _q_events_window_agg,
         "events_sessionize": _q_events_sessionize,
         "sample_stratified": _q_sample_stratified,
@@ -1460,6 +1550,10 @@ def oracle_sql() -> dict[str, str]:
         "text_analyze": _text_analyze_oracle(),
         "text_bm25_topk": _text_bm25_topk_oracle(),
         "pack_sequences": _pack_sequences_oracle(),
+        "text_repetition": _text_repetition_oracle(),
+        "sample_domain_mix": _sample_domain_mix_oracle(),
+        "text_contamination": _text_contamination_oracle(),
+        "text_top_terms": _text_top_terms_oracle(),
         "events_window_agg": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "
             "event_type, COUNT(*) AS cnt, MIN(value) AS min_value, "

@@ -1,0 +1,107 @@
+"""Benchmark-contamination detection for training-data curation: for every
+corpus document, the fraction of its distinct word n-grams that also occur
+in a benchmark/eval document set (n-gram containment, the decontamination
+rule used for GPT-2/3-style training sets).
+
+Plan shape for 100 TB: the benchmark side is small (eval sets are KBs-MBs),
+so its distinct n-gram set is collected into a broadcast hash relation;
+the corpus side dedups n-grams DOC-LOCALLY (``array_distinct`` before
+``explode`` — no shuffle spent on dedup), then one broadcast left join
+marks hits and one groupBy(doc) aggregation (map-side partial) computes the
+fraction. Total: one shuffle, keyed by doc id, carrying one row per
+distinct (doc, n-gram).
+
+The fraction is hits/total — a single IEEE division, engine-identical, so
+the DuckDB twin is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kolibrie_spark.operators.textanalysis import word_array, word_ngrams
+
+
+def ngram_containment(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Per-corpus-doc contamination: (id, n_ngrams, n_contaminated,
+    containment). Docs with fewer than ``n`` words have containment 0.0."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    bench_ngrams = (
+        benchmark.select(
+            F.explode(
+                word_ngrams(word_array(F.lower(F.col(bench_text_col))), n)
+            ).alias("__ng")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_ngrams = corpus.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(word_ngrams(word_array(F.lower(F.col(text_col))), n))
+        ).alias("__ng"),
+    )
+    joined = doc_ngrams.join(F.broadcast(bench_ngrams), on="__ng", how="left")
+    return joined.groupBy(id_col).agg(
+        F.count("__ng").alias("n_ngrams"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_contaminated"),
+        F.when(
+            F.count("__ng") > 0,
+            F.coalesce(F.sum("__hit"), F.lit(0))
+            / F.count("__ng").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("containment"),
+    )
+
+
+def ngram_containment_duckdb_sql(
+    corpus_sql: str,
+    id_col: str,
+    text_col: str,
+    bench_sql: str,
+    bench_text_col: str,
+    n: int = 5,
+) -> str:
+    """DuckDB twin of :func:`ngram_containment`. ``corpus_sql`` /
+    ``bench_sql`` are table expressions (may be parenthesized SELECTs)."""
+
+    def grams(expr: str) -> str:
+        words = f"string_split_regex(trim(lower({expr})), '\\s+')"
+        g = (
+            f"list_transform(range(1, len({words}) - {n} + 2), "
+            f"i -> array_to_string(({words})[i:i+{n - 1}], ' '))"
+        )
+        return f"(CASE WHEN len({words}) >= {n} THEN {g} ELSE [] END)"
+
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({grams(bench_text_col)}) AS ng FROM {bench_sql}
+), doc_ng AS (
+  SELECT {id_col} AS id,
+         unnest(list_distinct({grams(text_col)})) AS ng
+  FROM {corpus_sql}
+), marked AS (
+  SELECT d.id, d.ng, CASE WHEN b.ng IS NOT NULL THEN 1 END AS hit
+  FROM doc_ng d LEFT JOIN bench b ON d.ng = b.ng
+), agg AS (
+  SELECT id, COUNT(ng) AS n_ngrams,
+         CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_contaminated
+  FROM marked GROUP BY id
+)
+SELECT c.{id_col}, COALESCE(a.n_ngrams, 0) AS n_ngrams,
+       COALESCE(a.n_contaminated, 0) AS n_contaminated,
+       CASE WHEN COALESCE(a.n_ngrams, 0) > 0
+            THEN a.n_contaminated / CAST(a.n_ngrams AS DOUBLE)
+            ELSE 0.0 END AS containment
+FROM {corpus_sql} c LEFT JOIN agg a ON c.{id_col} = a.id
+"""

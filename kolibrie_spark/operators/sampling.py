@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kolibrie_spark.operators import hashing
 
@@ -43,6 +44,73 @@ def deterministic_sample(
     the same rows every run, on any cluster."""
     cutoff = int(round(fraction * BUCKETS))
     return df.filter(_bucket(F.col(key_col), hash_fn) < F.lit(cutoff))
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    alpha: float,
+    target_frac: float,
+    hash_fn: str = "poly",
+) -> DataFrame:
+    """Temperature-weighted domain mixing (the GPT-3/Pile resampling rule):
+    domain d with n_d rows gets target share w_d = n_d^alpha / Σ n^alpha,
+    so alpha < 1 up-weights small domains; each domain keeps
+    min(1, w_d * T / n_d) of its rows (T = target_frac * total rows),
+    selected by the deterministic key hash.
+
+    Plan shape: one tiny per-domain aggregate (|domains| rows) carries the
+    whole mixing computation, is broadcast back, and the keep decision is a
+    filter — no data shuffle of the corpus itself. Keep-rates are rounded
+    to 9 dp before the bucket cutoff so pow()'s last-bit drift between
+    engines cannot flip a bucket."""
+    if not 0 < target_frac <= 1:
+        raise ValueError("target_frac must be in (0, 1]")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n_d"))
+    w = Window.partitionBy()
+    rates = counts.select(
+        F.col(domain_col),
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.pow(F.col("__n_d").cast("double"), F.lit(alpha))
+                / F.sum(F.pow(F.col("__n_d").cast("double"), F.lit(alpha))).over(w)
+                * F.round(F.sum("__n_d").over(w) * F.lit(target_frac))
+                / F.col("__n_d"),
+                9,
+            ),
+        ).alias("__keep_rate"),
+    )
+    out = df.join(F.broadcast(rates), on=domain_col, how="inner")
+    cutoff = F.round(F.col("__keep_rate") * F.lit(BUCKETS)).cast("long")
+    return out.filter(_bucket(F.col(key_col), hash_fn) < cutoff).drop(
+        "__keep_rate"
+    )
+
+
+def domain_mix_duckdb_sql(
+    table_expr: str, key_col: str, domain_col: str, alpha: float, target_frac: float
+) -> str:
+    """DuckDB twin of :func:`domain_mix_sample` (poly-hash path) — returns
+    the kept rows' (key, domain)."""
+    return f"""
+WITH counts AS (
+  SELECT {domain_col} AS domain, COUNT(*) AS n_d FROM {table_expr} GROUP BY 1
+), rates AS (
+  SELECT domain,
+         LEAST(1.0, ROUND(
+           pow(CAST(n_d AS DOUBLE), {alpha})
+           / SUM(pow(CAST(n_d AS DOUBLE), {alpha})) OVER ()
+           * ROUND(SUM(n_d) OVER () * {target_frac})
+           / n_d, 9)) AS keep_rate
+  FROM counts
+)
+SELECT t.{key_col}, t.{domain_col}
+FROM {table_expr} t JOIN rates r ON t.{domain_col} = r.domain
+WHERE {bucket_duckdb(f't.{key_col}')}
+      < CAST(ROUND(r.keep_rate * {BUCKETS}) AS BIGINT)
+"""
 
 
 def stratified_sample(

@@ -104,6 +104,35 @@ def bm25_topk(
     )
 
 
+def top_terms(df: DataFrame, text_col: str, k: int = 25) -> DataFrame:
+    """Corpus-wide top-k terms by occurrence count (vocabulary heavy
+    hitters). One explode + one hash aggregation (map-side partial combine
+    collapses each partition to its local vocabulary before the shuffle, so
+    shuffle volume is ~|vocab| per partition, not |tokens|) + TakeOrdered.
+    Ties break lexicographically."""
+    words = word_array(F.lower(F.col(text_col)))
+    return (
+        df.select(F.explode(words).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(k)
+    )
+
+
+def top_terms_duckdb_sql(table_expr: str, text_expr: str, k: int = 25) -> str:
+    words = f"string_split_regex(trim(lower({text_expr})), '\\s+')"
+    return f"""
+SELECT term, COUNT(*) AS cnt
+FROM (SELECT unnest({words}) AS term FROM {table_expr})
+WHERE term <> ''
+GROUP BY term
+ORDER BY cnt DESC, term
+LIMIT {k}
+"""
+
+
 def bm25_topk_duckdb_sql(
     table_expr: str,
     id_col: str,

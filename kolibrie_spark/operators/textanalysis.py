@@ -95,6 +95,61 @@ def fingerprint_duckdb_sql(expr: str) -> str:
     return hashing.poly_hash_duckdb(norm)
 
 
+def word_ngrams(words: Column, n: int) -> Column:
+    """Array of space-joined word ``n``-grams; empty when the doc has fewer
+    than ``n`` words (guarded — Spark's ``sequence(1, 0)`` would DESCEND)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dup_ngram_fraction(text: Column, n: int) -> Column:
+    """Gopher-style repetition signal: fraction of a doc's word n-grams that
+    are duplicates of an earlier one (1 - distinct/total), 0.0 for docs too
+    short to have any. Doc-local array arithmetic — whole-stage codegen, no
+    explode, no shuffle; the distinct/total ratio is one IEEE division so
+    the double is engine-identical."""
+    grams = word_ngrams(word_array(F.lower(text)), n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc repetition profile: duplicate fractions for 1/2/3-grams.
+    Used to drop boilerplate/spam before training (high dup fraction =
+    repeated phrases)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        dup_ngram_fraction(t, 1).alias("dup_word_frac"),
+        dup_ngram_fraction(t, 2).alias("dup_2gram_frac"),
+        dup_ngram_fraction(t, 3).alias("dup_3gram_frac"),
+    )
+
+
+def dup_ngram_fraction_duckdb(expr: str, n: int) -> str:
+    """DuckDB twin of :func:`dup_ngram_fraction` (1-based inclusive list
+    slicing; ``range``'s end is exclusive, matching Spark's guarded
+    ``sequence``)."""
+    words = f"string_split_regex(trim(lower({expr})), '\\s+')"
+    grams = (
+        f"list_transform(range(1, len({words}) - {n} + 2), "
+        f"i -> array_to_string(({words})[i:i+{n - 1}], ' '))"
+    )
+    return (
+        f"(CASE WHEN len({words}) >= {n} THEN "
+        f"1.0 - len(list_distinct({grams})) / CAST(len({grams}) AS DOUBLE) "
+        f"ELSE 0.0 END)"
+    )
+
+
 def analyze(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """All analyses in one narrow projection."""
     t = F.col(text_col)

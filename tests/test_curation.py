@@ -1,0 +1,183 @@
+"""Curation operators: repetition metrics, domain-mix sampling,
+benchmark contamination, corpus top terms — brute-force Python oracles
+plus DuckDB twins."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat the cat sat again", "web"),
+        (2, "one two three four five six seven eight", "web"),
+        (3, "spam spam spam spam spam spam", "web"),
+        (4, "alpha beta gamma alpha beta gamma alpha beta", "books"),
+        (5, "x", "books"),
+        (6, "", "code"),
+        (7, "the quick brown fox jumps over the lazy dog", "code"),
+        (8, "to be or not to be that is the question", "web"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def _ngrams(text, n):
+    w = text.strip().lower().split() if text.strip() else [""]
+    # split('\s+') on empty text yields [''] in both engines
+    if text == "":
+        w = [""]
+    return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+
+def test_repetition_metrics_brute_force(spark, docs):
+    from kolibrie_spark.operators.textanalysis import repetition_metrics
+
+    got = {
+        r.doc_id: (r.dup_word_frac, r.dup_2gram_frac, r.dup_3gram_frac)
+        for r in repetition_metrics(docs, "doc_id", "text").collect()
+    }
+    for doc_id, text, _src in [
+        (r.doc_id, r.text, r.source) for r in docs.collect()
+    ]:
+        for slot, n in ((0, 1), (1, 2), (2, 3)):
+            grams = _ngrams(text, n)
+            want = 1.0 - len(set(grams)) / len(grams) if grams else 0.0
+            assert got[doc_id][slot] == pytest.approx(want, abs=1e-15), (
+                doc_id,
+                n,
+            )
+    # pure-repetition doc: 6 'spam' words -> dup_word_frac 5/6
+    assert got[3][0] == pytest.approx(5 / 6)
+    # no-repetition doc
+    assert got[2] == (0.0, 0.0, 0.0)
+
+
+def test_repetition_duckdb_twin(spark, docs):
+    from kolibrie_spark.operators.textanalysis import (
+        dup_ngram_fraction_duckdb,
+        repetition_metrics,
+    )
+
+    got = sorted(
+        tuple(r) for r in repetition_metrics(docs, "doc_id", "text").collect()
+    )
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"SELECT doc_id, {dup_ngram_fraction_duckdb('text', 1)},"
+            f" {dup_ngram_fraction_duckdb('text', 2)},"
+            f" {dup_ngram_fraction_duckdb('text', 3)} FROM docs"
+        ).fetchall()
+    )
+    assert got == want  # exact float equality
+
+
+def test_domain_mix_sample(spark, docs):
+    from kolibrie_spark.operators.sampling import (
+        domain_mix_duckdb_sql,
+        domain_mix_sample,
+    )
+
+    out = domain_mix_sample(docs, "doc_id", "source", alpha=0.5, target_frac=0.5)
+    got = sorted((r.doc_id, r.source) for r in out.collect())
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            domain_mix_duckdb_sql("docs", "doc_id", "source", 0.5, 0.5)
+        ).fetchall()
+    )
+    assert got == want
+    # determinism: same kept set on rerun
+    again = sorted((r.doc_id, r.source) for r in out.collect())
+    assert got == again
+    with pytest.raises(ValueError):
+        domain_mix_sample(docs, "doc_id", "source", 0.5, 0.0)
+
+
+def test_domain_mix_upweights_small_domains(spark):
+    from kolibrie_spark.operators.sampling import domain_mix_sample
+
+    rows = [(i, "big") for i in range(900)] + [
+        (i + 1000, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k long, d string")
+    kept = domain_mix_sample(df, "k", "d", alpha=0.5, target_frac=0.3).groupBy(
+        "d"
+    ).count()
+    by = {r.d: r["count"] for r in kept.collect()}
+    # alpha=0.5 shifts share toward the small domain: its keep RATE must
+    # exceed the big domain's (0.3 flat would keep 30% of each)
+    assert by["small"] / 100 > by["big"] / 900
+    # and the overall take is near the 30% target
+    assert 0.2 < (by["small"] + by["big"]) / 1000 < 0.45
+
+
+def test_ngram_containment_brute_force(spark, docs):
+    from kolibrie_spark.operators.contamination import ngram_containment
+
+    bench = docs.filter(F.col("source") == "code").select("text")
+    out = ngram_containment(docs, "doc_id", "text", bench, "text", n=3)
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_contaminated, r.containment)
+        for r in out.collect()
+    }
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    bench_set = set()
+    for did, text in rows:
+        if did in (6, 7):
+            bench_set |= set(_ngrams(text, 3))
+    for did, text in rows:
+        grams = set(_ngrams(text, 3))
+        hits = len(grams & bench_set)
+        want_frac = hits / len(grams) if grams else 0.0
+        assert got[did] == (len(grams), hits, pytest.approx(want_frac)), did
+    # the benchmark doc itself is fully contaminated
+    assert got[7][2] == 1.0
+    # short/empty docs get 0 ngrams, containment 0.0
+    assert got[5] == (0, 0, 0.0)
+    assert got[6] == (0, 0, 0.0)
+
+
+def test_ngram_containment_duckdb_twin(spark, docs):
+    from kolibrie_spark.operators.contamination import (
+        ngram_containment,
+        ngram_containment_duckdb_sql,
+    )
+
+    bench = docs.filter(F.col("source") == "code").select("text")
+    out = ngram_containment(docs, "doc_id", "text", bench, "text", n=2)
+    got = sorted(tuple(r) for r in out.collect())
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            ngram_containment_duckdb_sql(
+                "docs",
+                "doc_id",
+                "text",
+                "(SELECT text FROM docs WHERE source = 'code')",
+                "text",
+                n=2,
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_top_terms(spark, docs):
+    from kolibrie_spark.operators.search import top_terms, top_terms_duckdb_sql
+
+    got = [(r.term, r.cnt) for r in top_terms(docs, "text", k=5).collect()]
+    # 'the' (3+2+1) and 'spam' (6) tie at 6; lexicographic tiebreak
+    assert got[0] == ("spam", 6)
+    assert got[1] == ("the", 6)
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    want = con.execute(top_terms_duckdb_sql("docs", "text", k=5)).fetchall()
+    assert got == [tuple(r) for r in want]
