@@ -889,17 +889,21 @@ def _q_ml_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal gate with REAL content decode (round-3 upgrade): each
+    """Multimodal gate with REAL content decode for ALL THREE formats: each
     document row synthesizes a valid media file (PNG / JPEG / WAV rotating
     by doc_id) with deterministic CONTENT — PNG pixel(x,y) = (7x+13y+d)%256
     encoded with filter type y%5 (so all five PNG unfilters must work),
-    WAV sample(i) = ((37i+11d)%4001)-2000.  ``extract_media_features``
-    inflates the actual IDAT / PCM bytes back out, so the DuckDB oracle
-    verifies header fields AND content-derived features (mean luminance,
-    audio RMS/peak) bit-exactly.  JPEG stays header-only (entropy decode
-    needs a real codec)."""
+    JPEG pixel(x,y) = (d + x//8 + y//8)%256 encoded as a real baseline
+    entropy stream under a flat quant table (block-constant content is
+    DC-only, so the Huffman+IDCT round trip is BIT-EXACT and the oracle
+    can recompute it), WAV sample(i) = ((37i+11d)%4001)-2000.
+    ``extract_media_features`` decodes the actual IDAT / entropy-coded /
+    PCM bytes back out, so the DuckDB oracle verifies header fields AND
+    content-derived features bit-exactly."""
+    import numpy as np
+
+    from kolibrie_spark.operators.jpeg import QTABLE_FLAT, build_jpeg_baseline
     from kolibrie_spark.operators.multimodal import (
-        build_jpeg,
         build_png,
         build_wav,
         extract_media_features,
@@ -926,7 +930,16 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "image/png",
                     )
                 elif did % 3 == 1:
-                    blob, mime = build_jpeg(did % 320 + 8, did % 240 + 8), "image/jpeg"
+                    w, h = did % 64 + 8, did % 48 + 8
+                    img = (
+                        did
+                        + np.arange(w)[None, :] // 8
+                        + np.arange(h)[:, None] // 8
+                    ) % 256
+                    blob, mime = (
+                        build_jpeg_baseline(w, h, qtable=QTABLE_FLAT, image=img),
+                        "image/jpeg",
+                    )
                 else:
                     blob, mime = (
                         build_wav(
@@ -953,13 +966,17 @@ def _multimodal_features_oracle() -> str:
         "SELECT CAST(doc_id AS VARCHAR) AS media_id, "
         "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format, "
         "CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 64 + 8 AS INT) "
-        "WHEN 1 THEN CAST(doc_id % 320 + 8 AS INT) END AS width, "
+        "WHEN 1 THEN CAST(doc_id % 64 + 8 AS INT) END AS width, "
         "CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 48 + 8 AS INT) "
-        "WHEN 1 THEN CAST(doc_id % 240 + 8 AS INT) END AS height, "
+        "WHEN 1 THEN CAST(doc_id % 48 + 8 AS INT) END AS height, "
         "CASE doc_id % 3 WHEN 2 THEN CAST(doc_id % 100 + 10 AS INT) END AS duration_ms, "
         "CASE doc_id % 3 WHEN 0 THEN "
         "CAST(list_sum(flatten(list_transform(range(0, doc_id % 48 + 8), y -> "
         "list_transform(range(0, doc_id % 64 + 8), x -> (x*7 + y*13 + doc_id) % 256)"
+        "))) AS DOUBLE) / ((doc_id % 64 + 8) * (doc_id % 48 + 8)) "
+        "WHEN 1 THEN "
+        "CAST(list_sum(flatten(list_transform(range(0, doc_id % 48 + 8), y -> "
+        "list_transform(range(0, doc_id % 64 + 8), x -> (doc_id + x // 8 + y // 8) % 256)"
         "))) AS DOUBLE) / ((doc_id % 64 + 8) * (doc_id % 48 + 8)) "
         "END AS mean_luminance, "
         "CASE doc_id % 3 WHEN 2 THEN "

@@ -410,9 +410,11 @@ CONTENT_SCHEMA = StructType(
 
 def extract_media_features(df: DataFrame) -> DataFrame:
     """Header + CONTENT decode via mapInPandas: PNG pixels are inflated and
-    unfiltered for mean luminance; WAV PCM samples yield RMS/peak.  JPEG
-    remains header-only (entropy decode needs a real codec; documented in
-    ``decode_error``).  Per-row error isolation as in extract_headers."""
+    unfiltered for mean luminance; WAV PCM samples yield RMS/peak; baseline
+    grayscale JPEGs are entropy-decoded (operators/jpeg.py: Huffman + IDCT)
+    for mean luminance.  Unsupported JPEG shapes (progressive,
+    multi-component, header-only) surface their reason in ``decode_error``.
+    Per-row error isolation as in extract_headers."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -430,8 +432,15 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                     elif h["format"] == "wav":
                         st = wav_pcm_stats(blob)
                         rms, peak = st["audio_rms"], st["audio_peak"]
-                    else:  # jpeg: header real, entropy decode needs a codec
-                        err = "unsupported: jpeg entropy decode"
+                    else:  # jpeg: baseline entropy decode (jpeg.py)
+                        from kolibrie_spark.operators.jpeg import (
+                            jpeg_luminance_stats,
+                        )
+
+                        try:
+                            lum = jpeg_luminance_stats(blob)["mean_luminance"]
+                        except ValueError as je:
+                            err = f"jpeg decode: {je}"
                     rows.append(
                         (mid, h["format"], h["width"], h["height"],
                          h["duration_ms"], lum, rms, peak, err)

@@ -275,8 +275,9 @@ def test_extract_media_features_content_columns(spark):
         x + y for y in range(8) for x in range(8)
     ) / 64
     assert out["p"].audio_rms is None and out["p"].decode_error is None
+    # header-only JPEG (no DQT/SOS): decode reports the reason per-row
     assert out["j"].width == 32 and out["j"].mean_luminance is None
-    assert "jpeg entropy" in out["j"].decode_error
+    assert "jpeg decode" in out["j"].decode_error
     assert out["w"].audio_peak == 3 and out["w"].duration_ms == 10
     assert out["bad"].format is None and out["bad"].decode_error
 
