@@ -494,6 +494,45 @@ def _text_contamination_oracle() -> str:
     )
 
 
+_SPLITS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def _q_sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split assignment: whole source domains land in one of
+    train/valid/test via the deterministic group-key hash (near-duplicates
+    sharing a domain can never straddle train and eval). Pure projection —
+    no shuffle."""
+    from kolibrie_spark.operators.sampling import group_split
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return group_split(docs, "source", _SPLITS)
+
+
+def _sample_group_split_oracle() -> str:
+    from kolibrie_spark.operators.sampling import group_split_duckdb_case
+
+    case = group_split_duckdb_case("source", _SPLITS)
+    return f"SELECT doc_id, source, {case} AS split FROM documents"
+
+
+def _q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset profile of n_chars: one map-side-combined hash
+    aggregation; mean/stddev finish from exact BIGINT sums so every double
+    is engine-identical."""
+    from kolibrie_spark.operators.profiling import profile_stats
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_stats(docs, "source", "n_chars")
+
+
+def _profile_stats_oracle() -> str:
+    from kolibrie_spark.operators.profiling import profile_stats_duckdb_sql
+
+    return profile_stats_duckdb_sql("documents", "source", "n_chars")
+
+
 def _q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters: explode + map-side-combined count
     + TakeOrdered top-25."""
@@ -1063,6 +1102,8 @@ _DRIVER_FIRST = [
     "sample_domain_mix",  # new in round 3
     "text_contamination",  # new in round 3
     "text_top_terms",  # new in round 3
+    "sample_group_split",  # new in round 3
+    "profile_stats",  # new in round 3
     "streaming_istream_live",  # new in round 3
     "prob_hybrid",
     "streaming_istream_replay",
@@ -1250,6 +1291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_domain_mix": _q_sample_domain_mix,
         "text_contamination": _q_text_contamination,
         "text_top_terms": _q_text_top_terms,
+        "sample_group_split": _q_sample_group_split,
+        "profile_stats": _q_profile_stats,
         "events_window_agg": _q_events_window_agg,
         "events_sessionize": _q_events_sessionize,
         "sample_stratified": _q_sample_stratified,
@@ -1571,6 +1614,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_domain_mix": _sample_domain_mix_oracle(),
         "text_contamination": _text_contamination_oracle(),
         "text_top_terms": _text_top_terms_oracle(),
+        "sample_group_split": _sample_group_split_oracle(),
+        "profile_stats": _profile_stats_oracle(),
         "events_window_agg": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "
             "event_type, COUNT(*) AS cnt, MIN(value) AS min_value, "

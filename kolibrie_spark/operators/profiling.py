@@ -1,0 +1,63 @@
+"""Dataset profiling for curation reports: per-group summary statistics of
+an integral column (count, distinct, min/max, mean, sample stddev).
+
+Cross-engine exactness: mean and stddev are derived from EXACT integer
+sums (Σx and Σx² as BIGINT — no floating accumulation, so partition order
+cannot change a bit), then finished with one double division / sqrt each,
+which IEEE 754 defines exactly. ``stddev`` uses the textbook
+(Σx² - (Σx)²/n)/(n-1) finish — fine for profile-scale magnitudes; at
+astronomic Σx² you'd switch to Welford per partition and lose the
+cross-engine bit contract.
+
+Plan shape: ONE hash aggregation with map-side partial combine (all six
+stats fold in the same groupBy), shuffling |groups| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group profile of an integral value column. Returns one row per
+    group: n, n_distinct, vmin, vmax, mean, stddev (sample; NULL when
+    n == 1)."""
+    v = F.col(value_col).cast("long")
+    n = F.count(v)
+    s1 = F.sum(v)
+    s2 = F.sum(v * v)
+    mean = s1.cast("double") / n
+    var = (s2.cast("double") - s1.cast("double") * s1 / n) / (n - F.lit(1))
+    return df.groupBy(group_col).agg(
+        n.alias("n"),
+        F.count_distinct(v).alias("n_distinct"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        mean.alias("mean"),
+        F.when(n > 1, F.sqrt(var)).alias("stddev"),
+    )
+
+
+def profile_stats_duckdb_sql(
+    table_expr: str, group_col: str, value_expr: str
+) -> str:
+    """DuckDB twin of :func:`profile_stats` — the same exact-integer-sum
+    finish, NOT DuckDB's built-in stddev (whose accumulation order is
+    engine-internal)."""
+    v = f"CAST({value_expr} AS BIGINT)"
+    return f"""
+SELECT {group_col},
+       COUNT({v}) AS n,
+       COUNT(DISTINCT {v}) AS n_distinct,
+       MIN({v}) AS vmin,
+       MAX({v}) AS vmax,
+       CAST(SUM({v}) AS DOUBLE) / COUNT({v}) AS mean,
+       CASE WHEN COUNT({v}) > 1 THEN
+         sqrt((CAST(SUM({v} * {v}) AS DOUBLE)
+               - CAST(SUM({v}) AS DOUBLE) * SUM({v}) / COUNT({v}))
+              / (COUNT({v}) - 1))
+       END AS stddev
+FROM {table_expr}
+GROUP BY {group_col}
+"""

@@ -46,6 +46,55 @@ def deterministic_sample(
     return df.filter(_bucket(F.col(key_col), hash_fn) < F.lit(cutoff))
 
 
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    splits: dict[str, float],
+    hash_fn: str = "poly",
+) -> DataFrame:
+    """Leakage-safe train/valid/test assignment: every row of a GROUP
+    (domain, near-dup cluster, url host…) lands in the same split, because
+    the split is a pure function of the group key's hash — near-duplicates
+    that share a group can never straddle train and eval. ``splits`` maps
+    split name → fraction (must sum to ~1; the last split absorbs the
+    rounding residue). Adds a ``split`` column; a filter over a scan, no
+    shuffle."""
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1 (got {total})")
+    bucket = _bucket(F.col(group_col), hash_fn)
+    names = list(splits)
+    expr = F.lit(names[-1])
+    bounds = []
+    upper = 0.0
+    prev = 0
+    for name in names[:-1]:
+        upper += splits[name]
+        cut = int(round(upper * BUCKETS))
+        bounds.append((name, prev, cut))
+        prev = cut
+    for name, lo, hi in reversed(bounds):
+        expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def group_split_duckdb_case(expr: str, splits: dict[str, float]) -> str:
+    """DuckDB CASE expression computing the same split assignment."""
+    bucket = bucket_duckdb(expr)
+    names = list(splits)
+    parts = []
+    upper = 0.0
+    prev = 0
+    for name in names[:-1]:
+        upper += splits[name]
+        cut = int(round(upper * BUCKETS))
+        parts.append(f"WHEN {bucket} >= {prev} AND {bucket} < {cut} THEN '{name}'")
+        prev = cut
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
 def domain_mix_sample(
     df: DataFrame,
     key_col: str,

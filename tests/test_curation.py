@@ -170,6 +170,69 @@ def test_ngram_containment_duckdb_twin(spark, docs):
     assert got == want
 
 
+def test_group_split_no_leakage(spark):
+    from kolibrie_spark.operators.sampling import (
+        group_split,
+        group_split_duckdb_case,
+    )
+
+    rows = [(i, f"host{i % 17}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    splits = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    out = group_split(df, "host", splits)
+    got = [(r.doc_id, r.host, r.split) for r in out.collect()]
+    # leakage-safety: one split per group
+    per_host = {}
+    for _d, h, s in got:
+        per_host.setdefault(h, set()).add(s)
+    assert all(len(v) == 1 for v in per_host.values())
+    # DuckDB twin agrees row-for-row
+    con = duckdb.connect()
+    con.register("d", df.toPandas())
+    case = group_split_duckdb_case("host", splits)
+    want = con.execute(
+        f"SELECT doc_id, host, {case} AS split FROM d"
+    ).fetchall()
+    assert sorted(got) == sorted(tuple(r) for r in want)
+    with pytest.raises(ValueError):
+        group_split(df, "host", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        group_split(df, "host", {})
+
+
+def test_profile_stats(spark):
+    import math
+
+    from kolibrie_spark.operators.profiling import (
+        profile_stats,
+        profile_stats_duckdb_sql,
+    )
+
+    rows = [(i, f"s{i % 3}", (i * 17) % 101) for i in range(200)]
+    rows.append((200, "solo", 42))  # n == 1 group: stddev NULL
+    df = spark.createDataFrame(rows, "doc_id long, src string, v long")
+    got = {r.src: r for r in profile_stats(df, "src", "v").collect()}
+    # brute-force oracle for one group
+    vals = [(i * 17) % 101 for i in range(200) if i % 3 == 0]
+    m = sum(vals) / len(vals)
+    sd = math.sqrt(
+        (sum(x * x for x in vals) - sum(vals) ** 2 / len(vals))
+        / (len(vals) - 1)
+    )
+    assert got["s0"].n == len(vals)
+    assert got["s0"].n_distinct == len(set(vals))
+    assert (got["s0"].vmin, got["s0"].vmax) == (min(vals), max(vals))
+    assert got["s0"].mean == pytest.approx(m, abs=1e-12)
+    assert got["s0"].stddev == pytest.approx(sd, abs=1e-12)
+    assert got["solo"].stddev is None
+    # DuckDB twin bit-identical
+    con = duckdb.connect()
+    con.register("d", df.toPandas())
+    want = con.execute(profile_stats_duckdb_sql("d", "src", "v")).fetchall()
+    got_rows = sorted(tuple(r) for r in profile_stats(df, "src", "v").collect())
+    assert got_rows == sorted(tuple(r) for r in want)
+
+
 def test_top_terms(spark, docs):
     from kolibrie_spark.operators.search import top_terms, top_terms_duckdb_sql
 
