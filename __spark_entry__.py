@@ -533,6 +533,43 @@ def _profile_stats_oracle() -> str:
     return profile_stats_duckdb_sql("documents", "source", "n_chars")
 
 
+def _q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents: every third doc gets deterministic
+    PII-shaped text injected from doc_id (same construction in the oracle),
+    then emails / IPv4s / long digit runs are redacted with per-doc counts.
+    Pure regexp column expressions — codegen, zero shuffle."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.scrub import scrub_pii
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 card 4111111111111111"),
+        ),
+    ).otherwise(F.col("text"))
+    return scrub_pii(docs.withColumn("text", injected), "doc_id", "text")
+
+
+def _text_scrub_pii_oracle() -> str:
+    from kolibrie_spark.operators.scrub import scrub_pii_duckdb_sql
+
+    injected = (
+        "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.7 card 4111111111111111' ELSE text END AS text FROM documents)"
+    )
+    return scrub_pii_duckdb_sql(injected, "doc_id", "text")
+
+
 def _q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters: explode + map-side-combined count
     + TakeOrdered top-25."""
@@ -1104,6 +1141,7 @@ _DRIVER_FIRST = [
     "text_top_terms",  # new in round 3
     "sample_group_split",  # new in round 3
     "profile_stats",  # new in round 3
+    "text_scrub_pii",  # new in round 3
     "streaming_istream_live",  # new in round 3
     "prob_hybrid",
     "streaming_istream_replay",
@@ -1293,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_terms": _q_text_top_terms,
         "sample_group_split": _q_sample_group_split,
         "profile_stats": _q_profile_stats,
+        "text_scrub_pii": _q_text_scrub_pii,
         "events_window_agg": _q_events_window_agg,
         "events_sessionize": _q_events_sessionize,
         "sample_stratified": _q_sample_stratified,
@@ -1616,6 +1655,7 @@ def oracle_sql() -> dict[str, str]:
         "text_top_terms": _text_top_terms_oracle(),
         "sample_group_split": _sample_group_split_oracle(),
         "profile_stats": _profile_stats_oracle(),
+        "text_scrub_pii": _text_scrub_pii_oracle(),
         "events_window_agg": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "
             "event_type, COUNT(*) AS cnt, MIN(value) AS min_value, "

@@ -233,6 +233,34 @@ def test_profile_stats(spark):
     assert got_rows == sorted(tuple(r) for r in want)
 
 
+def test_scrub_pii(spark):
+    from kolibrie_spark.operators.scrub import scrub_pii, scrub_pii_duckdb_sql
+
+    rows = [
+        (1, "mail a.b+c@ex-1.co.uk and d@e.org now"),
+        (2, "server at 10.0.255.1 and 8.8.8.8"),
+        (3, "card 4111111111111111 ok, short 123456 stays"),
+        (4, "mixed bob@x.io from 192.168.0.1 pays 5105105105105100"),
+        (5, "clean text with no pii at all"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_pii(df, "doc_id", "text").collect()}
+    assert got[1].scrubbed == "mail <EMAIL> and <EMAIL> now"
+    assert got[1].n_email == 2 and got[1].n_ipv4 == 0
+    assert got[2].scrubbed == "server at <IP> and <IP>"
+    assert got[3].scrubbed == "card <NUM> ok, short 123456 stays"
+    assert got[4].scrubbed == "mixed <EMAIL> from <IP> pays <NUM>"
+    assert (got[4].n_email, got[4].n_ipv4, got[4].n_number) == (1, 1, 1)
+    assert got[5].scrubbed == rows[4][1] and got[5].n_email == 0
+    # DuckDB twin bit-identical
+    con = duckdb.connect()
+    con.register("d", df.toPandas())
+    want = con.execute(scrub_pii_duckdb_sql("d", "doc_id", "text")).fetchall()
+    got_rows = sorted(tuple(r) for r in scrub_pii(df, "doc_id", "text").collect())
+    assert got_rows == sorted(tuple(r) for r in want)
+
+
 def test_top_terms(spark, docs):
     from kolibrie_spark.operators.search import top_terms, top_terms_duckdb_sql
 
