@@ -586,6 +586,29 @@ def _text_top_terms_oracle() -> str:
     return top_terms_duckdb_sql("documents", "text", k=25)
 
 
+def _q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ (product-quantization) ADC top-k: vectors as m=8 sub-space codes,
+    query distance = sum of 8 precomputed query-to-codeword distances —
+    the FAISS-style memory-scale ANN path (codes are ~32x smaller than
+    float32 vectors). Deterministic seeded codebooks; the oracle re-derives
+    them in SQL."""
+    from kolibrie_spark.operators.similarity import pq_topk
+    from kolibrie_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, _query_vector(spark, sf_dir), 10, "vec_id", "embedding", m=8, ksub=16
+    )
+
+
+def _sim_topk_pq_oracle() -> str:
+    from kolibrie_spark.operators.similarity import pq_topk_duckdb_sql_derived
+
+    return pq_topk_duckdb_sql_derived(
+        "embeddings", "vec_id", "embedding", query_id=0, k=10, dim=64, m=8, ksub=16
+    )
+
+
 def _q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.operators.textanalysis import analyze
     from kolibrie_spark.tables import load_table
@@ -1142,6 +1165,7 @@ _DRIVER_FIRST = [
     "sample_group_split",  # new in round 3
     "profile_stats",  # new in round 3
     "text_scrub_pii",  # new in round 3
+    "sim_topk_pq",  # new in round 3
     "streaming_istream_live",  # new in round 3
     "prob_hybrid",
     "streaming_istream_replay",
@@ -1322,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": _q_sim_topk_lsh,
         "sim_topk_ivf": _q_sim_topk_ivf,
         "sim_topk_quantized": _q_sim_topk_quantized,
+        "sim_topk_pq": _q_sim_topk_pq,
         "text_analyze": _q_text_analyze,
         "text_bm25_topk": _q_text_bm25_topk,
         "pack_sequences": _q_pack_sequences,
@@ -1646,6 +1671,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_cosine": _sim_topk_oracle(),
         "sim_topk_ivf": _sim_topk_ivf_oracle(),
         "sim_topk_quantized": _sim_topk_quantized_oracle(),
+        "sim_topk_pq": _sim_topk_pq_oracle(),
         "text_analyze": _text_analyze_oracle(),
         "text_bm25_topk": _text_bm25_topk_oracle(),
         "pack_sequences": _pack_sequences_oracle(),

@@ -297,6 +297,175 @@ FROM cells, q WHERE ivf_cell IN (SELECT cid FROM probe)
 ORDER BY cosine DESC, {id_col} ASC LIMIT {k}"""
 
 
+# ------------------------------------------------ product quantization (PQ)
+def pq_seed_codebooks(
+    df: DataFrame, id_col: str, vec_col: str, m: int, ksub: int
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: subspace j's ``ksub`` codewords are the
+    j-th subvectors of the first ``ksub`` vectors by id (the same
+    determinism contract as :func:`seed_centroids`, so the DuckDB oracle
+    replicates training exactly). At scale you'd k-means each subspace on
+    a sample; the code-assignment/ADC plan below is unchanged — codebooks
+    are always an m×ksub×(dim/m) driver-side constant (KBs)."""
+    rows = (
+        df.orderBy(F.col(id_col).asc()).select(vec_col).limit(ksub).collect()
+    )
+    vecs = [[float(x) for x in r[0]] for r in rows]
+    if len(vecs) < ksub:
+        raise ValueError(f"need at least {ksub} vectors to seed codebooks")
+    dim = len(vecs[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [v[j * dsub : (j + 1) * dsub] for v in vecs] for j in range(m)
+    ]
+
+
+def _pq_code_pos(v: Column, j: int, dsub: int, codebook: list[list[float]]) -> Column:
+    """1-based position of subspace j's nearest codeword (first-occurrence
+    tie-break, same rule as DuckDB's list_position)."""
+    sub = F.slice(v, j * dsub + 1, dsub)
+    dists = F.array(*[l2sq_expr(sub, _vec_lit(cw)) for cw in codebook])
+    return F.array_position(dists, F.array_min(dists))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    ksub: int = 16,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance (ADC, the FAISS-style
+    memory-scale path): each vector is represented by m sub-space codes
+    (m·log2(ksub) bits instead of dim·32), and the query's distance to a
+    vector is the sum of m precomputed query→codeword distances — the
+    scan reads codes, not floats, an ~(32·dim)/(m·log2 ksub)× IO cut at
+    100 TB. Returns (id, adc) ascending (smaller = closer), ties by id.
+
+    Deterministic end to end: seeded codebooks + first-occurrence argmin
+    + a literal query distance table shared with the DuckDB twin, so the
+    ADC scores are bit-identical cross-engine."""
+    cbs = codebooks or pq_seed_codebooks(df, id_col, vec_col, m, ksub)
+    dim = len(query_vec)
+    dsub = dim // m
+    qd = [float(x) for x in query_vec]
+    # query→codeword distance table, driver-side, inlined as literals
+    qtab = [
+        [l2sq_py(qd[j * dsub : (j + 1) * dsub], cw) for cw in cbs[j]]
+        for j in range(m)
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    adc = F.lit(0.0)
+    for j in range(m):
+        pos = _pq_code_pos(v, j, dsub, cbs[j]).cast("int")
+        adc = adc + F.element_at(
+            F.array(*[F.lit(float(d)) for d in qtab[j]]), pos
+        )
+    scored = df.select(F.col(id_col), adc.alias("adc"))
+    return scored.orderBy(F.col("adc").asc(), F.col(id_col).asc()).limit(k)
+
+
+def pq_topk_duckdb_sql(
+    table: str,
+    query_vec: list[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    ksub: int = 16,
+    codebooks: list[list[list[float]]] | None = None,
+) -> str:
+    """DuckDB twin of :func:`pq_topk`. ``codebooks`` must be the SAME
+    constants the Spark side used (pass the pq_seed_codebooks result);
+    when omitted the SQL re-derives first-``ksub``-by-id seeds inline —
+    only valid against the default provider."""
+    dim = len(query_vec)
+    dsub = dim // m
+    qd = [float(x) for x in query_vec]
+
+    def lst(xs: list[float]) -> str:
+        # ::DOUBLE per element — DuckDB parses bare decimal literals as
+        # DECIMAL and mixed scales overflow the cast
+        return "[" + ", ".join(f"{float(x)!r}::DOUBLE" for x in xs) + "]"
+
+    if codebooks is None:
+        raise ValueError("pass the Spark side's codebooks for a valid twin")
+    qtab = [
+        [l2sq_py(qd[j * dsub : (j + 1) * dsub], cw) for cw in codebooks[j]]
+        for j in range(m)
+    ]
+    terms = []
+    for j in range(m):
+        sub = f"(v[{j * dsub + 1}:{j * dsub + dsub}])"
+        dists = (
+            "["
+            + ", ".join(l2sq_duckdb_sql(sub, lst(cw)) for cw in codebooks[j])
+            + "]"
+        )
+        pos = f"list_position({dists}, list_min({dists}))"
+        terms.append(f"({lst(qtab[j])})[{pos}]")
+    adc = " + ".join(terms)
+    return f"""
+WITH e AS (
+  SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+)
+SELECT {id_col}, (0.0 + {adc}) AS adc
+FROM e
+ORDER BY adc ASC, {id_col} ASC LIMIT {k}
+"""
+
+
+def pq_topk_duckdb_sql_derived(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+) -> str:
+    """Self-contained DuckDB twin of :func:`pq_topk` with the DEFAULT
+    codebook provider: codebooks (first-``ksub``-by-id subvectors) and the
+    query distance table are derived in SQL from the same table, with the
+    same l2 fold order as the Spark/Python side, so every ADC double is
+    bit-identical. ``query_id`` selects the query vector row."""
+    dsub = dim // m
+    cb_cols = ", ".join(
+        f"list(v[{j * dsub + 1}:{j * dsub + dsub}] ORDER BY c) AS cb{j}"
+        for j in range(m)
+    )
+    terms = []
+    for j in range(m):
+        sub = f"(e.v[{j * dsub + 1}:{j * dsub + dsub}])"
+        qsub = f"(q.qv[{j * dsub + 1}:{j * dsub + dsub}])"
+        dists = f"list_transform(cb{j}, cw -> {l2sq_duckdb_sql(sub, 'cw')})"
+        qdists = f"list_transform(cb{j}, cw -> {l2sq_duckdb_sql(qsub, 'cw')})"
+        terms.append(f"({qdists})[list_position({dists}, list_min({dists}))]")
+    adc = " + ".join(terms)
+    return f"""
+WITH e AS (
+  SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+),
+q AS (SELECT v AS qv FROM e WHERE {id_col} = {query_id}),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS c, v
+  FROM (SELECT {id_col}, v FROM e ORDER BY {id_col} LIMIT {ksub})
+),
+cbl AS (SELECT {cb_cols} FROM seeds)
+SELECT e.{id_col}, (0.0 + {adc}) AS adc
+FROM e, q, cbl
+ORDER BY adc ASC, e.{id_col} ASC LIMIT {k}
+"""
+
+
 # ------------------------------------------------- int8 scalar quantization
 def with_int8_quantization(df: DataFrame, vec_col: str) -> DataFrame:
     """Symmetric per-vector int8 quantization: scale = max|v| / 127,

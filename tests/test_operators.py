@@ -452,6 +452,49 @@ def test_quantized_topk_close_to_exact(spark):
     assert 0 in qk  # the query vector itself always wins
 
 
+def test_pq_topk_recall_and_duckdb_twins(spark):
+    """PQ ADC: the query's own vector ranks first (its codes reconstruct it
+    best), recall vs exact top-k is substantial at dim 16 / m=4, and BOTH
+    DuckDB twins (constants-passed and SQL-derived codebooks) are
+    bit-identical to the Spark scores."""
+    import duckdb
+    import numpy as np
+
+    from kolibrie_spark.operators.similarity import (
+        pq_seed_codebooks,
+        pq_topk,
+        pq_topk_duckdb_sql,
+        pq_topk_duckdb_sql_derived,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(120, 16).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[3]]
+
+    cbs = pq_seed_codebooks(df, "vec_id", "embedding", m=4, ksub=16)
+    assert len(cbs) == 4 and len(cbs[0]) == 16 and len(cbs[0][0]) == 4
+    got = [(r.vec_id, r.adc) for r in pq_topk(df, q, 10, "vec_id", "embedding", m=4, ksub=16).collect()]
+    assert got[0][0] == 3  # the query's own row is nearest under ADC
+
+    con = duckdb.connect()
+    con.register("emb", df.toPandas())
+    want = con.execute(
+        pq_topk_duckdb_sql("emb", q, 10, "vec_id", "embedding", m=4, ksub=16, codebooks=cbs)
+    ).fetchall()
+    assert got == [tuple(r) for r in want]  # exact float equality
+    want2 = con.execute(
+        pq_topk_duckdb_sql_derived("emb", "vec_id", "embedding", query_id=3, k=10, dim=16, m=4, ksub=16)
+    ).fetchall()
+    assert got == [tuple(r) for r in want2]
+
+    with pytest.raises(ValueError):
+        pq_seed_codebooks(df, "vec_id", "embedding", m=5, ksub=16)  # 16 % 5
+    with pytest.raises(ValueError):
+        pq_topk_duckdb_sql("emb", q, 10, "vec_id", "embedding", codebooks=None)
+
+
 def test_deterministic_sample_stable_and_rate(spark):
     from kolibrie_spark.operators.sampling import deterministic_sample
 
