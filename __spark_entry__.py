@@ -609,6 +609,47 @@ def _sim_topk_pq_oracle() -> str:
     )
 
 
+def _q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed CurationPipeline chain (repetition filter → exact dedup →
+    leakage-safe split) — verifies the fluent API composes the operators
+    without changing their individually-gated semantics. One Catalyst plan:
+    the filter merges into the scan, dedup is the only shuffle, split is a
+    pure expression."""
+    from kolibrie_spark.pipeline import CurationPipeline
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    out = (
+        CurationPipeline(docs)
+        .filter_repetition(max_dup_3gram=0.2)
+        .dedup_exact()
+        .split_by_group("source", _SPLITS)
+        .dataframe()
+    )
+    return out.select("doc_id", "source", "split")
+
+
+def _pipeline_curate_oracle() -> str:
+    from kolibrie_spark.operators.sampling import group_split_duckdb_case
+    from kolibrie_spark.operators.textanalysis import (
+        dup_ngram_fraction_duckdb,
+        fingerprint_duckdb_sql,
+    )
+
+    dup3 = dup_ngram_fraction_duckdb("text", 3)
+    fp = fingerprint_duckdb_sql("text")
+    case = group_split_duckdb_case("source", _SPLITS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, source FROM documents WHERE {dup3} <= 0.2
+),
+fp AS (SELECT doc_id, {fp} AS f FROM base),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f)
+SELECT b.doc_id, b.source, {case} AS split
+FROM base b JOIN keep USING (doc_id)
+"""
+
+
 def _q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.operators.textanalysis import analyze
     from kolibrie_spark.tables import load_table
@@ -1166,6 +1207,7 @@ _DRIVER_FIRST = [
     "profile_stats",  # new in round 3
     "text_scrub_pii",  # new in round 3
     "sim_topk_pq",  # new in round 3
+    "pipeline_curate",  # new in round 3
     "streaming_istream_live",  # new in round 3
     "prob_hybrid",
     "streaming_istream_replay",
@@ -1357,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_group_split": _q_sample_group_split,
         "profile_stats": _q_profile_stats,
         "text_scrub_pii": _q_text_scrub_pii,
+        "pipeline_curate": _q_pipeline_curate,
         "events_window_agg": _q_events_window_agg,
         "events_sessionize": _q_events_sessionize,
         "sample_stratified": _q_sample_stratified,
@@ -1682,6 +1725,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_group_split": _sample_group_split_oracle(),
         "profile_stats": _profile_stats_oracle(),
         "text_scrub_pii": _text_scrub_pii_oracle(),
+        "pipeline_curate": _pipeline_curate_oracle(),
         "events_window_agg": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "
             "event_type, COUNT(*) AS cnt, MIN(value) AS min_value, "

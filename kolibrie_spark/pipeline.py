@@ -1,0 +1,177 @@
+"""Fluent curation pipeline — one user-facing surface chaining the
+training-data operators (the DataFrame counterpart of ``builder.py``'s
+QueryBuilder skin): scrub → quality/repetition filters → decontaminate →
+dedup → split → pack, in the order a pretraining data pipeline applies
+them.
+
+Each step RECORDS a lazy DataFrame transformation; nothing executes until
+``dataframe()`` (or an action on it). The whole chain therefore compiles
+into ONE Catalyst plan — filters merge into the scan, projection prunes
+columns, and the only shuffles are the ones the individual operators
+declare (documented per step below). Steps that need a second pass over
+the corpus (dedup's candidate join, contamination's benchmark probe)
+still express it inside the same plan.
+
+Example::
+
+    out = (CurationPipeline(docs, id_col="doc_id", text_col="text")
+           .scrub_pii()
+           .filter_quality(min_score=0.5)
+           .filter_repetition(max_dup_3gram=0.2)
+           .decontaminate(benchmark_df, n=5, max_containment=0.2)
+           .dedup_exact()
+           .split_by_group("source", {"train": 0.9, "valid": 0.05, "test": 0.05})
+           .dataframe())
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class CurationPipeline:
+    """Records curation steps over a document DataFrame; ``dataframe()``
+    returns the composed lazy result. The id and text column names are
+    fixed at construction and tracked through renames the steps make."""
+
+    def __init__(self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+        self._df = df
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _with(self, df: DataFrame) -> "CurationPipeline":
+        out = CurationPipeline(df, self.id_col, self.text_col)
+        return out
+
+    # ------------------------------------------------------------- cleaning
+    def scrub_pii(self) -> "CurationPipeline":
+        """Replace the text column with its PII-redacted form (zero
+        shuffle; regexp codegen). Redaction counts are kept as columns."""
+        from kolibrie_spark.operators.scrub import scrub_pii
+
+        scrubbed = scrub_pii(self._df, self.id_col, self.text_col)
+        joined = self._df.drop(self.text_col).join(
+            scrubbed.withColumnRenamed("scrubbed", self.text_col),
+            on=self.id_col,
+        )
+        return self._with(joined)
+
+    # -------------------------------------------------------------- filters
+    def filter_quality(self, min_score: float = 0.5) -> "CurationPipeline":
+        """Keep docs whose composite quality heuristic >= min_score (zero
+        shuffle; the score is a column expression)."""
+        from kolibrie_spark.operators.textanalysis import quality_score
+
+        return self._with(
+            self._df.filter(quality_score(F.col(self.text_col)) >= min_score)
+        )
+
+    def filter_repetition(
+        self, max_dup_3gram: float = 0.3
+    ) -> "CurationPipeline":
+        """Drop boilerplate/spam: duplicate-3-gram fraction above the
+        threshold (doc-local array arithmetic, zero shuffle)."""
+        from kolibrie_spark.operators.textanalysis import dup_ngram_fraction
+
+        return self._with(
+            self._df.filter(
+                dup_ngram_fraction(F.col(self.text_col), 3) <= max_dup_3gram
+            )
+        )
+
+    def decontaminate(
+        self, benchmark: DataFrame, bench_text_col: str = "text",
+        n: int = 5, max_containment: float = 0.2,
+    ) -> "CurationPipeline":
+        """Drop docs whose n-gram containment against the benchmark set
+        exceeds the threshold (broadcast benchmark relation + one
+        doc-keyed aggregation)."""
+        from kolibrie_spark.operators.contamination import ngram_containment
+
+        cont = ngram_containment(
+            self._df, self.id_col, self.text_col, benchmark, bench_text_col, n
+        )
+        keep = cont.filter(F.col("containment") <= max_containment).select(
+            self.id_col
+        )
+        return self._with(self._df.join(keep, on=self.id_col, how="inner"))
+
+    # ---------------------------------------------------------------- dedup
+    def dedup_exact(self) -> "CurationPipeline":
+        """One survivor (min id) per exact normalized-text fingerprint —
+        one hash-shuffle groupBy."""
+        from kolibrie_spark.operators.textanalysis import doc_fingerprint
+
+        fp = self._df.withColumn("__fp", doc_fingerprint(F.col(self.text_col)))
+        keep = fp.groupBy("__fp").agg(F.min(self.id_col).alias(self.id_col))
+        return self._with(
+            self._df.join(keep.select(self.id_col), on=self.id_col, how="inner")
+        )
+
+    def dedup_near(
+        self, threshold: float = 0.8, n: int = 3
+    ) -> "CurationPipeline":
+        """Remove near-duplicates: MinHash+LSH candidate pairs, exact
+        Jaccard verify, connected components, keep each cluster's min id.
+        The heavy step — banded bucket join + component fixpoint."""
+        from kolibrie_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            near_dup_clusters,
+        )
+
+        pairs = minhash_lsh_pairs(
+            self._df, self.id_col, self.text_col, n=n, threshold=threshold
+        )
+        clusters = near_dup_clusters(self._df, pairs, self.id_col)
+        keep = clusters.filter(
+            F.col("cluster") == F.col(self.id_col)
+        ).select(self.id_col)
+        return self._with(
+            self._df.join(keep, on=self.id_col, how="inner")
+        )
+
+    # ---------------------------------------------------------------- split
+    def split_by_group(
+        self, group_col: str, splits: dict[str, float]
+    ) -> "CurationPipeline":
+        """Leakage-safe split column (pure hash expression, zero shuffle)."""
+        from kolibrie_spark.operators.sampling import group_split
+
+        return self._with(group_split(self._df, group_col, splits))
+
+    def sample_domains(
+        self, domain_col: str, alpha: float, target_frac: float
+    ) -> "CurationPipeline":
+        """Temperature-weighted domain resampling (tiny broadcast aggregate
+        + hash filter)."""
+        from kolibrie_spark.operators.sampling import domain_mix_sample
+
+        return self._with(
+            domain_mix_sample(
+                self._df, self.id_col, domain_col, alpha, target_frac
+            )
+        )
+
+    # ----------------------------------------------------------------- pack
+    def pack(self, budget: int, shards: int = 32) -> "CurationPipeline":
+        """Sequence-pack the surviving docs (whitespace token counts; one
+        sharded window cumsum). Adds shard/token_start/seq_* columns."""
+        from kolibrie_spark.operators.packing import pack_sequences
+        from kolibrie_spark.operators.textanalysis import token_count
+
+        with_toks = self._df.withColumn(
+            "__toks", token_count(F.col(self.text_col)).cast("long")
+        )
+        return self._with(
+            pack_sequences(with_toks, self.id_col, "__toks", budget, shards).drop(
+                "__toks"
+            )
+        )
+
+    # --------------------------------------------------------------- output
+    def dataframe(self) -> DataFrame:
+        return self._df
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode)
