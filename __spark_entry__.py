@@ -650,6 +650,50 @@ FROM base b JOIN keep USING (doc_id)
 """
 
 
+def _q_text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab tokenization: whitespace tokens mapped to ids through the
+    corpus's own top-100 term vocabulary (OOV → 0). The vocab is a
+    driver-side literal probed per token — no join, no shuffle; the
+    oracle re-derives the identical vocab in SQL."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.search import build_vocab, tokenize_to_ids
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", 100)
+    out = tokenize_to_ids(docs, "doc_id", "text", vocab)
+    # array columns stringify engine-specifically in the compare harness;
+    # emit the canonical comma-joined form instead
+    return out.select(
+        "doc_id",
+        F.concat_ws(",", F.col("token_ids")).alias("token_ids"),
+        "n_oov",
+    )
+
+
+def _text_tokenize_ids_oracle() -> str:
+    words = "string_split_regex(trim(lower(text)), '\\s+')"
+    return f"""
+WITH terms AS (
+  SELECT term, COUNT(*) AS cnt
+  FROM (SELECT unnest({words}) AS term FROM documents)
+  WHERE term <> '' GROUP BY term
+),
+vocab AS (
+  SELECT list(term ORDER BY cnt DESC, term) AS vl
+  FROM (SELECT term, cnt FROM terms ORDER BY cnt DESC, term LIMIT 100)
+)
+SELECT doc_id,
+       array_to_string(list_transform({words}, w ->
+         CAST(COALESCE(list_position(vl, w), 0) AS INT)), ',') AS token_ids,
+       CAST(len(list_filter(list_transform({words}, w ->
+         CAST(COALESCE(list_position(vl, w), 0) AS INT)), i -> i = 0))
+         AS BIGINT) AS n_oov
+FROM documents, vocab
+"""
+
+
 def _q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.operators.textanalysis import analyze
     from kolibrie_spark.tables import load_table
@@ -1208,6 +1252,7 @@ _DRIVER_FIRST = [
     "text_scrub_pii",  # new in round 3
     "sim_topk_pq",  # new in round 3
     "pipeline_curate",  # new in round 3
+    "text_tokenize_ids",  # new in round 3
     "streaming_istream_live",  # new in round 3
     "prob_hybrid",
     "streaming_istream_replay",
@@ -1400,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_stats": _q_profile_stats,
         "text_scrub_pii": _q_text_scrub_pii,
         "pipeline_curate": _q_pipeline_curate,
+        "text_tokenize_ids": _q_text_tokenize_ids,
         "events_window_agg": _q_events_window_agg,
         "events_sessionize": _q_events_sessionize,
         "sample_stratified": _q_sample_stratified,
@@ -1726,6 +1772,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_stats": _profile_stats_oracle(),
         "text_scrub_pii": _text_scrub_pii_oracle(),
         "pipeline_curate": _pipeline_curate_oracle(),
+        "text_tokenize_ids": _text_tokenize_ids_oracle(),
         "events_window_agg": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "
             "event_type, COUNT(*) AS cnt, MIN(value) AS min_value, "

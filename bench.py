@@ -154,18 +154,21 @@ def main() -> None:
     setup = time.time() - t0
 
     # two timed runs per query, keep the min — criterion-style steady-state
-    # timing that shakes out GC pauses and first-touch JIT noise (each run
-    # still covers plan construction + execution + count)
+    # timing that shakes out GC pauses and first-touch JIT noise. Each run
+    # materializes EVERY output column through the noop sink: a count()
+    # would let Catalyst prune computed projections entirely, timing the
+    # scan instead of the operator (measured: a projection-only repetition
+    # query "cost" 0.5s under count() vs 22s of real single-partition work)
     timings: dict[str, float] = {}
     for name in bench_queries:
-        best, n = float("inf"), 0
+        best = float("inf")
         for _ in range(2):
             t1 = time.time()
             df = qs[name](spark, sf_dir)
-            n = df.count()
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t1)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     try:
         xw = _bench_cross_window(spark)
@@ -184,7 +187,7 @@ def main() -> None:
         if name not in qs:
             continue
         t1 = time.time()
-        qs[name](spark, sf_dir).count()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = min(timings[name], round(time.time() - t1, 3))
     regressions = _find_regressions(timings, prev)
     # known intentional cost changes (feature additions, not regressions)
@@ -217,6 +220,10 @@ def main() -> None:
                 "cpus": int(cpus),
                 "regressions": regressions,
                 "regressions_vs": prev_file,
+                "timing": "noop-sink materialization of all output columns"
+                " (r3 change: count() let Catalyst prune computed"
+                " projections, so projection-only gates timed the scan;"
+                " flags vs count()-era numbers partly reflect this)",
             }
         )
     )

@@ -133,6 +133,50 @@ LIMIT {k}
 """
 
 
+def build_vocab(df: DataFrame, text_col: str, size: int) -> list[str]:
+    """Top-``size`` terms by count (ties lexicographic) as the id→term
+    vocabulary; id 0 is reserved for OOV, so term i maps to id i+1.
+    Driver-side list (vocabularies are KBs even at 100 TB corpora)."""
+    return [r.term for r in top_terms(df, text_col, size).collect()]
+
+
+def tokenize_to_ids(
+    df: DataFrame, id_col: str, text_col: str, vocab: list[str]
+) -> DataFrame:
+    """(id, token_ids array<int>, n_oov): whitespace tokens mapped through
+    the vocabulary literal (OOV → 0). One map over the text — the
+    vocabulary is an array literal probed with array_position, no join, no
+    shuffle; the output feeds pack_chunks' per-sequence slices."""
+    words = word_array(F.lower(F.col(text_col)))
+    vlit = F.array(*[F.lit(w) for w in vocab])
+    ids = F.transform(
+        words, lambda w: F.array_position(vlit, w).cast("int")
+    )
+    return df.select(
+        F.col(id_col),
+        ids.alias("token_ids"),
+        F.size(F.filter(ids, lambda i: i == 0)).cast("long").alias("n_oov"),
+    )
+
+
+def tokenize_to_ids_duckdb_sql(
+    table_expr: str, id_col: str, text_expr: str, vocab: list[str]
+) -> str:
+    """DuckDB twin of :func:`tokenize_to_ids` (list_position returns NULL
+    for a miss, coalesced to the same OOV id 0)."""
+    words = f"string_split_regex(trim(lower({text_expr})), '\\s+')"
+    vlit = "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in vocab) + "]"
+    ids = (
+        f"list_transform({words}, w -> "
+        f"CAST(COALESCE(list_position({vlit}, w), 0) AS INT))"
+    )
+    return (
+        f"SELECT {id_col}, {ids} AS token_ids, "
+        f"CAST(len(list_filter({ids}, i -> i = 0)) AS BIGINT) AS n_oov "
+        f"FROM {table_expr}"
+    )
+
+
 def bm25_topk_duckdb_sql(
     table_expr: str,
     id_col: str,

@@ -324,9 +324,15 @@ def pq_seed_codebooks(
 
 def _pq_code_pos(v: Column, j: int, dsub: int, codebook: list[list[float]]) -> Column:
     """1-based position of subspace j's nearest codeword (first-occurrence
-    tie-break, same rule as DuckDB's list_position)."""
+    tie-break, same rule as DuckDB's list_position).
+
+    The codebook folds through ONE transform over an array-of-arrays
+    literal rather than ksub sibling l2sq expressions — identical values,
+    but the expression tree (analysis + codegen time) stays O(1) in ksub
+    instead of O(ksub), the same trick as signature_from_base."""
     sub = F.slice(v, j * dsub + 1, dsub)
-    dists = F.array(*[l2sq_expr(sub, _vec_lit(cw)) for cw in codebook])
+    cb_lit = F.array(*[_vec_lit(cw) for cw in codebook])
+    dists = F.transform(cb_lit, lambda cw: l2sq_expr(sub, cw))
     return F.array_position(dists, F.array_min(dists))
 
 

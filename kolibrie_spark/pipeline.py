@@ -99,15 +99,24 @@ class CurationPipeline:
 
     # ---------------------------------------------------------------- dedup
     def dedup_exact(self) -> "CurationPipeline":
-        """One survivor (min id) per exact normalized-text fingerprint —
-        one hash-shuffle groupBy."""
+        """One survivor (min id) per exact normalized-text fingerprint.
+
+        Window-min over the fingerprint instead of groupBy+self-join: the
+        self-join would evaluate the whole upstream chain (filters,
+        scrubbing) TWICE — once per join side; the window computes it once
+        and costs the same single hash shuffle."""
+        from pyspark.sql.window import Window
+
         from kolibrie_spark.operators.textanalysis import doc_fingerprint
 
+        w = Window.partitionBy("__fp")
         fp = self._df.withColumn("__fp", doc_fingerprint(F.col(self.text_col)))
-        keep = fp.groupBy("__fp").agg(F.min(self.id_col).alias(self.id_col))
-        return self._with(
-            self._df.join(keep.select(self.id_col), on=self.id_col, how="inner")
+        out = (
+            fp.withColumn("__keep", F.min(self.id_col).over(w))
+            .filter(F.col(self.id_col) == F.col("__keep"))
+            .drop("__fp", "__keep")
         )
+        return self._with(out)
 
     def dedup_near(
         self, threshold: float = 0.8, n: int = 3

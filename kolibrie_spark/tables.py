@@ -27,6 +27,18 @@ TABLES = [
 ]
 
 
+def parallelized(df: DataFrame) -> DataFrame:
+    """Spread a small scan across the cluster before CPU-dense per-row work
+    (array/regex/codec expressions). A small parquet file arrives as ONE
+    input partition, serializing compute that is embarrassingly parallel;
+    at real scale inputs already have many partitions and this is a no-op
+    (the guard keeps the shuffle off the fast path)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -43,4 +55,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return df.withColumn("ts_us", ts_us).withColumn(
             "event_time", F.timestamp_micros(F.col("ts_us"))
         )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # the CPU-dense tables (text array/regex/codec expressions, vector
+        # folds): a small file otherwise arrives as one partition and
+        # serializes embarrassingly-parallel work
+        return parallelized(df)
+    return df

@@ -170,6 +170,36 @@ def test_ngram_containment_duckdb_twin(spark, docs):
     assert got == want
 
 
+def test_tokenize_to_ids(spark, docs):
+    from kolibrie_spark.operators.search import (
+        build_vocab,
+        tokenize_to_ids,
+        tokenize_to_ids_duckdb_sql,
+    )
+
+    vocab = build_vocab(docs, "text", 5)
+    assert vocab[0] == "spam"  # ties: spam/the at 6, lexicographic
+    out = {r.doc_id: r for r in tokenize_to_ids(docs, "doc_id", "text", vocab).collect()}
+    # doc 3: 'spam' x6 -> id 1 six times, zero OOV
+    assert out[3].token_ids == [1] * 6 and out[3].n_oov == 0
+    # ids round-trip through the vocab; OOV counted
+    words = "the quick brown fox jumps over the lazy dog".split()
+    for w, i in zip(words, out[7].token_ids):
+        assert (vocab[i - 1] == w) if i > 0 else (w not in vocab)
+    assert out[7].n_oov == sum(1 for w in words if w not in vocab)
+    # DuckDB twin bit-identical
+    con = duckdb.connect()
+    con.register("d", docs.toPandas())
+    want = con.execute(
+        tokenize_to_ids_duckdb_sql("d", "doc_id", "text", vocab)
+    ).fetchall()
+    got = sorted(
+        (r.doc_id, tuple(r.token_ids), r.n_oov)
+        for r in tokenize_to_ids(docs, "doc_id", "text", vocab).collect()
+    )
+    assert got == sorted((i, tuple(t), n) for i, t, n in want)
+
+
 def test_group_split_no_leakage(spark):
     from kolibrie_spark.operators.sampling import (
         group_split,
