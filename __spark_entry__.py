@@ -694,6 +694,24 @@ FROM documents, vocab
 """
 
 
+def _q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: mean bigram log-probability under an
+    add-k-smoothed LM trained on the corpus itself (one bigram explode, two
+    map-side-combined count aggregations, counts joined back; per-doc fold
+    in position order for bit-stability)."""
+    from kolibrie_spark.operators.lm import lm_score
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_score(docs, "doc_id", "text")
+
+
+def _text_lm_score_oracle() -> str:
+    from kolibrie_spark.operators.lm import lm_score_duckdb_sql
+
+    return lm_score_duckdb_sql("documents", "doc_id", "text")
+
+
 def _q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.operators.textanalysis import analyze
     from kolibrie_spark.tables import load_table
@@ -1253,6 +1271,7 @@ _DRIVER_FIRST = [
     "sim_topk_pq",  # new in round 3
     "pipeline_curate",  # new in round 3
     "text_tokenize_ids",  # new in round 3
+    "text_lm_score",  # new in round 3
     "streaming_istream_live",  # new in round 3
     "prob_hybrid",
     "streaming_istream_replay",
@@ -1446,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub_pii": _q_text_scrub_pii,
         "pipeline_curate": _q_pipeline_curate,
         "text_tokenize_ids": _q_text_tokenize_ids,
+        "text_lm_score": _q_text_lm_score,
         "events_window_agg": _q_events_window_agg,
         "events_sessionize": _q_events_sessionize,
         "sample_stratified": _q_sample_stratified,
@@ -1773,6 +1793,7 @@ def oracle_sql() -> dict[str, str]:
         "text_scrub_pii": _text_scrub_pii_oracle(),
         "pipeline_curate": _pipeline_curate_oracle(),
         "text_tokenize_ids": _text_tokenize_ids_oracle(),
+        "text_lm_score": _text_lm_score_oracle(),
         "events_window_agg": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "
             "event_type, COUNT(*) AS cnt, MIN(value) AS min_value, "
