@@ -712,6 +712,43 @@ def _text_lm_score_oracle() -> str:
     return lm_score_duckdb_sql("documents", "doc_id", "text")
 
 
+def _q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: 32-word windows with 8-word overlap,
+    doc-local explode (no shuffle), boundaries a pure function of token
+    positions."""
+    from kolibrie_spark.operators.packing import chunk_documents
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", size=32, overlap=8)
+
+
+def _text_chunk_oracle() -> str:
+    from kolibrie_spark.operators.packing import chunk_documents_duckdb_sql
+
+    return chunk_documents_duckdb_sql("documents", "doc_id", "text", 32, 8)
+
+
+def _q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain top-5 documents by n_chars (windowed top-k: one hash
+    shuffle on the group key, O(k) heap per group, no global sort)."""
+    from kolibrie_spark.operators.profiling import top_per_group
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return top_per_group(docs, "source", "n_chars", 5, "doc_id")
+
+
+def _top_docs_per_source_oracle() -> str:
+    from kolibrie_spark.operators.profiling import top_per_group_duckdb_sql
+
+    return top_per_group_duckdb_sql(
+        "documents", "source", "n_chars", 5, "doc_id", "doc_id, source, n_chars"
+    )
+
+
 def _q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.operators.textanalysis import analyze
     from kolibrie_spark.tables import load_table
@@ -1272,6 +1309,8 @@ _DRIVER_FIRST = [
     "pipeline_curate",  # new in round 3
     "text_tokenize_ids",  # new in round 3
     "text_lm_score",  # new in round 3
+    "text_chunk",  # new in round 3
+    "top_docs_per_source",  # new in round 3
     "streaming_istream_live",  # new in round 3
     "prob_hybrid",
     "streaming_istream_replay",
@@ -1466,6 +1505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": _q_pipeline_curate,
         "text_tokenize_ids": _q_text_tokenize_ids,
         "text_lm_score": _q_text_lm_score,
+        "text_chunk": _q_text_chunk,
+        "top_docs_per_source": _q_top_docs_per_source,
         "events_window_agg": _q_events_window_agg,
         "events_sessionize": _q_events_sessionize,
         "sample_stratified": _q_sample_stratified,
@@ -1794,6 +1835,8 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_curate": _pipeline_curate_oracle(),
         "text_tokenize_ids": _text_tokenize_ids_oracle(),
         "text_lm_score": _text_lm_score_oracle(),
+        "text_chunk": _text_chunk_oracle(),
+        "top_docs_per_source": _top_docs_per_source_oracle(),
         "events_window_agg": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "
             "event_type, COUNT(*) AS cnt, MIN(value) AS min_value, "

@@ -112,6 +112,68 @@ def pack_chunks(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping WORD windows (the RAG /
+    embedding-pipeline chunker): rows (id, chunk_idx, chunk_start,
+    chunk_text, n_words). Stride = size - overlap; the final partial chunk
+    is kept; docs shorter than one stride yield exactly one chunk.
+    Doc-local explode — no shuffle; chunk boundaries are a pure function of
+    the token positions, so any engine reproduces them."""
+    if size <= 0 or not 0 <= overlap < size:
+        raise ValueError("need size > 0 and 0 <= overlap < size")
+    stride = size - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("long"),
+        F.lit(1),
+    )
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    out = df.select(F.col(id_col), words.alias("__w"), idx.alias("chunk_idx"))
+    start = F.col("chunk_idx") * F.lit(stride)
+    chunk = F.slice(F.col("__w"), start + 1, size)
+    return out.select(
+        id_col,
+        "chunk_idx",
+        start.alias("chunk_start"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_words"),
+    )
+
+
+def chunk_documents_duckdb_sql(
+    table_expr: str, id_col: str, text_expr: str, size: int, overlap: int = 0
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (1-based inclusive list
+    slicing; ceil on DOUBLE matches Spark's)."""
+    stride = size - overlap
+    words = f"string_split_regex(trim({text_expr}), '\\s+')"
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS id, {words} AS ws FROM {table_expr}
+), n AS (
+  SELECT id, ws,
+         GREATEST(CAST(ceil(CAST(len(ws) - {overlap} AS DOUBLE) / {stride})
+                  AS BIGINT), 1) AS n_chunks
+  FROM w
+)
+SELECT id AS {id_col},
+       i AS chunk_idx,
+       i * {stride} AS chunk_start,
+       array_to_string(ws[i * {stride} + 1 : i * {stride} + {size}], ' ')
+         AS chunk_text,
+       CAST(len(ws[i * {stride} + 1 : i * {stride} + {size}]) AS BIGINT)
+         AS n_words
+FROM n, LATERAL unnest(generate_series(0, n_chunks - 1)) AS t(i)
+"""
+
+
 def pack_sequences_duckdb_sql(
     table_expr: str, id_col: str, tokens_expr: str, budget: int, shards: int
 ) -> str:

@@ -39,6 +39,50 @@ def profile_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     )
 
 
+def top_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    id_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Top-k rows per group by ``order_col`` (ties by id ascending for
+    determinism): one row_number window — a single hash shuffle on the
+    group key, no global sort. The per-partition top-k heap keeps memory
+    at O(k) per group."""
+    from pyspark.sql.window import Window
+
+    ob = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        F.col(id_col).asc(),
+    ]
+    w = Window.partitionBy(group_col).orderBy(*ob)
+    return df.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def top_per_group_duckdb_sql(
+    table_expr: str,
+    group_col: str,
+    order_col: str,
+    k: int,
+    id_col: str,
+    select_cols: str,
+    descending: bool = True,
+) -> str:
+    d = "DESC" if descending else "ASC"
+    return f"""
+SELECT {select_cols}, rank FROM (
+  SELECT {select_cols},
+         CAST(row_number() OVER (PARTITION BY {group_col}
+           ORDER BY {order_col} {d}, {id_col} ASC) AS INT) AS rank
+  FROM {table_expr}
+) WHERE rank <= {k}
+"""
+
+
 def profile_stats_duckdb_sql(
     table_expr: str, group_col: str, value_expr: str
 ) -> str:

@@ -200,6 +200,67 @@ def test_tokenize_to_ids(spark, docs):
     assert got == sorted((i, tuple(t), n) for i, t, n in want)
 
 
+def test_chunk_documents(spark):
+    from kolibrie_spark.operators.packing import (
+        chunk_documents,
+        chunk_documents_duckdb_sql,
+    )
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),
+        (2, "a b"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", size=4, overlap=1)
+    got = sorted(tuple(r) for r in out.collect())
+    # doc 1: stride 3 -> starts 0,3,6 covering all 10 words
+    d1 = [g for g in got if g[0] == 1]
+    assert [(c[1], c[2], c[4]) for c in d1] == [(0, 0, 4), (1, 3, 4), (2, 6, 4)]
+    assert d1[0][3] == "w0 w1 w2 w3" and d1[2][3] == "w6 w7 w8 w9"
+    # short and empty docs: exactly one chunk
+    assert len([g for g in got if g[0] == 2]) == 1
+    assert len([g for g in got if g[0] == 3]) == 1
+    # overlap: consecutive chunks share `overlap` words
+    assert d1[0][3].split()[-1] == d1[1][3].split()[0]
+    # DuckDB twin bit-identical
+    con = duckdb.connect()
+    con.register("d", df.toPandas())
+    want = con.execute(
+        chunk_documents_duckdb_sql("d", "doc_id", "text", 4, 1)
+    ).fetchall()
+    assert got == sorted(tuple(r) for r in want)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", size=4, overlap=4)
+
+
+def test_top_per_group(spark):
+    from kolibrie_spark.operators.profiling import (
+        top_per_group,
+        top_per_group_duckdb_sql,
+    )
+
+    rows = [(i, f"g{i % 3}", float((i * 7) % 10)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
+    out = top_per_group(df, "grp", "score", 2, "doc_id")
+    got = sorted(tuple(r) for r in out.collect())
+    assert len(got) == 6  # 2 per group x 3 groups
+    # per group: ranks 1..2, scores non-increasing, ties by id asc
+    by_grp = {}
+    for did, grp, score, rank in got:
+        by_grp.setdefault(grp, []).append((rank, score, did))
+    for grp, lst in by_grp.items():
+        lst.sort()
+        assert [r for r, _, _ in lst] == [1, 2]
+        assert lst[0][1] >= lst[1][1]
+    con = duckdb.connect()
+    con.register("d", df.toPandas())
+    want = con.execute(
+        top_per_group_duckdb_sql("d", "grp", "score", 2, "doc_id", "doc_id, grp, score")
+    ).fetchall()
+    assert got == sorted(tuple(r) for r in want)
+
+
 def test_lm_score(spark, docs):
     import math
 
