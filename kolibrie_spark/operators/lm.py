@@ -54,21 +54,25 @@ def lm_score(
     """(id, n_bigrams, avg_logp): mean ln P(w2|w1) under the corpus bigram
     LM, rounded to 9 dp; NULL avg_logp for docs with < 2 words."""
     bg = _bigram_table(df, id_col, text_col)
-    vocab_size = (
-        bg.select(F.col("w1").alias("w")).union(bg.select(F.col("w2").alias("w")))
-        .distinct()
-        .count()
+    # vocab size as a broadcast 1-row aggregate INSIDE the plan — an eager
+    # .count() here would launch a full corpus explode at plan-construction
+    # time and re-scan the corpus once extra per invocation
+    vocab = (
+        bg.select(F.col("w1").alias("w"))
+        .union(bg.select(F.col("w2").alias("w")))
+        .agg(F.count_distinct("w").cast("double").alias("__vs"))
     )
     bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
     ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
     scored = (
         bg.join(bgc, on=["w1", "w2"])
         .join(ctx, on="w1")
+        .crossJoin(F.broadcast(vocab))
         .withColumn(
             "lp",
             F.log(
                 (F.col("c_bg") + F.lit(k))
-                / (F.col("c_ctx") + F.lit(k) * F.lit(float(vocab_size)))
+                / (F.col("c_ctx") + F.lit(k) * F.col("__vs"))
             ),
         )
     )

@@ -127,8 +127,10 @@ def chunk_documents(
     the token positions, so any engine reproduces them."""
     if size <= 0 or not 0 <= overlap < size:
         raise ValueError("need size > 0 and 0 <= overlap < size")
+    from kolibrie_spark.operators.textanalysis import word_array
+
     stride = size - overlap
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = word_array(F.col(text_col))
     n = F.size(words)
     n_chunks = F.greatest(
         F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("long"),

@@ -28,7 +28,13 @@ def profile_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     s1 = F.sum(v)
     s2 = F.sum(v * v)
     mean = s1.cast("double") / n
-    var = (s2.cast("double") - s1.cast("double") * s1 / n) / (n - F.lit(1))
+    # clamp at 0: double rounding of s1*s1 can push a zero-variance group
+    # slightly negative, which would be NaN here and a hard sqrt error in
+    # the DuckDB twin
+    var = F.greatest(
+        (s2.cast("double") - s1.cast("double") * s1 / n) / (n - F.lit(1)),
+        F.lit(0.0),
+    )
     return df.groupBy(group_col).agg(
         n.alias("n"),
         F.count_distinct(v).alias("n_distinct"),
@@ -98,9 +104,9 @@ SELECT {group_col},
        MAX({v}) AS vmax,
        CAST(SUM({v}) AS DOUBLE) / COUNT({v}) AS mean,
        CASE WHEN COUNT({v}) > 1 THEN
-         sqrt((CAST(SUM({v} * {v}) AS DOUBLE)
+         sqrt(GREATEST((CAST(SUM({v} * {v}) AS DOUBLE)
                - CAST(SUM({v}) AS DOUBLE) * SUM({v}) / COUNT({v}))
-              / (COUNT({v}) - 1))
+              / (COUNT({v}) - 1), 0.0))
        END AS stddev
 FROM {table_expr}
 GROUP BY {group_col}

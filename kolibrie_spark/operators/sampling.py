@@ -67,32 +67,34 @@ def group_split(
     bucket = _bucket(F.col(group_col), hash_fn)
     names = list(splits)
     expr = F.lit(names[-1])
+    for name, lo, hi in reversed(_split_bounds(splits)):
+        expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def _split_bounds(splits: dict[str, float]) -> list[tuple[str, int, int]]:
+    """Cumulative bucket ranges [(name, lo, hi)) for all but the residual
+    last split — the ONE place the boundary arithmetic lives, so the Spark
+    operator and the DuckDB twin cannot drift."""
     bounds = []
     upper = 0.0
     prev = 0
-    for name in names[:-1]:
+    for name in list(splits)[:-1]:
         upper += splits[name]
         cut = int(round(upper * BUCKETS))
         bounds.append((name, prev, cut))
         prev = cut
-    for name, lo, hi in reversed(bounds):
-        expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
-    return df.withColumn("split", expr)
+    return bounds
 
 
 def group_split_duckdb_case(expr: str, splits: dict[str, float]) -> str:
     """DuckDB CASE expression computing the same split assignment."""
     bucket = bucket_duckdb(expr)
-    names = list(splits)
-    parts = []
-    upper = 0.0
-    prev = 0
-    for name in names[:-1]:
-        upper += splits[name]
-        cut = int(round(upper * BUCKETS))
-        parts.append(f"WHEN {bucket} >= {prev} AND {bucket} < {cut} THEN '{name}'")
-        prev = cut
-    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+    parts = [
+        f"WHEN {bucket} >= {lo} AND {bucket} < {hi} THEN '{name}'"
+        for name, lo, hi in _split_bounds(splits)
+    ]
+    return "CASE " + " ".join(parts) + f" ELSE '{list(splits)[-1]}' END"
 
 
 def domain_mix_sample(
@@ -149,9 +151,12 @@ WITH counts AS (
 ), rates AS (
   SELECT domain,
          LEAST(1.0, ROUND(
-           pow(CAST(n_d AS DOUBLE), {alpha})
-           / SUM(pow(CAST(n_d AS DOUBLE), {alpha})) OVER ()
-           * ROUND(SUM(n_d) OVER () * {target_frac})
+           pow(CAST(n_d AS DOUBLE), CAST({alpha} AS DOUBLE))
+           / SUM(pow(CAST(n_d AS DOUBLE), CAST({alpha} AS DOUBLE))) OVER ()
+           -- CAST: a bare decimal literal is DECIMAL in DuckDB, and
+           -- ROUND(n * DECIMAL) is exact arithmetic while Spark rounds the
+           -- DOUBLE product (ROUND(45 * 0.7): 32 exact vs 31 double)
+           * ROUND(SUM(n_d) OVER () * CAST({target_frac} AS DOUBLE))
            / n_d, 9)) AS keep_rate
   FROM counts
 )

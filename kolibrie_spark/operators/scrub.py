@@ -26,12 +26,10 @@ PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
-def scrub_pii(
-    df: DataFrame, id_col: str, text_col: str
-) -> DataFrame:
-    """(id, scrubbed, n_email, n_ipv4, n_number): the text with each PII
-    class replaced by its tag, and per-class match counts measured on the
-    ORIGINAL text (so counts are independent of replacement order)."""
+def scrub_exprs(text_col: str):
+    """(scrubbed_column, [count_columns]) — the raw expressions, for
+    callers composing their own projection (e.g. CurationPipeline keeps
+    every other column without a join)."""
     text = F.col(text_col)
     scrubbed = text
     counts = []
@@ -40,6 +38,16 @@ def scrub_pii(
             F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
         )
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return scrubbed, counts
+
+
+def scrub_pii(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, scrubbed, n_email, n_ipv4, n_number): the text with each PII
+    class replaced by its tag, and per-class match counts measured on the
+    ORIGINAL text (so counts are independent of replacement order)."""
+    scrubbed, counts = scrub_exprs(text_col)
     return df.select(F.col(id_col), scrubbed.alias("scrubbed"), *counts)
 
 

@@ -152,10 +152,16 @@ def tokenize_to_ids(
     ids = F.transform(
         words, lambda w: F.array_position(vlit, w).cast("int")
     )
-    return df.select(
-        F.col(id_col),
-        ids.alias("token_ids"),
-        F.size(F.filter(ids, lambda i: i == 0)).cast("long").alias("n_oov"),
+    # two selects so n_oov reads the produced token_ids column — sibling
+    # expressions would run the O(|vocab|)-per-token probe twice (Spark's
+    # subexpression elimination does not reliably cover lambda functions)
+    out = df.select(F.col(id_col), ids.alias("token_ids"))
+    return out.select(
+        id_col,
+        "token_ids",
+        F.size(F.filter(F.col("token_ids"), lambda i: i == 0))
+        .cast("long")
+        .alias("n_oov"),
     )
 
 
@@ -170,10 +176,11 @@ def tokenize_to_ids_duckdb_sql(
         f"list_transform({words}, w -> "
         f"CAST(COALESCE(list_position({vlit}, w), 0) AS INT))"
     )
+    # subquery so the probe (and the vocab literal) appears once
     return (
-        f"SELECT {id_col}, {ids} AS token_ids, "
-        f"CAST(len(list_filter({ids}, i -> i = 0)) AS BIGINT) AS n_oov "
-        f"FROM {table_expr}"
+        f"SELECT {id_col}, token_ids, "
+        f"CAST(len(list_filter(token_ids, i -> i = 0)) AS BIGINT) AS n_oov "
+        f"FROM (SELECT {id_col}, {ids} AS token_ids FROM {table_expr})"
     )
 
 

@@ -47,15 +47,17 @@ class CurationPipeline:
     # ------------------------------------------------------------- cleaning
     def scrub_pii(self) -> "CurationPipeline":
         """Replace the text column with its PII-redacted form (zero
-        shuffle; regexp codegen). Redaction counts are kept as columns."""
-        from kolibrie_spark.operators.scrub import scrub_pii
+        shuffle; a pure projection — no self-join, the upstream chain is
+        evaluated once). Redaction counts are kept as columns."""
+        from kolibrie_spark.operators.scrub import scrub_exprs
 
-        scrubbed = scrub_pii(self._df, self.id_col, self.text_col)
-        joined = self._df.drop(self.text_col).join(
-            scrubbed.withColumnRenamed("scrubbed", self.text_col),
-            on=self.id_col,
+        scrubbed, counts = scrub_exprs(self.text_col)
+        keep = [c for c in self._df.columns if c != self.text_col]
+        return self._with(
+            self._df.select(
+                *keep, scrubbed.alias(self.text_col), *counts
+            )
         )
-        return self._with(joined)
 
     # -------------------------------------------------------------- filters
     def filter_quality(self, min_score: float = 0.5) -> "CurationPipeline":

@@ -42,6 +42,11 @@ def parallelized(df: DataFrame) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # SESSION-WIDE side effect, applied on EVERY events load (not just
+        # one schema path) so timestamp semantics cannot depend on load
+        # order or file schema: the whole correctness contract (DuckDB
+        # treats naive timestamps as UTC) assumes a UTC session zone
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         dt = df.schema["ts"].dataType.simpleString()
         if dt == "bigint":
@@ -49,8 +54,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ts_us = F.expr("ts div 1000")
         else:
             # plain timestamp[us] parquet (timestamp or timestamp_ntz);
-            # pin the cast to UTC so ts_us matches DuckDB's epoch_us
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # the UTC pin makes the cast match DuckDB's epoch_us
             ts_us = F.expr("unix_micros(cast(ts as timestamp))")
         return df.withColumn("ts_us", ts_us).withColumn(
             "event_time", F.timestamp_micros(F.col("ts_us"))
