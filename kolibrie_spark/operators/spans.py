@@ -1,0 +1,116 @@
+"""Cross-document span profiling (C4-style boilerplate detection).
+
+C4 removes any three-sentence span that occurs more than once in the
+corpus; the same signal at word-span granularity is "what fraction of a
+document's word n-gram spans also appear in >= min_df other documents".
+This is the CROSS-document complement of textanalysis.dup_ngram_fraction
+(which is within-document repetition).
+
+Scale shape (100 TB): explode to one (doc, span) row per DISTINCT span
+per doc (map-side distinct inside the doc via array_distinct — no
+pre-shuffle blowup from within-doc repeats), aggregate span document
+frequency with a partial-agg groupBy, then join the unique-per-key
+span-df dimension back. Hot boilerplate spans are exactly the point of
+the operator, and they are safe here: the dimension side is one row per
+span after aggregation, so a hot span fans out to a single joined row
+per referencing doc — no skew multiplication. Two shuffles total
+(span-df agg + the doc-level reaggregation), both with map-side combine.
+
+No reference counterpart (Kolibrie has no text surface) — this is part
+of the training-data curation layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kolibrie_spark.operators.textanalysis import word_array, word_ngrams
+
+
+def common_span_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_df: int = 3,
+) -> DataFrame:
+    """Per-doc profile of corpus-common word ``n``-gram spans.
+
+    Returns one row per input doc:
+      ``id_col, n_spans, n_common, common_frac``
+    where ``n_spans`` counts the doc's DISTINCT word n-grams, ``n_common``
+    counts those appearing in >= ``min_df`` documents (doc frequency
+    includes the doc itself), and ``common_frac`` = n_common / n_spans
+    (0.0 for docs with fewer than ``n`` words).
+    """
+    words = word_array(F.lower(F.col(text_col)))
+    spans = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(words, n))).alias("span"),
+    )
+    # doc frequency per span: (doc, span) is already distinct, so a plain
+    # count is the distinct-doc count — one shuffle with partial agg
+    span_df = spans.groupBy("span").agg(F.count("*").alias("span_docs"))
+    per_doc = (
+        spans.join(span_df, "span")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("span_docs") >= min_df, 1).otherwise(0)).alias(
+                "n_common"
+            ),
+        )
+    )
+    # docs too short to have any span: re-attach with zero counts
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            F.when(
+                F.coalesce(F.col("n_spans"), F.lit(0)) > 0,
+                F.col("n_common") / F.col("n_spans").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("common_frac"),
+        )
+    )
+
+
+def common_span_profile_duckdb_sql(
+    table: str,
+    id_col: str,
+    text_expr: str,
+    n: int = 5,
+    min_df: int = 3,
+) -> str:
+    """DuckDB twin of :func:`common_span_profile` (1-based inclusive list
+    slicing; ``range``'s exclusive end matches Spark's guarded sequence)."""
+    words = f"string_split_regex(trim(lower({text_expr})), '\\s+')"
+    grams = (
+        f"list_distinct(list_transform(range(1, len({words}) - {n} + 2), "
+        f"i -> array_to_string(({words})[i:i+{n - 1}], ' ')))"
+    )
+    return f"""
+WITH spans AS (
+  SELECT {id_col} AS did, unnest({grams}) AS span FROM {table}
+), span_df AS (
+  SELECT span, count(*) AS span_docs FROM spans GROUP BY span
+), per_doc AS (
+  SELECT s.did, count(*) AS n_spans,
+         CAST(sum(CASE WHEN f.span_docs >= {min_df} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_common
+  FROM spans s JOIN span_df f USING (span)
+  GROUP BY s.did
+)
+SELECT t.{id_col},
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.n_common, 0) AS n_common,
+       CASE WHEN COALESCE(p.n_spans, 0) > 0
+            THEN p.n_common / CAST(p.n_spans AS DOUBLE)
+            ELSE 0.0 END AS common_frac
+FROM {table} t LEFT JOIN per_doc p ON p.did = t.{id_col}
+"""

@@ -158,6 +158,118 @@ def dup_ngram_fraction_duckdb(expr: str, n: int) -> str:
     )
 
 
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style heuristic quality rules (Rae et al. 2021, Table A1),
+    adapted to newline-free corpora (the line-level bullet/ellipsis-prefix
+    rules need line structure; the word-level rules carry over):
+
+    - word count within [min_words, max_words]
+    - mean word length within [min_mean_wl, max_mean_wl]
+    - symbol-to-word ratio ('#' and '...') <= max_symbol_ratio
+    - fraction of words containing an alphabetic char >= min_alpha_frac
+    - at least min_stopwords DISTINCT English stopwords present
+
+    Pure column expressions (whole-stage codegen, zero shuffle); every
+    emitted double is a single integer division, so bit-identical across
+    engines. Returns metrics + per-rule flags + the conjunction."""
+    t = F.col(text_col)
+    words = word_array(t)
+    n_words = F.size(words).cast("long")
+    mean_wl = F.length(F.regexp_replace(t, r"\s+", "")) / n_words
+    hash_cnt = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ell_cnt = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (hash_cnt + ell_cnt) / n_words
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    sw_distinct = F.size(
+        F.array_intersect(F.array_distinct(word_array(F.lower(t))), sw)
+    ).cast("long")
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl),
+        "ok_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "ok_alpha_frac": alpha_frac >= min_alpha_frac,
+        "ok_stopwords": sw_distinct >= min_stopwords,
+    }
+    passed = None
+    for c in flags.values():
+        passed = c if passed is None else (passed & c)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        sw_distinct.alias("stopwords_distinct"),
+        # 0/1 ints, not booleans: engine-neutral under every value-hash
+        *[c.cast("int").alias(name) for name, c in flags.items()],
+        passed.cast("int").alias("gopher_pass"),
+    )
+
+
+def gopher_rules_duckdb_sql(
+    table: str,
+    id_col: str,
+    text_expr: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> str:
+    """DuckDB twin of :func:`gopher_rules`."""
+    w = f"string_split_regex(trim({text_expr}), '\\s+')"
+    wl = f"string_split_regex(trim(lower({text_expr})), '\\s+')"
+    sw = "[" + ", ".join(f"'{s}'" for s in STOPWORDS["en"]) + "]"
+    n_words = f"CAST(len({w}) AS BIGINT)"
+    mean_wl = f"(length(regexp_replace({text_expr}, '\\s+', '', 'g')) / {n_words})"
+    sym = (
+        f"((length({text_expr}) - length(replace({text_expr}, '#', ''))) + "
+        f"(length({text_expr}) - length(replace({text_expr}, '...', ''))) / 3)"
+        f" / {n_words}"
+    )
+    alpha = (
+        f"(len(list_filter({w}, x -> regexp_matches(x, '[A-Za-z]'))) / {n_words})"
+    )
+    swd = f"CAST(len(list_intersect(list_distinct({wl}), {sw})) AS BIGINT)"
+    return f"""
+SELECT {id_col},
+       {n_words} AS n_words,
+       {mean_wl} AS mean_word_len,
+       {sym} AS symbol_ratio,
+       {alpha} AS alpha_frac,
+       {swd} AS stopwords_distinct,
+       CAST(({n_words} >= {min_words} AND {n_words} <= {max_words}) AS INT) AS ok_word_count,
+       CAST(({mean_wl} >= {min_mean_wl} AND {mean_wl} <= {max_mean_wl}) AS INT) AS ok_mean_word_len,
+       CAST(({sym} <= {max_symbol_ratio}) AS INT) AS ok_symbol_ratio,
+       CAST(({alpha} >= {min_alpha_frac}) AS INT) AS ok_alpha_frac,
+       CAST(({swd} >= {min_stopwords}) AS INT) AS ok_stopwords,
+       CAST((({n_words} >= {min_words} AND {n_words} <= {max_words})
+        AND ({mean_wl} >= {min_mean_wl} AND {mean_wl} <= {max_mean_wl})
+        AND ({sym} <= {max_symbol_ratio})
+        AND ({alpha} >= {min_alpha_frac})
+        AND ({swd} >= {min_stopwords})) AS INT) AS gopher_pass
+FROM {table}
+"""
+
+
 def analyze(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """All analyses in one narrow projection."""
     t = F.col(text_col)

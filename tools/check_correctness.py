@@ -86,11 +86,17 @@ def main() -> int:
         elif len(a) != len(b):
             status, detail = "FAIL", f"rows {len(a)} vs {len(b)}"
         elif not a.equals(b):
+            status = "FAIL"
             neq = (a != b) & ~(a.isna() & b.isna())
             bad = neq.any(axis=1)
-            i = bad.idxmax()
-            status = "FAIL"
-            detail = f"first diff row {i}: mine={a.loc[i].to_dict()} ref={b.loc[i].to_dict()}"
+            if bad.any():
+                i = bad.idxmax()
+                detail = f"first diff row {i}: mine={a.loc[i].to_dict()} ref={b.loc[i].to_dict()}"
+            else:
+                detail = (
+                    "values equal, dtypes differ: "
+                    f"mine={dict(a.dtypes.astype(str))} ref={dict(b.dtypes.astype(str))}"
+                )
         if status == "FAIL":
             failures.append(name)
         print(f"{status} {name}: {len(a)} rows ({time.time()-t0:.1f}s) {detail}")
