@@ -910,6 +910,94 @@ def _embed_centroids_oracle() -> str:
     return group_centroids_duckdb_sql("embeddings", "label", "embedding", 6)
 
 
+def _q_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact length quantiles (q25/q50/q75/q95) — sort-based
+    percentile, bit-identical to DuckDB quantile_cont on integral input."""
+    from kolibrie_spark.operators.profiling import profile_quantiles
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_quantiles(docs, "source", "n_chars")
+
+
+def _profile_quantiles_oracle() -> str:
+    from kolibrie_spark.operators.profiling import profile_quantiles_duckdb_sql
+
+    return profile_quantiles_duckdb_sql("documents", "source", "n_chars")
+
+
+def _q_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fixed-width length histogram: one map-side-combined
+    aggregation over (source, bin)."""
+    from kolibrie_spark.operators.profiling import profile_histogram
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_histogram(docs, "source", "n_chars", bin_width=100)
+
+
+def _profile_histogram_oracle() -> str:
+    from kolibrie_spark.operators.profiling import profile_histogram_duckdb_sql
+
+    return profile_histogram_duckdb_sql("documents", "source", "n_chars", 100)
+
+
+_PAGERANK_EDGES_SQL = (
+    "SELECT 'urn:orders:' || CAST(o_orderkey AS VARCHAR) AS src, "
+    "       'urn:customer:' || CAST(o_custkey AS VARCHAR) AS dst FROM orders "
+    "UNION ALL "
+    "SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR), "
+    "       'urn:nation:' || CAST(c_nationkey AS VARCHAR) FROM customer "
+    "UNION ALL "
+    "SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR), "
+    "       'urn:region:' || CAST(n_regionkey AS VARCHAR) FROM nation"
+)
+
+
+def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the FK graph (orders -> customer ->
+    nation -> region), 5 iterations. Integer micro-unit arithmetic makes
+    the iterative rank bit-identical across engines and partitionings —
+    floating PageRank would differ in the contribution-sum order."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.graph import pagerank
+    from kolibrie_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def uri(prefix, col):
+        return F.concat(F.lit(f"urn:{prefix}:"), col.cast("string"))
+
+    edges = (
+        orders.select(
+            uri("orders", F.col("o_orderkey")).alias("src"),
+            uri("customer", F.col("o_custkey")).alias("dst"),
+        )
+        .unionByName(
+            customer.select(
+                uri("customer", F.col("c_custkey")).alias("src"),
+                uri("nation", F.col("c_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                uri("nation", F.col("n_nationkey")).alias("src"),
+                uri("region", F.col("n_regionkey")).alias("dst"),
+            )
+        )
+    )
+    return pagerank(edges, iterations=5)
+
+
+def _graph_pagerank_oracle() -> str:
+    from kolibrie_spark.operators.graph import pagerank_duckdb_sql
+
+    return pagerank_duckdb_sql(_PAGERANK_EDGES_SQL, iterations=5)
+
+
 def _q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.operators.textanalysis import analyze
     from kolibrie_spark.tables import load_table
@@ -1463,6 +1551,9 @@ _DRIVER_FIRST = [
     "range_join_binned",  # new in round 3 (session 2)
     "layout_zorder",  # new in round 3 (session 2)
     "embed_centroids",  # new in round 3 (session 2)
+    "profile_quantiles",  # new in round 3 (session 2)
+    "profile_histogram",  # new in round 3 (session 2)
+    "graph_pagerank",  # new in round 3 (session 2)
     "text_bm25_topk",  # new in round 3
     "pack_sequences",  # new in round 3
     "text_repetition",  # new in round 3
@@ -1667,6 +1758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_binned": _q_range_join_binned,
         "layout_zorder": _q_layout_zorder,
         "embed_centroids": _q_embed_centroids,
+        "profile_quantiles": _q_profile_quantiles,
+        "profile_histogram": _q_profile_histogram,
+        "graph_pagerank": _q_graph_pagerank,
         "pack_sequences": _q_pack_sequences,
         "text_repetition": _q_text_repetition,
         "sample_domain_mix": _q_sample_domain_mix,
@@ -2003,6 +2097,9 @@ def oracle_sql() -> dict[str, str]:
         "range_join_binned": _range_join_binned_oracle(),
         "layout_zorder": _layout_zorder_oracle(),
         "embed_centroids": _embed_centroids_oracle(),
+        "profile_quantiles": _profile_quantiles_oracle(),
+        "profile_histogram": _profile_histogram_oracle(),
+        "graph_pagerank": _graph_pagerank_oracle(),
         "pack_sequences": _pack_sequences_oracle(),
         "text_repetition": _text_repetition_oracle(),
         "sample_domain_mix": _sample_domain_mix_oracle(),
