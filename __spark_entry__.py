@@ -998,6 +998,32 @@ def _graph_pagerank_oracle() -> str:
     return pagerank_duckdb_sql(_PAGERANK_EDGES_SQL, iterations=5)
 
 
+_QUALITY_WEIGHTS = [3.0, -5.0, 4.0, -1.0, -2.0]
+_QUALITY_BIAS = -1.0
+
+
+def _q_text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: logistic score over five doc-local
+    features (fixed literal weights here; train_quality_classifier
+    produces them from weak labels). Zero shuffle, whole-stage codegen;
+    9-dp rounding pins the sigmoid cross-engine."""
+    from kolibrie_spark.ml.quality import linear_quality_score
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return linear_quality_score(
+        docs, "doc_id", "text", _QUALITY_WEIGHTS, _QUALITY_BIAS
+    )
+
+
+def _text_quality_model_oracle() -> str:
+    from kolibrie_spark.ml.quality import linear_quality_score_duckdb_sql
+
+    return linear_quality_score_duckdb_sql(
+        "documents", "doc_id", "text", _QUALITY_WEIGHTS, _QUALITY_BIAS
+    )
+
+
 def _q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.operators.textanalysis import analyze
     from kolibrie_spark.tables import load_table
@@ -1554,6 +1580,7 @@ _DRIVER_FIRST = [
     "profile_quantiles",  # new in round 3 (session 2)
     "profile_histogram",  # new in round 3 (session 2)
     "graph_pagerank",  # new in round 3 (session 2)
+    "text_quality_model",  # new in round 3 (session 2)
     "text_bm25_topk",  # new in round 3
     "pack_sequences",  # new in round 3
     "text_repetition",  # new in round 3
@@ -1761,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_quantiles": _q_profile_quantiles,
         "profile_histogram": _q_profile_histogram,
         "graph_pagerank": _q_graph_pagerank,
+        "text_quality_model": _q_text_quality_model,
         "pack_sequences": _q_pack_sequences,
         "text_repetition": _q_text_repetition,
         "sample_domain_mix": _q_sample_domain_mix,
@@ -2100,6 +2128,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_quantiles": _profile_quantiles_oracle(),
         "profile_histogram": _profile_histogram_oracle(),
         "graph_pagerank": _graph_pagerank_oracle(),
+        "text_quality_model": _text_quality_model_oracle(),
         "pack_sequences": _pack_sequences_oracle(),
         "text_repetition": _text_repetition_oracle(),
         "sample_domain_mix": _sample_domain_mix_oracle(),

@@ -267,3 +267,53 @@ def test_group_centroids_shuffle_invariant(spark):
     a = sorted(map(tuple, group_centroids(df1, "label", "embedding").collect()))
     b = sorted(map(tuple, group_centroids(df2, "label", "embedding").collect()))
     assert a == b
+
+
+def test_linear_quality_score_flags(spark):
+    from kolibrie_spark.ml.quality import linear_quality_score
+
+    rows = [
+        (1, "the cat sat on the mat and it is a fine day for all of us"),
+        (2, "!!! ??? ... ;;; :::"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # positive weight on stopword ratio, negative on punctuation
+    out = {
+        r["doc_id"]: r
+        for r in linear_quality_score(
+            df, "doc_id", "text", [0.0, -8.0, 6.0, 0.0, 0.0], 0.0
+        ).collect()
+    }
+    assert out[1]["keep"] == 1 and out[1]["quality_score"] > 0.5
+    assert out[2]["keep"] == 0 and out[2]["quality_score"] < 0.5
+
+
+def test_train_quality_classifier_separates(spark):
+    """MLlib training on weak labels must learn weights that separate
+    clean prose from punctuation spam via the same feature expressions."""
+    from kolibrie_spark.ml.quality import (
+        linear_quality_score,
+        train_quality_classifier,
+    )
+
+    import random
+
+    rng = random.Random(9)
+    clean_words = "the cat sat on a mat and it is that day for work".split()
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(rng.choices(clean_words, k=30)), 1))
+    for i in range(40, 80):
+        rows.append((i, " ".join(rng.choices(["!!!", "###", "..?!"], k=30)), 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    weights, bias = train_quality_classifier(df, "text", "label")
+    scored = {
+        r["doc_id"]: r["keep"]
+        for r in linear_quality_score(
+            df, "doc_id", "text", weights, bias
+        ).collect()
+    }
+    acc = sum(
+        1 for i, _, lab in rows if scored[i] == lab
+    ) / len(rows)
+    assert acc >= 0.95, f"train/apply accuracy {acc}"
