@@ -998,6 +998,34 @@ def _graph_pagerank_oracle() -> str:
     return pagerank_duckdb_sql(_PAGERANK_EDGES_SQL, iterations=5)
 
 
+def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster embeddings into IVF cells (no-shuffle argmin
+    assignment), drop within-cell cosine near-duplicates keeping the
+    lowest id — the quadratic comparison is bounded per cell, the
+    paper's actual scale mechanism."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.semdedup import semantic_dedup
+    from kolibrie_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, "vec_id", "embedding", ncells=8, threshold=0.4)
+    return out.select("vec_id", "label", "ivf_cell")
+
+
+def _dedup_semantic_oracle() -> str:
+    from kolibrie_spark.operators.semdedup import semantic_dedup_duckdb_sql
+
+    return semantic_dedup_duckdb_sql(
+        "embeddings",
+        "vec_id",
+        "embedding",
+        "t.vec_id, t.label",
+        ncells=8,
+        threshold=0.4,
+    )
+
+
 _QUALITY_WEIGHTS = [3.0, -5.0, 4.0, -1.0, -2.0]
 _QUALITY_BIAS = -1.0
 
@@ -1581,6 +1609,7 @@ _DRIVER_FIRST = [
     "profile_histogram",  # new in round 3 (session 2)
     "graph_pagerank",  # new in round 3 (session 2)
     "text_quality_model",  # new in round 3 (session 2)
+    "dedup_semantic",  # new in round 3 (session 2)
     "text_bm25_topk",  # new in round 3
     "pack_sequences",  # new in round 3
     "text_repetition",  # new in round 3
@@ -1789,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_histogram": _q_profile_histogram,
         "graph_pagerank": _q_graph_pagerank,
         "text_quality_model": _q_text_quality_model,
+        "dedup_semantic": _q_dedup_semantic,
         "pack_sequences": _q_pack_sequences,
         "text_repetition": _q_text_repetition,
         "sample_domain_mix": _q_sample_domain_mix,
@@ -2129,6 +2159,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_histogram": _profile_histogram_oracle(),
         "graph_pagerank": _graph_pagerank_oracle(),
         "text_quality_model": _text_quality_model_oracle(),
+        "dedup_semantic": _dedup_semantic_oracle(),
         "pack_sequences": _pack_sequences_oracle(),
         "text_repetition": _text_repetition_oracle(),
         "sample_domain_mix": _sample_domain_mix_oracle(),

@@ -317,3 +317,51 @@ def test_train_quality_classifier_separates(spark):
         1 for i, _, lab in rows if scored[i] == lab
     ) / len(rows)
     assert acc >= 0.95, f"train/apply accuracy {acc}"
+
+
+def test_semantic_dedup_brute_force(spark):
+    import math
+    import random
+
+    from kolibrie_spark.operators.semdedup import semantic_dedup
+
+    rng = random.Random(13)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(10)]
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):  # three tight copies of each base vector
+            rows.append((vid, [x + rng.uniform(-1e-3, 1e-3) for x in b]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, "vec_id", "embedding", ncells=4, threshold=0.999)
+    kept = {r["vec_id"] for r in out.collect()}
+
+    # brute-force replication: same first-N centroids, same drop rule
+    def l2sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in df.collect()  # float32-rounded values, as Spark computes
+    }
+    cents = [vecs[i] for i in sorted(vecs)[:4]]
+    cell = {
+        i: min(range(4), key=lambda c: (l2sq(vecs[i], cents[c]), c))
+        for i in vecs
+    }
+    expect = {
+        i
+        for i in vecs
+        if not any(
+            j < i and cell[j] == cell[i] and cos(vecs[j], vecs[i]) >= 0.999
+            for j in vecs
+        )
+    }
+    assert kept == expect
+    # each clone triplet that lands in one cell keeps exactly its lowest id
+    assert len(kept) < len(vecs)
