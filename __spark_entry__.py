@@ -1026,6 +1026,28 @@ def _dedup_semantic_oracle() -> str:
     )
 
 
+def _q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: hashed-n-gram likelihood ratio of the
+    src0 target slice vs the whole corpus; scaled-integer log-prob sums
+    make the score shuffle-invariant and cross-engine exact."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.dsir import dsir_logweights
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    return dsir_logweights(docs, target, "doc_id", "text", buckets=256)
+
+
+def _sample_dsir_oracle() -> str:
+    from kolibrie_spark.operators.dsir import dsir_logweights_duckdb_sql
+
+    return dsir_logweights_duckdb_sql(
+        "documents", "doc_id", "text", "source = 'src0'", buckets=256
+    )
+
+
 _QUALITY_WEIGHTS = [3.0, -5.0, 4.0, -1.0, -2.0]
 _QUALITY_BIAS = -1.0
 
@@ -1610,6 +1632,7 @@ _DRIVER_FIRST = [
     "graph_pagerank",  # new in round 3 (session 2)
     "text_quality_model",  # new in round 3 (session 2)
     "dedup_semantic",  # new in round 3 (session 2)
+    "sample_dsir",  # new in round 3 (session 2)
     "text_bm25_topk",  # new in round 3
     "pack_sequences",  # new in round 3
     "text_repetition",  # new in round 3
@@ -1819,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": _q_graph_pagerank,
         "text_quality_model": _q_text_quality_model,
         "dedup_semantic": _q_dedup_semantic,
+        "sample_dsir": _q_sample_dsir,
         "pack_sequences": _q_pack_sequences,
         "text_repetition": _q_text_repetition,
         "sample_domain_mix": _q_sample_domain_mix,
@@ -2160,6 +2184,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _graph_pagerank_oracle(),
         "text_quality_model": _text_quality_model_oracle(),
         "dedup_semantic": _dedup_semantic_oracle(),
+        "sample_dsir": _sample_dsir_oracle(),
         "pack_sequences": _pack_sequences_oracle(),
         "text_repetition": _text_repetition_oracle(),
         "sample_domain_mix": _sample_domain_mix_oracle(),

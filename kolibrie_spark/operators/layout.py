@@ -61,6 +61,28 @@ def zorder_layout(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (+ optionally sorted) table: the
+    co-location contract that lets Catalyst drop BOTH Exchanges from a
+    join of two tables bucketed on the same key with the same bucket
+    count (and the Sort too, when sorted). This is THE 100 TB join
+    strategy for repeatedly-joined fact tables — pay the shuffle once at
+    write time, never again at read time. (Spark bucketed tables require
+    ``saveAsTable``; the session catalog + spark warehouse dir is
+    enough, no Hive server.)"""
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
 def _spread16_duckdb(expr: str) -> str:
     x = f"(CAST({expr} AS BIGINT) & 65535)"
     for shift, mask in _SPREAD:

@@ -365,3 +365,28 @@ def test_semantic_dedup_brute_force(spark):
     assert kept == expect
     # each clone triplet that lands in one cell keeps exactly its lowest id
     assert len(kept) < len(vecs)
+
+
+def test_dsir_logweights_favors_target_like_docs(spark):
+    from kolibrie_spark.operators.dsir import dsir_logweights
+
+    target_words = "alpha beta gamma delta epsilon"
+    other_words = "one two three four five six seven"
+    rows = [(i, target_words, "t") for i in range(10)]
+    rows += [(10 + i, other_words, "r") for i in range(30)]
+    rows += [(40, "alpha beta gamma delta epsilon", "r")]  # target-like raw doc
+    rows += [(41, "", "r")]  # empty doc -> no grams, NULL weight
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    target = df.where(F.col("source") == "t")
+    out = {r["doc_id"]: r for r in dsir_logweights(df, target, "doc_id", "text").collect()}
+    # target-like raw doc scores above the off-distribution docs
+    assert out[40]["logw"] > out[10]["logw"]
+    assert out[41]["n_grams"] == 1  # split('') yields one empty-string gram
+    # weights identical under a different partitioning (integer sums)
+    out2 = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_logweights(
+            df.repartition(7, "doc_id"), target, "doc_id", "text"
+        ).collect()
+    }
+    assert out2 == {k: v["logw"] for k, v in out.items()}
