@@ -1556,6 +1556,130 @@ def _multimodal_features_oracle() -> str:
     )
 
 
+def _q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch: estimate distinct part keys per return
+    flag over lineitem. Deterministic (3-round universal-hash mix), so the
+    ESTIMATE itself is reproducible cross-engine — unlike HLL registers."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.sketches import kmv_distinct
+    from kolibrie_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_partkey").cast("string").alias("pk")
+    )
+    return kmv_distinct(li, "l_returnflag", "pk", k=64)
+
+
+def _sketch_kmv_oracle() -> str:
+    from kolibrie_spark.operators.sketches import kmv_distinct_duckdb_sql
+
+    return kmv_distinct_duckdb_sql(
+        "(SELECT l_returnflag, CAST(l_partkey AS VARCHAR) AS pk FROM lineitem)",
+        "l_returnflag",
+        "pk",
+        k=64,
+    )
+
+
+def _q_profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between src0 and src1 document-length
+    distributions — the drift alarm a curation pipeline runs batch-over-
+    batch."""
+    from kolibrie_spark.operators.profiling import ks_drift
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ks_drift(docs, "source", "n_chars", "src0", "src1")
+
+
+def _profile_ks_drift_oracle() -> str:
+    from kolibrie_spark.operators.profiling import ks_drift_duckdb_sql
+
+    return ks_drift_duckdb_sql("documents", "source", "n_chars", "src0", "src1")
+
+
+def _q_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy vocabulary matching (typo/variant pairs) over the
+    combined documents + part-name vocab: equi-join on (first_char,
+    length-expanded bucket), Levenshtein only inside blocks — the oracle
+    brute-forces the same contract quadratically."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.fuzzyjoin import fuzzy_vocab_pairs
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_name").alias("text")
+    )
+    return fuzzy_vocab_pairs(docs.unionAll(parts), "text", max_dist=2)
+
+
+def _fuzzy_vocab_oracle() -> str:
+    from kolibrie_spark.operators.fuzzyjoin import fuzzy_vocab_pairs_duckdb_sql
+
+    return fuzzy_vocab_pairs_duckdb_sql(
+        "(SELECT text FROM documents UNION ALL SELECT p_name FROM part)",
+        "text",
+        max_dist=2,
+    )
+
+
+# appended to every document before normalizing so the gate exercises the
+# non-trivial paths (decomposed accent -> NFC compose, NBSP, tab runs) on
+# real data, not just ASCII identity
+_NORM_SUFFIX = " Cafe\u0301\u00a0du\tmonde  "
+_NORM_SUFFIX_SQL = "' Cafe' || chr(769) || chr(160) || 'du' || chr(9) || 'monde  '"
+
+
+def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + whitespace canonicalization (Arrow-batched NFC with
+    ASCII fast path; whitespace collapse stays JVM-side)."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.normalize import normalize_expr
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        normalize_expr(
+            F.concat(F.col("text"), F.lit(_NORM_SUFFIX))
+        ).alias("text_norm"),
+    )
+
+
+def _text_normalize_oracle() -> str:
+    from kolibrie_spark.operators.normalize import normalize_duckdb_sql
+
+    inner = f"text || {_NORM_SUFFIX_SQL}"
+    return (
+        f"SELECT doc_id, {normalize_duckdb_sql(inner)} AS text_norm "
+        "FROM documents"
+    )
+
+
+def _q_sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: at most 15 docs per source, kept set chosen by
+    deterministic key-hash rank (unbiased, replayable on any cluster)."""
+    from kolibrie_spark.operators.sampling import domain_cap_sample
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_cap_sample(docs, "doc_id", "source", cap=15).select(
+        "doc_id", "source"
+    )
+
+
+def _sample_domain_cap_oracle() -> str:
+    from kolibrie_spark.operators.sampling import domain_cap_duckdb_sql
+
+    return domain_cap_duckdb_sql(
+        "documents", "doc_id", "source", 15, "doc_id, source"
+    )
+
+
 def _q_builder_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fluent QueryBuilder chain (§2.12 python API)."""
     from kolibrie_spark.engine import SparqlEngine
@@ -1621,6 +1745,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round 3 head = the 7 gates the r2 driver never checked (VERDICT r2 item 1;
 # prob_hybrid had NEVER had a driver row) + gates newly added in round 3.
 _DRIVER_FIRST = [
+    "sketch_kmv_distinct",  # new in round 3 (session 3)
+    "profile_ks_drift",  # new in round 3 (session 3)
+    "fuzzy_vocab_pairs",  # new in round 3 (session 3)
+    "text_normalize",  # new in round 3 (session 3)
+    "sample_domain_cap",  # new in round 3 (session 3)
     "text_common_spans",  # new in round 3 (session 2)
     "text_quality_gopher",  # new in round 3 (session 2)
     "dedup_incremental",  # new in round 3 (session 2)
@@ -1837,6 +1966,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_binned": _q_range_join_binned,
         "layout_zorder": _q_layout_zorder,
         "embed_centroids": _q_embed_centroids,
+        "sketch_kmv_distinct": _q_sketch_kmv,
+        "profile_ks_drift": _q_profile_ks_drift,
+        "fuzzy_vocab_pairs": _q_fuzzy_vocab,
+        "text_normalize": _q_text_normalize,
+        "sample_domain_cap": _q_sample_domain_cap,
         "profile_quantiles": _q_profile_quantiles,
         "profile_histogram": _q_profile_histogram,
         "graph_pagerank": _q_graph_pagerank,
@@ -2179,6 +2313,11 @@ def oracle_sql() -> dict[str, str]:
         "range_join_binned": _range_join_binned_oracle(),
         "layout_zorder": _layout_zorder_oracle(),
         "embed_centroids": _embed_centroids_oracle(),
+        "sketch_kmv_distinct": _sketch_kmv_oracle(),
+        "profile_ks_drift": _profile_ks_drift_oracle(),
+        "fuzzy_vocab_pairs": _fuzzy_vocab_oracle(),
+        "text_normalize": _text_normalize_oracle(),
+        "sample_domain_cap": _sample_domain_cap_oracle(),
         "profile_quantiles": _profile_quantiles_oracle(),
         "profile_histogram": _profile_histogram_oracle(),
         "graph_pagerank": _graph_pagerank_oracle(),

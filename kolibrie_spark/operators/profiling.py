@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def profile_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
@@ -156,6 +157,104 @@ SELECT {select_cols}, rank FROM (
            ORDER BY {order_col} {d}, {id_col} ASC) AS INT) AS rank
   FROM {table_expr}
 ) WHERE rank <= {k}
+"""
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between two groups'
+    distributions of an integral column — the standard drift alarm when a
+    new crawl/source shifts the corpus (compare length, score, token-count
+    distributions batch-over-batch).
+
+    D = max over values v of |F_a(v) - F_b(v)| with F the empirical CDF.
+    Exactness: per-value counts are integers, CDFs are single integer
+    divisions, and max is order-independent — bit-identical cross-engine.
+
+    Plan shape: one per-value count aggregation (map-side combined,
+    shuffles |distinct values| rows), then a cumulative window over the
+    distinct values. The window orders globally — fine because the state
+    is one row per DISTINCT value (lengths/scores have bounded
+    cardinality, e.g. <=5001 for a 0..5000 length column). For an
+    unbounded-cardinality column at 100 TB, bin the values first
+    (``profile_histogram``) and compute D over bin edges — the binned D
+    brackets the exact D to bin resolution.
+
+    Returns one row ``(n_a, n_b, d_stat)``.
+    """
+    v = F.col(value_col).cast("long")
+    g = F.col(group_col)
+    counts = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(v.alias("v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = cum.agg(
+        F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_a"),
+            F.col("n_b"),
+            F.abs(
+                F.col("cum_a").cast("double") / F.col("n_a")
+                - F.col("cum_b").cast("double") / F.col("n_b")
+            ).alias("diff"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("diff").alias("d_stat"))
+        .select("n_a", "n_b", "d_stat")
+    )
+
+
+def ks_drift_duckdb_sql(
+    table_expr: str,
+    group_col: str,
+    value_expr: str,
+    group_a: str,
+    group_b: str,
+) -> str:
+    """DuckDB twin of :func:`ks_drift` (same integer counts, same
+    division shape)."""
+    v = f"CAST({value_expr} AS BIGINT)"
+    return f"""
+WITH counts AS (
+  SELECT {v} AS v,
+         SUM(CASE WHEN {group_col} = '{group_a}' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN {group_col} = '{group_b}' THEN 1 ELSE 0 END) AS cb
+  FROM {table_expr}
+  WHERE {group_col} IN ('{group_a}', '{group_b}')
+  GROUP BY {v}
+), cum AS (
+  SELECT SUM(ca) OVER (ORDER BY v ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (ORDER BY v ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM counts
+), tot AS (
+  SELECT MAX(cum_a) AS n_a, MAX(cum_b) AS n_b FROM cum
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       MAX(ABS(CAST(cum_a AS DOUBLE) / CAST(n_a AS BIGINT)
+               - CAST(cum_b AS DOUBLE) / CAST(n_b AS BIGINT))) AS d_stat
+FROM cum, tot
+GROUP BY n_a, n_b
 """
 
 

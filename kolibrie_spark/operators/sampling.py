@@ -167,6 +167,52 @@ WHERE {bucket_duckdb(f't.{key_col}')}
 """
 
 
+def domain_cap_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    cap: int,
+    hash_fn: str = "poly",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain — the standard guard against a
+    single host flooding the corpus (robots dumps, mirrors, link farms).
+    Which rows survive is deterministic AND unbiased: rows are ranked
+    inside their domain by the key's hash (tie-broken by the key itself),
+    so the kept set is a uniform pseudo-random cap that replays identically
+    on any cluster or engine.
+
+    Plan shape: one row_number window — a single hash shuffle on the
+    domain key; Spark's window top-k pushdown keeps per-group state at
+    O(cap). A domain with billions of rows still ranks all of them; if
+    profiling shows such whales, pre-filter with ``deterministic_sample``
+    at a rate that overshoots the cap (e.g. 4x cap / n_whale) and then
+    apply the exact cap to the survivors — same kept-set law, bounded work.
+    """
+    h = _bucket(F.col(key_col), hash_fn)
+    w = Window.partitionBy(domain_col).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def domain_cap_duckdb_sql(
+    table_expr: str, key_col: str, domain_col: str, cap: int, select_cols: str
+) -> str:
+    """DuckDB twin of :func:`domain_cap_sample` (poly-hash path)."""
+    return f"""
+SELECT {select_cols} FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {domain_col}
+    ORDER BY {bucket_duckdb(key_col)} ASC, {key_col} ASC) AS rn
+  FROM {table_expr}
+) WHERE rn <= {cap}
+"""
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,
