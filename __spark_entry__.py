@@ -1680,6 +1680,77 @@ def _sample_domain_cap_oracle() -> str:
     )
 
 
+def _q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide exact-paragraph dedup with document
+    reassembly: one window over the paragraph fingerprint (first
+    occurrence by (doc_id, pos) wins), one re-group on doc_id. Documents
+    here are single-line, so paragraphs = sentences split on '. '."""
+    from kolibrie_spark.operators.paragraphs import dedup_paragraphs
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_paragraphs(docs, "doc_id", "text", sep=" . ")
+
+
+def _dedup_paragraphs_oracle() -> str:
+    from kolibrie_spark.operators.paragraphs import dedup_paragraphs_duckdb_sql
+
+    return dedup_paragraphs_duckdb_sql("documents", "doc_id", "text", sep=" . ")
+
+
+_FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel (signup -> view -> purchase), strictly-after step
+    chaining: one filtered aggregation per step joined on the user key."""
+    from kolibrie_spark.operators.analytics import funnel
+    from kolibrie_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "ts_us", "event_type", _FUNNEL_STEPS)
+
+
+def _events_funnel_oracle() -> str:
+    from kolibrie_spark.operators.analytics import funnel_duckdb_sql
+
+    return funnel_duckdb_sql(
+        "(SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events)",
+        "user_id",
+        "ts_us",
+        "event_type",
+        _FUNNEL_STEPS,
+    )
+
+
+def _q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts keyed by first-event day: two
+    aggregations, integer day arithmetic (no engine week/timezone
+    semantics in the contract)."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.analytics import retention
+    from kolibrie_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = retention(ev, "user_id", "event_time")
+    return out.select(
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        "week_offset",
+        "n_users",
+    )
+
+
+def _events_retention_oracle() -> str:
+    from kolibrie_spark.operators.analytics import retention_duckdb_sql
+
+    inner = retention_duckdb_sql("events", "user_id", "ts")
+    return (
+        "SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, week_offset, "
+        f"n_users FROM ({inner})"
+    )
+
+
 def _q_builder_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fluent QueryBuilder chain (§2.12 python API)."""
     from kolibrie_spark.engine import SparqlEngine
@@ -1745,6 +1816,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round 3 head = the 7 gates the r2 driver never checked (VERDICT r2 item 1;
 # prob_hybrid had NEVER had a driver row) + gates newly added in round 3.
 _DRIVER_FIRST = [
+    "dedup_paragraphs",  # new in round 3 (session 3)
+    "events_funnel",  # new in round 3 (session 3)
+    "events_retention",  # new in round 3 (session 3)
     "sketch_kmv_distinct",  # new in round 3 (session 3)
     "profile_ks_drift",  # new in round 3 (session 3)
     "fuzzy_vocab_pairs",  # new in round 3 (session 3)
@@ -1966,6 +2040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_binned": _q_range_join_binned,
         "layout_zorder": _q_layout_zorder,
         "embed_centroids": _q_embed_centroids,
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "sketch_kmv_distinct": _q_sketch_kmv,
         "profile_ks_drift": _q_profile_ks_drift,
         "fuzzy_vocab_pairs": _q_fuzzy_vocab,
@@ -2313,6 +2390,9 @@ def oracle_sql() -> dict[str, str]:
         "range_join_binned": _range_join_binned_oracle(),
         "layout_zorder": _layout_zorder_oracle(),
         "embed_centroids": _embed_centroids_oracle(),
+        "dedup_paragraphs": _dedup_paragraphs_oracle(),
+        "events_funnel": _events_funnel_oracle(),
+        "events_retention": _events_retention_oracle(),
         "sketch_kmv_distinct": _sketch_kmv_oracle(),
         "profile_ks_drift": _profile_ks_drift_oracle(),
         "fuzzy_vocab_pairs": _fuzzy_vocab_oracle(),

@@ -1,0 +1,219 @@
+"""Paragraph dedup, funnel, and retention operators."""
+
+import datetime
+
+import duckdb
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# paragraph dedup
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_paragraphs_basic(spark):
+    from kolibrie_spark.operators.paragraphs import dedup_paragraphs
+
+    docs = [
+        (1, "intro\ncookie banner\nbody one"),
+        (2, "cookie banner\nbody two"),
+        (3, "cookie banner\n\nbody three\nbody three"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df, "doc_id", "text").collect()}
+    # doc 1 holds the first occurrence of the banner -> untouched
+    assert out[1]["text_clean"] == "intro\ncookie banner\nbody one"
+    assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 3
+    # doc 2 loses the banner (first occurrence is doc 1)
+    assert out[2]["text_clean"] == "body two"
+    assert out[2]["n_kept"] == 1
+    # doc 3: banner gone, empty line preserved, its own intra-doc dup gone
+    assert out[3]["text_clean"] == "\nbody three"
+    assert out[3]["n_paras"] == 4 and out[3]["n_kept"] == 2
+
+
+def test_dedup_paragraphs_partition_invariant(spark):
+    from kolibrie_spark.operators.paragraphs import dedup_paragraphs
+
+    docs = [(i, f"shared header\nunique body {i}") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(
+        (r["doc_id"], r["text_clean"])
+        for r in dedup_paragraphs(df, "doc_id", "text").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["text_clean"])
+        for r in dedup_paragraphs(df.repartition(7), "doc_id", "text").collect()
+    )
+    assert a == b
+    # only doc 0 keeps the header
+    kept_header = [d for d, t in a if "shared header" in t]
+    assert kept_header == [0]
+
+
+def test_dedup_paragraphs_duckdb_twin(spark):
+    import random
+
+    from kolibrie_spark.operators.paragraphs import (
+        dedup_paragraphs,
+        dedup_paragraphs_duckdb_sql,
+    )
+
+    rng = random.Random(9)
+    paras = [f"para-{i}" for i in range(12)] + ["", "boiler"]
+    docs = [
+        (i, "\n".join(rng.choice(paras) for _ in range(rng.randint(1, 6))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    mine = {
+        tuple(r) for r in dedup_paragraphs(df, "doc_id", "text").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", docs)
+    ref = {
+        tuple(r)
+        for r in con.execute(
+            dedup_paragraphs_duckdb_sql("t", "doc_id", "text")
+        ).fetchall()
+    }
+    assert mine == ref
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_funnel_basic(spark):
+    from kolibrie_spark.operators.analytics import funnel
+
+    ev = [
+        # u1 completes view -> cart -> buy in order
+        (1, _ts("2026-01-01 10:00"), "view"),
+        (1, _ts("2026-01-01 11:00"), "cart"),
+        (1, _ts("2026-01-01 12:00"), "buy"),
+        # u2 abandons after cart
+        (2, _ts("2026-01-02 09:00"), "view"),
+        (2, _ts("2026-01-02 09:30"), "cart"),
+        # u3 buys BEFORE viewing: buy must not count
+        (3, _ts("2026-01-03 08:00"), "buy"),
+        (3, _ts("2026-01-03 09:00"), "view"),
+        # u4 never views -> not in result
+        (4, _ts("2026-01-04 10:00"), "cart"),
+    ]
+    df = spark.createDataFrame(ev, "uid long, ts timestamp, et string")
+    out = {
+        r["uid"]: r
+        for r in funnel(df, "uid", "ts", "et", ["view", "cart", "buy"]).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["t3"] == _ts("2026-01-01 12:00")
+    assert out[2]["t2"] == _ts("2026-01-02 09:30") and out[2]["t3"] is None
+    assert out[3]["t2"] is None and out[3]["t3"] is None
+
+
+def test_funnel_strictly_after(spark):
+    from kolibrie_spark.operators.analytics import funnel
+
+    ev = [
+        (1, _ts("2026-01-01 10:00"), "a"),
+        (1, _ts("2026-01-01 10:00"), "b"),  # same instant: not after
+        (1, _ts("2026-01-01 10:01"), "b"),
+    ]
+    df = spark.createDataFrame(ev, "uid long, ts timestamp, et string")
+    [r] = funnel(df, "uid", "ts", "et", ["a", "b"]).collect()
+    assert r["t2"] == _ts("2026-01-01 10:01")
+
+
+def test_funnel_duckdb_twin(spark):
+    import random
+
+    from kolibrie_spark.operators.analytics import funnel, funnel_duckdb_sql
+
+    rng = random.Random(13)
+    types = ["view", "cart", "buy", "noise"]
+    ev = [
+        (
+            rng.randint(1, 30),
+            _ts("2026-01-01 00:00") + datetime.timedelta(minutes=rng.randint(0, 5000)),
+            rng.choice(types),
+        )
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(ev, "uid long, ts timestamp, et string")
+    mine = {
+        tuple(r)
+        for r in funnel(df, "uid", "ts", "et", ["view", "cart", "buy"]).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (uid BIGINT, ts TIMESTAMP, et VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", ev)
+    ref = {
+        tuple(r)
+        for r in con.execute(
+            funnel_duckdb_sql("t", "uid", "ts", "et", ["view", "cart", "buy"])
+        ).fetchall()
+    }
+    assert mine == ref
+
+
+# ---------------------------------------------------------------------------
+# retention
+# ---------------------------------------------------------------------------
+
+
+def test_retention_basic(spark):
+    from kolibrie_spark.operators.analytics import retention
+
+    ev = [
+        (1, _ts("2026-01-01 10:00")),
+        (1, _ts("2026-01-09 10:00")),  # day 8 -> week 1
+        (2, _ts("2026-01-01 23:00")),
+        (2, _ts("2026-01-02 01:00")),  # day 1 -> week 0
+        (3, _ts("2026-01-05 00:00")),
+    ]
+    df = spark.createDataFrame(ev, "uid long, ts timestamp")
+    out = {
+        (str(r["cohort_day"]), r["week_offset"]): r["n_users"]
+        for r in retention(df, "uid", "ts").collect()
+    }
+    assert out[("2026-01-01", 0)] == 2  # u1+u2 week 0
+    assert out[("2026-01-01", 1)] == 1  # u1 returns in week 1
+    assert out[("2026-01-05", 0)] == 1
+
+
+def test_retention_duckdb_twin(spark):
+    import random
+
+    from kolibrie_spark.operators.analytics import (
+        retention,
+        retention_duckdb_sql,
+    )
+
+    rng = random.Random(17)
+    ev = [
+        (
+            rng.randint(1, 40),
+            _ts("2026-01-01 00:00") + datetime.timedelta(hours=rng.randint(0, 2000)),
+        )
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(ev, "uid long, ts timestamp")
+    mine = {
+        (str(r["cohort_day"]), r["week_offset"], r["n_users"])
+        for r in retention(df, "uid", "ts").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (uid BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", ev)
+    ref = {
+        (str(r[0])[:10], r[1], r[2])
+        for r in con.execute(retention_duckdb_sql("t", "uid", "ts")).fetchall()
+    }
+    assert mine == ref
