@@ -1751,6 +1751,90 @@ def _events_retention_oracle() -> str:
     )
 
 
+def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted Bernoulli sampling: keep probability proportional
+    to document length (capped at 1), deterministic per doc_id — a filter
+    over the scan, zero shuffle."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.sampling import weighted_sample
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.col("n_chars").cast("double") / 500.0
+    )
+    return weighted_sample(docs, "doc_id", "w").select("doc_id", "source")
+
+
+def _sample_weighted_oracle() -> str:
+    from kolibrie_spark.operators.sampling import weighted_sample_duckdb_predicate
+
+    pred = weighted_sample_duckdb_predicate(
+        "doc_id", "(CAST(n_chars AS DOUBLE) / 500.0)"
+    )
+    return f"SELECT doc_id, source FROM documents WHERE {pred}"
+
+
+def _q_profile_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token accounting with largest-first cumulative share —
+    the data-mixing planning table. Doc-local token counting (no explode),
+    one |groups|-row aggregation + |groups|-row windows."""
+    from kolibrie_spark.operators.profiling import token_budget
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget(docs, "source", "text")
+
+
+def _profile_token_budget_oracle() -> str:
+    from kolibrie_spark.operators.profiling import token_budget_duckdb_sql
+
+    return token_budget_duckdb_sql("documents", "source", "text")
+
+
+def _q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing aggregates (3-row and 1-hour frames) over each
+    user's history — one window partitioning serves both frames; integer
+    cents make frame sums bit-exact cross-engine."""
+    from kolibrie_spark.operators.analytics import rolling_user_stats
+    from kolibrie_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_user_stats(ev, "user_id", "ts_us", "value", "event_id")
+
+
+def _events_rolling_oracle() -> str:
+    from kolibrie_spark.operators.analytics import rolling_user_stats_duckdb_sql
+
+    return rolling_user_stats_duckdb_sql(
+        "(SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)",
+        "user_id",
+        "ts_us",
+        "value",
+        "event_id",
+    )
+
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _q_profile_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x language cross-tab with a fixed column list: one
+    map-side-combined pivot aggregation, static schema (no discovery
+    job)."""
+    from kolibrie_spark.operators.analytics import pivot_counts
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pivot_counts(docs, "source", "lang", _PIVOT_LANGS)
+
+
+def _profile_pivot_oracle() -> str:
+    from kolibrie_spark.operators.analytics import pivot_counts_duckdb_sql
+
+    return pivot_counts_duckdb_sql("documents", "source", "lang", _PIVOT_LANGS)
+
+
 def _q_builder_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fluent QueryBuilder chain (§2.12 python API)."""
     from kolibrie_spark.engine import SparqlEngine
@@ -1816,6 +1900,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round 3 head = the 7 gates the r2 driver never checked (VERDICT r2 item 1;
 # prob_hybrid had NEVER had a driver row) + gates newly added in round 3.
 _DRIVER_FIRST = [
+    "sample_weighted",  # new in round 3 (session 3)
+    "profile_token_budget",  # new in round 3 (session 3)
+    "events_rolling",  # new in round 3 (session 3)
+    "profile_pivot",  # new in round 3 (session 3)
     "dedup_paragraphs",  # new in round 3 (session 3)
     "events_funnel",  # new in round 3 (session 3)
     "events_retention",  # new in round 3 (session 3)
@@ -2040,6 +2128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_binned": _q_range_join_binned,
         "layout_zorder": _q_layout_zorder,
         "embed_centroids": _q_embed_centroids,
+        "sample_weighted": _q_sample_weighted,
+        "profile_token_budget": _q_profile_token_budget,
+        "events_rolling": _q_events_rolling,
+        "profile_pivot": _q_profile_pivot,
         "dedup_paragraphs": _q_dedup_paragraphs,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
@@ -2390,6 +2482,10 @@ def oracle_sql() -> dict[str, str]:
         "range_join_binned": _range_join_binned_oracle(),
         "layout_zorder": _layout_zorder_oracle(),
         "embed_centroids": _embed_centroids_oracle(),
+        "sample_weighted": _sample_weighted_oracle(),
+        "profile_token_budget": _profile_token_budget_oracle(),
+        "events_rolling": _events_rolling_oracle(),
+        "profile_pivot": _profile_pivot_oracle(),
         "dedup_paragraphs": _dedup_paragraphs_oracle(),
         "events_funnel": _events_funnel_oracle(),
         "events_retention": _events_retention_oracle(),

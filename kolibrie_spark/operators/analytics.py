@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def funnel(
@@ -107,6 +108,118 @@ def retention(
             ).alias("week_offset"),
         )
         .agg(F.count_distinct("uid").alias("n_users"))
+    )
+
+
+def rolling_user_stats(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    row_window: int = 3,
+    range_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Per-event rolling aggregates over each user's history: the
+    trailing ``row_window``-row sum and the trailing ``range_us``
+    event-time-range sum (both inclusive of the current event) — the
+    feature columns an online-abuse / anomaly score reads.
+
+    Exactness: values are scaled to integer cents before summation, so
+    frame-order float accumulation cannot differ between engines. Frame
+    ordering ties break on the event id.
+
+    Plan shape: both frames share ONE window partitioning (hash shuffle
+    on the user key, sort by (ts, id) inside) — Spark evaluates the two
+    frames in a single Window operator pass. Per-user state is the frame
+    buffer, O(row_window + events-in-range)."""
+    ts, v = F.col(ts_col), F.col(value_col)
+    cents = F.round(v * 100).cast("long")
+    order_rows = Window.partitionBy(user_col).orderBy(
+        ts.asc(), F.col(id_col).asc()
+    )
+    w_rows = order_rows.rowsBetween(-(row_window - 1), Window.currentRow)
+    # RANGE frames allow one ordering expression: order by the raw
+    # timestamp value; ties collapse into the same range position (well
+    # defined for sums)
+    w_range = (
+        Window.partitionBy(user_col)
+        .orderBy(ts.asc())
+        .rangeBetween(-range_us, Window.currentRow)
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(user_col).alias("uid"),
+        ts.alias("ts"),
+        F.sum(cents).over(w_rows).alias(f"roll{row_window}_cents"),
+        F.sum(cents).over(w_range).alias("range_cents"),
+    )
+
+
+def rolling_user_stats_duckdb_sql(
+    table_expr: str,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    row_window: int = 3,
+    range_us: int = 3_600_000_000,
+) -> str:
+    """DuckDB twin of :func:`rolling_user_stats` (same integer-cent
+    summation, same frames)."""
+    cents = f"CAST(ROUND({value_col} * 100) AS BIGINT)"
+    return f"""
+SELECT {id_col},
+       {user_col} AS uid,
+       {ts_col} AS ts,
+       CAST(SUM({cents}) OVER (PARTITION BY {user_col}
+         ORDER BY {ts_col} ASC, {id_col} ASC
+         ROWS BETWEEN {row_window - 1} PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS roll{row_window}_cents,
+       CAST(SUM({cents}) OVER (PARTITION BY {user_col}
+         ORDER BY {ts_col} ASC
+         RANGE BETWEEN {range_us} PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS range_cents
+FROM {table_expr}
+"""
+
+
+def pivot_counts(
+    df: DataFrame, row_col: str, pivot_col: str, values: list[str]
+) -> DataFrame:
+    """Cross-tab: one row per ``row_col`` value, one count column per
+    (fixed, explicitly listed) ``pivot_col`` value. Passing the value
+    list is mandatory — it keeps the schema static (no discovery job)
+    and makes the pivot ONE map-side-combined aggregation; missing
+    combinations are 0, values outside the list are dropped."""
+    out = (
+        df.filter(F.col(pivot_col).isin(values))
+        .groupBy(row_col)
+        .pivot(pivot_col, values)
+        .count()
+    )
+    return out.select(
+        F.col(row_col),
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(f"n_{v}")
+            for v in values
+        ],
+    )
+
+
+def pivot_counts_duckdb_sql(
+    table_expr: str, row_col: str, pivot_col: str, values: list[str]
+) -> str:
+    """DuckDB twin of :func:`pivot_counts` (conditional-sum pivot)."""
+    cols = ", ".join(
+        f"CAST(SUM(CASE WHEN {pivot_col} = '{v}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{v}"
+        for v in values
+    )
+    return (
+        f"SELECT {row_col}, {cols} FROM {table_expr} "
+        f"WHERE {pivot_col} IN ({', '.join(repr(v) for v in values)}) "
+        f"GROUP BY {row_col}"
     )
 
 

@@ -258,6 +258,65 @@ GROUP BY n_a, n_b
 """
 
 
+def token_budget(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Training-run token accounting: per group (source/domain), document
+    and whitespace-token counts, the group's share of the corpus, and the
+    cumulative share when groups are taken largest-first — the table a
+    data-mixing decision reads ("the top 3 sources are 80% of tokens").
+
+    Tokens are counted doc-locally with a split/size expression (no
+    explode — the counting never materializes a token row), then ONE
+    map-side-combined aggregation shuffles |groups| rows; the share
+    window runs over |groups| rows, not data. Ordering ties break by
+    group name so the cumulative column is deterministic."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks.cast("long")).alias("n_tokens"),
+    )
+    w_tot = Window.partitionBy()
+    w_cum = Window.orderBy(
+        F.col("n_tokens").desc(), F.col(group_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return agg.select(
+        F.col(group_col),
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_tot)).alias(
+            "token_share"
+        ),
+        (
+            F.sum("n_tokens").over(w_cum).cast("double")
+            / F.sum("n_tokens").over(w_tot)
+        ).alias("cum_share"),
+    )
+
+
+def token_budget_duckdb_sql(
+    table_expr: str, group_col: str, text_expr: str
+) -> str:
+    """DuckDB twin of :func:`token_budget` (same trim/split token rule,
+    same integer-sum-then-divide share arithmetic)."""
+    toks = f"len(regexp_split_to_array(trim({text_expr}), '\\s+'))"
+    return f"""
+WITH agg AS (
+  SELECT {group_col} AS g, COUNT(*) AS n_docs,
+         CAST(SUM({toks}) AS BIGINT) AS n_tokens
+  FROM {table_expr} GROUP BY 1
+)
+SELECT g AS {group_col}, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS BIGINT)
+         AS token_share,
+       CAST(CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, g ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS DOUBLE)
+         / CAST(SUM(n_tokens) OVER () AS BIGINT) AS cum_share
+FROM agg
+"""
+
+
 def profile_stats_duckdb_sql(
     table_expr: str, group_col: str, value_expr: str
 ) -> str:

@@ -213,6 +213,38 @@ SELECT {select_cols} FROM (
 """
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    scale: float = 1.0,
+    hash_fn: str = "poly",
+) -> DataFrame:
+    """Per-row Bernoulli sampling with keep probability
+    ``min(1, scale * weight)`` — quality-weighted corpus selection (keep
+    high-scoring docs with certainty, downsample the tail in proportion),
+    deterministic per key so reruns and multi-table joins agree.
+
+    The cutoff is rounded to bucket resolution (1/10000) BEFORE the
+    comparison, identically in the twin, so float weight arithmetic can
+    never flip a row between engines. A filter over a scan: pushes down,
+    zero shuffle."""
+    cutoff = F.round(
+        F.least(F.lit(1.0), F.col(weight_col) * F.lit(scale)) * BUCKETS
+    ).cast("long")
+    return df.filter(_bucket(F.col(key_col), hash_fn) < cutoff)
+
+
+def weighted_sample_duckdb_predicate(
+    key_expr: str, weight_expr: str, scale: float = 1.0
+) -> str:
+    """DuckDB WHERE-clause twin of :func:`weighted_sample`."""
+    return (
+        f"{bucket_duckdb(key_expr)} < CAST(ROUND(LEAST(1.0, "
+        f"{weight_expr} * CAST({scale} AS DOUBLE)) * {BUCKETS}) AS BIGINT)"
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

@@ -1,0 +1,190 @@
+"""Weighted sampling, token budget, rolling windows, pivot counts."""
+
+import datetime
+
+import duckdb
+
+
+def test_weighted_sample_extremes(spark):
+    from kolibrie_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0 if i % 2 == 0 else 0.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    kept = sorted(r["k"] for r in weighted_sample(df, "k", "w").collect())
+    assert kept == [i for i in range(100) if i % 2 == 0]  # w=1 kept, w=0 dropped
+
+
+def test_weighted_sample_rate_and_determinism(spark):
+    from kolibrie_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 0.3) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    kept1 = sorted(r["k"] for r in weighted_sample(df, "k", "w").collect())
+    kept2 = sorted(
+        r["k"] for r in weighted_sample(df.repartition(5), "k", "w").collect()
+    )
+    assert kept1 == kept2
+    assert 0.25 < len(kept1) / 2000 < 0.35
+
+
+def test_weighted_sample_duckdb_twin(spark):
+    from kolibrie_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_duckdb_predicate,
+    )
+
+    rows = [(i, (i % 10) / 10.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    mine = sorted(
+        r["k"] for r in weighted_sample(df, "k", "w", scale=1.5).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, w DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    pred = weighted_sample_duckdb_predicate("k", "w", scale=1.5)
+    ref = sorted(r[0] for r in con.execute(f"SELECT k FROM t WHERE {pred}").fetchall())
+    assert mine == ref
+
+
+def test_token_budget_shares(spark):
+    from kolibrie_spark.operators.profiling import token_budget
+
+    rows = [("big", "a b c d e")] * 6 + [("small", "x y")] * 2
+    df = spark.createDataFrame(rows, "src string, text string")
+    out = {r["src"]: r for r in token_budget(df, "src", "text").collect()}
+    assert out["big"]["n_tokens"] == 30 and out["small"]["n_tokens"] == 4
+    assert abs(out["big"]["token_share"] - 30 / 34) < 1e-12
+    assert out["big"]["cum_share"] == 30 / 34
+    assert out["small"]["cum_share"] == 1.0
+
+
+def test_token_budget_duckdb_twin(spark):
+    import random
+
+    from kolibrie_spark.operators.profiling import (
+        token_budget,
+        token_budget_duckdb_sql,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (f"s{rng.randint(0, 5)}", " ".join("tok" for _ in range(rng.randint(1, 20))))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "src string, text string")
+    mine = {tuple(r) for r in token_budget(df, "src", "text").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (src VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    ref = {
+        tuple(r)
+        for r in con.execute(token_budget_duckdb_sql("t", "src", "text")).fetchall()
+    }
+    assert mine == ref
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_rolling_user_stats_values(spark):
+    from kolibrie_spark.operators.analytics import rolling_user_stats
+
+    base = _ts("2026-01-01 10:00")
+    us = lambda m: int((base + datetime.timedelta(minutes=m)).timestamp() * 1_000_000)
+    ev = [
+        (1, 1, us(0), 1.0),
+        (2, 1, us(10), 2.0),
+        (3, 1, us(30), 4.0),
+        (4, 1, us(90), 8.0),  # 90min: outside 1h of events 1,2 but not 3
+        (5, 2, us(0), 100.0),
+    ]
+    df = spark.createDataFrame(ev, "eid long, uid long, ts_us long, v double")
+    out = {
+        r["eid"]: r
+        for r in rolling_user_stats(df, "uid", "ts_us", "v", "eid").collect()
+    }
+    assert out[3]["roll3_cents"] == 700  # 1+2+4
+    assert out[4]["roll3_cents"] == 1400  # 2+4+8
+    assert out[3]["range_cents"] == 700  # all within 1h
+    assert out[4]["range_cents"] == 1200  # event 3 (30min) + itself
+    assert out[5]["roll3_cents"] == 10000
+
+
+def test_rolling_user_stats_duckdb_twin(spark):
+    import random
+
+    from kolibrie_spark.operators.analytics import (
+        rolling_user_stats,
+        rolling_user_stats_duckdb_sql,
+    )
+
+    rng = random.Random(23)
+    ev = [
+        (
+            i,
+            rng.randint(1, 20),
+            1_700_000_000_000_000 + rng.randint(0, 20_000) * 1_000_000,
+            round(rng.uniform(0, 50), 2),
+        )
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(ev, "eid long, uid long, ts_us long, v double")
+    mine = {
+        tuple(r)
+        for r in rolling_user_stats(
+            df, "uid", "ts_us", "v", "eid", range_us=5_000_000_000
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (eid BIGINT, uid BIGINT, ts_us BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", ev)
+    ref = {
+        tuple(r)
+        for r in con.execute(
+            rolling_user_stats_duckdb_sql(
+                "t", "uid", "ts_us", "v", "eid", range_us=5_000_000_000
+            )
+        ).fetchall()
+    }
+    assert mine == ref
+
+
+def test_pivot_counts(spark):
+    from kolibrie_spark.operators.analytics import pivot_counts
+
+    rows = [("s1", "en"), ("s1", "en"), ("s1", "fr"), ("s2", "fr"), ("s2", "xx")]
+    df = spark.createDataFrame(rows, "src string, lang string")
+    out = {
+        r["src"]: (r["n_en"], r["n_fr"])
+        for r in pivot_counts(df, "src", "lang", ["en", "fr"]).collect()
+    }
+    assert out == {"s1": (2, 1), "s2": (0, 1)}  # 'xx' dropped, missing -> 0
+
+
+def test_pivot_counts_duckdb_twin(spark):
+    import random
+
+    from kolibrie_spark.operators.analytics import (
+        pivot_counts,
+        pivot_counts_duckdb_sql,
+    )
+
+    rng = random.Random(31)
+    rows = [
+        (f"s{rng.randint(0, 6)}", rng.choice(["en", "fr", "de", "zz"]))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "src string, lang string")
+    vals = ["en", "fr", "de"]
+    mine = {tuple(r) for r in pivot_counts(df, "src", "lang", vals).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (src VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    ref = {
+        tuple(r)
+        for r in con.execute(
+            pivot_counts_duckdb_sql("t", "src", "lang", vals)
+        ).fetchall()
+    }
+    assert mine == ref
