@@ -1835,6 +1835,52 @@ def _profile_pivot_oracle() -> str:
     return pivot_counts_duckdb_sql("documents", "source", "lang", _PIVOT_LANGS)
 
 
+def _q_embed_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level eval contamination: the 'benchmark' side is a
+    deterministically perturbed subset of the corpus (every 25th vector,
+    elementwise jitter x*(1+0.01*((i%7)-3)) — the leaked-example model),
+    detected by shared-LSH-bucket + cosine >= 0.99. Bench side broadcast;
+    corpus never shuffles."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.contamination import embedding_contamination
+    from kolibrie_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("bench_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x * (1.0 + 0.01 * ((i % 7) - 3).cast("double")),
+        ).alias("embedding"),
+    )
+    return embedding_contamination(
+        emb, "vec_id", bench, "bench_id", "embedding", dim=64, tau=0.99
+    )
+
+
+def _embed_contamination_oracle() -> str:
+    from kolibrie_spark.operators.contamination import (
+        embedding_contamination_duckdb_sql,
+    )
+
+    bench_sql = (
+        "(SELECT vec_id + 1000000 AS bench_id, "
+        "list_transform(generate_series(1, 64), i -> "
+        "CAST(embedding[i] AS DOUBLE) * (1.0 + 0.01 * CAST((i - 1) % 7 - 3 AS DOUBLE))"
+        ") AS embedding FROM embeddings WHERE vec_id % 25 = 0)"
+    )
+    return embedding_contamination_duckdb_sql(
+        "embeddings",
+        "vec_id",
+        bench_sql,
+        "bench_id",
+        "embedding",
+        dim=64,
+        tau=0.99,
+    )
+
+
 def _q_builder_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fluent QueryBuilder chain (§2.12 python API)."""
     from kolibrie_spark.engine import SparqlEngine
@@ -1900,6 +1946,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round 3 head = the 7 gates the r2 driver never checked (VERDICT r2 item 1;
 # prob_hybrid had NEVER had a driver row) + gates newly added in round 3.
 _DRIVER_FIRST = [
+    "embed_contamination",  # new in round 3 (session 3)
     "sample_weighted",  # new in round 3 (session 3)
     "profile_token_budget",  # new in round 3 (session 3)
     "events_rolling",  # new in round 3 (session 3)
@@ -2128,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_binned": _q_range_join_binned,
         "layout_zorder": _q_layout_zorder,
         "embed_centroids": _q_embed_centroids,
+        "embed_contamination": _q_embed_contamination,
         "sample_weighted": _q_sample_weighted,
         "profile_token_budget": _q_profile_token_budget,
         "events_rolling": _q_events_rolling,
@@ -2482,6 +2530,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_binned": _range_join_binned_oracle(),
         "layout_zorder": _layout_zorder_oracle(),
         "embed_centroids": _embed_centroids_oracle(),
+        "embed_contamination": _embed_contamination_oracle(),
         "sample_weighted": _sample_weighted_oracle(),
         "profile_token_budget": _profile_token_budget_oracle(),
         "events_rolling": _events_rolling_oracle(),

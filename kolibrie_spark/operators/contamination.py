@@ -105,3 +105,109 @@ SELECT c.{id_col}, COALESCE(a.n_ngrams, 0) AS n_ngrams,
             ELSE 0.0 END AS containment
 FROM {corpus_sql} c LEFT JOIN agg a ON c.{id_col} = a.id
 """
+
+
+def embedding_contamination(
+    corpus: DataFrame,
+    corpus_id: str,
+    bench: DataFrame,
+    bench_id: str,
+    vec_col: str,
+    *,
+    dim: int,
+    tau: float = 0.9,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-level eval-set contamination: corpus rows whose vector is
+    near-identical (cosine >= tau) to a benchmark vector — catches
+    paraphrased/reformatted leakage that n-gram containment misses.
+
+    The CONTRACT (what the oracle brute-forces) is: same random-hyperplane
+    LSH bucket (seeded, shared with the similarity index) AND
+    cosine >= tau AND corpus_id != bench_id. The bucket conjunct is the
+    standard recall trade — a cosine-0.99 pair lands in the same bucket
+    with high probability at bits=8; raise recall by unioning over
+    rotated-seed repetitions.
+
+    Plan shape at 100 TB: eval benchmarks are tiny, so the bench side
+    (id, vector, bucket) is BROADCAST and the join on the bucket key is a
+    BroadcastHashJoin — the corpus is scanned once, never shuffled, and
+    the cosine runs only inside matching buckets (~1/2^bits of the cross
+    product). Scores are the shared left-fold dot product, bit-identical
+    to the DuckDB twin.
+    """
+    from kolibrie_spark.operators.similarity import (
+        cosine_expr,
+        hyperplanes,
+        signature_expr,
+    )
+
+    planes = hyperplanes(dim, bits, seed)
+    v = F.col(vec_col)
+    c = corpus.select(
+        F.col(corpus_id).alias("corpus_id"),
+        v.cast("array<double>").alias("cv"),
+        signature_expr(v, planes).alias("bucket"),
+    )
+    b = bench.select(
+        F.col(bench_id).alias("bench_id"),
+        v.cast("array<double>").alias("bv"),
+        signature_expr(v, planes).alias("bucket"),
+    )
+    return (
+        c.join(F.broadcast(b), on="bucket")
+        .filter(F.col("corpus_id") != F.col("bench_id"))
+        .withColumn("cosine", cosine_expr(F.col("cv"), F.col("bv")))
+        .filter(F.col("cosine") >= F.lit(float(tau)))
+        .select("corpus_id", "bench_id", "cosine")
+    )
+
+
+def embedding_contamination_duckdb_sql(
+    corpus_sql: str,
+    corpus_id: str,
+    bench_sql: str,
+    bench_id: str,
+    vec_expr: str,
+    *,
+    dim: int,
+    tau: float = 0.9,
+    bits: int = 8,
+    seed: int = 42,
+) -> str:
+    """Brute-force twin of :func:`embedding_contamination`: quadratic join
+    evaluating the identical bucket + cosine contract."""
+    from kolibrie_spark.operators.similarity import cosine_duckdb_sql, hyperplanes
+
+    planes = hyperplanes(dim, bits, seed)
+    plane_sql = (
+        "["
+        + ", ".join("[" + ", ".join(repr(x) for x in p) + "]" for p in planes)
+        + "]"
+    )
+    dot_vp = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, {dim}), k -> {{v}}[k] * ps[j+1][k])), "
+        f"(acc, x) -> acc + x)"
+    )
+    sig = (
+        f"list_aggregate(list_transform(generate_series(0, {bits - 1}), "
+        "j -> CASE WHEN " + dot_vp + " >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT "
+        "END), 'sum')"
+    )
+    cos = cosine_duckdb_sql("cv", "bv")
+    return f"""
+WITH planes AS (SELECT {plane_sql}::DOUBLE[][] AS ps),
+c AS (SELECT {corpus_id} AS corpus_id,
+             list_transform({vec_expr}, x -> CAST(x AS DOUBLE)) AS cv
+      FROM {corpus_sql}),
+b AS (SELECT {bench_id} AS bench_id,
+             list_transform({vec_expr}, x -> CAST(x AS DOUBLE)) AS bv
+      FROM {bench_sql}),
+csig AS (SELECT corpus_id, cv, {sig.format(v='cv')} AS bucket FROM c, planes),
+bsig AS (SELECT bench_id, bv, {sig.format(v='bv')} AS bucket FROM b, planes)
+SELECT corpus_id, bench_id, {cos} AS cosine
+FROM csig JOIN bsig USING (bucket)
+WHERE corpus_id != bench_id AND {cos} >= {float(tau)}
+"""

@@ -188,3 +188,48 @@ def test_pivot_counts_duckdb_twin(spark):
         ).fetchall()
     }
     assert mine == ref
+
+
+def test_embedding_contamination_detects_planted(spark):
+    import numpy as np
+
+    from kolibrie_spark.operators.contamination import embedding_contamination
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(80, 16).round(4)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "cid long, embedding array<double>",
+    )
+    # bench = 5 corpus vectors with tiny jitter + 3 unrelated vectors
+    planted = [(1000 + i, [float(x) * 1.0005 for x in vecs[i * 7]]) for i in range(5)]
+    noise = [(2000 + i, [float(x) for x in rng.randn(16).round(4)]) for i in range(3)]
+    bench = spark.createDataFrame(
+        planted + noise, "bid long, embedding array<double>"
+    )
+    out = embedding_contamination(
+        corpus, "cid", bench, "bid", "embedding", dim=16, tau=0.999
+    )
+    got = {(r["corpus_id"], r["bench_id"]) for r in out.collect()}
+    # scaling preserves cosine exactly -> every planted pair within any
+    # bucket split must map cid=i*7 to bid=1000+i; noise never matches
+    assert got <= {(i * 7, 1000 + i) for i in range(5)}
+    assert len(got) >= 4  # at most one pair lost to a bucket split
+    assert all(b < 2000 for _, b in got)
+
+
+def test_embedding_contamination_broadcasts_bench(spark):
+    import numpy as np
+
+    from kolibrie_spark.operators.contamination import embedding_contamination
+
+    rng = np.random.RandomState(5)
+    mk = lambda n, o: [(o + i, [float(x) for x in rng.randn(8)]) for i in range(n)]
+    corpus = spark.createDataFrame(mk(40, 0), "cid long, embedding array<double>")
+    bench = spark.createDataFrame(mk(4, 100), "bid long, embedding array<double>")
+    plan = (
+        embedding_contamination(corpus, "cid", bench, "bid", "embedding", dim=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
