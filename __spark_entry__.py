@@ -1881,6 +1881,61 @@ def _embed_contamination_oracle() -> str:
     )
 
 
+_HTML_PRE = '<p class="doc">'
+_HTML_POST = '</p><script>track("x");</script> &amp; <b>tail</b>'
+
+
+def _q_text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip + basic entity decode over documents wrapped
+    in synthetic markup (tags, a script element, double-encoded entity) —
+    pure JVM regexp chain, zero shuffle."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.normalize import strip_html_expr
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    return docs.select(
+        "doc_id", strip_html_expr(wrapped).alias("text_plain")
+    )
+
+
+def _text_strip_html_oracle() -> str:
+    from kolibrie_spark.operators.normalize import strip_html_duckdb_sql
+
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    wrapped = f"('{pre}' || text || '{post}')"
+    return (
+        f"SELECT doc_id, {strip_html_duckdb_sql(wrapped)} AS text_plain "
+        "FROM documents"
+    )
+
+
+def _q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al-style duplicated-substring removal at char granularity
+    (L=40): sliding windows -> global first-occurrence rank -> per-doc
+    interval union -> stitched clean text. The honest |chars|-row explode
+    is the algorithm's linear cost; scale path = hashed window keys +
+    strided windows (see operators/substring.py)."""
+    from kolibrie_spark.operators.substring import remove_duplicate_spans
+    from kolibrie_spark.tables import load_table, parallelized
+
+    docs = parallelized(load_table(spark, sf_dir, "documents"))
+    return remove_duplicate_spans(docs, "doc_id", "text", span_len=40)
+
+
+def _dedup_substring_oracle() -> str:
+    from kolibrie_spark.operators.substring import (
+        remove_duplicate_spans_duckdb_sql,
+    )
+
+    return remove_duplicate_spans_duckdb_sql(
+        "documents", "doc_id", "text", span_len=40
+    )
+
+
 def _q_builder_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fluent QueryBuilder chain (§2.12 python API)."""
     from kolibrie_spark.engine import SparqlEngine
@@ -1946,6 +2001,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round 3 head = the 7 gates the r2 driver never checked (VERDICT r2 item 1;
 # prob_hybrid had NEVER had a driver row) + gates newly added in round 3.
 _DRIVER_FIRST = [
+    "dedup_substring",  # new in round 3 (session 3)
+    "text_strip_html",  # new in round 3 (session 3)
     "embed_contamination",  # new in round 3 (session 3)
     "sample_weighted",  # new in round 3 (session 3)
     "profile_token_budget",  # new in round 3 (session 3)
@@ -2175,6 +2232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_binned": _q_range_join_binned,
         "layout_zorder": _q_layout_zorder,
         "embed_centroids": _q_embed_centroids,
+        "dedup_substring": _q_dedup_substring,
+        "text_strip_html": _q_text_strip_html,
         "embed_contamination": _q_embed_contamination,
         "sample_weighted": _q_sample_weighted,
         "profile_token_budget": _q_profile_token_budget,
@@ -2530,6 +2589,8 @@ def oracle_sql() -> dict[str, str]:
         "range_join_binned": _range_join_binned_oracle(),
         "layout_zorder": _layout_zorder_oracle(),
         "embed_centroids": _embed_centroids_oracle(),
+        "dedup_substring": _dedup_substring_oracle(),
+        "text_strip_html": _text_strip_html_oracle(),
         "embed_contamination": _embed_contamination_oracle(),
         "sample_weighted": _sample_weighted_oracle(),
         "profile_token_budget": _profile_token_budget_oracle(),

@@ -65,3 +65,45 @@ def normalize_duckdb_sql(text_expr: str) -> str:
     c = f"regexp_replace({c}, chr(160), ' ', 'g')"
     c = f"regexp_replace({c}, '\\s+', ' ', 'g')"
     return f"trim({c})"
+
+
+# decode order is PART OF THE CONTRACT: named/numeric entities first and
+# &amp; LAST, so "&amp;lt;" decodes to the literal "&lt;" (one pass, no
+# re-scan) exactly like Python's html.unescape does for this basic set
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def strip_html_expr(col: Column) -> Column:
+    """Drop HTML/XML tags and decode the basic entity set — the cheap
+    boilerplate pass a crawl corpus runs before any text analysis.
+    ``<script>``/``<style>`` ELEMENT CONTENT is dropped too (tag-aware),
+    since rendering never shows it. Pure JVM ``regexp_replace`` chain —
+    whole-stage codegen, zero shuffle, no Python."""
+    # non-greedy across-newline script/style bodies, case-insensitive.
+    # One pattern per element (no backreference) — RE2, which the DuckDB
+    # twin runs on, has no backreferences
+    c = col
+    for el in ("script", "style"):
+        c = F.regexp_replace(
+            c, rf"(?is)<{el}\b[^>]*>.*?</{el}[\t\n\r ]*>", " "
+        )
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, ch in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def strip_html_duckdb_sql(text_expr: str) -> str:
+    """DuckDB twin of :func:`strip_html_expr` (RE2 's' flag via inline
+    modifiers; same entity order)."""
+    c = text_expr
+    for el in ("script", "style"):
+        c = (
+            f"regexp_replace({c}, "
+            f"'(?is)<{el}\\b[^>]*>.*?</{el}[\\t\\n\\r ]*>', ' ', 'g')"
+        )
+    c = f"regexp_replace({c}, '<[^>]*>', ' ', 'g')"
+    for ent, ch in _ENTITIES:
+        lit = ch.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{lit}')"
+    return c

@@ -217,3 +217,103 @@ def test_retention_duckdb_twin(spark):
         for r in con.execute(retention_duckdb_sql("t", "uid", "ts")).fetchall()
     }
     assert mine == ref
+
+
+# ---------------------------------------------------------------------------
+# duplicated-substring removal
+# ---------------------------------------------------------------------------
+
+
+def test_remove_duplicate_spans_basic(spark):
+    from kolibrie_spark.operators.substring import remove_duplicate_spans
+
+    boiler = "SUBSCRIBE-TO-OUR-NEWSLETTER-TODAY"  # 33 chars
+    docs = [
+        (1, f"first doc intro {boiler} and unique tail one"),
+        (2, f"second doc {boiler} different content here"),
+        (3, "totally unique short document body text"),
+        (4, "tiny"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, "doc_id", "text", span_len=30).collect()
+    }
+    # doc 1 holds the first occurrence -> untouched
+    assert out[1]["text_clean"] == docs[0][1] and out[1]["n_removed"] == 0
+    # doc 2 loses the boilerplate span (and surrounding covered windows)
+    assert boiler not in out[2]["text_clean"]
+    assert out[2]["n_removed"] > 0
+    assert out[2]["text_clean"].startswith("second doc")
+    assert out[2]["text_clean"].endswith("here")
+    assert out[3]["text_clean"] == docs[2][1] and out[3]["n_removed"] == 0
+    assert out[4]["text_clean"] == "tiny" and out[4]["n_removed"] == 0
+
+
+def test_remove_duplicate_spans_intra_doc(spark):
+    from kolibrie_spark.operators.substring import remove_duplicate_spans
+
+    span = "x" * 30
+    df = spark.createDataFrame(
+        [(1, f"A {span} B {span} C")], "doc_id long, text string"
+    )
+    [r] = remove_duplicate_spans(df, "doc_id", "text", span_len=20).collect()
+    # a periodic self-overlapping repeat collapses aggressively (documented
+    # artifact): every window after the globally first is covered, so only
+    # the first window's uncovered head survives
+    assert r["text_clean"] == "A x BC" and r["n_removed"] == 61
+
+
+def test_remove_duplicate_spans_duckdb_twin(spark):
+    import random
+
+    from kolibrie_spark.operators.substring import (
+        remove_duplicate_spans,
+        remove_duplicate_spans_duckdb_sql,
+    )
+
+    rng = random.Random(41)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    boilers = [
+        "this is a very long repeated legal disclaimer line",
+        "click here to accept all cookies on this site now",
+    ]
+    docs = []
+    for i in range(50):
+        words = [rng.choice(vocab) for _ in range(rng.randint(3, 15))]
+        if rng.random() < 0.5:
+            words.insert(rng.randint(0, len(words)), rng.choice(boilers))
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    mine = {
+        tuple(r)
+        for r in remove_duplicate_spans(df, "doc_id", "text", span_len=25).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", docs)
+    ref = {
+        tuple(r)
+        for r in con.execute(
+            remove_duplicate_spans_duckdb_sql("t", "doc_id", "text", span_len=25)
+        ).fetchall()
+    }
+    assert mine == ref
+
+
+def test_remove_duplicate_spans_partition_invariant(spark):
+    from kolibrie_spark.operators.substring import remove_duplicate_spans
+
+    docs = [
+        (i, f"common shared prefix line for everyone {i} plus suffix {i % 3}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(map(tuple, remove_duplicate_spans(df, "doc_id", "text", 30).collect()))
+    b = sorted(
+        map(
+            tuple,
+            remove_duplicate_spans(df.repartition(11), "doc_id", "text", 30).collect(),
+        )
+    )
+    assert a == b
