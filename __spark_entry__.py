@@ -1936,6 +1936,23 @@ def _dedup_substring_oracle() -> str:
     )
 
 
+def _q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the JSON props column + per-type stats:
+    from_json with an explicit schema (codegen'd Jackson parse, field
+    pruning by Catalyst), one map-side-combined aggregation."""
+    from kolibrie_spark.operators.semistructured import json_agg_by_key
+    from kolibrie_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return json_agg_by_key(ev, "event_type", "props", "k", "BIGINT")
+
+
+def _events_json_agg_oracle() -> str:
+    from kolibrie_spark.operators.semistructured import json_agg_by_key_duckdb_sql
+
+    return json_agg_by_key_duckdb_sql("events", "event_type", "props", "k")
+
+
 def _q_builder_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fluent QueryBuilder chain (§2.12 python API)."""
     from kolibrie_spark.engine import SparqlEngine
@@ -2001,6 +2018,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round 3 head = the 7 gates the r2 driver never checked (VERDICT r2 item 1;
 # prob_hybrid had NEVER had a driver row) + gates newly added in round 3.
 _DRIVER_FIRST = [
+    "events_json_agg",  # new in round 3 (session 3)
     "dedup_substring",  # new in round 3 (session 3)
     "text_strip_html",  # new in round 3 (session 3)
     "embed_contamination",  # new in round 3 (session 3)
@@ -2232,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_binned": _q_range_join_binned,
         "layout_zorder": _q_layout_zorder,
         "embed_centroids": _q_embed_centroids,
+        "events_json_agg": _q_events_json_agg,
         "dedup_substring": _q_dedup_substring,
         "text_strip_html": _q_text_strip_html,
         "embed_contamination": _q_embed_contamination,
@@ -2589,6 +2608,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_binned": _range_join_binned_oracle(),
         "layout_zorder": _layout_zorder_oracle(),
         "embed_centroids": _embed_centroids_oracle(),
+        "events_json_agg": _events_json_agg_oracle(),
         "dedup_substring": _dedup_substring_oracle(),
         "text_strip_html": _text_strip_html_oracle(),
         "embed_contamination": _embed_contamination_oracle(),

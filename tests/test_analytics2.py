@@ -233,3 +233,54 @@ def test_embedding_contamination_broadcasts_bench(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_json_field_and_agg(spark):
+    from kolibrie_spark.operators.semistructured import json_agg_by_key
+
+    rows = [
+        ("a", '{"k": 10}'),
+        ("a", '{"k": 5, "other": 1}'),
+        ("a", "not json"),
+        ("a", '{"nokey": 2}'),
+        ("b", '{"k": -3}'),
+    ]
+    df = spark.createDataFrame(rows, "g string, props string")
+    out = {r["g"]: r for r in json_agg_by_key(df, "g", "props", "k").collect()}
+    assert out["a"]["n_parsed"] == 2 and out["a"]["sum_v"] == 15
+    assert out["a"]["min_v"] == 5 and out["a"]["max_v"] == 10
+    assert out["b"]["sum_v"] == -3
+
+
+def test_json_agg_duckdb_twin(spark):
+    import json
+    import random
+
+    from kolibrie_spark.operators.semistructured import (
+        json_agg_by_key,
+        json_agg_by_key_duckdb_sql,
+    )
+
+    rng = random.Random(43)
+    rows = []
+    for _ in range(300):
+        g = f"t{rng.randint(0, 4)}"
+        roll = rng.random()
+        if roll < 0.7:
+            rows.append((g, json.dumps({"k": rng.randint(-100, 100)})))
+        elif roll < 0.85:
+            rows.append((g, json.dumps({"j": 1})))
+        else:
+            rows.append((g, "garbage{"))
+    df = spark.createDataFrame(rows, "g string, props string")
+    mine = {tuple(r) for r in json_agg_by_key(df, "g", "props", "k").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, props VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    ref = {
+        tuple(r)
+        for r in con.execute(
+            json_agg_by_key_duckdb_sql("t", "g", "props", "k")
+        ).fetchall()
+    }
+    assert mine == ref
