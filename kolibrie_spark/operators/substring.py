@@ -87,6 +87,9 @@ def remove_duplicate_spans(
     segs = runs.withColumn(
         "prev_hi", F.coalesce(F.lag("hi").over(w_seg), F.lit(0))
     )
+    # docs is joined ONCE (text rides through the aggregation via first());
+    # untouched docs fall out of a single left join with coalesce — no
+    # anti-join + union branch, two fewer scans/shuffles
     per_doc = segs.join(docs, on="id").groupBy("id").agg(
         F.concat_ws(
             "",
@@ -108,18 +111,25 @@ def remove_duplicate_spans(
         ).alias("head"),
         F.max("hi").alias("max_hi"),
         F.sum(F.col("hi") - F.col("lo") + 1).alias("n_removed"),
+        F.first("text").alias("__text"),
     )
-    cleaned = per_doc.join(docs, on="id").select(
+    per_doc = per_doc.select(
         "id",
         F.concat(
-            F.col("head"), F.expr("substring(text, max_hi + 1)")
-        ).alias("text_clean"),
-        F.col("n_removed"),
+            F.col("head"), F.expr("substring(__text, max_hi + 1)")
+        ).alias("__clean"),
+        "n_removed",
     )
-    untouched = docs.join(per_doc.select("id"), on="id", how="left_anti").select(
-        "id", F.col("text").alias("text_clean"), F.lit(0).cast("long").alias("n_removed")
+    return (
+        docs.join(per_doc, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("__clean"), F.col("text")).alias("text_clean"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias(
+                "n_removed"
+            ),
+        )
     )
-    return cleaned.unionAll(untouched).withColumnRenamed("id", id_col)
 
 
 def remove_duplicate_spans_duckdb_sql(
