@@ -471,3 +471,67 @@ def test_live_istream_gate_matches_replay_twin(spark):
         .collect()
     }
     assert live == twin and live
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """Streaming funnel (applyInPandasWithState, one state row per user)
+    converges to the batch funnel() result when all events have arrived
+    in order."""
+    from kolibrie_spark.operators.analytics import funnel
+    from kolibrie_spark.streaming.funnel import funnel_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = [
+        ("u1", 100, "view"),
+        ("u1", 200, "cart"),
+        ("u2", 150, "view"),
+        ("u3", 50, "buy"),  # buy before view: must not count
+    ]
+    batch2 = [
+        ("u1", 300, "buy"),
+        ("u2", 140, "cart"),  # before u2's t1=150: not after -> no advance
+        ("u3", 60, "view"),
+        ("u3", 70, "buy"),
+    ]
+    steps = ["view", "cart", "buy"]
+    spark.createDataFrame(batch1, "u string, t long, et string").write.parquet(src)
+    stream = spark.readStream.schema("u string, t long, et string").parquet(src)
+    out = funnel_stream(stream, "u", "t", "et", steps)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_test")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(batch2, "u string, t long, et string").write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    # latest emission per user = current funnel state
+    rows = spark.sql(
+        "SELECT * FROM funnel_test"
+    ).collect()
+    latest = {}
+    for r in rows:
+        cur = (r["t1"], r["t2"], r["t3"])
+        prev = latest.get(r["uid"])
+        # update stream: a later emission strictly advances (more fields set)
+        if prev is None or sum(v is not None for v in cur) >= sum(
+            v is not None for v in prev
+        ):
+            latest[r["uid"]] = cur
+    all_events = batch1 + batch2
+    bdf = spark.createDataFrame(all_events, "u string, t long, et string")
+    batch_out = {
+        r["uid"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel(bdf, "u", "t", "et", steps).collect()
+    }
+    # streaming emits only users who entered the funnel (t1 set)
+    assert {u: v for u, v in latest.items() if v[0] is not None} == batch_out
+    assert batch_out["u1"] == (100, 200, 300)
+    assert batch_out["u2"] == (150, None, None)
+    assert batch_out["u3"] == (60, None, None)
