@@ -1,0 +1,111 @@
+"""Data-quality auditing: the assertion pass a pipeline runs before
+promoting a batch (dbt-test / Great-Expectations shape, engine-side).
+
+``audit_counts`` evaluates a set of named boolean rules in ONE scan —
+each rule is a predicate column summed as violations; no per-rule jobs.
+``fk_violations`` counts orphaned foreign keys with a broadcast-friendly
+left-anti join (the dimension side's distinct keys are usually small;
+Spark's runtime bloom filter prunes the fact side when not).
+
+Output is one row per rule: ``(rule, n_violations, n_rows)`` — the
+shape a CI gate asserts on ("fail promote if any n_violations > 0").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def audit_counts(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """``rules`` maps rule name -> violation predicate (TRUE = violation).
+    One map-side-combined aggregation computes every rule; the result is
+    unpivoted to one row per rule via a stack (no second pass)."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    names = list(rules)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(rules[name].cast("long")).alias(f"__v_{i}")
+            for i, name in enumerate(names)
+        ],
+    )
+    stack = ", ".join(f"'{name}', __v_{i}" for i, name in enumerate(names))
+    return agg.selectExpr(
+        f"stack({len(names)}, {stack}) AS (rule, n_violations)", "__n AS n_rows"
+    ).select("rule", "n_violations", "n_rows")
+
+
+def audit_counts_duckdb_sql(
+    table_expr: str, rules: dict[str, str]
+) -> str:
+    """DuckDB twin: same one-pass conditional sums, unpivoted by UNION ALL
+    (the literal twin of stack())."""
+    names = list(rules)
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN ({rules[n]}) THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS v_{i}"
+        for i, n in enumerate(names)
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT '{n}' AS rule, v_{i} AS n_violations, n AS n_rows FROM agg"
+        for i, n in enumerate(names)
+    )
+    return f"WITH agg AS (SELECT COUNT(*) AS n, {sums} FROM {table_expr}) {branches}"
+
+
+def fk_violations(
+    fact: DataFrame, fk_col: str, dim: DataFrame, pk_col: str
+) -> DataFrame:
+    """Orphaned-FK count: fact rows (non-null fk) with no matching
+    dimension key. Left-anti join on the key — broadcast when the dim's
+    distinct keys fit, bloom-pruned otherwise. Returns one row
+    ``(n_orphans, n_rows)``."""
+    n_rows = fact.count()
+    orphans = (
+        fact.filter(F.col(fk_col).isNotNull())
+        .join(
+            dim.select(F.col(pk_col).alias(fk_col)).distinct(),
+            on=fk_col,
+            how="left_anti",
+        )
+        .count()
+    )
+    sess = fact.sparkSession
+    return sess.createDataFrame(
+        [(orphans, n_rows)], "n_orphans long, n_rows long"
+    )
+
+
+def fk_violations_df(
+    fact: DataFrame, fk_col: str, dim: DataFrame, pk_col: str
+) -> DataFrame:
+    """Plan-only variant of :func:`fk_violations` (no driver-side counts):
+    one aggregation over a left join null-probe — a single job, and the
+    form the gate uses."""
+    probe = fact.select(F.col(fk_col)).join(
+        dim.select(F.col(pk_col).alias(fk_col), F.lit(1).alias("__hit"))
+        .distinct(),
+        on=fk_col,
+        how="left",
+    )
+    return probe.agg(
+        F.sum(
+            (F.col(fk_col).isNotNull() & F.col("__hit").isNull()).cast("long")
+        ).alias("n_orphans"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def fk_violations_duckdb_sql(
+    fact_expr: str, fk_col: str, dim_expr: str, pk_col: str
+) -> str:
+    return f"""
+SELECT CAST(SUM(CASE WHEN f.{fk_col} IS NOT NULL AND d.{pk_col} IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       COUNT(*) AS n_rows
+FROM {fact_expr} f
+LEFT JOIN (SELECT DISTINCT {pk_col} FROM {dim_expr}) d
+  ON f.{fk_col} = d.{pk_col}
+"""
