@@ -3,9 +3,10 @@ promoting a batch (dbt-test / Great-Expectations shape, engine-side).
 
 ``audit_counts`` evaluates a set of named boolean rules in ONE scan —
 each rule is a predicate column summed as violations; no per-rule jobs.
-``fk_violations`` counts orphaned foreign keys with a broadcast-friendly
-left-anti join (the dimension side's distinct keys are usually small;
-Spark's runtime bloom filter prunes the fact side when not).
+``fk_violations_df`` counts orphaned foreign keys with a
+broadcast-friendly left-join null-probe (the dimension side's distinct
+keys are usually small; Spark's runtime bloom filter prunes the fact
+side when not).
 
 Output is one row per rule: ``(rule, n_violations, n_rows)`` — the
 shape a CI gate asserts on ("fail promote if any n_violations > 0").
@@ -55,35 +56,14 @@ def audit_counts_duckdb_sql(
     return f"WITH agg AS (SELECT COUNT(*) AS n, {sums} FROM {table_expr}) {branches}"
 
 
-def fk_violations(
-    fact: DataFrame, fk_col: str, dim: DataFrame, pk_col: str
-) -> DataFrame:
-    """Orphaned-FK count: fact rows (non-null fk) with no matching
-    dimension key. Left-anti join on the key — broadcast when the dim's
-    distinct keys fit, bloom-pruned otherwise. Returns one row
-    ``(n_orphans, n_rows)``."""
-    n_rows = fact.count()
-    orphans = (
-        fact.filter(F.col(fk_col).isNotNull())
-        .join(
-            dim.select(F.col(pk_col).alias(fk_col)).distinct(),
-            on=fk_col,
-            how="left_anti",
-        )
-        .count()
-    )
-    sess = fact.sparkSession
-    return sess.createDataFrame(
-        [(orphans, n_rows)], "n_orphans long, n_rows long"
-    )
-
-
 def fk_violations_df(
     fact: DataFrame, fk_col: str, dim: DataFrame, pk_col: str
 ) -> DataFrame:
-    """Plan-only variant of :func:`fk_violations` (no driver-side counts):
-    one aggregation over a left join null-probe — a single job, and the
-    form the gate uses."""
+    """Orphaned-FK probe: fact rows (non-null fk) with no matching
+    dimension key, counted by ONE aggregation over a left-join
+    null-probe — a single job, no driver-side counts; the join
+    broadcasts when the dim's distinct keys fit. Returns one row
+    ``(n_orphans, n_rows)``."""
     probe = fact.select(F.col(fk_col)).join(
         dim.select(F.col(pk_col).alias(fk_col), F.lit(1).alias("__hit"))
         .distinct(),
