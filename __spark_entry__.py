@@ -2064,6 +2064,88 @@ def _events_downsample_oracle() -> str:
     )
 
 
+def _q_analytics_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped macro query: 6-table star join (region -> nation ->
+    customer/supplier -> orders -> lineitem, with the Q5 c_nationkey =
+    s_nationkey co-location constraint) + revenue per nation. The three
+    dimension chains broadcast; the orders-lineitem join is the only big
+    shuffle, and AQE picks it. Revenue is exact integer micro-cents
+    (price-cents x (100 - discount-percent)), so the aggregate is
+    shuffle-order invariant and bit-identical cross-engine."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.tables import load_table
+
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_microcents"))
+    )
+
+
+def _analytics_q5_oracle() -> str:
+    return """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_microcents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def _q_profile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate (grouping sets): doc counts at (source, lang),
+    (source), and grand-total levels in ONE pass with a grouping_id
+    column — Catalyst expands the sets without re-scanning."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("source", "lang", "gid", "n")
+    )
+
+
+def _profile_rollup_oracle() -> str:
+    return """
+SELECT source, lang,
+       CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+       COUNT(*) AS n
+FROM documents
+GROUP BY ROLLUP (source, lang)
+"""
+
+
 def _q_builder_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fluent QueryBuilder chain (§2.12 python API)."""
     from kolibrie_spark.engine import SparqlEngine
@@ -2129,6 +2211,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round 3 head = the 7 gates the r2 driver never checked (VERDICT r2 item 1;
 # prob_hybrid had NEVER had a driver row) + gates newly added in round 3.
 _DRIVER_FIRST = [
+    "analytics_q5",  # new in round 3 (session 3)
+    "profile_rollup",  # new in round 3 (session 3)
     "audit_quality",  # new in round 3 (session 3)
     "scd2_orders",  # new in round 3 (session 3)
     "events_downsample",  # new in round 3 (session 3)
@@ -2364,6 +2448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_binned": _q_range_join_binned,
         "layout_zorder": _q_layout_zorder,
         "embed_centroids": _q_embed_centroids,
+        "analytics_q5": _q_analytics_q5,
+        "profile_rollup": _q_profile_rollup,
         "audit_quality": _q_audit_quality,
         "scd2_orders": _q_scd2_orders,
         "events_downsample": _q_events_downsample,
@@ -2725,6 +2811,8 @@ def oracle_sql() -> dict[str, str]:
         "range_join_binned": _range_join_binned_oracle(),
         "layout_zorder": _layout_zorder_oracle(),
         "embed_centroids": _embed_centroids_oracle(),
+        "analytics_q5": _analytics_q5_oracle(),
+        "profile_rollup": _profile_rollup_oracle(),
         "audit_quality": _audit_quality_oracle(),
         "scd2_orders": _scd2_orders_oracle(),
         "events_downsample": _events_downsample_oracle(),
