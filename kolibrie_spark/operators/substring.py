@@ -40,12 +40,24 @@ from pyspark.sql.window import Window
 
 
 def remove_duplicate_spans(
-    df: DataFrame, id_col: str, text_col: str, span_len: int = 40
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_len: int = 40,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """Corpus-wide duplicated-substring removal. Returns
     ``(id_col, text_clean, n_removed)`` where ``n_removed`` counts
     removed characters (0 for untouched docs, which pass through
-    verbatim)."""
+    verbatim).
+
+    ``hash_keys=True`` is the 100 TB path: the rank/count shuffle keys
+    on ``(xxhash64(g), crc32(g))`` — a 12-byte pair instead of the raw
+    L-char string, cutting shuffle bytes ~L/12-fold. The double hash
+    makes a false merge require a simultaneous 64+32-bit collision
+    (~2^-96 per pair); results are identical to the exact mode on any
+    realistic corpus, and the equivalence is test-asserted. The exact
+    mode stays the oracle contract."""
     L = span_len
     docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     # sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty — docs
@@ -62,6 +74,15 @@ def remove_duplicate_spans(
     ).select(
         "id", "pos", F.substring(F.col("text"), F.col("pos"), L).alias("g")
     )
+    if hash_keys:
+        wins = wins.select(
+            "id",
+            "pos",
+            F.struct(
+                F.xxhash64(F.col("g")).alias("h1"),
+                F.crc32(F.col("g")).alias("h2"),
+            ).alias("g"),
+        )
     w_first = Window.partitionBy("g").orderBy(F.col("id").asc(), F.col("pos").asc())
     marked = (
         wins.withColumn("rn", F.row_number().over(w_first))

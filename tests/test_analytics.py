@@ -317,3 +317,34 @@ def test_remove_duplicate_spans_partition_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_remove_duplicate_spans_hash_keys_equivalent(spark):
+    """The hashed-shuffle-key scale path produces identical output to the
+    exact raw-string mode (12-byte keys vs L-char keys)."""
+    import random
+
+    from kolibrie_spark.operators.substring import remove_duplicate_spans
+
+    rng = random.Random(53)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    boiler = "shared boilerplate legal disclaimer sentence"
+    docs = []
+    for i in range(60):
+        words = [rng.choice(vocab) for _ in range(rng.randint(2, 12))]
+        if rng.random() < 0.6:
+            words.insert(rng.randint(0, len(words)), boiler)
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = sorted(
+        map(tuple, remove_duplicate_spans(df, "doc_id", "text", 25).collect())
+    )
+    hashed = sorted(
+        map(
+            tuple,
+            remove_duplicate_spans(
+                df, "doc_id", "text", 25, hash_keys=True
+            ).collect(),
+        )
+    )
+    assert exact == hashed

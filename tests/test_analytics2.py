@@ -284,3 +284,29 @@ def test_json_agg_duckdb_twin(spark):
         ).fetchall()
     }
     assert mine == ref
+
+
+def test_embedding_contamination_repetitions_raise_recall(spark):
+    import numpy as np
+
+    from kolibrie_spark.operators.contamination import embedding_contamination
+
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(120, 16).round(4)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "cid long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(1000 + i, [float(x) * 1.0004 for x in vecs[i]]) for i in range(120)],
+        "bid long, embedding array<double>",
+    )
+    args = (corpus, "cid", bench, "bid", "embedding")
+    n1 = embedding_contamination(*args, dim=16, tau=0.999).count()
+    n3 = embedding_contamination(*args, dim=16, tau=0.999, repetitions=3).count()
+    assert n3 >= n1  # extra plane sets can only ADD shared-bucket pairs
+    assert n3 >= 118  # ~all 120 planted pairs recovered at r=3
+    # dedupe: no pair may appear twice
+    out3 = embedding_contamination(*args, dim=16, tau=0.999, repetitions=3)
+    rows = [(r["corpus_id"], r["bench_id"]) for r in out3.collect()]
+    assert len(rows) == len(set(rows))
