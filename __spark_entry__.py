@@ -1366,9 +1366,11 @@ def _q_streaming_istream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, so the live incremental diff state equals the batch replay
     semantics exactly.  The last partial window never closes live, so the
     oracle restricts to windows with close <= the final high-water mark."""
+    import glob
     import os
     import shutil
     import tempfile
+    import time
 
     from pyspark.sql import functions as F
 
@@ -1390,6 +1392,17 @@ def _q_streaming_istream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wins = sorted(r.win for r in trip.select("win").distinct().collect())
+    # results/ must outlive the returned (lazy) DataFrame, so the scratch
+    # dir can't be removed here; instead prune dirs older than an hour
+    # left by previous runs, so repeated bench/correctness invocations
+    # don't accumulate in /tmp
+    now = time.time()
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), "kolibrie_live_*")):
+        try:
+            if now - os.path.getmtime(d) > 3600:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
     base = tempfile.mkdtemp(prefix="kolibrie_live_")
     src = os.path.join(base, "src")
     os.makedirs(src)
