@@ -44,7 +44,60 @@ class CurationPipeline:
         out = CurationPipeline(df, self.id_col, self.text_col)
         return out
 
+    def _replace_text(self, expr) -> "CurationPipeline":
+        keep = [c for c in self._df.columns if c != self.text_col]
+        return self._with(
+            self._df.select(*keep, expr.alias(self.text_col))
+        )
+
     # ------------------------------------------------------------- cleaning
+    def strip_html(self) -> "CurationPipeline":
+        """Drop tags / script+style bodies and decode basic entities (pure
+        JVM regexp projection, zero shuffle)."""
+        from kolibrie_spark.operators.normalize import strip_html_expr
+
+        return self._replace_text(strip_html_expr(F.col(self.text_col)))
+
+    def normalize_unicode(self) -> "CurationPipeline":
+        """NFC-compose (Arrow-batched, ASCII fast path) + canonicalize
+        whitespace (JVM). Zero shuffle."""
+        from kolibrie_spark.operators.normalize import normalize_expr
+
+        return self._replace_text(normalize_expr(F.col(self.text_col)))
+
+    def dedup_paragraphs(self, sep: str = "\n") -> "CurationPipeline":
+        """Corpus-wide exact-paragraph dedup with reassembly (fingerprint
+        window + doc re-group); replaces the text column with the cleaned
+        form and keeps n_paras/n_kept."""
+        from kolibrie_spark.operators.paragraphs import dedup_paragraphs
+
+        cleaned = dedup_paragraphs(
+            self._df, self.id_col, self.text_col, sep=sep
+        ).withColumnRenamed("text_clean", self.text_col)
+        keep = [c for c in self._df.columns if c != self.text_col]
+        out = self._df.select(*keep).join(cleaned, on=self.id_col)
+        return self._with(out)
+
+    def cap_domains(self, domain_col: str, cap: int) -> "CurationPipeline":
+        """At most ``cap`` rows per domain by deterministic hash rank (one
+        window, O(cap) per-group state)."""
+        from kolibrie_spark.operators.sampling import domain_cap_sample
+
+        return self._with(
+            domain_cap_sample(self._df, self.id_col, domain_col, cap)
+        )
+
+    def sample_weighted(
+        self, weight_col: str, scale: float = 1.0
+    ) -> "CurationPipeline":
+        """Per-row Bernoulli keep with probability min(1, scale*weight)
+        (deterministic hash filter, zero shuffle)."""
+        from kolibrie_spark.operators.sampling import weighted_sample
+
+        return self._with(
+            weighted_sample(self._df, self.id_col, weight_col, scale)
+        )
+
     def scrub_pii(self) -> "CurationPipeline":
         """Replace the text column with its PII-redacted form (zero
         shuffle; a pure projection — no self-join, the upstream chain is

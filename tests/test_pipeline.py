@@ -84,3 +84,50 @@ def test_pipeline_is_lazy(spark, corpus):
     df = p.dataframe()  # still lazy — no error
     with pytest.raises(Exception, match="must not evaluate"):
         df.collect()
+
+
+def test_pipeline_session3_stages(spark, corpus):
+    """strip_html -> normalize_unicode -> dedup_paragraphs -> cap_domains ->
+    sample_weighted compose with the original stages and stay lazy."""
+    from kolibrie_spark.pipeline import CurationPipeline
+
+    tagged = corpus.withColumn(
+        "text",
+        F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>  extra space")),
+    )
+    out = (
+        CurationPipeline(tagged)
+        .strip_html()
+        .normalize_unicode()
+        .dedup_exact()
+        .cap_domains("source", 2)
+        .dataframe()
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 2 (exact dup of 1 after strip+normalize) is gone
+    assert 2 not in rows
+    # tags stripped, whitespace canonical
+    assert all("<p>" not in r["text"] and "  " not in r["text"] for r in rows.values())
+    # per-domain cap respected
+    from collections import Counter
+
+    by_src = Counter(r["source"] for r in rows.values())
+    assert all(n <= 2 for n in by_src.values())
+
+    # paragraph dedup keeps first occurrence and reassembles
+    para_corpus = spark.createDataFrame(
+        [(1, "shared\nunique one", "a"), (2, "shared\nunique two", "a")],
+        "doc_id long, text string, source string",
+    )
+    out2 = (
+        CurationPipeline(para_corpus).dedup_paragraphs().dataframe().collect()
+    )
+    got = {r["doc_id"]: r["text"] for r in out2}
+    assert got[1] == "shared\nunique one" and got[2] == "unique two"
+
+    # weighted sampling is a pure filter
+    w = corpus.withColumn("w", F.lit(1.0))
+    assert (
+        CurationPipeline(w).sample_weighted("w").dataframe().count()
+        == corpus.count()
+    )
