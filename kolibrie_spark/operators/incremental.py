@@ -74,3 +74,104 @@ WITH corpus_fp AS (
 SELECT * FROM batch
 WHERE NOT EXISTS (SELECT 1 FROM corpus_fp cf WHERE cf.fp = batch.fp)
 """
+
+
+# ------------------------------------------------- incremental NEAR-dup state
+def corpus_signatures(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature state table ``(id, sig array<long>)`` — what a
+    nightly pipeline persists so tomorrow's batch never rescans corpus
+    text. One narrow map over the corpus, no shuffle."""
+    from kolibrie_spark.operators.dedup import (
+        base_shingle_hashes,
+        signature_from_base,
+    )
+
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        signature_from_base(
+            base_shingle_hashes(F.col(text_col), n), num_hashes
+        ).alias("sig"),
+    )
+
+
+def _band_buckets(sigs: DataFrame, bands: int, rows: int, side: str) -> DataFrame:
+    """(band, bucket_hash, id) — one row per band; the bucket key hashes
+    the band's signature slice."""
+    return sigs.select(
+        F.col("id").alias(side),
+        F.posexplode(
+            F.transform(
+                F.array(*[F.lit(b) for b in range(bands)]),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * rows + 1, rows), b
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def near_dup_against_corpus(
+    batch: DataFrame,
+    state: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Flag batch documents NEAR-duplicating the historical corpus without
+    touching corpus text: candidates from a banded-bucket equi-join of
+    the batch's signatures against the persisted ``state``
+    (:func:`corpus_signatures`), scored by signature-estimated Jaccard
+    (fraction of agreeing MinHash positions — E[est] = J, the classic
+    estimator). Returns ``(batch_id, corpus_id, est_jaccard)`` with
+    est >= threshold.
+
+    Scale shape: state is (id, 8*num_hashes bytes) per corpus doc —
+    0.5 KB at 64 hashes, ~0.5 TB per trillion docs, vs rescanning 100 TB
+    of text; the bucket join shuffles band-hash keys (uniform), and only
+    bucket-colliding pairs are scored. The whole chain is deterministic
+    (seeded family), so reruns flag the same set.
+
+    Contract note: the score is the signature ESTIMATE, not exact
+    Jaccard — by design, since exact verification would need corpus
+    text. Pairs at J ~= threshold can flip vs an exact-Jaccard pass;
+    run ``dedup_against_corpus`` first for the exact-duplicate tier.
+    """
+    rows = num_hashes // bands
+    if rows * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    batch_sigs = corpus_signatures(batch, id_col, text_col, n, num_hashes)
+    b_buckets = _band_buckets(batch_sigs, bands, rows, "batch_id")
+    s_buckets = _band_buckets(state, bands, rows, "corpus_id")
+    cand = (
+        b_buckets.join(s_buckets, on=["band", "bucket"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    est = F.aggregate(
+        F.zip_with(
+            F.col("b.sig"),
+            F.col("s.sig"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.join(batch_sigs.alias("b"), cand.batch_id == F.col("b.id"))
+        .join(state.alias("s"), cand.corpus_id == F.col("s.id"))
+        .select(
+            "batch_id",
+            "corpus_id",
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= F.lit(float(threshold)))
+    )
