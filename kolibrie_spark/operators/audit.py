@@ -89,3 +89,52 @@ FROM {fact_expr} f
 LEFT JOIN (SELECT DISTINCT {pk_col} FROM {dim_expr}) d
   ON f.{fk_col} = d.{pk_col}
 """
+
+
+def diff_snapshots(
+    old: DataFrame, new: DataFrame, key_col: str, value_cols: list[str]
+) -> DataFrame:
+    """Batch-over-batch snapshot diff: one row per changed key with
+    ``change`` in {'added', 'removed', 'changed'} — the audit a pipeline
+    publishes with every refresh. One full outer join on the key
+    (hash-partitioned; both sides scanned once), comparison as a single
+    struct equality (null-safe). Unchanged keys are dropped before any
+    further processing, so the output is |delta|-sized, not |table|."""
+    o = old.select(
+        F.col(key_col),
+        F.struct(*[F.col(c) for c in value_cols]).alias("__old"),
+    )
+    n = new.select(
+        F.col(key_col),
+        F.struct(*[F.col(c) for c in value_cols]).alias("__new"),
+    )
+    joined = o.join(n, on=key_col, how="full")
+    return joined.select(
+        key_col,
+        F.when(F.col("__old").isNull(), F.lit("added"))
+        .when(F.col("__new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+    ).filter(
+        F.col("__old").isNull()
+        | F.col("__new").isNull()
+        | ~F.col("__old").eqNullSafe(F.col("__new"))
+    )
+
+
+def diff_snapshots_duckdb_sql(
+    old_expr: str, new_expr: str, key_col: str, value_cols: list[str]
+) -> str:
+    """DuckDB twin (same full-outer-join + row-equality shape)."""
+    neq = " OR ".join(
+        f"(o.{c} IS DISTINCT FROM n.{c})" for c in value_cols
+    )
+    return f"""
+SELECT COALESCE(o.{key_col}, n.{key_col}) AS {key_col},
+       CASE WHEN o.{key_col} IS NULL THEN 'added'
+            WHEN n.{key_col} IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM {old_expr} o FULL OUTER JOIN {new_expr} n
+  ON o.{key_col} = n.{key_col}
+WHERE o.{key_col} IS NULL OR n.{key_col} IS NULL OR ({neq})
+"""

@@ -1,0 +1,121 @@
+"""Distributed BPE tokenizer training over a corpus.
+
+The industrial shape (HF tokenizers, SentencePiece alike): the CORPUS
+pass is one word-count aggregation — the only stage that touches all
+the data — and everything after runs on the (word, freq) VOCAB table,
+which is tiny relative to the corpus (distinct words, Zipf-bounded).
+Each merge round:
+
+1. pair counts: explode each vocab word's adjacent symbol pairs,
+   weighted by word frequency — map-side-combined aggregation over
+   |vocab| rows;
+2. pick the best pair: max count, ties broken lexicographically on the
+   pair (smallest wins) so training is DETERMINISTIC — same corpus,
+   same merges, on any cluster;
+3. apply the merge to every vocab word's symbol array (a linear scan
+   per word, Arrow-batched pandas UDF — the scan is inherently
+   stateful, not expressible with zip_with).
+
+At 100 TB the word count is the classic first MapReduce; the merge loop
+costs |vocab| x K with no corpus rescans. ``localCheckpoint`` per round
+keeps lineage flat (K rounds would otherwise stack K plans).
+
+Verification: pure-Python reference BPE (the textbook Sennrich et al.
+algorithm) must produce the identical merge list and final vocab —
+asserted in tests on randomized corpora.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+# end-of-word marker, as in the original BPE formulation: merges cannot
+# cross word boundaries and suffix merges ("ing</w>") stay distinct from
+# infix ones
+EOW = "</w>"
+
+
+def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over lowercased whitespace tokens — the one
+    corpus-wide aggregation."""
+    tok = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).alias("word")
+    return (
+        df.select(tok)
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _symbols_expr(word: F.Column) -> F.Column:
+    """Initial symbol sequence: characters + end-of-word marker."""
+    return F.concat(F.split(word, ""), F.array(F.lit(EOW)))
+
+
+def _merge_udf(a: str, b: str):
+    merged = a + b
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def apply_merge(syms: pd.Series) -> pd.Series:
+        def one(s):
+            out = []
+            i, n = 0, len(s)
+            while i < n:
+                if i + 1 < n and s[i] == a and s[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return out
+
+        return syms.map(one)
+
+    return apply_merge
+
+
+def train_bpe(
+    df: DataFrame, text_col: str, num_merges: int
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``num_merges`` BPE merges. Returns ``(merges, vocab)`` where
+    ``merges`` is the ordered list ``(left, right, count)`` and ``vocab``
+    the final (word, freq, symbols) DataFrame. Stops early when no pair
+    occurs at least twice."""
+    vocab = (
+        word_vocab(df, text_col)
+        .select(
+            "word", "freq", _symbols_expr(F.col("word")).alias("syms")
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pairs = vocab.select(
+            F.col("freq"),
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        counts = pairs.groupBy("p").agg(F.sum("freq").alias("c"))
+        best = counts.orderBy(
+            F.col("c").desc(),
+            F.col("p.a").asc(),
+            F.col("p.b").asc(),
+        ).limit(1).collect()
+        if not best or best[0]["c"] < 2:
+            break
+        a, b, c = best[0]["p"]["a"], best[0]["p"]["b"], int(best[0]["c"])
+        merges.append((a, b, c))
+        vocab = vocab.withColumn(
+            "syms", _merge_udf(a, b)(F.col("syms"))
+        ).localCheckpoint(eager=True)
+    return merges, vocab

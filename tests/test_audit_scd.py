@@ -241,3 +241,53 @@ def test_near_dup_against_corpus_deterministic(spark):
         )
     )
     assert a == b and len(a) >= 2
+
+
+def test_diff_snapshots(spark):
+    from kolibrie_spark.operators.audit import diff_snapshots
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k long, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 30), (4, "D", 40), (5, "e", 50)],
+        "k long, s string, v int",
+    )
+    got = {
+        r["k"]: r["change"]
+        for r in diff_snapshots(old, new, "k", ["s", "v"]).collect()
+    }
+    # 1 removed, 5 added, 3 changed (NULL -> 30), 4 changed, 2 unchanged
+    assert got == {1: "removed", 5: "added", 3: "changed", 4: "changed"}
+
+
+def test_diff_snapshots_duckdb_twin(spark):
+    import random
+
+    from kolibrie_spark.operators.audit import (
+        diff_snapshots,
+        diff_snapshots_duckdb_sql,
+    )
+
+    rng = random.Random(19)
+    old = [(i, rng.choice(["x", "y", None]), rng.randint(0, 5)) for i in range(200)]
+    new = [
+        (i, rng.choice(["x", "y", None]), rng.randint(0, 5))
+        for i in range(50, 250)
+    ]
+    odf = spark.createDataFrame(old, "k long, s string, v int")
+    ndf = spark.createDataFrame(new, "k long, s string, v int")
+    mine = {tuple(r) for r in diff_snapshots(odf, ndf, "k", ["s", "v"]).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE o (k BIGINT, s VARCHAR, v INT)")
+    con.execute("CREATE TABLE n (k BIGINT, s VARCHAR, v INT)")
+    con.executemany("INSERT INTO o VALUES (?, ?, ?)", old)
+    con.executemany("INSERT INTO n VALUES (?, ?, ?)", new)
+    ref = {
+        tuple(r)
+        for r in con.execute(
+            diff_snapshots_duckdb_sql("o", "n", "k", ["s", "v"])
+        ).fetchall()
+    }
+    assert mine == ref

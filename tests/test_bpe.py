@@ -1,0 +1,84 @@
+"""Distributed BPE training vs the textbook pure-Python algorithm."""
+
+import random
+from collections import Counter
+
+
+def _bpe_brute(texts, num_merges, eow="</w>"):
+    """Sennrich et al. reference implementation."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            vocab[w] += 1
+    symd = {w: list(w) + [eow] for w in vocab}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for w, f in vocab.items():
+            s = symd[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += f
+        if not pairs:
+            break
+        # max count, lexicographically smallest pair on ties
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        if c < 2:
+            break
+        merges.append((a, b, c))
+        for w in symd:
+            s, out, i = symd[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            symd[w] = out
+    return merges, symd
+
+
+def test_bpe_simple_known(spark):
+    from kolibrie_spark.operators.bpe import train_bpe
+
+    # classic example: 'low' family -> 'lo' or similar early merges
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges, vocab = train_bpe(df, "text", num_merges=5)
+    ref_merges, ref_symd = _bpe_brute(texts, 5)
+    assert merges == ref_merges
+    got = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+    assert got == ref_symd
+
+
+def test_bpe_matches_brute_on_random_corpus(spark):
+    from kolibrie_spark.operators.bpe import train_bpe
+
+    rng = random.Random(71)
+    words = ["spark", "spork", "sparkle", "shuffle", "shuffled", "plan",
+             "plans", "planner", "scan", "scans"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(2, 12)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges, vocab = train_bpe(df, "text", num_merges=12)
+    ref_merges, ref_symd = _bpe_brute(texts, 12)
+    assert merges == ref_merges
+    got = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+    assert got == ref_symd
+
+
+def test_bpe_deterministic_across_partitionings(spark):
+    from kolibrie_spark.operators.bpe import train_bpe
+
+    texts = [(f"token{i % 7} shared words token{i % 3}",) for i in range(40)]
+    df = spark.createDataFrame(texts, "text string")
+    m1, _ = train_bpe(df, "text", num_merges=6)
+    m2, _ = train_bpe(df.repartition(9), "text", num_merges=6)
+    assert m1 == m2 and len(m1) == 6
