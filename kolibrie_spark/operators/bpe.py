@@ -119,3 +119,50 @@ def train_bpe(
             "syms", _merge_udf(a, b)(F.col("syms"))
         ).localCheckpoint(eager=True)
     return merges, vocab
+
+
+def encode_with_merges(
+    df: DataFrame, text_col: str, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """Apply a learned merge list to tokenize text: per word, repeatedly
+    merge the LOWEST-RANK applicable pair (the standard BPE encode, so a
+    text tokenizes identically whether or not it was in the training
+    corpus). Adds ``bpe_tokens array<string>`` and ``n_bpe_tokens``.
+
+    Arrow-batched pandas UDF; the merge table rides into the executors
+    via the closure (KBs). Word-level memoization inside each batch
+    makes the cost ~|distinct words in batch|, not |words|."""
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def word_syms(w):
+            got = cache.get(w)
+            if got is not None:
+                return got
+            s = list(w) + [EOW]
+            while len(s) > 1:
+                best_rank, best_i = None, None
+                for i in range(len(s) - 1):
+                    r = ranks.get((s[i], s[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_i is None:
+                    break
+                s[best_i : best_i + 2] = [s[best_i] + s[best_i + 1]]
+            cache[w] = s
+            return s
+
+        def one(t):
+            out = []
+            for w in (t or "").lower().split():
+                out.extend(word_syms(w))
+            return out
+
+        return texts.map(one)
+
+    return df.withColumn("bpe_tokens", encode(F.col(text_col))).withColumn(
+        "n_bpe_tokens", F.size("bpe_tokens")
+    )

@@ -82,3 +82,42 @@ def test_bpe_deterministic_across_partitionings(spark):
     m1, _ = train_bpe(df, "text", num_merges=6)
     m2, _ = train_bpe(df.repartition(9), "text", num_merges=6)
     assert m1 == m2 and len(m1) == 6
+
+
+def _encode_brute(text, merges, eow="</w>"):
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    out = []
+    for w in text.lower().split():
+        s = list(w) + [eow]
+        while len(s) > 1:
+            cand = [(ranks[(s[i], s[i+1])], i) for i in range(len(s)-1)
+                    if (s[i], s[i+1]) in ranks]
+            if not cand:
+                break
+            _, i = min(cand)
+            s[i:i+2] = [s[i] + s[i+1]]
+        out.extend(s)
+    return out
+
+
+def test_bpe_encode_roundtrip_and_oov(spark):
+    from kolibrie_spark.operators.bpe import encode_with_merges, train_bpe
+
+    train_texts = ["low lower lowest low low", "newest newer new news"] * 3
+    df = spark.createDataFrame([(t,) for t in train_texts], "text string")
+    merges, _ = train_bpe(df, "text", num_merges=8)
+    assert len(merges) > 0
+
+    apply_texts = [
+        "low lowest newish",     # mix of in-vocab and OOV-ish
+        "completely unseen word",
+    ]
+    adf = spark.createDataFrame([(i, t) for i, t in enumerate(apply_texts)],
+                                "i long, text string")
+    out = {r["i"]: list(r["bpe_tokens"])
+           for r in encode_with_merges(adf, "text", merges).collect()}
+    for i, t in enumerate(apply_texts):
+        assert out[i] == _encode_brute(t, merges)
+    # concatenating tokens (minus EOW markers) recovers the text's chars
+    flat = "".join(tok.replace("</w>", "") for tok in out[0])
+    assert flat == "lowlowestnewish"
