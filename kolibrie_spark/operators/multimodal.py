@@ -198,6 +198,8 @@ def parse_media_header(data: bytes) -> dict:
         return parse_jpeg_header(data)
     if data[:4] == b"RIFF":
         return parse_wav_header(data)
+    if len(data) >= 8 and data[4:8] == b"ftyp":
+        return parse_mp4_header(data)
     raise ValueError(f"unknown media container (magic {data[:4]!r})")
 
 
@@ -598,3 +600,77 @@ def resize_meta(df: DataFrame, max_side: int) -> DataFrame:
             F.round(h / scale).cast("int").alias("height"),
         ),
     )
+
+
+# ----------------------------------------------------- video container (MP4)
+# ISO/IEC 14496-12 box structure: [size u32][type 4cc][payload]. The
+# public metadata lives in moov/mvhd (version 0: timescale u32 at offset
+# 20 of the box payload, duration u32 at 24). Frame/codec decode needs a
+# full AV stack (not in this container) — like the round-2 stance on
+# pixels, the CONTAINER layer is real and the codec layer is pluggable.
+
+
+def parse_mp4_header(data: bytes) -> dict:
+    """Parse ftyp + moov/mvhd: returns format/width/height(None)/
+    duration_ms. Width/height stay None — tkhd carries presentation size,
+    but only the mvhd duration is needed for the metadata contract."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an MP4: missing ftyp")
+
+    def boxes(buf, start, end):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(buf[i : i + 4], "big")
+            if size < 8:
+                raise ValueError("MP4: bad box size")
+            yield buf[i + 4 : i + 8], i + 8, min(i + size, end)
+            i += size
+
+    for typ, payload_start, payload_end in boxes(data, 0, len(data)):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in boxes(data, payload_start, payload_end):
+            if t2 != b"mvhd":
+                continue
+            version = data[s2]
+            if version == 0:  # u32 timescale/duration at +12/+16
+                timescale = int.from_bytes(data[s2 + 12 : s2 + 16], "big")
+                duration = int.from_bytes(data[s2 + 16 : s2 + 20], "big")
+            else:  # version 1: u64 at +20/+28
+                timescale = int.from_bytes(data[s2 + 20 : s2 + 24], "big")
+                duration = int.from_bytes(data[s2 + 24 : s2 + 32], "big")
+            if timescale == 0:
+                raise ValueError("MP4: zero timescale")
+            return {
+                "format": "mp4",
+                "width": None,
+                "height": None,
+                "duration_ms": int(duration * 1000 // timescale),
+            }
+    raise ValueError("MP4: no moov/mvhd box")
+
+
+def build_mp4(duration_units: int, timescale: int = 1000) -> bytes:
+    """Minimal valid MP4 skeleton: ftyp + moov(mvhd v0). Deterministic —
+    the test/gate twin can recompute duration_ms as
+    duration_units*1000//timescale."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big") + b"isomiso2")
+    mvhd_payload = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + (0).to_bytes(4, "big")  # creation
+        + (0).to_bytes(4, "big")  # modification
+        + timescale.to_bytes(4, "big")
+        + duration_units.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big")  # rate 1.0
+        + (0x0100).to_bytes(2, "big")  # volume 1.0
+        + bytes(10)  # reserved
+        + b"".join((0).to_bytes(4, "big") for _ in range(9))  # matrix (zeroed ok for parse)
+        + bytes(24)  # pre_defined
+        + (2).to_bytes(4, "big")  # next track id
+    )
+    moov = box(b"moov", box(b"mvhd", mvhd_payload))
+    return ftyp + moov

@@ -595,3 +595,36 @@ def test_kmeans_ivf_recall_beats_first_n(spark):
     r_kmeans = recall(kmeans_centroids)
     assert r_kmeans >= r_first
     assert r_kmeans >= 0.9  # real centroids recover the query's cluster
+
+
+def test_mp4_header_roundtrip_and_distributed(spark):
+    """MP4 (ISO BMFF) container support: build -> parse round trip for
+    both mvhd versions' duration math, corrupt-blob isolation, and the
+    distributed extract_headers path sniffing mp4 next to png/wav."""
+    from kolibrie_spark.operators.multimodal import (
+        build_mp4,
+        build_png,
+        extract_headers,
+        parse_mp4_header,
+    )
+
+    assert parse_mp4_header(build_mp4(5000, 1000))["duration_ms"] == 5000
+    assert parse_mp4_header(build_mp4(90000, 600))["duration_ms"] == 150000
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_mp4_header(b"\x00\x00\x00\x08free")  # no ftyp
+
+    rows = [
+        ("v1", bytearray(build_mp4(42_000, 1000))),
+        ("v2", bytearray(build_mp4(30, 600))),
+        ("p1", bytearray(build_png(3, 2, lambda x, y: x + y))),
+        ("bad", bytearray(b"ftypnot really")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, data binary")
+    out = {r.media_id: r for r in extract_headers(df).collect()}
+    assert out["v1"].format == "mp4" and out["v1"].duration_ms == 42000
+    assert out["v2"].duration_ms == 50
+    assert out["p1"].format == "png" and out["p1"].width == 3
+    assert out["bad"].decode_error is not None
