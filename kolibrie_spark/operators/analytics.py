@@ -35,10 +35,13 @@ def funnel(
     ts_col: str,
     type_col: str,
     steps: list[str],
+    horizon=None,
 ) -> DataFrame:
     """Per-user funnel step times. Returns ``(uid, t1, t2, ..., tN)``
     with t_i NULL once the funnel is abandoned; only users who completed
-    step 1 appear."""
+    step 1 appear. ``horizon`` (same unit as ``ts_col``) bounds the whole
+    conversion window: step i counts only if ``t_i <= t1 + horizon`` —
+    the standard "converted within X hours" rule."""
     if not steps:
         raise ValueError("steps must be non-empty")
     u, ts, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
@@ -53,9 +56,10 @@ def funnel(
             .select(u.alias("uid"), ts.alias("__ts"))
             .join(out, on="uid", how="inner")
             .filter(F.col("__ts") > F.col(f"t{i - 1}"))
-            .groupBy("uid")
-            .agg(F.min("__ts").alias(f"t{i}"))
         )
+        if horizon is not None:
+            nxt = nxt.filter(F.col("__ts") <= F.col("t1") + F.lit(horizon))
+        nxt = nxt.groupBy("uid").agg(F.min("__ts").alias(f"t{i}"))
         out = out.join(nxt, on="uid", how="left")
     return out
 
@@ -66,6 +70,7 @@ def funnel_duckdb_sql(
     ts_col: str,
     type_col: str,
     steps: list[str],
+    horizon=None,
 ) -> str:
     """DuckDB twin of :func:`funnel` (chained strictly-after MINs)."""
     ctes = [
@@ -74,10 +79,15 @@ def funnel_duckdb_sql(
     ]
     prev = "s1"
     for i, step in enumerate(steps[1:], start=2):
+        hz = (
+            f"AND e.{ts_col} <= p.t1 + {horizon} " if horizon is not None else ""
+        )
+        t1_carry = ", MIN(p.t1) AS t1" if horizon is not None else ""
         ctes.append(
-            f"s{i} AS (SELECT e.{user_col} AS uid, MIN(e.{ts_col}) AS t{i} "
+            f"s{i} AS (SELECT e.{user_col} AS uid, MIN(e.{ts_col}) AS t{i}"
+            f"{t1_carry} "
             f"FROM {table_expr} e JOIN {prev} p ON e.{user_col} = p.uid "
-            f"WHERE e.{type_col} = '{step}' AND e.{ts_col} > p.t{i - 1} "
+            f"WHERE e.{type_col} = '{step}' AND e.{ts_col} > p.t{i - 1} {hz}"
             f"GROUP BY 1)"
         )
         prev = f"s{i}"

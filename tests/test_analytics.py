@@ -348,3 +348,44 @@ def test_remove_duplicate_spans_hash_keys_equivalent(spark):
         )
     )
     assert exact == hashed
+
+
+def test_funnel_horizon(spark):
+    from kolibrie_spark.operators.analytics import funnel
+
+    ev = [
+        (1, 0, "a"), (1, 50, "b"), (1, 200, "c"),   # c outside horizon 100
+        (2, 0, "a"), (2, 40, "b"), (2, 90, "c"),    # all inside
+        (3, 0, "a"), (3, 150, "b"),                 # b outside horizon
+    ]
+    df = spark.createDataFrame(ev, "uid long, ts long, et string")
+    out = {
+        r["uid"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel(df, "uid", "ts", "et", ["a", "b", "c"], horizon=100).collect()
+    }
+    assert out[1] == (0, 50, None)
+    assert out[2] == (0, 40, 90)
+    assert out[3] == (0, None, None)
+
+
+def test_funnel_horizon_duckdb_twin(spark):
+    import random
+
+    from kolibrie_spark.operators.analytics import funnel, funnel_duckdb_sql
+
+    rng = random.Random(29)
+    ev = [
+        (rng.randint(1, 25), rng.randint(0, 1000), rng.choice(["a", "b", "c", "z"]))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(ev, "uid long, ts long, et string")
+    mine = {
+        (r["uid"], r["t1"], r["t2"], r["t3"])
+        for r in funnel(df, "uid", "ts", "et", ["a", "b", "c"], horizon=200).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (uid BIGINT, ts BIGINT, et VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", ev)
+    sql = funnel_duckdb_sql("t", "uid", "ts", "et", ["a", "b", "c"], horizon=200)
+    ref = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert mine == ref
