@@ -28,7 +28,11 @@ def audit_counts(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     agg = df.agg(
         F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(rules[name].cast("long")).alias(f"__v_{i}")
+            # coalesce: SUM over zero rows is NULL, but an audit of an
+            # empty batch must report 0 violations, not unknown
+            F.coalesce(F.sum(rules[name].cast("long")), F.lit(0)).alias(
+                f"__v_{i}"
+            )
             for i, name in enumerate(names)
         ],
     )
@@ -45,8 +49,8 @@ def audit_counts_duckdb_sql(
     (the literal twin of stack())."""
     names = list(rules)
     sums = ", ".join(
-        f"CAST(SUM(CASE WHEN ({rules[n]}) THEN 1 ELSE 0 END) AS BIGINT)"
-        f" AS v_{i}"
+        f"CAST(COALESCE(SUM(CASE WHEN ({rules[n]}) THEN 1 ELSE 0 END), 0)"
+        f" AS BIGINT) AS v_{i}"
         for i, n in enumerate(names)
     )
     branches = " UNION ALL ".join(

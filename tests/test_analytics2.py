@@ -310,3 +310,54 @@ def test_embedding_contamination_repetitions_raise_recall(spark):
     out3 = embedding_contamination(*args, dim=16, tau=0.999, repetitions=3)
     rows = [(r["corpus_id"], r["bench_id"]) for r in out3.collect()]
     assert len(rows) == len(set(rows))
+
+
+def test_session3_operators_on_empty_input(spark):
+    """Every session-3 operator must handle an empty corpus/stream
+    gracefully (no crash, empty or degenerate-but-sane output)."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.analytics import (
+        funnel,
+        pivot_counts,
+        retention,
+        rolling_user_stats,
+    )
+    from kolibrie_spark.operators.audit import audit_counts, diff_snapshots
+    from kolibrie_spark.operators.fuzzyjoin import fuzzy_vocab_pairs
+    from kolibrie_spark.operators.normalize import normalize_text
+    from kolibrie_spark.operators.paragraphs import dedup_paragraphs
+    from kolibrie_spark.operators.profiling import ks_drift, token_budget
+    from kolibrie_spark.operators.sampling import (
+        domain_cap_sample,
+        weighted_sample,
+    )
+    from kolibrie_spark.operators.scd import downsample_last, scd2_intervals
+    from kolibrie_spark.operators.sketches import kmv_distinct
+    from kolibrie_spark.operators.substring import remove_duplicate_spans
+
+    docs = spark.createDataFrame([], "doc_id long, text string, source string, w double")
+    ev = spark.createDataFrame([], "eid long, uid long, ts long, v double, et string")
+
+    assert kmv_distinct(docs, "source", "text").count() == 0
+    assert ks_drift(docs, "source", "doc_id", "a", "b").count() == 0
+    assert token_budget(docs, "source", "text").count() == 0
+    assert fuzzy_vocab_pairs(docs, "text").count() == 0
+    assert normalize_text(docs, "text").count() == 0
+    assert dedup_paragraphs(docs, "doc_id", "text").count() == 0
+    assert remove_duplicate_spans(docs, "doc_id", "text").count() == 0
+    assert domain_cap_sample(docs, "doc_id", "source", 5).count() == 0
+    assert weighted_sample(docs, "doc_id", "w").count() == 0
+    assert funnel(ev, "uid", "ts", "et", ["a", "b"]).count() == 0
+    assert retention(ev, "uid", "ts").count() == 0
+    assert rolling_user_stats(ev, "uid", "ts", "v", "eid").count() == 0
+    assert pivot_counts(docs, "source", "text", ["x"]).count() == 0
+    assert scd2_intervals(ev, "uid", "ts").count() == 0
+    assert downsample_last(ev, "uid", "ts", "v", 100, "eid").count() == 0
+    assert diff_snapshots(docs, docs, "doc_id", ["text"]).count() == 0
+    # audit over empty: rules still produce one row each with 0 violations
+    audit = {
+        r["rule"]: (r["n_violations"], r["n_rows"])
+        for r in audit_counts(docs, {"null_text": F.col("text").isNull()}).collect()
+    }
+    assert audit == {"null_text": (0, 0)}
