@@ -361,3 +361,35 @@ def test_session3_operators_on_empty_input(spark):
         for r in audit_counts(docs, {"null_text": F.col("text").isNull()}).collect()
     }
     assert audit == {"null_text": (0, 0)}
+
+
+def test_earlier_curation_operators_on_empty_input(spark):
+    """Round-3 session-1/2 operators under an empty corpus."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.contamination import ngram_containment
+    from kolibrie_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from kolibrie_spark.operators.dsir import dsir_logweights
+    from kolibrie_spark.operators.packing import pack_sequences
+    from kolibrie_spark.operators.scrub import scrub_pii
+    from kolibrie_spark.operators.search import bm25_topk, top_terms
+    from kolibrie_spark.operators.textanalysis import gopher_rules
+
+    docs = spark.createDataFrame([], "doc_id long, text string, source string, toks long")
+    bench = spark.createDataFrame([("b", "benchmark text here")], "bid string, text string")
+
+    assert exact_dedup(docs, ["text"], "doc_id").count() == 0
+    assert minhash_lsh_pairs(docs, "doc_id", "text").count() == 0
+    assert ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).count() == 0
+    assert ngram_containment(docs, "doc_id", "text", bench, "text", 3).count() == 0
+    assert gopher_rules(docs, "doc_id", "text").count() == 0
+    assert top_terms(docs, "text", 5).count() == 0
+    assert bm25_topk(docs, "doc_id", "text", "query terms", 5).count() == 0
+    assert pack_sequences(docs, "doc_id", "toks", 128, shards=4).count() == 0
+    # dsir over empty raw corpus (target also empty)
+    assert dsir_logweights(docs, docs, "doc_id", "text").count() == 0
+    assert scrub_pii(docs, "doc_id", "text").count() == 0
