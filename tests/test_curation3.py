@@ -273,3 +273,30 @@ def test_domain_cap_duckdb_twin(spark):
         ).fetchall()
     }
     assert mine == ref
+
+
+def test_poly_hash_cross_engine_on_unicode(spark):
+    """The shared character fold is codepoint-based in BOTH engines, so
+    dedup/sampling oracles stay bit-exact on non-ASCII corpora (BMP, CJK,
+    combining marks, astral-plane emoji)."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.hashing import poly_hash, poly_hash_duckdb
+
+    rows = [
+        ("café",),
+        ("中文 text",),
+        ("emoji \U0001F600 x",),
+        ("mixed é́",),
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    mine = {
+        r["s"]: r["h"]
+        for r in df.select("s", poly_hash(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    ref = dict(con.execute(f"SELECT s, {poly_hash_duckdb('s')} FROM t").fetchall())
+    assert mine == ref
