@@ -82,3 +82,125 @@ SELECT {group_col}, dim,
 FROM exploded
 GROUP BY {group_col}, dim
 """
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    *,
+    dim: int,
+    bits: int = 6,
+    seed: int = 42,
+    per_anchor: int = 1,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the ``per_anchor`` most-similar vectors with a DIFFERENT label among
+    its LSH-bucket neighbors. Hard negatives (near the anchor but wrong
+    class) are what make contrastive/embedding training converge; random
+    negatives are too easy.
+
+    CONTRACT: candidates = same random-hyperplane bucket (seeded, shared
+    with the similarity index; the standard recall trade) AND different
+    label; ranked by cosine DESC with id ASC tie-break. The bucket
+    equi-join keeps work at ~1/2^bits of the quadratic cross product; a
+    rank window per anchor emits the top ``per_anchor``. Deterministic
+    end-to-end.
+
+    Returns ``(anchor_id, negative_id, cosine)``.
+    """
+    from pyspark.sql.window import Window
+
+    from kolibrie_spark.operators.similarity import (
+        cosine_expr,
+        hyperplanes,
+        signature_expr,
+    )
+
+    planes = hyperplanes(dim, bits, seed)
+    v = F.col(vec_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        v.cast("array<double>").alias("v"),
+        F.col(label_col).alias("lbl"),
+        signature_expr(v, planes).alias("bucket"),
+    )
+    a = base.select(
+        F.col("id").alias("anchor_id"),
+        F.col("v").alias("av"),
+        F.col("lbl").alias("albl"),
+        "bucket",
+    )
+    b = base.select(
+        F.col("id").alias("negative_id"),
+        F.col("v").alias("nv"),
+        F.col("lbl").alias("nlbl"),
+        "bucket",
+    )
+    scored = (
+        a.join(b, on="bucket")
+        .filter(F.col("albl") != F.col("nlbl"))
+        .withColumn("cosine", cosine_expr(F.col("av"), F.col("nv")))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_anchor)
+        .select("anchor_id", "negative_id", "cosine")
+    )
+
+
+def hard_negatives_duckdb_sql(
+    table_expr: str,
+    id_col: str,
+    vec_expr: str,
+    label_col: str,
+    *,
+    dim: int,
+    bits: int = 6,
+    seed: int = 42,
+    per_anchor: int = 1,
+) -> str:
+    """Brute-force twin evaluating the identical bucket+label+rank
+    contract."""
+    from kolibrie_spark.operators.similarity import cosine_duckdb_sql, hyperplanes
+
+    planes = hyperplanes(dim, bits, seed)
+    plane_sql = (
+        "["
+        + ", ".join("[" + ", ".join(repr(x) for x in p) + "]" for p in planes)
+        + "]"
+    )
+    dot_vp = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, {dim}), k -> {{v}}[k] * ps[j+1][k])), "
+        f"(acc, x) -> acc + x)"
+    )
+    sig = (
+        f"list_aggregate(list_transform(generate_series(0, {bits - 1}), "
+        "j -> CASE WHEN " + dot_vp + " >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT "
+        "END), 'sum')"
+    )
+    cos = cosine_duckdb_sql("a.v", "b.v")
+    return f"""
+WITH planes AS (SELECT {plane_sql}::DOUBLE[][] AS ps),
+base AS (
+  SELECT {id_col} AS id, list_transform({vec_expr}, x -> CAST(x AS DOUBLE)) AS v,
+         {label_col} AS lbl
+  FROM {table_expr}
+),
+sigs AS (SELECT id, v, lbl, {sig.format(v='v')} AS bucket FROM base, planes),
+scored AS (
+  SELECT a.id AS anchor_id, b.id AS negative_id, {cos} AS cosine
+  FROM sigs a JOIN sigs b USING (bucket)
+  WHERE a.lbl != b.lbl
+)
+SELECT anchor_id, negative_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+    ORDER BY cosine DESC, negative_id ASC) AS rn
+  FROM scored
+) WHERE rn <= {per_anchor}
+"""

@@ -393,3 +393,46 @@ def test_earlier_curation_operators_on_empty_input(spark):
     # dsir over empty raw corpus (target also empty)
     assert dsir_logweights(docs, docs, "doc_id", "text").count() == 0
     assert scrub_pii(docs, "doc_id", "text").count() == 0
+
+
+def test_hard_negatives_contract_and_twin(spark):
+    import numpy as np
+
+    from kolibrie_spark.operators.embeddings import (
+        hard_negatives,
+        hard_negatives_duckdb_sql,
+    )
+
+    rng = np.random.RandomState(13)
+    # two label clusters around distinct centers + a cross-class near-dup
+    c0, c1 = rng.randn(8), rng.randn(8)
+    rows = []
+    for i in range(40):
+        lbl = i % 2
+        vec = (c0 if lbl == 0 else c1) + 0.3 * rng.randn(8)
+        rows.append((i, [float(x) for x in vec.round(4)], lbl))
+    # plant: vector 100 is label 1 but sits exactly on vector 0 (label 0)
+    rows.append((100, rows[0][1], 1))
+    df = spark.createDataFrame(rows, "vid long, embedding array<double>, label int")
+    out = hard_negatives(
+        df, "vid", "embedding", "label", dim=8, per_anchor=2
+    )
+    got = {(r["anchor_id"], r["negative_id"]) for r in out.collect()}
+    # the planted twin is anchor 0's hardest negative (cosine 1.0, same bucket)
+    assert (0, 100) in got and (100, 0) in got
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (vid BIGINT, embedding DOUBLE[], label INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    ref = {
+        tuple(r)
+        for r in con.execute(
+            hard_negatives_duckdb_sql(
+                "t", "vid", "embedding", "label", dim=8, per_anchor=2
+            )
+        ).fetchall()
+    }
+    mine = {tuple(r) for r in out.collect()}
+    assert mine == ref
