@@ -674,3 +674,58 @@ def build_mp4(duration_units: int, timescale: int = 1000) -> bytes:
     )
     moov = box(b"moov", box(b"mvhd", mvhd_payload))
     return ftyp + moov
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", IntegerType(), True),
+        StructField("frame_features", ArrayType(FloatType()), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, dim: int = 16) -> DataFrame:
+    """Frame sampling over video blobs: one input row fans out to
+    ``n_frames`` rows at evenly spaced timestamps across the container's
+    mvhd duration. The Spark-side plumbing is real — mapInPandas
+    fan-out, typed schema, per-row error isolation, real ftyp/mvhd
+    parsing for the timeline; the FRAME DECODE is a deterministic fake
+    (hash-derived features of (blob, ts)) because no AV codec stack
+    ships in this environment — swap ``_frame_features`` for a real
+    decoder, the operator contract is unchanged."""
+
+    def _frame_features(data: bytes, ts_ms: int) -> list:
+        return deterministic_fake(data + ts_ms.to_bytes(8, "big"), dim)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    blob = bytes(data) if data is not None else b""
+                    hdr = parse_mp4_header(blob)
+                    dur = hdr["duration_ms"] or 0
+                    for k in range(n_frames):
+                        # frame k at the middle of its 1/n slice
+                        ts = int(dur * (2 * k + 1) // (2 * n_frames))
+                        rows.append(
+                            (mid, k, ts, _frame_features(blob, ts), None)
+                        )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        (mid, 0, None, None, f"{type(e).__name__}: {e}")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "ts_ms", "frame_features",
+                    "decode_error",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -628,3 +628,33 @@ def test_mp4_header_roundtrip_and_distributed(spark):
     assert out["v2"].duration_ms == 50
     assert out["p1"].format == "png" and out["p1"].width == 3
     assert out["bad"].decode_error is not None
+
+
+def test_sample_frames_fanout_and_determinism(spark):
+    """Video frame sampling: one blob fans out to n evenly spaced frame
+    rows over the real mvhd timeline; decode is the documented
+    deterministic fake; corrupt blobs isolate per row."""
+    from kolibrie_spark.operators.multimodal import build_mp4, sample_frames
+
+    rows = [
+        ("v1", bytearray(build_mp4(8000, 1000))),   # 8s video
+        ("v2", bytearray(build_mp4(1000, 1000))),   # 1s video
+        ("bad", bytearray(b"not a video")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, data binary")
+    out = sample_frames(df, n_frames=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id["v1"]) == 4
+    # frames at the middle of each 1/4 slice of 8000ms
+    assert sorted(r.ts_ms for r in by_id["v1"]) == [1000, 3000, 5000, 7000]
+    assert all(len(r.frame_features) == 16 for r in by_id["v1"])
+    assert len(by_id["bad"]) == 1 and by_id["bad"][0].decode_error is not None
+    # determinism: same blob + ts -> same features on a different layout
+    out2 = sample_frames(df.repartition(3), n_frames=4).collect()
+    key = lambda rs: sorted(
+        (r.media_id, r.frame_idx, r.ts_ms, tuple(r.frame_features or []))
+        for r in rs
+    )
+    assert key(out) == key(out2)
