@@ -339,3 +339,61 @@ SELECT {group_col},
 FROM {table_expr}
 GROUP BY {group_col}
 """
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Clip an integral column to its per-group [lo_q, hi_q] quantile
+    band — the standard outlier guard before averaging/regressing over
+    heavy-tailed telemetry. Adds ``{value_col}_wins`` (double: quantile
+    interpolation is fractional).
+
+    Plan shape: one exact-percentile aggregation (|groups| rows, the
+    same sort-based op as profile_quantiles) broadcast back onto the
+    rows — the data itself never shuffles. Cross-engine exact for the
+    same reason profile_quantiles is: integral inputs, shared IEEE
+    interpolation, clamp is min/max."""
+    v = F.col(value_col).cast("long")
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(v, lo_q).alias("__lo"),
+        F.percentile(v, hi_q).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), on=group_col)
+        .withColumn(
+            f"{value_col}_wins",
+            F.least(
+                F.greatest(v.cast("double"), F.col("__lo")), F.col("__hi")
+            ),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
+def winsorize_duckdb_sql(
+    table_expr: str,
+    group_col: str,
+    value_expr: str,
+    select_cols: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> str:
+    """DuckDB twin of :func:`winsorize`."""
+    v = f"CAST({value_expr} AS BIGINT)"
+    return f"""
+WITH bounds AS (
+  SELECT {group_col} AS g,
+         quantile_cont({v}, {lo_q}) AS lo,
+         quantile_cont({v}, {hi_q}) AS hi
+  FROM {table_expr} GROUP BY 1
+)
+SELECT {select_cols},
+       LEAST(GREATEST(CAST({v} AS DOUBLE), b.lo), b.hi)
+         AS {value_expr}_wins
+FROM {table_expr} t JOIN bounds b ON t.{group_col} = b.g
+"""

@@ -300,3 +300,48 @@ def test_poly_hash_cross_engine_on_unicode(spark):
     con.executemany("INSERT INTO t VALUES (?)", rows)
     ref = dict(con.execute(f"SELECT s, {poly_hash_duckdb('s')} FROM t").fetchall())
     assert mine == ref
+
+
+def test_winsorize_clips_to_band(spark):
+    from kolibrie_spark.operators.profiling import winsorize
+
+    rows = [("g", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = sorted(
+        r["v_wins"] for r in winsorize(df, "g", "v", 0.1, 0.9).collect()
+    )
+    assert out[0] > 1 - 1e-9 and out[0] < 2  # low tail clipped to p10
+    # p90 interpolates between 9 and 1000: 9 + 0.1*991 = 108.1; the
+    # outlier clamps there while in-band values pass through
+    assert abs(out[-1] - 108.1) < 1e-9
+    assert out[-2] == 9.0
+
+
+def test_winsorize_duckdb_twin(spark):
+    import random
+
+    from kolibrie_spark.operators.profiling import (
+        winsorize,
+        winsorize_duckdb_sql,
+    )
+
+    rng = random.Random(47)
+    rows = [
+        (i, f"g{i % 4}", rng.randint(0, 10_000))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    mine = {
+        (r["id"], r["g"], r["v"], r["v_wins"])
+        for r in winsorize(df, "g", "v").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, g VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    ref = {
+        tuple(r)
+        for r in con.execute(
+            winsorize_duckdb_sql("t", "g", "v", "t.id, t.g, t.v")
+        ).fetchall()
+    }
+    assert mine == ref
