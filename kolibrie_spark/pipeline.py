@@ -239,3 +239,38 @@ class CurationPipeline:
 
     def explain(self, mode: str = "formatted") -> None:
         self._df.explain(mode)
+
+
+def corpus_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> dict[str, DataFrame]:
+    """One-call curation report: the profile tables a data lead reads
+    before signing off a corpus refresh. Returns lazy DataFrames (each a
+    documented single-aggregation plan; nothing executes until shown):
+
+    - ``stats``:   per-domain count/distinct/min/max/mean/stddev of length
+    - ``budget``:  per-domain token accounting + largest-first cum share
+    - ``langs``:   domain x language cross-tab (heuristic lang-id)
+    - ``quality``: per-domain mean Gopher-style quality score
+    """
+    from kolibrie_spark.operators.profiling import profile_stats, token_budget
+    from kolibrie_spark.operators.textanalysis import lang_id, quality_score
+
+    with_len = df.withColumn("__len", F.length(F.col(text_col)))
+    return {
+        "stats": profile_stats(with_len, domain_col, "__len"),
+        "budget": token_budget(df, domain_col, text_col),
+        "langs": (
+            df.withColumn("__lang", lang_id(F.col(text_col)))
+            .groupBy(domain_col)
+            .pivot("__lang", ["en", "de", "fr", "es", "zh", "und"])
+            .count()
+            .na.fill(0)
+        ),
+        "quality": df.groupBy(domain_col).agg(
+            F.avg(quality_score(F.col(text_col))).alias("mean_quality")
+        ),
+    }

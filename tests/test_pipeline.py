@@ -131,3 +131,18 @@ def test_pipeline_session3_stages(spark, corpus):
         CurationPipeline(w).sample_weighted("w").dataframe().count()
         == corpus.count()
     )
+
+
+def test_corpus_report(spark, corpus):
+    from kolibrie_spark.pipeline import corpus_report
+
+    rep = corpus_report(corpus, domain_col="source")
+    assert set(rep) == {"stats", "budget", "langs", "quality"}
+    stats = {r["source"]: r for r in rep["stats"].collect()}
+    assert stats["web"]["n"] == 5 and stats["books"]["n"] == 2
+    budget = {r["source"]: r for r in rep["budget"].collect()}
+    assert abs(sum(r["token_share"] for r in budget.values()) - 1.0) < 1e-9
+    langs = {r["source"]: r for r in rep["langs"].collect()}
+    assert langs["web"]["en"] >= 3  # stopworded docs identified as english
+    q = {r["source"]: r["mean_quality"] for r in rep["quality"].collect()}
+    assert all(v is not None for v in q.values())
