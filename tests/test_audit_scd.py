@@ -291,3 +291,34 @@ def test_diff_snapshots_duckdb_twin(spark):
         ).fetchall()
     }
     assert mine == ref
+
+
+def test_near_dup_state_survives_parquet_roundtrip(spark, tmp_path):
+    """The signature state table persists to parquet and reloads without
+    changing results — the nightly-pipeline contract."""
+    from kolibrie_spark.operators.incremental import (
+        corpus_signatures,
+        near_dup_against_corpus,
+    )
+
+    docs = [(i, f"alpha beta gamma doc{i % 5} delta epsilon") for i in range(25)]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    state = corpus_signatures(corpus, "doc_id", "text")
+    path = str(tmp_path / "sig_state")
+    state.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    batch = spark.createDataFrame(
+        [(900, docs[2][1]), (901, "unrelated totally different content")],
+        "doc_id long, text string",
+    )
+    live = sorted(
+        map(tuple, near_dup_against_corpus(batch, state, "doc_id", "text").collect())
+    )
+    persisted = sorted(
+        map(
+            tuple,
+            near_dup_against_corpus(batch, reloaded, "doc_id", "text").collect(),
+        )
+    )
+    assert live == persisted and any(b == 900 for b, _, _ in live)
+    assert not any(b == 901 for b, _, _ in live)
