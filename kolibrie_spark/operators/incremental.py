@@ -8,12 +8,14 @@ distinct content fingerprints.
 Scale shape (100 TB corpus, ~TB batch): the corpus side reduces to one
 row per distinct fingerprint (map-side combine), and the anti-join
 shuffles on the 64-bit fingerprint — narrow key, uniform distribution
-(it is a hash). Spark's runtime bloom-filter join optimization
-(spark.sql.optimizer.runtime.bloomFilter.enabled) applies here
-automatically: the batch side gets a bloom filter built from the corpus
-keys pushed into its scan, so most non-duplicate batch rows never
-shuffle. In practice the corpus fingerprint set is maintained as its own
-compact table so the nightly job never rescans corpus text.
+(it is a hash). Tiered by size, automatically: below the broadcast
+threshold the fingerprint set broadcasts (observed at gate scale — no
+shuffle at all); above it, Spark's runtime bloom-filter optimization
+(spark.sql.optimizer.runtime.bloomFilter.enabled, verified on in this
+build) injects a corpus-keys bloom filter into the batch scan so most
+non-duplicate batch rows never shuffle. In practice the corpus
+fingerprint set is maintained as its own compact table so the nightly
+job never rescans corpus text.
 
 No reference counterpart (curation-layer operator).
 """
