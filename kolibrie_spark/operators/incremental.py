@@ -10,12 +10,14 @@ row per distinct fingerprint (map-side combine), and the anti-join
 shuffles on the 64-bit fingerprint — narrow key, uniform distribution
 (it is a hash). Tiered by size, automatically: below the broadcast
 threshold the fingerprint set broadcasts (observed at gate scale — no
-shuffle at all); above it, Spark's runtime bloom-filter optimization
-(spark.sql.optimizer.runtime.bloomFilter.enabled, verified on in this
-build) injects a corpus-keys bloom filter into the batch scan so most
-non-duplicate batch rows never shuffle. In practice the corpus
-fingerprint set is maintained as its own compact table so the nightly
-job never rescans corpus text.
+shuffle at all); above it the join sort-merges on the fingerprint, and
+when the batch side is a large FILE SCAN (the nightly-parquet case)
+Spark's runtime bloom-filter optimization — enabled in this build — is
+eligible to push a corpus-keys filter into that scan so most
+non-duplicate batch rows never shuffle (the injection targets scan-side
+plans; computed inputs take the plain sort-merge, verified by plan
+inspection). In practice the corpus fingerprint set is maintained as
+its own compact table so the nightly job never rescans corpus text.
 
 No reference counterpart (curation-layer operator).
 """
