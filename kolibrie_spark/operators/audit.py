@@ -5,8 +5,9 @@ promoting a batch (dbt-test / Great-Expectations shape, engine-side).
 each rule is a predicate column summed as violations; no per-rule jobs.
 ``fk_violations_df`` counts orphaned foreign keys with a
 broadcast-friendly left-join null-probe (the dimension side's distinct
-keys are usually small; Spark's runtime bloom filter prunes the fact
-side when not).
+keys are usually small; when they exceed broadcast size the join
+sort-merges, with scan-side bloom pruning eligible on file-scan
+inputs).
 
 Output is one row per rule: ``(rule, n_violations, n_rows)`` — the
 shape a CI gate asserts on ("fail promote if any n_violations > 0").
