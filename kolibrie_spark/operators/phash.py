@@ -1,0 +1,146 @@
+"""Perceptual image hashing (pHash) + image near-duplicate detection.
+
+The image-side counterpart of the text dedup family: re-encoded,
+resized, or slightly-edited copies of an image survive exact-byte dedup,
+but their PERCEPTUAL hash — a 64-bit signature of the image's coarse
+frequency structure — stays within a few bits. The classic pHash recipe
+(public domain, as popularized by the pHash project / imagehash):
+
+1. decode to grayscale (real PNG decode from operators/multimodal.py —
+   zlib + all five unfilters; RGB collapses via integer-truncated
+   Rec.601 luma),
+2. resample to 32x32 by box-averaging over integer pixel-index grids
+   (deterministic — no float resampling kernels),
+3. 2-D DCT-II (numpy float64 matrix product, coefficients from
+   ``cos((2i+1) u pi / 64)`` — identical IEEE math everywhere),
+4. take the top-left 8x8 low-frequency block minus the DC term,
+   threshold each coefficient against the block median -> 64 bits.
+
+Near-dup pairs then reuse the SimHash machinery shape: Hamming-distance
+<= k over 64-bit signatures via the 4-block Manku trick (a pair within
+distance 3 shares at least one exact 16-bit block), so candidates come
+from four equi-joins — never a cross product.
+
+Plan shape: the hash is an Arrow-batched pandas UDF over the binary
+column (pure-Python decode + numpy DCT per blob — the honest per-image
+cost, embarrassingly parallel); the pair search is block equi-joins +
+exact Hamming verify, identical scale story to ``simhash_near_pairs``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+PHASH_SIZE = 32  # resample grid
+PHASH_BLOCK = 8  # low-frequency block
+
+
+def phash64(data: bytes) -> int:
+    """64-bit perceptual hash of a PNG blob (deterministic)."""
+    import numpy as np
+
+    from kolibrie_spark.operators.multimodal import decode_png
+
+    d = decode_png(data)
+    w, h, ch, px = d["width"], d["height"], d["channels"], d["pixels"]
+    arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w * ch)
+    if ch <= 2:
+        gray = arr[:, 0::ch].astype(np.float64) if ch == 2 else arr.astype(np.float64)
+    else:
+        pix = arr.reshape(h, w, ch).astype(np.int64)
+        # integer-truncated Rec.601 luma: deterministic, no float rounding
+        gray = (
+            (299 * pix[:, :, 0] + 587 * pix[:, :, 1] + 114 * pix[:, :, 2])
+            // 1000
+        ).astype(np.float64)
+    # box-average resample over integer index grids
+    n = PHASH_SIZE
+    ys = [(y * h) // n for y in range(n + 1)]
+    xs = [(x * w) // n for x in range(n + 1)]
+    small = np.empty((n, n), dtype=np.float64)
+    for yi in range(n):
+        y0, y1 = ys[yi], max(ys[yi + 1], ys[yi] + 1)
+        for xi in range(n):
+            x0, x1 = xs[xi], max(xs[xi + 1], xs[xi] + 1)
+            small[yi, xi] = gray[y0:y1, x0:x1].mean()
+    # 2-D DCT-II via the transform matrix
+    i = np.arange(n)
+    u = i.reshape(-1, 1)
+    c = np.cos((2 * i + 1) * u * np.pi / (2 * n))
+    dct = c @ small @ c.T
+    block = dct[:PHASH_BLOCK, :PHASH_BLOCK].flatten()[1:]  # drop DC
+    med = float(np.median(block))
+    bits = 0
+    for k, v in enumerate(block):
+        if v > med:
+            bits |= 1 << k
+    return bits
+
+
+def with_phash(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """Adds ``phash`` (long; NULL on undecodable blobs) via an
+    Arrow-batched pandas UDF."""
+
+    @F.pandas_udf(LongType())
+    def _ph(blobs: pd.Series) -> pd.Series:
+        def one(b):
+            try:
+                v = phash64(bytes(b) if b is not None else b"")
+                return v - (1 << 64) if v >= 1 << 63 else v  # signed long
+            except Exception:  # noqa: BLE001 — corrupt blob -> NULL
+                return None
+
+        return blobs.map(one)
+
+    return df.withColumn("phash", _ph(F.col(data_col)))
+
+
+def phash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    data_col: str = "data",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup pairs: (id_a < id_b, hamming <= max_hamming) over
+    pHash signatures. Candidates via the 4-block Manku trick (four
+    16-bit-block equi-joins), exact popcount verify — same plan family
+    as simhash_near_pairs, no cross product."""
+    hashed = with_phash(df, data_col).filter(F.col("phash").isNotNull())
+    sigs = hashed.select(F.col(id_col).alias("id"), "phash")
+    blocks = sigs.select(
+        "id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "phash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a = blocks.select(
+        F.col("id").alias("id_a"), F.col("phash").alias("ph_a"), "blk", "val"
+    )
+    bb = blocks.select(
+        F.col("id").alias("id_b"), F.col("phash").alias("ph_b"), "blk", "val"
+    )
+    return (
+        a.join(bb, on=["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
