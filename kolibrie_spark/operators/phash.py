@@ -144,3 +144,75 @@ def phash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------------ audio fingerprinting
+AUDIO_FRAMES = 17  # -> 16 frame-deltas
+AUDIO_BANDS = 5  # -> 4 band-deltas; 16 x 4 = 64 bits
+
+
+def audio_fp64(data: bytes) -> int:
+    """64-bit Haitsma-Kalker-style audio fingerprint of a WAV blob:
+    real PCM decode (operators/multimodal.py), mono mixdown, 17 frames x
+    5 geometric frequency bands of log energy, bit = sign of the
+    time-and-frequency double delta
+    ``(E[f,b] - E[f,b+1]) - (E[f-1,b] - E[f-1,b+1])``.
+
+    The double delta cancels any uniform gain (log energy shifts
+    equally), so the fingerprint is volume-invariant by construction —
+    the audio analogue of pHash's brightness invariance."""
+    import numpy as np
+
+    from kolibrie_spark.operators.multimodal import decode_wav_samples
+
+    d = decode_wav_samples(data)
+    s = np.asarray(d["samples"], dtype=np.float64)
+    ch = d["channels"]
+    if ch > 1:
+        s = s[: len(s) - len(s) % ch].reshape(-1, ch).mean(axis=1)
+    n = len(s)
+    if n < AUDIO_FRAMES * 2:
+        raise ValueError("audio too short to fingerprint")
+    # frame boundaries over integer index grid (deterministic)
+    edges = [(f * n) // AUDIO_FRAMES for f in range(AUDIO_FRAMES + 1)]
+    energies = np.empty((AUDIO_FRAMES, AUDIO_BANDS), dtype=np.float64)
+    for f in range(AUDIO_FRAMES):
+        frame = s[edges[f] : max(edges[f + 1], edges[f] + 2)]
+        spec = np.abs(np.fft.rfft(frame)) ** 2
+        m = len(spec)
+        # geometric band edges over the positive spectrum (skip DC)
+        be = [1] + [
+            max(1, int(round(m ** ((b + 1) / AUDIO_BANDS))))
+            for b in range(AUDIO_BANDS)
+        ]
+        for b in range(AUDIO_BANDS):
+            lo, hi = be[b], max(be[b + 1], be[b] + 1)
+            energies[f, b] = np.log(spec[lo:hi].sum() + 1e-12)
+    bits = 0
+    k = 0
+    for f in range(1, AUDIO_FRAMES):
+        for b in range(AUDIO_BANDS - 1):
+            dd = (energies[f, b] - energies[f, b + 1]) - (
+                energies[f - 1, b] - energies[f - 1, b + 1]
+            )
+            if dd > 0:
+                bits |= 1 << k
+            k += 1
+    return bits
+
+
+def with_audio_fp(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """Adds ``audio_fp`` (long; NULL on undecodable blobs)."""
+
+    @F.pandas_udf(LongType())
+    def _fp(blobs: pd.Series) -> pd.Series:
+        def one(b):
+            try:
+                v = audio_fp64(bytes(b) if b is not None else b"")
+                return v - (1 << 64) if v >= 1 << 63 else v
+            except Exception:  # noqa: BLE001
+                return None
+
+        return blobs.map(one)
+
+    return df.withColumn("audio_fp", _fp(F.col(data_col)))

@@ -80,3 +80,66 @@ def test_phash_near_pairs_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------- audio fingerprint
+
+
+def _tone_mix(i):
+    """Two sine tones + slow envelope — 'natural' audio content."""
+    import math
+
+    t = i / 8000.0
+    env = 0.5 + 0.5 * math.sin(2 * math.pi * 0.7 * t)
+    v = env * (
+        6000 * math.sin(2 * math.pi * 440 * t)
+        + 3000 * math.sin(2 * math.pi * 1320 * t + 1.0)
+    )
+    return int(max(-32768, min(32767, v)))
+
+
+def _other_mix(i):
+    import math
+
+    t = i / 8000.0
+    v = 8000 * math.sin(2 * math.pi * 220 * t) * math.sin(2 * math.pi * 3.0 * t)
+    return int(max(-32768, min(32767, v)))
+
+
+def test_audio_fp_invariances():
+    from kolibrie_spark.operators.multimodal import build_wav
+    from kolibrie_spark.operators.phash import audio_fp64
+
+    n = 8000
+    base = audio_fp64(build_wav(n, sample_fn=_tone_mix))
+    quiet = audio_fp64(
+        build_wav(n, sample_fn=lambda i: int(_tone_mix(i) * 0.5))
+    )
+    noisy = audio_fp64(
+        build_wav(n, sample_fn=lambda i: _tone_mix(i) + ((i * 37) % 21 - 10))
+    )
+    other = audio_fp64(build_wav(n, sample_fn=_other_mix))
+    ham = lambda a, b: bin(a ^ b).count("1")
+    # volume invariance by construction (double delta of log energies)
+    assert ham(base, quiet) <= 2
+    # small additive noise moves few bits
+    assert ham(base, noisy) <= 6
+    # different audio is far
+    assert ham(base, other) > 12
+
+
+def test_with_audio_fp_distributed(spark):
+    from kolibrie_spark.operators.multimodal import build_wav
+    from kolibrie_spark.operators.phash import with_audio_fp
+
+    rows = [
+        ("a1", bytearray(build_wav(4000, sample_fn=_tone_mix))),
+        ("a2", bytearray(build_wav(4000, sample_fn=lambda i: int(_tone_mix(i) * 0.7)))),
+        ("bad", bytearray(b"nope")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, data binary")
+    out = {r["media_id"]: r["audio_fp"] for r in with_audio_fp(df).collect()}
+    assert out["bad"] is None
+    assert out["a1"] is not None and out["a2"] is not None
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(out["a1"], out["a2"]) <= 2  # volume-invariant
