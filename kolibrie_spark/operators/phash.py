@@ -216,3 +216,61 @@ def with_audio_fp(df: DataFrame, data_col: str = "data") -> DataFrame:
         return blobs.map(one)
 
     return df.withColumn("audio_fp", _fp(F.col(data_col)))
+
+
+def media_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    data_col: str = "data",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Modality-routed media near-dup: images hash with pHash, audio with
+    the spectral fingerprint, and pairs are found WITHIN each modality
+    (an image can never pair with an audio clip). One pass computes both
+    hash columns (each NULL for the other modality — the per-blob try/
+    except does the routing); the Manku block join then runs per
+    modality. Returns ``(id_a, id_b, modality, hamming)``."""
+    hashed = with_audio_fp(with_phash(df, data_col), data_col)
+
+    def pairs_for(col: str, modality: str) -> DataFrame:
+        sigs = hashed.filter(F.col(col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(col).alias("sig")
+        )
+        blocks = sigs.select(
+            "id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("blk"),
+                            F.shiftrightunsigned(F.col("sig"), 16 * b)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            .alias("val"),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("b"),
+        ).select(
+            "id", "sig", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+        )
+        a = blocks.select(
+            F.col("id").alias("id_a"), F.col("sig").alias("s_a"), "blk", "val"
+        )
+        bb = blocks.select(
+            F.col("id").alias("id_b"), F.col("sig").alias("s_b"), "blk", "val"
+        )
+        return (
+            a.join(bb, on=["blk", "val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "s_a", "s_b")
+            .distinct()
+            .withColumn(
+                "hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", F.lit(modality).alias("modality"), "hamming")
+        )
+
+    return pairs_for("phash", "image").unionAll(pairs_for("audio_fp", "audio"))

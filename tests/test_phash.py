@@ -143,3 +143,26 @@ def test_with_audio_fp_distributed(spark):
     assert out["a1"] is not None and out["a2"] is not None
     ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
     assert ham(out["a1"], out["a2"]) <= 2  # volume-invariant
+
+
+def test_media_near_dup_pairs_routes_by_modality(spark):
+    from kolibrie_spark.operators.multimodal import build_png, build_wav
+    from kolibrie_spark.operators.phash import media_near_dup_pairs
+
+    rows = [
+        (1, bytearray(build_png(64, 48, _scene))),
+        (2, bytearray(build_png(64, 48, lambda x, y: min(255, _scene(x, y) + 10)))),
+        (3, bytearray(build_wav(4000, sample_fn=_tone_mix))),
+        (4, bytearray(build_wav(4000, sample_fn=lambda i: int(_tone_mix(i) * 0.7)))),
+        (5, bytearray(build_png(64, 48, _other))),
+        (6, bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    got = {
+        (r["id_a"], r["id_b"]): r["modality"]
+        for r in media_near_dup_pairs(df, "media_id").collect()
+    }
+    assert got.get((1, 2)) == "image"
+    assert got.get((3, 4)) == "audio"
+    # no cross-modality or garbage pairs, different image unmatched
+    assert all(p in {(1, 2), (3, 4)} for p in got)
