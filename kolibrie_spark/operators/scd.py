@@ -96,3 +96,97 @@ FROM (
   FROM {table_expr}
 ) WHERE rn = 1
 """
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: int,
+) -> DataFrame:
+    """Regular-grid resampling with forward fill: for each key, emit one
+    row per ``step`` tick between its first and last observation,
+    carrying the latest observation at-or-before the tick — the gap
+    filler that makes irregular telemetry joinable/chartable.
+
+    Plan shape: a per-key min/max aggregation generates the tick grid
+    with ``sequence`` + explode (grid size = span/step, no driver loop),
+    a union with the real observations, and ONE ``last(ignorenulls)``
+    window per key ordered by (ts, is_grid) — grid ticks sort after a
+    same-timestamp observation so the tick picks it up. Grid rows are
+    then kept. One shuffle on the key.
+
+    Returns ``(key, tick_ts, value_ffill)``; leading ticks before the
+    first observation cannot occur (grid starts at the first
+    observation's tick).
+    """
+    k, ts, v = F.col(key_col), F.col(ts_col), F.col(value_col)
+    span = df.groupBy(k.alias("k")).agg(
+        F.min(ts).alias("t0"), F.max(ts).alias("t1")
+    )
+    grid = span.select(
+        "k",
+        F.explode(
+            F.sequence(
+                # first tick at ceil(t0/step)*step... start at t0 itself
+                # rounded UP to the grid so every tick has a prior obs
+                ((F.col("t0") + step - 1) / step).cast("long") * step,
+                F.col("t1"),
+                F.lit(step),
+            )
+        ).alias("tick"),
+    )
+    obs = df.select(
+        k.alias("k"), ts.alias("t"), v.alias("v"), F.lit(0).alias("is_grid")
+    )
+    grid_rows = grid.select(
+        "k", F.col("tick").alias("t"), F.lit(None).cast(
+            df.schema[value_col].dataType
+        ).alias("v"), F.lit(1).alias("is_grid")
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("is_grid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        obs.unionAll(grid_rows)
+        .withColumn("__ff", F.last("v", ignorenulls=True).over(w))
+        .filter(F.col("is_grid") == 1)
+        .select(
+            F.col("k").alias(key_col),
+            F.col("t").alias("tick_ts"),
+            F.col("__ff").alias("value_ffill"),
+        )
+    )
+
+
+def resample_ffill_duckdb_sql(
+    table_expr: str, key_col: str, ts_col: str, value_col: str, step: int
+) -> str:
+    """DuckDB twin of :func:`resample_ffill` (same grid, same
+    last-ignore-nulls fill with identical tie order)."""
+    return f"""
+WITH span AS (
+  SELECT {key_col} AS k, MIN({ts_col}) AS t0, MAX({ts_col}) AS t1
+  FROM {table_expr} GROUP BY 1
+), grid AS (
+  SELECT k, unnest(range(((t0 + {step} - 1) // {step}) * {step},
+                         t1 + 1, {step})) AS t
+  FROM span
+), unioned AS (
+  SELECT {key_col} AS k, {ts_col} AS t, {value_col} AS v, 0 AS is_grid
+  FROM {table_expr}
+  UNION ALL
+  SELECT k, t, NULL, 1 FROM grid
+), filled AS (
+  SELECT k, t, is_grid,
+         last_value(v IGNORE NULLS) OVER (PARTITION BY k
+           ORDER BY t ASC, is_grid ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff
+  FROM unioned
+)
+SELECT k AS {key_col}, t AS tick_ts, ff AS value_ffill
+FROM filled WHERE is_grid = 1
+"""

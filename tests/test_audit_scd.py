@@ -322,3 +322,58 @@ def test_near_dup_state_survives_parquet_roundtrip(spark, tmp_path):
     )
     assert live == persisted and any(b == 900 for b, _, _ in live)
     assert not any(b == 901 for b, _, _ in live)
+
+
+def test_resample_ffill_basic(spark):
+    from kolibrie_spark.operators.scd import resample_ffill
+
+    rows = [
+        (1, 95, 10.0),
+        (1, 210, 20.0),
+        (1, 430, 30.0),
+        (2, 100, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, v double")
+    out = {
+        (r["k"], r["tick_ts"]): r["value_ffill"]
+        for r in resample_ffill(df, "k", "ts", "v", 100).collect()
+    }
+    # key 1: ticks 100..400; each carries the latest obs at-or-before it
+    assert out[(1, 100)] == 10.0
+    assert out[(1, 200)] == 10.0
+    assert out[(1, 300)] == 20.0 and out[(1, 400)] == 20.0
+    assert (1, 500) not in out  # grid ends at last obs ts=430
+    assert out[(2, 100)] == 5.0  # tick exactly on the observation
+
+
+def test_resample_ffill_duckdb_twin(spark):
+    import random
+
+    from kolibrie_spark.operators.scd import (
+        resample_ffill,
+        resample_ffill_duckdb_sql,
+    )
+
+    rng = random.Random(59)
+    rows = [
+        (rng.randint(1, 8), rng.randint(0, 5000), round(rng.uniform(0, 9), 3))
+        for _ in range(300)
+    ]
+    # contract needs unique (k, ts) for a deterministic fill: dedup
+    seen, uniq = set(), []
+    for k, t, v in rows:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            uniq.append((k, t, v))
+    df = spark.createDataFrame(uniq, "k long, ts long, v double")
+    mine = {tuple(r) for r in resample_ffill(df, "k", "ts", "v", 250).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, ts BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", uniq)
+    ref = {
+        tuple(r)
+        for r in con.execute(
+            resample_ffill_duckdb_sql("t", "k", "ts", "v", 250)
+        ).fetchall()
+    }
+    assert mine == ref
