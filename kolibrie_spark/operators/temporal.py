@@ -27,10 +27,17 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     suffix: str = "_matched",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of (backward) join: every left row, plus for each payload
-    column the value from the latest right row with right_ts <= left_ts in
-    the same key group (NULL when no such row)."""
+    """Left as-of join: every left row, plus for each payload column the
+    value from the matching right row in the same key group — the LATEST
+    right row with right_ts <= left_ts (``direction="backward"``, the
+    default SCD lookup) or the EARLIEST with right_ts >= left_ts
+    (``direction="forward"``, the next-scheduled-event lookup); NULL when
+    no such row. Forward is the same union + carry window with the sort
+    reversed (carry-backward), so both directions cost one key shuffle."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     left_cols = left.columns
     # payload rides as ONE struct so ties can never mix columns from
     # different right rows
@@ -52,9 +59,16 @@ def asof_join(
         if c not in key_cols:
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = l.unionByName(r.select(*l.columns))
+    if direction == "backward":
+        order = [F.col("__t").asc(), F.col("__side").asc(), F.col("__p").asc()]
+    else:
+        # reverse time so "carry forward" becomes "carry the next right
+        # row backward"; side still sorts right rows before the left rows
+        # they match at equal timestamps, payload ties deterministic
+        order = [F.col("__t").desc(), F.col("__side").asc(), F.col("__p").asc()]
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col("__t"), F.col("__side"), F.col("__p"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(

@@ -377,3 +377,43 @@ def test_resample_ffill_duckdb_twin(spark):
         ).fetchall()
     }
     assert mine == ref
+
+
+def test_asof_join_forward_matches_brute(spark):
+    import random
+
+    from kolibrie_spark.operators.temporal import asof_join
+
+    rng = random.Random(61)
+    left = [(i, rng.randint(1, 5), rng.randint(0, 100)) for i in range(80)]
+    right = [(rng.randint(1, 5), rng.randint(0, 100), f"p{j}") for j in range(40)]
+    ldf = spark.createDataFrame(left, "lid long, k long, ts long")
+    rdf = spark.createDataFrame(right, "k long, rts long, payload string")
+    out = {
+        r["lid"]: r["payload_matched"]
+        for r in asof_join(
+            ldf, rdf, ["k"], "ts", "rts", ["rts", "payload"],
+            direction="forward",
+        ).select("lid", F.col("payload_matched")).collect()
+    }
+    for lid, k, ts in left:
+        cand = [(rts, p) for (rk, rts, p) in right if rk == k and rts >= ts]
+        if not cand:
+            assert out[lid] is None
+        else:
+            # earliest rts; ties broken by max ordered payload (carry rule)
+            min_rts = min(c[0] for c in cand)
+            best = max(p for (rts, p) in cand if rts == min_rts)
+            assert out[lid] == best
+
+
+def test_asof_join_backward_unchanged(spark):
+    from kolibrie_spark.operators.temporal import asof_join
+
+    ldf = spark.createDataFrame([(1, 1, 50)], "lid long, k long, ts long")
+    rdf = spark.createDataFrame(
+        [(1, 40, "early"), (1, 60, "late")], "k long, rts long, p string"
+    )
+    [b] = asof_join(ldf, rdf, ["k"], "ts", "rts", ["p"]).collect()
+    [f] = asof_join(ldf, rdf, ["k"], "ts", "rts", ["p"], direction="forward").collect()
+    assert b["p_matched"] == "early" and f["p_matched"] == "late"
