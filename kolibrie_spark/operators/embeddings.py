@@ -94,10 +94,13 @@ def hard_negatives(
     bits: int = 6,
     seed: int = 42,
     per_anchor: int = 1,
+    relation: str = "negative",
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for each anchor,
     the ``per_anchor`` most-similar vectors with a DIFFERENT label among
-    its LSH-bucket neighbors. Hard negatives (near the anchor but wrong
+    its LSH-bucket neighbors (``relation="positive"`` flips the label
+    predicate to mine the hardest same-label pairs instead — the other
+    half of a contrastive batch; self-pairs excluded). Hard negatives (near the anchor but wrong
     class) are what make contrastive/embedding training converge; random
     negatives are too easy.
 
@@ -118,6 +121,8 @@ def hard_negatives(
         signature_expr,
     )
 
+    if relation not in ("negative", "positive"):
+        raise ValueError("relation must be 'negative' or 'positive'")
     planes = hyperplanes(dim, bits, seed)
     v = F.col(vec_col)
     base = df.select(
@@ -140,7 +145,14 @@ def hard_negatives(
     )
     scored = (
         a.join(b, on="bucket")
-        .filter(F.col("albl") != F.col("nlbl"))
+        .filter(
+            (F.col("albl") != F.col("nlbl"))
+            if relation == "negative"
+            else (
+                (F.col("albl") == F.col("nlbl"))
+                & (F.col("anchor_id") != F.col("negative_id"))
+            )
+        )
         .withColumn("cosine", cosine_expr(F.col("av"), F.col("nv")))
     )
     w = Window.partitionBy("anchor_id").orderBy(

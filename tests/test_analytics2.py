@@ -436,3 +436,26 @@ def test_hard_negatives_contract_and_twin(spark):
     }
     mine = {tuple(r) for r in out.collect()}
     assert mine == ref
+
+
+def test_hard_negatives_positive_relation(spark):
+    import numpy as np
+
+    from kolibrie_spark.operators.embeddings import hard_negatives
+
+    rng = np.random.RandomState(17)
+    c0, c1 = rng.randn(8) * 3, rng.randn(8) * 3
+    rows = [
+        (i, [float(x) for x in ((c0 if i % 2 == 0 else c1) + 0.1 * rng.randn(8)).round(4)], i % 2)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vid long, embedding array<double>, label int")
+    pos = hard_negatives(
+        df, "vid", "embedding", "label", dim=8, per_anchor=1, relation="positive"
+    ).collect()
+    labels = dict((r[0], r[2]) for r in rows)
+    assert len(pos) > 0
+    for r in pos:
+        assert labels[r["anchor_id"]] == labels[r["negative_id"]]
+        assert r["anchor_id"] != r["negative_id"]
+        assert r["cosine"] > 0.9  # tight same-cluster pairs
