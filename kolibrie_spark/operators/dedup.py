@@ -592,3 +592,105 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------- prefix-filtered exact Jaccard
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard >= ``threshold`` self-join via PREFIX FILTERING
+    (AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al. ICDE'08) —
+    same output contract as :func:`ngram_jaccard_pairs` (``(id_a, id_b,
+    jaccard)``, ``id_a < id_b``) but a much smaller candidate set: instead
+    of joining on EVERY shared shingle, each document exposes only its
+    ``|d| - ceil(t*|d|) + 1`` globally-rarest shingles (rare-first total
+    order), and only prefix collisions become candidates.
+
+    Exactness: J(a,b) >= t implies |a∩b| >= ceil(t*|a|) (partner size is
+    >= t*|a| when J >= t), and an overlap of o forces the length-
+    ``|x|-o+1`` prefixes to intersect under ANY shared total order — so no
+    qualifying pair is pruned. ceil(t*s) is computed in integer arithmetic
+    (Fraction), immune to float jitter.
+
+    Scale shape (100 TB): the document-frequency table is one groupBy over
+    the shingle table; the rare-first order concentrates prefix tokens in
+    the LOW-frequency tail, so prefix-join keys are near-unique — the
+    skew-salting the shared-shingle join needs is unnecessary here by
+    construction (an ultra-common shingle is, by definition, in nobody's
+    prefix unless the doc is almost all stop-shingles). Candidate
+    verification ships each candidate pair's two shingle arrays once
+    (size-capped by the docs themselves), never a quadratic structure.
+    A size filter (t*max <= min) prunes length-incompatible pairs before
+    verification."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+
+    def int_ceil_t(s: Column) -> Column:
+        # ceil(t*s) in exact integer arithmetic
+        return F.floor((s * num + den - 1) / den).cast("long")
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = _shingle_table(df, id_col, text_col, n)
+    dfreq = sh.groupBy("__sh").agg(F.count("*").alias("__df"))
+    # per-doc shingles sorted rare-first: array_sort on (df, shingle) structs
+    ordered = (
+        sh.join(dfreq, "__sh")
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__df"), F.col("__sh")))
+                ),
+                lambda x: x["__sh"],
+            ).alias("__toks")
+        )
+        .withColumn("__n", F.size("__toks"))
+        .withColumn(
+            "__prefix",
+            F.slice(
+                F.col("__toks"),
+                1,
+                (F.col("__n") - int_ceil_t(F.col("__n")) + 1).cast("int"),
+            ),
+        )
+    )
+    a = ordered.select(
+        F.col("__id").alias("id_a"),
+        F.col("__toks").alias("__ta"),
+        F.col("__n").alias("__na"),
+        F.explode("__prefix").alias("__ptok"),
+    )
+    b = ordered.select(
+        F.col("__id").alias("id_b"),
+        F.col("__toks").alias("__tb"),
+        F.col("__n").alias("__nb"),
+        F.explode("__prefix").alias("__ptok"),
+    )
+    cand = (
+        a.join(b.hint("shuffle_hash"), on="__ptok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # size filter: J >= t needs t*max(|a|,|b|) <= min(|a|,|b|)
+            & (
+                int_ceil_t(F.greatest(F.col("__na"), F.col("__nb")))
+                <= F.least(F.col("__na"), F.col("__nb"))
+            )
+        )
+        .select("id_a", "id_b", "__ta", "__tb", "__na", "__nb")
+        .dropDuplicates(["id_a", "id_b"])
+        .repartition(par, "id_a", "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+    return (
+        cand.withColumn(
+            "jaccard", inter / (F.col("__na") + F.col("__nb") - inter)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -658,3 +658,41 @@ def test_sample_frames_fanout_and_determinism(spark):
         for r in rs
     )
     assert key(out) == key(out2)
+
+
+def test_prefix_jaccard_equals_exact(docs):
+    from kolibrie_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    exact = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in prefix_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    assert pref == exact and len(pref) > 0
+
+
+def test_prefix_jaccard_thresholds_and_empty(spark, docs):
+    from kolibrie_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    # threshold sweep incl. an awkward fraction (exact integer ceil path)
+    for t in (0.3, 0.7, 1.0 / 3.0):
+        exact = {
+            (r.id_a, r.id_b, round(r.jaccard, 12))
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, t).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b, round(r.jaccard, 12))
+            for r in prefix_jaccard_pairs(docs, "doc_id", "text", 3, t).collect()
+        }
+        assert pref == exact
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert prefix_jaccard_pairs(empty, "doc_id", "text", 3, 0.5).count() == 0
