@@ -228,6 +228,17 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
+def _q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard join via prefix filtering (AllPairs/PPJoin) — same
+    output as dedup_ngram_jaccard from a near-linear candidate set; shares
+    the exact-Jaccard DuckDB oracle."""
+    from kolibrie_spark.operators.dedup import prefix_jaccard_pairs
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
 def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.operators.dedup import minhash_lsh_pairs
     from kolibrie_spark.tables import load_table
@@ -2222,8 +2233,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver check at least every other round.
 #
 # Round 3 head = the 7 gates the r2 driver never checked (VERDICT r2 item 1;
-# prob_hybrid had NEVER had a driver row) + gates newly added in round 3.
+# prob_hybrid had NEVER had a driver row) FIRST — they must land inside the
+# 50-row window no matter what — then gates newly added in round 3 (any
+# overflow past 50 rotates into the round-4 head).
 _DRIVER_FIRST = [
+    "prob_hybrid",
+    "streaming_istream_replay",
+    "streaming_dstream_replay",
+    "ml_predict",
+    "multimodal_features",
+    "builder_chain",
+    "asof_join_events_orders",
     "analytics_q5",  # new in round 3 (session 3)
     "profile_rollup",  # new in round 3 (session 3)
     "audit_quality",  # new in round 3 (session 3)
@@ -2273,13 +2293,6 @@ _DRIVER_FIRST = [
     "text_chunk",  # new in round 3
     "top_docs_per_source",  # new in round 3
     "streaming_istream_live",  # new in round 3
-    "prob_hybrid",
-    "streaming_istream_replay",
-    "streaming_dstream_replay",
-    "ml_predict",
-    "multimodal_features",
-    "builder_chain",
-    "asof_join_events_orders",
 ]
 
 
@@ -2444,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- LLM-pipeline operators (north-star extensions)
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_prefix_jaccard": _q_dedup_prefix_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_cluster": _q_dedup_cluster,
         "dedup_simhash": _q_dedup_simhash,
@@ -2808,6 +2822,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "dedup_minhash_lsh": _ngram_jaccard_oracle(),
+        "dedup_prefix_jaccard": _ngram_jaccard_oracle(),
         "dedup_cluster": _dedup_cluster_oracle(),
         "dedup_simhash": _dedup_simhash_oracle(),
         "sim_topk_lsh": _sim_topk_lsh_oracle(),
