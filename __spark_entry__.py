@@ -2215,6 +2215,136 @@ def _q_udf_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_telemetry_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid gap filling: hourly ticks per user with the latest
+    at-or-before observation forward-filled (scd.resample_ffill)."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.scd import resample_ffill
+    from kolibrie_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_us div 1000000").alias("tse"),
+        "value",
+    )
+    return resample_ffill(ev, "user_id", "tse", "value", step=3600)
+
+
+def _q_profile_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source [0.05, 0.95] quantile clipping of document lengths —
+    the outlier guard before averaging heavy-tailed telemetry."""
+    from kolibrie_spark.operators.profiling import winsorize
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return winsorize(docs, "source", "n_chars").select(
+        "doc_id", "source", "n_chars_wins"
+    )
+
+
+# deterministic snapshot perturbation shared by the Spark gate and its twin:
+# keys % 97 == 0 exist only in NEW (added), % 101 == 0 only in OLD (removed),
+# % 89 == 0 get a bumped totalprice in NEW (changed)
+_DIFF_OLD = "o_orderkey % 97 != 0"
+_DIFF_NEW = "o_orderkey % 101 != 0"
+_DIFF_BUMP = "o_orderkey % 89 == 0"
+
+
+def _q_audit_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-over-batch snapshot diff (audit.diff_snapshots): added /
+    removed / changed keys from one full outer join, |delta|-sized out."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.audit import diff_snapshots
+    from kolibrie_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.expr(_DIFF_OLD))
+    new = orders.filter(F.expr(_DIFF_NEW)).withColumn(
+        "o_totalprice",
+        F.when(F.expr(_DIFF_BUMP), F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return diff_snapshots(old, new, "o_orderkey", ["o_totalprice", "o_orderstatus"])
+
+
+def _audit_snapshot_diff_oracle() -> str:
+    from kolibrie_spark.operators.audit import diff_snapshots_duckdb_sql
+
+    old_expr = f"(SELECT * FROM orders WHERE {_DIFF_OLD})"
+    new_expr = (
+        "(SELECT o_orderkey, o_orderstatus, CASE WHEN o_orderkey % 89 = 0 "
+        "THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice "
+        "FROM orders WHERE o_orderkey % 101 != 0)"
+    )
+    return diff_snapshots_duckdb_sql(
+        old_expr, new_expr, "o_orderkey", ["o_totalprice", "o_orderstatus"]
+    )
+
+
+def _q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per anchor, the most-similar different-label
+    vector among its LSH-bucket neighbors (embeddings.hard_negatives)."""
+    from kolibrie_spark.operators.embeddings import hard_negatives
+    from kolibrie_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb, "vec_id", "embedding", "label", dim=64, bits=6, per_anchor=1
+    )
+
+
+def _resample_oracle() -> str:
+    from kolibrie_spark.operators.scd import resample_ffill_duckdb_sql
+
+    return resample_ffill_duckdb_sql(
+        "(SELECT user_id, epoch_us(ts) // 1000000 AS tse, value FROM events)",
+        "user_id",
+        "tse",
+        "value",
+        3600,
+    )
+
+
+def _winsorize_oracle() -> str:
+    from kolibrie_spark.operators.profiling import winsorize_duckdb_sql
+
+    return winsorize_duckdb_sql(
+        "documents", "source", "n_chars", "t.doc_id, t.source"
+    )
+
+
+def _hard_negatives_oracle() -> str:
+    from kolibrie_spark.operators.embeddings import hard_negatives_duckdb_sql
+
+    return hard_negatives_duckdb_sql(
+        "embeddings", "vec_id", "embedding", "label",
+        dim=64, bits=6, per_anchor=1,
+    )
+
+
+def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (operators/bpe.py): 8 merge rounds over the
+    documents corpus; returns the ordered merge table. No SQL oracle — the
+    iterative argmax-and-rewrite loop is not expressible as one DuckDB
+    query; bit-identity with the textbook Sennrich implementation is
+    pytest-asserted (tests/test_bpe.py), so the driver's rows-only check
+    plus the unit equivalence covers it."""
+    from kolibrie_spark.operators.bpe import train_bpe
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = train_bpe(docs, "text", num_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2529,6 +2659,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "builder_chain": _q_builder_chain,
         "asof_join_events_orders": _q_asof_join,
+        # --- round-3 session-4 additions
+        "telemetry_resample": _q_telemetry_resample,
+        "profile_winsorize": _q_profile_winsorize,
+        "audit_snapshot_diff": _q_audit_snapshot_diff,
+        "embed_hard_negatives": _q_embed_hard_negatives,
+        "bpe_train_merges": _q_bpe_train_merges,
     })
 
 
@@ -2949,4 +3085,12 @@ def oracle_sql() -> dict[str, str]:
             "AND w.u = s.u AND w.t = s.t) "
             "AND EXISTS (SELECT 1 FROM w WHERE w.window_open = s.window_open)"
         ),
+        # --- round-3 session-4 additions (bpe_train_merges intentionally
+        # omitted: iterative argmax-rewrite has no single-query SQL twin;
+        # the driver records a rows-only check, bit-identity vs the
+        # textbook implementation is pytest-asserted)
+        "telemetry_resample": _resample_oracle(),
+        "profile_winsorize": _winsorize_oracle(),
+        "audit_snapshot_diff": _audit_snapshot_diff_oracle(),
+        "embed_hard_negatives": _hard_negatives_oracle(),
     })
