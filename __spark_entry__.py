@@ -2327,6 +2327,126 @@ def _hard_negatives_oracle() -> str:
     )
 
 
+def _q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality-routed media near-dup (phash.media_near_dup_pairs) over a
+    deterministic synthetic corpus: doc pair (2g, 2g+1) carries the SAME
+    content where the second member is perturbed by an invariance the
+    fingerprint cancels EXACTLY — uniform brightness shift for PNG (only
+    the DCT DC coefficient moves, and pHash drops DC) and 2x gain for WAV
+    (the Haitsma-Kalker double delta cancels uniform log-energy shifts) —
+    so every within-group pair has hamming 0 and the oracle reduces to
+    doc_id arithmetic. Cross-group absence is part of the checked value
+    set (any accidental <=3-bit collision would fail the row count)."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.phash import media_near_dup_pairs
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 200"
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from kolibrie_spark.operators.multimodal import build_png, build_wav
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // 2, did % 2
+                if g % 2 == 0:
+                    # group-dependent SPATIAL FREQUENCIES (not just a
+                    # constant offset — pHash drops DC, so offset-only
+                    # differences would collide across groups). The v=1
+                    # twin re-encodes the SAME pixels with the filter-type
+                    # cycle: different bytes (different filters + zlib
+                    # stream), identical content — invisible to exact-byte
+                    # dedup, hamming 0 for pHash by construction
+                    data = build_png(
+                        g % 16 + 8,
+                        g % 12 + 8,
+                        lambda x, y: (
+                            (x * (7 + g % 23) + y * (13 + g % 19) + g) * 31
+                        )
+                        % 200,
+                        filter_cycle=bool(v),
+                    )
+                else:
+                    # group-dependent CHIRP (quadratic phase): a stationary
+                    # tone has ~zero double-deltas, so every group would
+                    # fingerprint alike; the chirp rate (3+g) gives each
+                    # group its own time-frequency trajectory
+                    gain = 2 if v else 1
+                    data = build_wav(
+                        g % 50 + 40,
+                        sample_fn=lambda i: (
+                            (((3 + g) * i * i + (37 + 3 * g) * i + 11 * g)
+                             % 4001) - 2000
+                        )
+                        * gain,
+                    )
+                out.append((did, data))
+            yield pd.DataFrame(out, columns=["media_id", "data"])
+
+    media = docs.mapInPandas(make, "media_id long, data binary")
+    out = media_near_dup_pairs(media, "media_id", max_hamming=1)
+    return out.select(
+        "id_a", "id_b", "modality", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _media_near_dup_oracle() -> str:
+    return (
+        "SELECT CAST(2*g AS BIGINT) AS id_a, CAST(2*g+1 AS BIGINT) AS id_b, "
+        "CASE WHEN g % 2 = 0 THEN 'image' ELSE 'audio' END AS modality, "
+        "CAST(0 AS BIGINT) AS hamming "
+        "FROM (SELECT doc_id // 2 AS g FROM documents WHERE doc_id < 200 "
+        "GROUP BY 1 HAVING COUNT(*) = 2)"
+    )
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evenly-spaced video frame sampling over real MP4 (ftyp+mvhd)
+    containers (multimodal.sample_frames): each blob fans out to 4 frame
+    rows at the middle of its 1/4 slice of the mvhd timeline. The frame
+    timestamps derive from the REAL container parse, so the oracle
+    recomputes them from the construction formula; the hash-derived fake
+    frame features (the documented codec stub) are projected away."""
+    from kolibrie_spark.operators.multimodal import sample_frames
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 200"
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from kolibrie_spark.operators.multimodal import build_mp4
+
+        for pdf in batches:
+            out = [
+                (str(int(d)), build_mp4(int(d) % 5000 + 500))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(out, columns=["media_id", "data"])
+
+    media = docs.mapInPandas(make, "media_id string, data binary")
+    return sample_frames(media, n_frames=4, dim=16).select(
+        "media_id", "frame_idx", "ts_ms"
+    )
+
+
+def _multimodal_frames_oracle() -> str:
+    return (
+        "SELECT CAST(doc_id AS VARCHAR) AS media_id, CAST(k AS INT) AS frame_idx, "
+        "CAST(((doc_id % 5000 + 500) * (2*k + 1)) // 8 AS INT) AS ts_ms "
+        "FROM documents, UNNEST([0, 1, 2, 3]) t(k) WHERE doc_id < 200"
+    )
+
+
 def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (operators/bpe.py): 8 merge rounds over the
     documents corpus; returns the ordered merge table. No SQL oracle — the
@@ -2665,6 +2785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_snapshot_diff": _q_audit_snapshot_diff,
         "embed_hard_negatives": _q_embed_hard_negatives,
         "bpe_train_merges": _q_bpe_train_merges,
+        "media_near_dup": _q_media_near_dup,
+        "multimodal_frames": _q_multimodal_frames,
     })
 
 
@@ -3093,4 +3215,6 @@ def oracle_sql() -> dict[str, str]:
         "profile_winsorize": _winsorize_oracle(),
         "audit_snapshot_diff": _audit_snapshot_diff_oracle(),
         "embed_hard_negatives": _hard_negatives_oracle(),
+        "media_near_dup": _media_near_dup_oracle(),
+        "multimodal_frames": _multimodal_frames_oracle(),
     })
