@@ -2447,6 +2447,76 @@ def _multimodal_frames_oracle() -> str:
     )
 
 
+def _q_events_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval collapse (temporal.merge_intervals):
+    per-user activity intervals [ts, ts + event_id % 7200s] merged into
+    maximal islands — one key shuffle, no self-join, no range explode."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.temporal import merge_intervals
+    from kolibrie_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_us div 1000000").alias("s"),
+        (F.expr("ts_us div 1000000") + F.col("event_id") % 7200).alias("e"),
+    )
+    return merge_intervals(ev, "user_id", "s", "e")
+
+
+def _interval_merge_oracle() -> str:
+    from kolibrie_spark.operators.temporal import merge_intervals_duckdb_sql
+
+    return merge_intervals_duckdb_sql(
+        "(SELECT user_id, epoch_us(ts) // 1000000 AS s, "
+        "epoch_us(ts) // 1000000 + event_id % 7200 AS e FROM events)",
+        "user_id", "s", "e",
+    )
+
+
+def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (graph.triangle_count): degree-ordered
+    wedge enumeration — each triangle found once, quadratic wedge blowup
+    pinned to low-degree roots; edges derived from the orders FK pair."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.graph import triangle_count
+    from kolibrie_spark.tables import load_table
+
+    edges = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 200).alias("src"),
+        (F.col("o_orderkey") % 200).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
+def _graph_triangles_oracle() -> str:
+    from kolibrie_spark.operators.graph import triangle_count_duckdb_sql
+
+    return triangle_count_duckdb_sql(
+        "(SELECT o_custkey % 200 AS src, o_orderkey % 200 AS dst FROM orders)"
+    )
+
+
+def _q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-props per event type
+    (sketches.hll_distinct): registers over the shared cross-engine hash,
+    integer-scaled register sum (add-order-independent), one map-side-
+    combinable aggregation — the no-distinct-shuffle 100 TB default next
+    to KMV's bit-exact heavy path."""
+    from kolibrie_spark.operators.sketches import hll_distinct
+    from kolibrie_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct(ev, "event_type", "props")
+
+
+def _hll_distinct_oracle() -> str:
+    from kolibrie_spark.operators.sketches import hll_distinct_duckdb_sql
+
+    return hll_distinct_duckdb_sql("events", "event_type", "props")
+
+
 def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (operators/bpe.py): 8 merge rounds over the
     documents corpus; returns the ordered merge table. No SQL oracle — the
@@ -2787,6 +2857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": _q_bpe_train_merges,
         "media_near_dup": _q_media_near_dup,
         "multimodal_frames": _q_multimodal_frames,
+        "events_interval_merge": _q_events_interval_merge,
+        "graph_triangles": _q_graph_triangles,
+        "sketch_hll_distinct": _q_sketch_hll_distinct,
     })
 
 
@@ -3217,4 +3290,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_hard_negatives": _hard_negatives_oracle(),
         "media_near_dup": _media_near_dup_oracle(),
         "multimodal_frames": _multimodal_frames_oracle(),
+        "events_interval_merge": _interval_merge_oracle(),
+        "graph_triangles": _graph_triangles_oracle(),
+        "sketch_hll_distinct": _hll_distinct_oracle(),
     })

@@ -112,3 +112,108 @@ SELECT g AS {group_col},
        END AS est_distinct
 FROM topk GROUP BY g
 """
+
+
+# --------------------------------------------------------------- HLL distinct
+# Deterministic HyperLogLog (Flajolet et al. 2007) over the SAME mixed
+# polynomial hash as KMV — unlike engine-internal HLLs (Spark's
+# approx_count_distinct vs DuckDB's differ), registers over a shared
+# deterministic hash are a pure function of the value set, so the sketch
+# is bit-reproducible across engines, partitionings, and reruns.
+HLL_M = 16  # registers (p=4)
+_HLL_ALPHA = 0.673  # alpha_16 from the HLL paper
+# w = h // m for h in [0, FAMILY_P): w < 2^36 + eps, so the leftmost
+# 1-bit position within a 36-bit word is rho = 37 - bitlen(w) (clamped
+# to >= 1 for the rare w just past 2^36); w = 0 -> rho = 37
+_HLL_MAXRHO = 37
+# est = C / S with S an exact int64 (sum of 2^(50-M_j)); precompute the
+# whole numerator in Python so both engines evaluate ONE division
+_HLL_C = float(_HLL_ALPHA * HLL_M * HLL_M * (1 << 50))
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group deterministic-HLL distinct estimate of a string column.
+
+    Returns ``(group, v_zero, s_scaled, est_distinct)``: ``v_zero`` =
+    empty registers, ``s_scaled`` = sum of ``2^(50 - M_j)`` as an exact
+    int64 (the register sum scaled so every term is an integer — double
+    summation would be add-order-dependent and break bit stability),
+    ``est_distinct`` = alpha_m * m^2 / sum(2^-M_j), with the standard
+    linear-counting correction ``m * ln(m / V)`` when est <= 2.5m and
+    V > 0 (the one branch with a transcendental — libm ln may differ in
+    the last ulp across engines; everything else is integer-exact).
+
+    Plan shape: one aggregation to (group, bucket, max rho) — map-side
+    combinable, shuffle on (group, bucket) — then a tiny per-group fold
+    over <= m rows. No distinct-shuffle at all (KMV's heavy stage), which
+    is the reason HLL is the 100 TB default and KMV the bit-exact
+    fallback when the estimator itself must cross engines.
+    """
+    h = _mix(poly_hash(F.col(value_col)))
+    bucketed = df.select(
+        F.col(group_col),
+        (h % HLL_M).alias("bucket"),
+        F.floor(h / HLL_M).cast("long").alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(_HLL_MAXRHO)).otherwise(
+            F.greatest(
+                F.lit(1),
+                F.lit(_HLL_MAXRHO)
+                - F.length(F.conv(F.col("w").cast("string"), 10, 2)),
+            )
+        ),
+    )
+    regs = bucketed.groupBy(group_col, "bucket").agg(F.max("rho").alias("M"))
+    per_group = regs.groupBy(group_col).agg(
+        (F.lit(HLL_M) - F.count("*")).cast("long").alias("v_zero"),
+        (
+            F.sum(F.pow(F.lit(2.0), F.lit(50) - F.col("M")).cast("long"))
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << 50)
+        ).alias("s_scaled"),
+    )
+    raw = F.lit(_HLL_C) / F.col("s_scaled").cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("v_zero") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero").cast("double")),
+    ).otherwise(raw)
+    return per_group.withColumn("est_distinct", est)
+
+
+def hll_distinct_duckdb_sql(
+    table_expr: str, group_col: str, value_expr: str
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` (same hash, registers, fold)."""
+    h = _mix_duckdb(poly_hash_duckdb(value_expr))
+    return f"""
+WITH bucketed AS (
+  SELECT {group_col} AS g, ({h}) % {HLL_M} AS bucket,
+         ({h}) // {HLL_M} AS w
+  FROM {table_expr}
+), rhos AS (
+  SELECT g, bucket,
+         CASE WHEN w = 0 THEN {_HLL_MAXRHO}
+              ELSE GREATEST(1, {_HLL_MAXRHO} - length(bin(w))) END AS rho
+  FROM bucketed
+), regs AS (
+  SELECT g, bucket, MAX(rho) AS M FROM rhos GROUP BY g, bucket
+), per_group AS (
+  SELECT g,
+         CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_zero,
+         CAST(SUM(CAST(pow(2.0, 50 - M) AS BIGINT))
+              + ({HLL_M} - COUNT(*)) * {1 << 50} AS BIGINT) AS s_scaled
+  FROM regs GROUP BY g
+)
+SELECT g AS {group_col}, v_zero, s_scaled,
+       CASE WHEN ({_HLL_C!r} / CAST(s_scaled AS DOUBLE)) <= {2.5 * HLL_M}
+                 AND v_zero > 0
+            THEN CAST({float(HLL_M)} AS DOUBLE)
+                 * ln(CAST({float(HLL_M)} AS DOUBLE) / CAST(v_zero AS DOUBLE))
+            ELSE {_HLL_C!r} / CAST(s_scaled AS DOUBLE)
+       END AS est_distinct
+FROM per_group
+"""

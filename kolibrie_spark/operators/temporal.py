@@ -199,3 +199,82 @@ def _sessionize_split(
         .drop("__b", "__prev_last", "__new", "__seq_local", "__start_local",
               "__seq_off", "__inherited")
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping-or-touching ``[start, end]`` intervals per key
+    (the classic gaps-and-islands collapse): returns one row per maximal
+    merged interval ``(key, start, end, n_merged)``.
+
+    Plan shape: ONE shuffle on the key; inside each key an ordered
+    running max of ``end`` (window) marks island starts where the
+    current start exceeds every prior end, a conditional running sum
+    numbers the islands, and a groupBy on (key, island) emits min/max —
+    no self-join, no explode of the covered range (an interval spanning
+    a year costs one row, not 365). At 100 TB the only hot spot is a
+    single key owning most intervals; the window+groupBy pair both run
+    on the same hash partitioning, and AQE's skew split applies to the
+    final aggregation.
+
+    Touching intervals (next.start == prior.end) merge; strictly-after
+    starts a new island. Ties on start order by end (deterministic).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(start_col).asc(), F.col(end_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = df.withColumn("__prior_max_end", F.max(end_col).over(w)).withColumn(
+        "__new_island",
+        (
+            F.col("__prior_max_end").isNull()
+            | (F.col(start_col) > F.col("__prior_max_end"))
+        ).cast("long"),
+    )
+    w2 = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(start_col).asc(), F.col(end_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        marked.withColumn("__island", F.sum("__new_island").over(w2))
+        .groupBy(key_col, "__island")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count("*").alias("n_merged"),
+        )
+        .select(key_col, start_col, end_col, "n_merged")
+    )
+
+
+def merge_intervals_duckdb_sql(
+    table_expr: str, key_col: str, start_col: str, end_col: str
+) -> str:
+    """DuckDB twin of :func:`merge_intervals` (same island construction)."""
+    return f"""
+WITH marked AS (
+  SELECT {key_col}, {start_col}, {end_col},
+         CASE WHEN max({end_col}) OVER (PARTITION BY {key_col}
+                ORDER BY {start_col} ASC, {end_col} ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR {start_col} > max({end_col}) OVER (PARTITION BY {key_col}
+                ORDER BY {start_col} ASC, {end_col} ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_island
+  FROM {table_expr}
+), islands AS (
+  SELECT *, SUM(new_island) OVER (PARTITION BY {key_col}
+           ORDER BY {start_col} ASC, {end_col} ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+)
+SELECT {key_col}, MIN({start_col}) AS {start_col}, MAX({end_col}) AS {end_col},
+       COUNT(*) AS n_merged
+FROM islands GROUP BY {key_col}, island
+"""

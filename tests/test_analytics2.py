@@ -459,3 +459,121 @@ def test_hard_negatives_positive_relation(spark):
         assert labels[r["anchor_id"]] == labels[r["negative_id"]]
         assert r["anchor_id"] != r["negative_id"]
         assert r["cosine"] > 0.9  # tight same-cluster pairs
+
+
+def test_merge_intervals(spark):
+    from kolibrie_spark.operators.temporal import merge_intervals
+
+    rows = [
+        ("u1", 0, 10), ("u1", 5, 12), ("u1", 12, 15),  # touch merges
+        ("u1", 20, 25),
+        ("u2", 3, 4), ("u2", 6, 7),
+        ("u3", 0, 100), ("u3", 10, 20),  # contained
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = {
+        (r.k, r.s, r.e): r.n_merged
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    }
+    assert out == {
+        ("u1", 0, 15): 3, ("u1", 20, 25): 1,
+        ("u2", 3, 4): 1, ("u2", 6, 7): 1,
+        ("u3", 0, 100): 2,
+    }
+
+
+def test_merge_intervals_matches_duckdb(spark):
+    import duckdb
+
+    from kolibrie_spark.operators.temporal import (
+        merge_intervals,
+        merge_intervals_duckdb_sql,
+    )
+
+    rows = [(f"k{i % 5}", (i * 37) % 100, (i * 37) % 100 + (i * 13) % 30)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    mine = sorted(
+        (r.k, r.s, r.e, r.n_merged)
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR, s BIGINT, e BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    ref = sorted(
+        tuple(r) for r in con.execute(
+            merge_intervals_duckdb_sql("t", "k", "s", "e")
+        ).fetchall()
+    )
+    assert mine == ref
+
+
+def test_triangle_count(spark):
+    from kolibrie_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant 5 + isolated pair
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges += [(4, 5), (8, 9), (2, 1)]  # duplicate reversed edge, no effect
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.id: r.triangles for r in triangle_count(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_matches_duckdb(spark):
+    import duckdb
+
+    from kolibrie_spark.operators.graph import (
+        triangle_count,
+        triangle_count_duckdb_sql,
+    )
+
+    edges = [((i * 7) % 30, (i * 13 + 5) % 30) for i in range(150)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    mine = sorted((r.id, r.triangles) for r in triangle_count(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges_t (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO edges_t VALUES (?, ?)", edges)
+    ref = sorted(
+        tuple(r)
+        for r in con.execute(triangle_count_duckdb_sql("edges_t")).fetchall()
+    )
+    assert mine == ref
+
+
+def test_hll_distinct_accuracy_and_twin(spark):
+    import duckdb
+
+    from kolibrie_spark.operators.sketches import (
+        hll_distinct,
+        hll_distinct_duckdb_sql,
+    )
+
+    rows = [(f"g{i % 2}", f"value-{(i * 17) % 3000}-x") for i in range(8000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    mine = {
+        r.g: (r.v_zero, r.s_scaled, r.est_distinct)
+        for r in hll_distinct(df, "g", "v").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    ref = {
+        g: (vz, s, est)
+        for g, vz, s, est in con.execute(
+            hll_distinct_duckdb_sql("t", "g", "v")
+        ).fetchall()
+    }
+    assert mine == ref  # bit-exact, including the double estimate
+    for vz, s, est in mine.values():
+        # each group sees ~1500 distinct; HLL with m=16 has ~26% rse
+        assert 700 < est < 2800
+
+
+def test_hll_distinct_small_group_exactish(spark):
+    from kolibrie_spark.operators.sketches import hll_distinct
+
+    rows = [("g", f"v{i}") for i in range(3)] * 10
+    df = spark.createDataFrame(rows, "g string, v string")
+    r = hll_distinct(df, "g", "v").collect()[0]
+    # 3 distinct, 16 registers -> linear counting branch
+    assert r.v_zero >= 13 and 1 <= r.est_distinct <= 8
