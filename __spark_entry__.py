@@ -2517,6 +2517,46 @@ def _hll_distinct_oracle() -> str:
     return hll_distinct_duckdb_sql("events", "event_type", "props")
 
 
+def _q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: events whose value deviates more than
+    3.5 scaled MADs from their event-type median (profiling.mad_outliers)
+    — two percentile aggs broadcast back, data never re-shuffles."""
+    from kolibrie_spark.operators.profiling import mad_outliers
+    from kolibrie_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return mad_outliers(ev, "event_type", "value", "event_id", k=3.5)
+
+
+def _events_anomaly_mad_oracle() -> str:
+    from kolibrie_spark.operators.profiling import mad_outliers_duckdb_sql
+
+    return mad_outliers_duckdb_sql("events", "event_type", "value", "event_id", k=3.5)
+
+
+def _q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA telemetry smoothing (scd.ewma_last): deterministic
+    time-ordered left fold, bit-equal across engines."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.scd import ewma_last
+    from kolibrie_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts_us").alias("t"), "value"
+    )
+    return ewma_last(ev, "user_id", "t", "value", alpha=0.25)
+
+
+def _events_ewma_oracle() -> str:
+    from kolibrie_spark.operators.scd import ewma_last_duckdb_sql
+
+    return ewma_last_duckdb_sql(
+        "(SELECT user_id, epoch_us(ts) AS t, value FROM events)",
+        "user_id", "t", "value", alpha=0.25,
+    )
+
+
 def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (operators/bpe.py): 8 merge rounds over the
     documents corpus; returns the ordered merge table. No SQL oracle — the
@@ -2860,6 +2900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_merge": _q_events_interval_merge,
         "graph_triangles": _q_graph_triangles,
         "sketch_hll_distinct": _q_sketch_hll_distinct,
+        "events_anomaly_mad": _q_events_anomaly_mad,
+        "events_ewma": _q_events_ewma,
     })
 
 
@@ -3293,4 +3335,6 @@ def oracle_sql() -> dict[str, str]:
         "events_interval_merge": _interval_merge_oracle(),
         "graph_triangles": _graph_triangles_oracle(),
         "sketch_hll_distinct": _hll_distinct_oracle(),
+        "events_anomaly_mad": _events_anomaly_mad_oracle(),
+        "events_ewma": _events_ewma_oracle(),
     })

@@ -397,3 +397,77 @@ SELECT {select_cols},
          AS {value_expr}_wins
 FROM {table_expr} t JOIN bounds b ON t.{group_col} = b.g
 """
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust per-group anomaly detection: flag rows whose deviation from
+    the group median exceeds ``k`` scaled MADs (median absolute
+    deviation, consistency constant 1.4826 — the standard robust z-score;
+    unlike mean/std it is immune to the outliers it hunts).
+
+    Returns ``(id, group, value, robust_z)`` for flagged rows, with
+    ``robust_z = |v - med| / (1.4826 * MAD)``; groups with MAD = 0 are
+    skipped (every deviation would be infinite).
+
+    Plan shape: two exact-percentile aggregations (median, then median
+    of deviations) — each one shuffle on the group key, results are
+    |groups|-sized and broadcast back; the data never re-shuffles for
+    the final filter. Cross-engine: exact percentile interpolation and
+    the single-multiply/divide score are the same IEEE ops in DuckDB
+    (the profile_quantiles parity argument). At 100 TB swap exact
+    percentile for approx_percentile and drop the bit contract.
+    """
+    c = 1.4826
+    v = F.col(value_col)
+    med = df.groupBy(group_col).agg(
+        F.percentile(v, 0.5).alias("__med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "__adev", F.abs(v - F.col("__med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.percentile(F.col("__adev"), 0.5).alias("__mad")
+    )
+    scored = dev.join(F.broadcast(mad), group_col).filter(
+        (F.col("__mad") > 0)
+        & (F.col("__adev") > F.lit(k) * (F.lit(c) * F.col("__mad")))
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col(group_col),
+        v.alias(value_col),
+        (F.col("__adev") / (F.lit(c) * F.col("__mad"))).alias("robust_z"),
+    )
+
+
+def mad_outliers_duckdb_sql(
+    table_expr: str,
+    group_col: str,
+    value_expr: str,
+    id_col: str,
+    k: float = 3.5,
+) -> str:
+    """DuckDB twin of :func:`mad_outliers` (same medians, same ops)."""
+    c = 1.4826
+    return f"""
+WITH med AS (
+  SELECT {group_col} AS g, quantile_cont({value_expr}, 0.5) AS med
+  FROM {table_expr} GROUP BY 1
+), dev AS (
+  SELECT t.{id_col} AS id, t.{group_col} AS g, {value_expr} AS v,
+         ABS({value_expr} - m.med) AS adev
+  FROM {table_expr} t JOIN med m ON t.{group_col} = m.g
+), mad AS (
+  SELECT g, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY g
+)
+SELECT d.id AS {id_col}, d.g AS {group_col}, d.v AS {value_expr},
+       d.adev / ({c} * a.mad) AS robust_z
+FROM dev d JOIN mad a ON d.g = a.g
+WHERE a.mad > 0 AND d.adev > {k} * ({c} * a.mad)
+"""

@@ -190,3 +190,65 @@ WITH span AS (
 SELECT k AS {key_col}, t AS tick_ts, ff AS value_ffill
 FROM filled WHERE is_grid = 1
 """
+
+
+def ewma_last(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average of the time-ordered
+    value sequence, returning the FINAL smoothed level per key —
+    ``(key, n_obs, ewma)`` with ``s_0 = v_0; s_i = alpha*v_i +
+    (1-alpha)*s_{i-1}``.
+
+    Determinism: floating EWMA depends on fold order, so the values are
+    collected per key, sorted by (ts, value) — a total deterministic
+    order — and folded LEFT-TO-RIGHT with the same two IEEE ops both
+    engines run (DuckDB's list_reduce seeds with the first element,
+    matching the explicit s_0 = v_0 here). One shuffle on the key; the
+    per-key sequence must fit an executor row (the same contract as any
+    collect_list window — for unbounded keys, window by time first).
+    """
+    a1 = float(alpha)
+    a0 = float(1.0 - alpha)
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(ts_col), F.col(value_col)))
+        ),
+        lambda s: s[value_col].cast("double"),
+    )
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(a1) * x + F.lit(a0) * acc,
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n_obs"), fold.alias("ewma"))
+    )
+
+
+def ewma_last_duckdb_sql(
+    table_expr: str,
+    key_col: str,
+    ts_col: str,
+    value_expr: str,
+    alpha: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`ewma_last` (same order, same fold)."""
+    a1 = float(alpha)
+    a0 = float(1.0 - alpha)
+    return f"""
+SELECT {key_col}, COUNT(*) AS n_obs,
+       list_reduce(
+         list(CAST({value_expr} AS DOUBLE) ORDER BY {ts_col}, {value_expr}),
+         (acc, x) -> {a1!r} * x + {a0!r} * acc
+       ) AS ewma
+FROM {table_expr}
+WHERE {value_expr} IS NOT NULL
+GROUP BY {key_col}
+"""

@@ -577,3 +577,64 @@ def test_hll_distinct_small_group_exactish(spark):
     r = hll_distinct(df, "g", "v").collect()[0]
     # 3 distinct, 16 registers -> linear counting branch
     assert r.v_zero >= 13 and 1 <= r.est_distinct <= 8
+
+
+def test_mad_outliers(spark):
+    import duckdb
+
+    from kolibrie_spark.operators.profiling import (
+        mad_outliers,
+        mad_outliers_duckdb_sql,
+    )
+
+    rows = [("g1", i, float((i * 7) % 20)) for i in range(100)]
+    rows += [("g1", 100, 500.0), ("g1", 101, -400.0)]  # outliers
+    rows += [("g2", 200 + i, 5.0) for i in range(10)]  # MAD 0 -> skipped
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    mine = sorted(
+        (r.id, r.g, r.v, r.robust_z)
+        for r in mad_outliers(df, "g", "v", "id").collect()
+    )
+    assert [m[0] for m in mine] == [100, 101]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, id BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    ref = sorted(
+        tuple(r)
+        for r in con.execute(
+            mad_outliers_duckdb_sql("t", "g", "v", "id")
+        ).fetchall()
+    )
+    assert mine == ref  # bit-exact incl. robust_z
+
+
+def test_ewma_last(spark):
+    import duckdb
+
+    from kolibrie_spark.operators.scd import ewma_last, ewma_last_duckdb_sql
+
+    rows = [(f"k{i % 3}", i, float(((i * 31) % 97) - 48) / 7.0) for i in range(90)]
+    rows.append(("k0", 1000, None))
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    mine = sorted(
+        (r.k, r.n_obs, r.ewma)
+        for r in ewma_last(df, "k", "ts", "v", alpha=0.3).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR, ts BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    ref = sorted(
+        tuple(r)
+        for r in con.execute(
+            ewma_last_duckdb_sql("t", "k", "ts", "v", alpha=0.3)
+        ).fetchall()
+    )
+    assert mine == ref  # bit-exact fold
+    # hand-check one key: s_i = 0.3 v_i + 0.7 s_{i-1} over ts order
+    seq = [v for k, ts, v in sorted(rows, key=lambda r: (r[1],))
+           if k == "k1" and v is not None]
+    s = seq[0]
+    for x in seq[1:]:
+        s = 0.3 * x + 0.7 * s
+    got = dict((k, e) for k, n, e in mine)["k1"]
+    assert got == s
