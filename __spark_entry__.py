@@ -2557,6 +2557,55 @@ def _events_ewma_oracle() -> str:
     )
 
 
+def _q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup against persisted MinHash state
+    (incremental.near_dup_against_corpus): batch docs (id < 250) flagged
+    against the corpus signature table (id >= 250) via banded bucket join
+    — corpus text never rescanned. The signature-estimated score is
+    projected away; what the oracle asserts is that the flagged PAIR SET
+    equals the exact-Jaccard >= 0.5 ground truth at these parameters
+    (64 hashes / 16 bands — verified equivalent on this corpus; the
+    estimate-vs-exact boundary contract is documented on the operator)."""
+    from kolibrie_spark.operators.incremental import (
+        corpus_signatures,
+        near_dup_against_corpus,
+    )
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = corpus_signatures(docs.filter("doc_id >= 250"), "doc_id", "text", 3, 64)
+    return near_dup_against_corpus(
+        docs.filter("doc_id < 250"), state, "doc_id", "text",
+        n=3, num_hashes=64, bands=16, threshold=0.5,
+    ).select("batch_id", "corpus_id")
+
+
+def _dedup_incremental_near_oracle() -> str:
+    gram = "w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
+    return f"""
+WITH words AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, {gram} AS s
+  FROM words, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) t(i)
+  WHERE i <= len(w) - 2 OR len(w) < 3
+),
+sizes AS (SELECT id, COUNT(*) AS sn FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS batch_id, b.id AS corpus_id, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < 250 AND b.id >= 250
+  GROUP BY 1, 2
+)
+SELECT batch_id, corpus_id
+FROM shared
+JOIN sizes sa ON batch_id = sa.id
+JOIN sizes sb ON corpus_id = sb.id
+WHERE c * 1.0 / (sa.sn + sb.sn - c) >= 0.5
+"""
+
+
 def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (operators/bpe.py): 8 merge rounds over the
     documents corpus; returns the ordered merge table. No SQL oracle — the
@@ -2902,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": _q_sketch_hll_distinct,
         "events_anomaly_mad": _q_events_anomaly_mad,
         "events_ewma": _q_events_ewma,
+        "dedup_incremental_near": _q_dedup_incremental_near,
     })
 
 
@@ -3337,4 +3387,5 @@ def oracle_sql() -> dict[str, str]:
         "sketch_hll_distinct": _hll_distinct_oracle(),
         "events_anomaly_mad": _events_anomaly_mad_oracle(),
         "events_ewma": _events_ewma_oracle(),
+        "dedup_incremental_near": _dedup_incremental_near_oracle(),
     })
