@@ -2606,6 +2606,73 @@ WHERE c * 1.0 / (sa.sn + sb.sn - c) >= 0.5
 """
 
 
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed image resize (multimodal.resize_images): real PNG
+    decode → integer box-average (floor) → PNG re-encode, then the
+    resized BLOB is decoded again by extract_media_features — so the gate
+    certifies the whole decode→resample→encode→decode loop. Integer
+    means make the resized content closed-form: the oracle recomputes
+    every 2x2 box floor-mean from the generator formula."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.multimodal import (
+        extract_media_features,
+        resize_images,
+    )
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 200"
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from kolibrie_spark.operators.multimodal import build_png
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = (d % 8 + 4) * 2, (d % 6 + 4) * 2
+                out.append(
+                    (str(d), build_png(w, h, lambda x, y: (x * 7 + y * 13 + d) % 256))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "data"])
+
+    media = docs.mapInPandas(make, "media_id string, data binary")
+    resized = resize_images(media, 6, 4)  # fixed 6x4 thumbnails
+    return extract_media_features(resized.select("media_id", "data")).select(
+        "media_id", "width", "height", "mean_luminance"
+    )
+
+
+def _multimodal_resize_oracle() -> str:
+    # resized pixel (x,y) = floor-mean of the generator over the integer
+    # index-grid box [(y*h)//4, ((y+1)*h)//4) x [(x*w)//6, ((x+1)*w)//6)
+    # (h, w >= 8 so every box is non-degenerate);
+    # mean_luminance = integer pixel sum / 24 as ONE double division
+    w = "((doc_id % 8 + 4) * 2)"
+    h = "((doc_id % 6 + 4) * 2)"
+    px = "((xx * 7 + yy * 13 + doc_id) % 256)"
+    box_sum = (
+        f"list_sum(flatten(list_transform("
+        f"range((y*{h})//4, ((y+1)*{h})//4), yy -> "
+        f"list_transform(range((x*{w})//6, ((x+1)*{w})//6), xx -> {px}))))"
+    )
+    box_n = (
+        f"((((y+1)*{h})//4 - (y*{h})//4) * (((x+1)*{w})//6 - (x*{w})//6))"
+    )
+    return (
+        "SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+        "CAST(6 AS INT) AS width, CAST(4 AS INT) AS height, "
+        "CAST(list_sum(flatten(list_transform(range(0, 4), y -> "
+        "list_transform(range(0, 6), x -> "
+        f"{box_sum} // {box_n})))) AS DOUBLE) / 24 AS mean_luminance "
+        "FROM documents WHERE doc_id < 200"
+    )
+
+
 def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (operators/bpe.py): 8 merge rounds over the
     documents corpus; returns the ordered merge table. No SQL oracle — the
@@ -2952,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_mad": _q_events_anomaly_mad,
         "events_ewma": _q_events_ewma,
         "dedup_incremental_near": _q_dedup_incremental_near,
+        "multimodal_resize": _q_multimodal_resize,
     })
 
 
@@ -3388,4 +3456,5 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly_mad": _events_anomaly_mad_oracle(),
         "events_ewma": _events_ewma_oracle(),
         "dedup_incremental_near": _dedup_incremental_near_oracle(),
+        "multimodal_resize": _multimodal_resize_oracle(),
     })

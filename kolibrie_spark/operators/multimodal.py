@@ -729,3 +729,85 @@ def sample_frames(df: DataFrame, n_frames: int = 4, dim: int = 16) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("data", BinaryType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def resize_pixels(
+    px: bytes, w: int, h: int, ch: int, out_w: int, out_h: int
+) -> bytes:
+    """Box-average resample of decoded pixels to (out_w, out_h) grayscale,
+    over the same integer index grids as the pHash resampler (boxes
+    ``[(y*h)//oh, ((y+1)*h)//oh)``), with FLOOR integer means — fully
+    integer arithmetic, so the result is bit-reproducible and closed-form
+    recomputable (the oracle's handle). RGB collapses via the
+    integer-truncated Rec.601 luma first."""
+    import numpy as np
+
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w * ch)
+    if ch <= 2:
+        gray = arr[:, 0::ch].astype(np.int64) if ch == 2 else arr.astype(np.int64)
+    else:
+        pix = arr.reshape(h, w, ch).astype(np.int64)
+        gray = (299 * pix[:, :, 0] + 587 * pix[:, :, 1] + 114 * pix[:, :, 2]) // 1000
+    ys = [(y * h) // out_h for y in range(out_h + 1)]
+    xs = [(x * w) // out_w for x in range(out_w + 1)]
+    out = bytearray(out_w * out_h)
+    for yi in range(out_h):
+        y0, y1 = ys[yi], max(ys[yi + 1], ys[yi] + 1)
+        for xi in range(out_w):
+            x0, x1 = xs[xi], max(xs[xi + 1], xs[xi] + 1)
+            box = gray[y0:y1, x0:x1]
+            out[yi * out_w + xi] = int(box.sum()) // box.size
+    return bytes(out)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Distributed image resize: real PNG decode → integer box-average
+    resample → grayscale PNG re-encode, as an Arrow-batched mapInPandas
+    over the binary column (per-row error isolation like the other media
+    operators). Output rows carry the new dimensions and the re-encoded
+    blob — a valid PNG any downstream decode (features, pHash) accepts.
+
+    Scale shape: embarrassingly parallel per-blob CPU work, no shuffle;
+    the output column is out_w*out_h bytes + PNG framing, so a resize to
+    thumbnails SHRINKS the dataset in flight — do it before any exchange.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    blob = bytes(data) if data is not None else b""
+                    d = decode_png(blob)
+                    rs = resize_pixels(
+                        bytes(d["pixels"]), d["width"], d["height"],
+                        d["channels"], out_w, out_h,
+                    )
+                    enc = build_png(
+                        out_w, out_h,
+                        lambda x, y: rs[y * out_w + x],
+                    )
+                    rows.append((mid, out_w, out_h, enc, None))
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        (mid, None, None, None, f"{type(e).__name__}: {e}")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "data", "decode_error"],
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
