@@ -2573,7 +2573,12 @@ def _q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    state = corpus_signatures(docs.filter("doc_id >= 250"), "doc_id", "text", 3, 64)
+    # the operator contract says state is a PERSISTED table; emulate with
+    # a lazy localCheckpoint so the signature map isn't recomputed by the
+    # bucket and verify branches
+    state = corpus_signatures(
+        docs.filter("doc_id >= 250"), "doc_id", "text", 3, 64
+    ).localCheckpoint(eager=False)
     return near_dup_against_corpus(
         docs.filter("doc_id < 250"), state, "doc_id", "text",
         n=3, num_hashes=64, bands=16, threshold=0.5,

@@ -247,3 +247,77 @@ SELECT f.cohort_day,
 FROM {table_expr} e JOIN firsts f ON e.{user_col} = f.uid
 GROUP BY 1, 2
 """
+
+
+def path_ngrams(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_col: str,
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Behavioral sequence mining: the top-``k`` most frequent length-``n``
+    event-type paths users actually walk (``view > click > purchase``) —
+    the product-analytics complement to funnel() (which checks ONE given
+    path; this discovers which paths matter).
+
+    Per user the event stream is ordered by (ts, order_col) — a total
+    deterministic order — and each event emits the path of itself and its
+    next ``n-1`` successors via lead() windows; paths crossing the end of
+    a user's history are dropped. One shuffle on the user key for the
+    window, one map-side-combined count on the path string, TakeOrdered
+    for the top-k (count DESC, path ASC tie-break — deterministic).
+
+    At 100 TB: the window state is n rows per user-partition cursor; the
+    path-count aggregation is the classic heavy-hitter shuffle and
+    combines map-side (distinct paths are Zipf-bounded, Z n-gram
+    explosion notwithstanding — cap n, not the data)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_col).asc()
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    paths = df.select(
+        F.concat_ws(" > ", *steps).alias("path"),
+        steps[-1].isNotNull().alias("__complete"),
+    ).filter("__complete")
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(k)
+    )
+
+
+def path_ngrams_duckdb_sql(
+    table_expr: str,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_col: str,
+    n: int = 3,
+    k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`path_ngrams`."""
+    leads = ", ".join(
+        f"lead({type_col}, {i}) OVER (PARTITION BY {user_col} "
+        f"ORDER BY {ts_col} ASC, {order_col} ASC) AS s{i}"
+        for i in range(1, n)
+    )
+    concat = " || ' > ' || ".join([type_col] + [f"s{i}" for i in range(1, n)])
+    return f"""
+WITH stepped AS (
+  SELECT {type_col}, {leads} FROM {table_expr}
+), paths AS (
+  SELECT {concat} AS path FROM stepped WHERE s{n - 1} IS NOT NULL
+)
+SELECT path, COUNT(*) AS n_occurrences
+FROM paths GROUP BY path
+ORDER BY n_occurrences DESC, path ASC
+LIMIT {k}
+"""

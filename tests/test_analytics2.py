@@ -698,3 +698,36 @@ def test_resize_images_rgb_and_errors(spark):
     px = bytes(decode_png(bytes(rows["rgb"].data))["pixels"])
     assert px[0] == (76 + 149 + 29 + 255) // 4
     assert rows["bad"].decode_error is not None and rows["bad"].data is None
+
+
+def test_path_ngrams(spark):
+    import duckdb
+
+    from kolibrie_spark.operators.analytics import (
+        path_ngrams,
+        path_ngrams_duckdb_sql,
+    )
+
+    types = ["view", "view", "click", "buy"]
+    rows = [
+        (f"u{i % 7}", i, types[(i * 3 + i // 7) % 4], i) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "u string, ts long, t string, id long")
+    mine = sorted(
+        (r.path, r.n_occurrences)
+        for r in path_ngrams(df, "u", "ts", "t", "id", n=3, k=5).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (u VARCHAR, ts BIGINT, t VARCHAR, id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    ref = sorted(
+        tuple(r)
+        for r in con.execute(
+            path_ngrams_duckdb_sql("t", "u", "ts", "t", "id", n=3, k=5)
+        ).fetchall()
+    )
+    # the generator yields exactly 4 distinct trigram paths; k=5 returns all
+    assert mine == ref and len(mine) == 4
+    assert sum(c for _, c in mine) == 120 - 7 * 2  # every window complete
+    # every path is a full trigram
+    assert all(p.count(" > ") == 2 for p, c in mine)
