@@ -2678,6 +2678,26 @@ def _multimodal_resize_oracle() -> str:
     )
 
 
+def _q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining (analytics.path_ngrams): the top-20
+    event-type trigram paths users actually walk — the discovery
+    counterpart to funnel()'s single-path check."""
+    from kolibrie_spark.operators.analytics import path_ngrams
+    from kolibrie_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return path_ngrams(ev, "user_id", "ts_us", "event_type", "event_id", n=3, k=20)
+
+
+def _events_path_trigrams_oracle() -> str:
+    from kolibrie_spark.operators.analytics import path_ngrams_duckdb_sql
+
+    return path_ngrams_duckdb_sql(
+        "(SELECT user_id, epoch_us(ts) AS ts_us, event_type, event_id FROM events)",
+        "user_id", "ts_us", "event_type", "event_id", n=3, k=20,
+    )
+
+
 def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (operators/bpe.py): 8 merge rounds over the
     documents corpus; returns the ordered merge table. No SQL oracle — the
@@ -3025,6 +3045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": _q_events_ewma,
         "dedup_incremental_near": _q_dedup_incremental_near,
         "multimodal_resize": _q_multimodal_resize,
+        "events_path_trigrams": _q_events_path_trigrams,
     })
 
 
@@ -3462,4 +3483,5 @@ def oracle_sql() -> dict[str, str]:
         "events_ewma": _events_ewma_oracle(),
         "dedup_incremental_near": _dedup_incremental_near_oracle(),
         "multimodal_resize": _multimodal_resize_oracle(),
+        "events_path_trigrams": _events_path_trigrams_oracle(),
     })
