@@ -38,6 +38,11 @@ def _doc_grams(text: Column) -> Column:
 
 
 def _gram_buckets(df: DataFrame, id_col: str, text_col: str, buckets: int) -> DataFrame:
+    # the char-fold hash is the CPU hot spot; a low-partition input (one
+    # parquet file) would run it on one core — spread first
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     return df.select(
         F.col(id_col),
         F.explode(_doc_grams(F.col(text_col))).alias("gram"),
