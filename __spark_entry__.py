@@ -1498,7 +1498,13 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kolibrie_spark.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # media decode is per-row Python CPU; spread a single-file read so
+    # the Arrow batches decode on every core
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def make(batches):
         import pandas as pd
@@ -2342,8 +2348,12 @@ def _q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.operators.phash import media_near_dup_pairs
     from kolibrie_spark.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
-        "doc_id < 200"
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter("doc_id < 200")
+        # per-row Python decode work: spread a single-file read
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def make(batches):
@@ -2417,8 +2427,12 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.operators.multimodal import sample_frames
     from kolibrie_spark.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
-        "doc_id < 200"
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter("doc_id < 200")
+        # per-row Python decode work: spread a single-file read
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def make(batches):
@@ -2626,8 +2640,12 @@ def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kolibrie_spark.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
-        "doc_id < 200"
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter("doc_id < 200")
+        # per-row Python decode work: spread a single-file read
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def make(batches):
