@@ -46,18 +46,27 @@ def semantic_dedup(
     provider = centroid_provider or seed_centroids
     centroids = provider(df, id_col, vec_col, ncells)
     assigned = with_ivf_cell(df, vec_col, centroids)
+    # the within-cell quadratic comparison joins on ivf_cell alone, which
+    # caps parallelism at ncells tasks (8 cells = 8 busy cores on a
+    # CPU-dense cosine loop). Salting the a-side by id hash and
+    # replicating the b-side over the salts keeps every unordered pair
+    # exactly once while spreading each cell over `salt` reducers —
+    # bit-identical output, ncells*salt-way parallelism.
+    salt = 8
     a = assigned.select(
         F.col(id_col).alias("_id_a"),
         F.col(vec_col).alias("_va"),
         "ivf_cell",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).cast("int").alias("_salt"),
     )
     b = assigned.select(
         F.col(id_col).alias("_id_b"),
         F.col(vec_col).alias("_vb"),
         "ivf_cell",
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt"),
     )
     drops = (
-        a.join(b, "ivf_cell")
+        a.join(b, ["ivf_cell", "_salt"])
         .where(F.col("_id_a") < F.col("_id_b"))
         .where(cosine_expr(F.col("_va"), F.col("_vb")) >= threshold)
         .select(F.col("_id_b").alias(id_col))
