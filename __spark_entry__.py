@@ -2716,6 +2716,122 @@ def _events_path_trigrams_oracle() -> str:
     )
 
 
+def _q_analytics_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped macro join (shipping priority): BUILDING customers
+    x pre-cutoff orders x post-cutoff lineitems, top-10 orders by exact
+    integer micro-cent revenue. The customer dim broadcasts, orders-
+    lineitem is the one fact shuffle, TakeOrdered replaces a global sort
+    — the second join-ordering witness next to analytics_q5."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.tables import load_table
+
+    cutoff = "1998-01-01"
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue_microcents"))
+        .orderBy(
+            F.col("revenue_microcents").desc(), F.col("l_orderkey").asc()
+        )
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            "o_orderpriority",
+            "revenue_microcents",
+        )
+    )
+
+
+def _analytics_q3_oracle() -> str:
+    return """
+SELECT l_orderkey,
+       epoch_us(o_orderdate) AS orderdate_us,
+       o_orderpriority,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_microcents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_microcents DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def _q_analytics_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped macro join (returned-item reporting): customers
+    ranked by exact integer micro-cent revenue lost to returned lineitems
+    in one quarter — 4-table join, customer/nation dims broadcast, top-20
+    via TakeOrdered."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.tables import load_table
+
+    lo, hi = "1997-01-01", "1997-07-01"
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("revenue_microcents"))
+        .orderBy(F.col("revenue_microcents").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def _analytics_q10_oracle() -> str:
+    return """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_microcents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_microcents DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (operators/bpe.py): 8 merge rounds over the
     documents corpus; returns the ordered merge table. No SQL oracle — the
@@ -3064,6 +3180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_near": _q_dedup_incremental_near,
         "multimodal_resize": _q_multimodal_resize,
         "events_path_trigrams": _q_events_path_trigrams,
+        "analytics_q3": _q_analytics_q3,
+        "analytics_q10": _q_analytics_q10,
     })
 
 
@@ -3502,4 +3620,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_near": _dedup_incremental_near_oracle(),
         "multimodal_resize": _multimodal_resize_oracle(),
         "events_path_trigrams": _events_path_trigrams_oracle(),
+        "analytics_q3": _analytics_q3_oracle(),
+        "analytics_q10": _analytics_q10_oracle(),
     })
