@@ -1377,6 +1377,20 @@ def _q_streaming_istream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, so the live incremental diff state equals the batch replay
     semantics exactly.  The last partial window never closes live, so the
     oracle restricts to windows with close <= the final high-water mark."""
+    return _run_live_gate(spark, sf_dir, "ISTREAM")
+
+
+def _q_streaming_dstream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE Structured Streaming DSTREAM twin (§2.9): same file-per-window
+    feed as the ISTREAM live gate; each fired window emits the bindings of
+    its PREDECESSOR absent from it (the deleted set), tagged with the
+    fired window's open. The first window has no predecessor (empty
+    emission) and the last partial window never closes — the oracle
+    shifts each source window forward one width and keeps fired ones."""
+    return _run_live_gate(spark, sf_dir, "DSTREAM")
+
+
+def _run_live_gate(spark: SparkSession, sf_dir: str, form: str) -> DataFrame:
     import glob
     import os
     import shutil
@@ -1428,7 +1442,7 @@ def _q_streaming_istream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = compile_structured(
         spark,
-        f"REGISTER ISTREAM <out> AS SELECT * "
+        f"REGISTER {form} <out> AS SELECT * "
         f"FROM NAMED WINDOW :w ON :ev [RANGE {width} STEP {width}] "
         "WHERE { WINDOW :w { ?u <t> ?t } }",
     )
@@ -3159,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_istream_replay": _q_streaming_istream_replay,
         "streaming_dstream_replay": _q_streaming_dstream_replay,
         "streaming_istream_live": _q_streaming_istream_live,
+        "streaming_dstream_live": _q_streaming_dstream_live,
         # --- ML / multimodal / builder (§2.11, §2.12)
         "ml_predict": _q_ml_predict,
         "multimodal_features": _q_multimodal_features,
@@ -3573,6 +3588,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE window_open + 864000 <= h "
             "AND NOT EXISTS (SELECT 1 FROM w p WHERE "
             "p.window_open = w.window_open - 864000 AND p.u = w.u AND p.t = w.t)"
+        ),
+        "streaming_dstream_live": (
+            "WITH e AS (SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) AS et, "
+            "user_id AS u, event_type AS t FROM events), "
+            "w AS (SELECT DISTINCT et - et % 864000 AS window_open, u, t FROM e), "
+            "hwm AS (SELECT max(et) AS h FROM e), "
+            "shifted AS (SELECT window_open + 864000 AS window_open, u, t FROM w) "
+            "SELECT s.window_open, s.u, s.t FROM shifted s, hwm "
+            "WHERE s.window_open + 864000 <= h "
+            "AND NOT EXISTS (SELECT 1 FROM w c WHERE "
+            "c.window_open = s.window_open AND c.u = s.u AND c.t = s.t)"
         ),
         "multimodal_features": _multimodal_features_oracle(),
         "ml_predict": (
