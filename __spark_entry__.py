@@ -2883,8 +2883,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Round 3 head = the 7 gates the r2 driver never checked (VERDICT r2 item 1;
 # prob_hybrid had NEVER had a driver row) FIRST — they must land inside the
-# 50-row window no matter what — then gates newly added in round 3 (any
-# overflow past 50 rotates into the round-4 head).
+# 50-row window no matter what — then the session-4 gates (newest), then as
+# many session-3 gates as fit; the overflow rotates into the round-4 head.
 _DRIVER_FIRST = [
     "prob_hybrid",
     "streaming_istream_replay",
@@ -2893,55 +2893,49 @@ _DRIVER_FIRST = [
     "multimodal_features",
     "builder_chain",
     "asof_join_events_orders",
-    "analytics_q5",  # new in round 3 (session 3)
-    "profile_rollup",  # new in round 3 (session 3)
-    "audit_quality",  # new in round 3 (session 3)
-    "scd2_orders",  # new in round 3 (session 3)
-    "events_downsample",  # new in round 3 (session 3)
-    "events_json_agg",  # new in round 3 (session 3)
-    "dedup_substring",  # new in round 3 (session 3)
-    "text_strip_html",  # new in round 3 (session 3)
-    "embed_contamination",  # new in round 3 (session 3)
-    "sample_weighted",  # new in round 3 (session 3)
-    "profile_token_budget",  # new in round 3 (session 3)
-    "events_rolling",  # new in round 3 (session 3)
-    "profile_pivot",  # new in round 3 (session 3)
-    "dedup_paragraphs",  # new in round 3 (session 3)
-    "events_funnel",  # new in round 3 (session 3)
-    "events_retention",  # new in round 3 (session 3)
-    "sketch_kmv_distinct",  # new in round 3 (session 3)
-    "profile_ks_drift",  # new in round 3 (session 3)
-    "fuzzy_vocab_pairs",  # new in round 3 (session 3)
-    "text_normalize",  # new in round 3 (session 3)
-    "sample_domain_cap",  # new in round 3 (session 3)
-    "text_common_spans",  # new in round 3 (session 2)
-    "text_quality_gopher",  # new in round 3 (session 2)
-    "dedup_incremental",  # new in round 3 (session 2)
-    "range_join_binned",  # new in round 3 (session 2)
-    "layout_zorder",  # new in round 3 (session 2)
-    "embed_centroids",  # new in round 3 (session 2)
-    "profile_quantiles",  # new in round 3 (session 2)
-    "profile_histogram",  # new in round 3 (session 2)
-    "graph_pagerank",  # new in round 3 (session 2)
-    "text_quality_model",  # new in round 3 (session 2)
-    "dedup_semantic",  # new in round 3 (session 2)
-    "sample_dsir",  # new in round 3 (session 2)
-    "text_bm25_topk",  # new in round 3
-    "pack_sequences",  # new in round 3
-    "text_repetition",  # new in round 3
-    "sample_domain_mix",  # new in round 3
-    "text_contamination",  # new in round 3
-    "text_top_terms",  # new in round 3
-    "sample_group_split",  # new in round 3
-    "profile_stats",  # new in round 3
-    "text_scrub_pii",  # new in round 3
-    "sim_topk_pq",  # new in round 3
-    "pipeline_curate",  # new in round 3
-    "text_tokenize_ids",  # new in round 3
-    "text_lm_score",  # new in round 3
-    "text_chunk",  # new in round 3
-    "top_docs_per_source",  # new in round 3
-    "streaming_istream_live",  # new in round 3
+    "dedup_prefix_jaccard",
+    "telemetry_resample",
+    "profile_winsorize",
+    "audit_snapshot_diff",
+    "embed_hard_negatives",
+    "bpe_train_merges",
+    "media_near_dup",
+    "multimodal_frames",
+    "events_interval_merge",
+    "graph_triangles",
+    "sketch_hll_distinct",
+    "events_anomaly_mad",
+    "events_ewma",
+    "dedup_incremental_near",
+    "multimodal_resize",
+    "events_path_trigrams",
+    "analytics_q3",
+    "analytics_q10",
+    "streaming_dstream_live",
+    "analytics_q5",
+    "profile_rollup",
+    "audit_quality",
+    "scd2_orders",
+    "events_downsample",
+    "events_json_agg",
+    "dedup_substring",
+    "text_strip_html",
+    "embed_contamination",
+    "sample_weighted",
+    "profile_token_budget",
+    "events_rolling",
+    "profile_pivot",
+    "dedup_paragraphs",
+    "events_funnel",
+    "events_retention",
+    "sketch_kmv_distinct",
+    "profile_ks_drift",
+    "fuzzy_vocab_pairs",
+    "text_normalize",
+    "sample_domain_cap",
+    "text_common_spans",
+    "text_quality_gopher",
+    "dedup_incremental",
 ]
 
 
