@@ -2846,6 +2846,79 @@ LIMIT 20
 """
 
 
+_EV_CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
+_EV_DAY = "CAST(epoch_us(ts) // 1000000 // 86400 AS BIGINT)"
+
+
+def _ev_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.tables import load_table
+
+    return load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr("ts_us div 1000000 div 86400").alias("day"),
+    )
+
+
+def _q_profile_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type equi-depth value histogram (profiling.equidepth_histogram):
+    quantile buckets via ntile over a deterministic total order."""
+    from kolibrie_spark.operators.profiling import equidepth_histogram
+
+    ev = _ev_xy(spark, sf_dir)
+    return equidepth_histogram(ev, "event_type", "cents", "event_id", 8)
+
+
+def _profile_equidepth_oracle() -> str:
+    from kolibrie_spark.operators.profiling import equidepth_histogram_duckdb_sql
+
+    return equidepth_histogram_duckdb_sql(
+        f"(SELECT event_type, event_id, {_EV_CENTS} AS cents FROM events)",
+        "event_type", "cents", "event_id", 8,
+    )
+
+
+def _q_profile_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Pearson correlation of value vs day (profiling.group_corr):
+    exact int64 sufficient statistics, one shared IEEE expression —
+    bit-equal cross-engine."""
+    from kolibrie_spark.operators.profiling import group_corr
+
+    ev = _ev_xy(spark, sf_dir)
+    return group_corr(ev, "event_type", "day", "cents")
+
+
+def _profile_corr_oracle() -> str:
+    from kolibrie_spark.operators.profiling import group_corr_duckdb_sql
+
+    return group_corr_duckdb_sql(
+        f"(SELECT event_type, {_EV_DAY} AS day, {_EV_CENTS} AS cents FROM events)",
+        "event_type", "day", "cents",
+    )
+
+
+def _q_ml_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type closed-form OLS trend of value on day (ml.regression
+    .ols_by_group): the 'fit a trend per key' workhorse, bit-exact from
+    integer sufficient statistics."""
+    from kolibrie_spark.ml.regression import ols_by_group
+
+    ev = _ev_xy(spark, sf_dir)
+    return ols_by_group(ev, "event_type", "day", "cents")
+
+
+def _ml_group_ols_oracle() -> str:
+    from kolibrie_spark.ml.regression import ols_by_group_duckdb_sql
+
+    return ols_by_group_duckdb_sql(
+        f"(SELECT event_type, {_EV_DAY} AS day, {_EV_CENTS} AS cents FROM events)",
+        "event_type", "day", "cents",
+    )
+
+
 def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (operators/bpe.py): 8 merge rounds over the
     documents corpus; returns the ordered merge table. No SQL oracle — the
@@ -3168,6 +3241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dstream_replay": _q_streaming_dstream_replay,
         "streaming_istream_live": _q_streaming_istream_live,
         "streaming_dstream_live": _q_streaming_dstream_live,
+        "profile_equidepth": _q_profile_equidepth,
+        "profile_corr": _q_profile_corr,
+        "ml_group_ols": _q_ml_group_ols,
         # --- ML / multimodal / builder (§2.11, §2.12)
         "ml_predict": _q_ml_predict,
         "multimodal_features": _q_multimodal_features,
@@ -3642,4 +3718,7 @@ def oracle_sql() -> dict[str, str]:
         "events_path_trigrams": _events_path_trigrams_oracle(),
         "analytics_q3": _analytics_q3_oracle(),
         "analytics_q10": _analytics_q10_oracle(),
+        "profile_equidepth": _profile_equidepth_oracle(),
+        "profile_corr": _profile_corr_oracle(),
+        "ml_group_ols": _ml_group_ols_oracle(),
     })

@@ -471,3 +471,114 @@ SELECT d.id AS {id_col}, d.g AS {group_col}, d.v AS {value_expr},
 FROM dev d JOIN mad a ON d.g = a.g
 WHERE a.mad > 0 AND d.adev > {k} * ({c} * a.mad)
 """
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order_col: str,
+    nbuckets: int = 8,
+) -> DataFrame:
+    """Per-group EQUI-DEPTH histogram (quantile buckets): each bucket holds
+    ~n/nbuckets rows; returns ``(group, bucket, lo, hi, n_rows)``. The
+    equi-WIDTH histogram (profile_histogram) answers "what does the
+    distribution look like"; equi-depth answers "where are the quantile
+    boundaries" — the binning a range-partitioner or a monotonic feature
+    bucketizer wants.
+
+    Buckets come from ``ntile`` over the (value, order_col) total order —
+    the tiebreak makes the assignment deterministic cross-engine (ntile
+    on a non-total order is engine-defined for ties). One shuffle on the
+    group key; the per-group sort is the irreducible cost (swap in
+    approx_percentile boundaries at 100 TB and drop exactness)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(order_col).asc()
+    )
+    return (
+        df.withColumn("bucket", F.ntile(nbuckets).over(w).cast("long"))
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def equidepth_histogram_duckdb_sql(
+    table_expr: str,
+    group_col: str,
+    value_expr: str,
+    order_col: str,
+    nbuckets: int = 8,
+) -> str:
+    """DuckDB twin of :func:`equidepth_histogram`."""
+    return f"""
+SELECT {group_col}, bucket, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n_rows
+FROM (
+  SELECT {group_col}, {value_expr} AS v,
+         ntile({nbuckets}) OVER (PARTITION BY {group_col}
+           ORDER BY {value_expr} ASC, {order_col} ASC) AS bucket
+  FROM {table_expr}
+) GROUP BY 1, 2
+"""
+
+
+def group_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Pearson correlation of two INTEGRAL columns, bit-exact
+    cross-engine: all five sums (n, Sx, Sy, Sxx, Syy, Sxy) are exact
+    int64 aggregations (shuffle-order invariant), and the final
+    ``(n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))`` is
+    one shared IEEE expression. NULL when either variance is zero.
+    Caller owns the overflow budget: |x|,|y| <= B and n rows per group
+    need n*B^2 < 2^63 (scale the inputs down first at 100 TB, or accept
+    the float `corr` built-in and drop the bit contract)."""
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = df.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    vx = agg.n * agg.sxx - agg.sx * agg.sx
+    vy = agg.n * agg.syy - agg.sy * agg.sy
+    num = (agg.n * agg.sxy - agg.sx * agg.sy).cast("double")
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+    )
+    return agg.select(group_col, "n", corr.alias("pearson_r"))
+
+
+def group_corr_duckdb_sql(
+    table_expr: str, group_col: str, x_expr: str, y_expr: str
+) -> str:
+    """DuckDB twin of :func:`group_corr` (same integer sums, same ops)."""
+    x, y = f"CAST({x_expr} AS BIGINT)", f"CAST({y_expr} AS BIGINT)"
+    return f"""
+WITH s AS (
+  SELECT {group_col} AS g, COUNT(*) AS n,
+         SUM({x}) AS sx, SUM({y}) AS sy,
+         SUM({x} * {x}) AS sxx, SUM({y} * {y}) AS syy,
+         SUM({x} * {y}) AS sxy
+  FROM {table_expr} GROUP BY 1
+)
+SELECT g AS {group_col}, n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS pearson_r
+FROM s
+"""

@@ -136,3 +136,84 @@ def test_triangle_count_matches_bruteforce(spark, edges):
             for n in (i, j, k):
                 want[n] = want.get(n, 0) + 1
     assert got == want
+
+
+def test_equidepth_histogram_twin(spark):
+    import duckdb
+
+    from kolibrie_spark.operators.profiling import (
+        equidepth_histogram,
+        equidepth_histogram_duckdb_sql,
+    )
+
+    rows = [(f"g{i % 2}", (i * 37) % 50, i) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    mine = sorted(
+        (r.g, r.bucket, r.lo, r.hi, r.n_rows)
+        for r in equidepth_histogram(df, "g", "v", "id", 8).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v BIGINT, id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    ref = sorted(
+        tuple(r)
+        for r in con.execute(
+            equidepth_histogram_duckdb_sql("t", "g", "v", "id", 8)
+        ).fetchall()
+    )
+    assert mine == ref
+    # depths within 1 of each other per group
+    depths = [n for _, _, _, _, n in mine]
+    assert max(depths) - min(depths) <= 1
+
+
+def test_group_corr_and_ols_bit_exact(spark):
+    import duckdb
+
+    from kolibrie_spark.ml.regression import (
+        ols_by_group,
+        ols_by_group_duckdb_sql,
+    )
+    from kolibrie_spark.operators.profiling import (
+        group_corr,
+        group_corr_duckdb_sql,
+    )
+
+    rows = [
+        ("lin", i, 3 * i + 7, i) for i in range(50)        # perfect line
+    ] + [
+        ("noisy", i, 2 * i + ((i * 13) % 11) - 5, 100 + i) for i in range(50)
+    ] + [
+        ("const", 4, i, 200 + i) for i in range(10)        # zero x-variance
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long, id long")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, x BIGINT, y BIGINT, id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+
+    mine_c = {r.g: (r.n, r.pearson_r) for r in group_corr(df, "g", "x", "y").collect()}
+    ref_c = {
+        g: (n, r)
+        for g, n, r in con.execute(
+            group_corr_duckdb_sql("t", "g", "x", "y")
+        ).fetchall()
+    }
+    assert mine_c == ref_c
+    # sqrt(vx)*sqrt(vy) rounds the last ulp; equality is cross-engine,
+    # not algebraic
+    assert abs(mine_c["lin"][1] - 1.0) < 1e-12 and mine_c["const"][1] is None
+    assert 0.99 < mine_c["noisy"][1] < 1.0
+
+    mine_o = {
+        r.g: (r.n, r.slope, r.intercept)
+        for r in ols_by_group(df, "g", "x", "y").collect()
+    }
+    ref_o = {
+        g: (n, s, b)
+        for g, n, s, b in con.execute(
+            ols_by_group_duckdb_sql("t", "g", "x", "y")
+        ).fetchall()
+    }
+    assert mine_o == ref_o
+    assert mine_o["lin"] == (50, 3.0, 7.0)
+    assert mine_o["const"][1] is None and mine_o["const"][2] is None
