@@ -2919,6 +2919,28 @@ def _ml_group_ols_oracle() -> str:
     )
 
 
+def _q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (analytics.last_touch_attribution): for each
+    purchase, the latest preceding non-purchase touch per user — one
+    carry-forward window, no self-join."""
+    from kolibrie_spark.operators.analytics import last_touch_attribution
+    from kolibrie_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return last_touch_attribution(
+        ev, "user_id", "ts_us", "event_type", "event_id", "purchase"
+    )
+
+
+def _events_attribution_oracle() -> str:
+    from kolibrie_spark.operators.analytics import last_touch_attribution_duckdb_sql
+
+    return last_touch_attribution_duckdb_sql(
+        "(SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events)",
+        "user_id", "ts_us", "event_type", "event_id", "purchase",
+    )
+
+
 def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (operators/bpe.py): 8 merge rounds over the
     documents corpus; returns the ordered merge table. No SQL oracle — the
@@ -3244,6 +3266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_equidepth": _q_profile_equidepth,
         "profile_corr": _q_profile_corr,
         "ml_group_ols": _q_ml_group_ols,
+        "events_attribution": _q_events_attribution,
         # --- ML / multimodal / builder (§2.11, §2.12)
         "ml_predict": _q_ml_predict,
         "multimodal_features": _q_multimodal_features,
@@ -3721,4 +3744,5 @@ def oracle_sql() -> dict[str, str]:
         "profile_equidepth": _profile_equidepth_oracle(),
         "profile_corr": _profile_corr_oracle(),
         "ml_group_ols": _ml_group_ols_oracle(),
+        "events_attribution": _events_attribution_oracle(),
     })

@@ -321,3 +321,60 @@ FROM paths GROUP BY path
 ORDER BY n_occurrences DESC, path ASC
 LIMIT {k}
 """
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_col: str,
+    conversion: str,
+) -> DataFrame:
+    """Last-touch attribution: for every ``conversion`` event, the type of
+    the latest PRECEDING non-conversion event by the same user (NULL when
+    the conversion is the user's first touch). One carry-forward window
+    per user — the same single-shuffle shape as the as-of join, no
+    self-join. Returns ``(event_id, user, attributed_type)``.
+
+    Order is (ts, order_col): total and deterministic; a touch at the
+    conversion's exact timestamp attributes iff it sorts before it."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col(type_col) != conversion, F.col(type_col)),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        df.withColumn("attributed_type", touch)
+        .filter(F.col(type_col) == conversion)
+        .select(order_col, user_col, "attributed_type")
+    )
+
+
+def last_touch_attribution_duckdb_sql(
+    table_expr: str,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_col: str,
+    conversion: str,
+) -> str:
+    """DuckDB twin of :func:`last_touch_attribution`."""
+    return f"""
+SELECT {order_col}, {user_col}, attributed_type FROM (
+  SELECT {order_col}, {user_col}, {type_col},
+         last_value(CASE WHEN {type_col} != '{conversion}'
+                         THEN {type_col} END IGNORE NULLS)
+           OVER (PARTITION BY {user_col}
+                 ORDER BY {ts_col} ASC, {order_col} ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS attributed_type
+  FROM {table_expr}
+) WHERE {type_col} = '{conversion}'
+"""

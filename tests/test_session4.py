@@ -217,3 +217,36 @@ def test_group_corr_and_ols_bit_exact(spark):
     assert mine_o == ref_o
     assert mine_o["lin"] == (50, 3.0, 7.0)
     assert mine_o["const"][1] is None and mine_o["const"][2] is None
+
+
+def test_last_touch_attribution(spark):
+    import duckdb
+
+    from kolibrie_spark.operators.analytics import (
+        last_touch_attribution,
+        last_touch_attribution_duckdb_sql,
+    )
+
+    rows = [
+        ("u1", 1, "view", 1), ("u1", 2, "click", 2), ("u1", 3, "buy", 3),
+        ("u1", 4, "buy", 4),            # attributes to click (carried)
+        ("u2", 1, "buy", 5),            # first touch -> NULL
+        ("u2", 2, "view", 6), ("u2", 3, "buy", 7),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts long, t string, id long")
+    out = last_touch_attribution(df, "u", "ts", "t", "id", "buy")
+    mine = sorted((r.id, r.u, r.attributed_type) for r in out.collect())
+    assert mine == [
+        (3, "u1", "click"), (4, "u1", "click"),
+        (5, "u2", None), (7, "u2", "view"),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (u VARCHAR, ts BIGINT, t VARCHAR, id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    ref = sorted(
+        tuple(r)
+        for r in con.execute(
+            last_touch_attribution_duckdb_sql("t", "u", "ts", "t", "id", "buy")
+        ).fetchall()
+    )
+    assert mine == ref
