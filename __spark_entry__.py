@@ -2941,6 +2941,54 @@ def _events_attribution_oracle() -> str:
     )
 
 
+def _q_having_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 HAVING (extension beyond the reference grammar):
+    aggregate calls inside the constraint compile to hidden agg columns,
+    filtered post-groupBy and dropped before projection."""
+    return _sparql(
+        "SELECT ?seg (COUNT(?c) AS ?cnt) WHERE { "
+        "?c <urn:customer#c_mktsegment> ?seg } "
+        "GROUP BY ?seg HAVING (COUNT(?c) > 300)"
+    )(spark, sf_dir)
+
+
+def _q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP_CONCAT with SEPARATOR (SPARQL 1.1 extension): this engine
+    DEFINES the concatenation order as sorted-by-value, making the
+    implementation-defined SPARQL semantics deterministic and
+    oracle-checkable (DuckDB string_agg ... ORDER BY)."""
+    return _sparql(
+        'SELECT ?rk (GROUP_CONCAT(?n; SEPARATOR="|") AS ?names) WHERE { '
+        "?x <urn:nation#n_regionkey> ?rk . ?x <urn:nation#n_name> ?n } "
+        "GROUP BY ?rk"
+    )(spark, sf_dir)
+
+
+def _q_bind_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 string builtins in FILTER and BIND (STRLEN / CONTAINS /
+    SUBSTR / UCASE / REPLACE), value-space semantics over the engine's
+    string-valued terms."""
+    return _sparql(
+        "SELECT ?name ?u ?r WHERE { ?c <urn:customer#c_name> ?name . "
+        'FILTER(CONTAINS(?name, "77") && STRLEN(?name) = 18) '
+        "BIND(UCASE(SUBSTR(?name, 10, 5)) AS ?u) "
+        'BIND(REPLACE(?name, "Customer", "C") AS ?r) }'
+    )(spark, sf_dir)
+
+
+def _q_filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGEX + SAMPLE: regex filter (unanchored search semantics, shared
+    by Spark regexp_like and DuckDB regexp_matches) and a deterministic
+    SAMPLE aggregate (defined as min — any stable choice satisfies
+    SPARQL)."""
+    return _sparql(
+        "SELECT ?seg (SAMPLE(?name) AS ?one) WHERE { "
+        "?c <urn:customer#c_name> ?name . "
+        "?c <urn:customer#c_mktsegment> ?seg . "
+        'FILTER(REGEX(?name, "00[0-4]7$")) } GROUP BY ?seg'
+    )(spark, sf_dir)
+
+
 def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (operators/bpe.py): 8 merge rounds over the
     documents corpus; returns the ordered merge table. No SQL oracle — the
@@ -3267,6 +3315,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_corr": _q_profile_corr,
         "ml_group_ols": _q_ml_group_ols,
         "events_attribution": _q_events_attribution,
+        "having_count": _q_having_count,
+        "group_concat_names": _q_group_concat,
+        "bind_string_funcs": _q_bind_string_funcs,
+        "filter_regex_sample": _q_filter_regex,
         # --- ML / multimodal / builder (§2.11, §2.12)
         "ml_predict": _q_ml_predict,
         "multimodal_features": _q_multimodal_features,
@@ -3745,4 +3797,22 @@ def oracle_sql() -> dict[str, str]:
         "profile_corr": _profile_corr_oracle(),
         "ml_group_ols": _ml_group_ols_oracle(),
         "events_attribution": _events_attribution_oracle(),
+        "having_count": (
+            "SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM customer GROUP BY 1 HAVING COUNT(*) > 300"
+        ),
+        "group_concat_names": (
+            "SELECT 'urn:region:' || CAST(n_regionkey AS VARCHAR) AS rk, "
+            "string_agg(n_name, '|' ORDER BY n_name) AS names "
+            "FROM nation GROUP BY 1"
+        ),
+        "bind_string_funcs": (
+            "SELECT c_name AS name, upper(substring(c_name, 10, 5)) AS u, "
+            "replace(c_name, 'Customer', 'C') AS r FROM customer "
+            "WHERE contains(c_name, '77') AND length(c_name) = 18"
+        ),
+        "filter_regex_sample": (
+            "SELECT c_mktsegment AS seg, MIN(c_name) AS one FROM customer "
+            "WHERE regexp_matches(c_name, '00[0-4]7$') GROUP BY 1"
+        ),
     })

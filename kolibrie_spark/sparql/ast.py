@@ -214,10 +214,11 @@ class Group:
 # ------------------------------------------------------------------ queries
 @dataclass
 class Aggregate:
-    func: str  # SUM MIN MAX AVG COUNT
+    func: str  # SUM MIN MAX AVG COUNT GROUP_CONCAT SAMPLE
     arg: Var | None  # None = COUNT(*)
     alias: str
     distinct: bool = False
+    separator: str = " "  # GROUP_CONCAT only
 
 
 @dataclass
@@ -229,6 +230,7 @@ class SelectQuery:
     from_graphs: list[str] = field(default_factory=list)
     from_named: list[str] = field(default_factory=list)
     group_by: list[Var] = field(default_factory=list)
+    having: object | None = None  # post-aggregation constraint (SPARQL 1.1)
     order_by: list[tuple[Var, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
     offset: int | None = None

@@ -44,6 +44,13 @@ from kolibrie_spark import compare, rdfstar
 from kolibrie_spark.sparql import ast
 
 
+_STRING_FUNCS = {
+    "STR", "STRLEN", "UCASE", "LCASE", "SUBSTR", "CONTAINS", "STRSTARTS",
+    "STRENDS", "REPLACE", "REGEX", "COALESCE", "IF", "BOUND",
+    "ABS", "ROUND", "CEIL", "FLOOR",
+}
+
+
 class CompileError(ValueError):
     pass
 
@@ -279,8 +286,19 @@ class Compiler:
                 for v in plain
                 if v not in group_vars
             ]
+            if q.having is not None:
+                # aggregates inside HAVING compile as hidden agg columns
+                # (reusing a projected aggregate's alias when one matches),
+                # filtered after the groupBy and dropped before projection
+                having_expr, extra = self._rewrite_having(q.having, aggs)
+                agg_exprs += [self._agg_expr(a, df) for a in extra]
             gcols = [self._var_col(df, v).alias(v) for v in group_vars]
             df = df.groupBy(*gcols).agg(*agg_exprs) if gcols else df.agg(*agg_exprs)
+            if q.having is not None:
+                df = df.filter(
+                    self.compile_expr(having_expr, Bindings(df), as_bool=True)
+                )
+                df = df.drop(*[a.alias for a in extra])
 
         if q.star:
             out_cols = sorted(b.vars) if not (aggs or group_vars) else list(df.columns)
@@ -293,7 +311,9 @@ class Compiler:
                 keys.extend(compare.order_keys(self._var_col(df, var.name), asc))
             df = df.orderBy(*keys)
 
-        numeric_out = {a.alias for a in aggs}
+        numeric_out = {
+            a.alias for a in aggs if a.func not in ("GROUP_CONCAT", "SAMPLE")
+        }
         proj: list[Column] = []
         for c in out_cols:
             if c in df.columns:
@@ -330,6 +350,50 @@ class Compiler:
     def _var_col(self, df: DataFrame, name: str) -> Column:
         return F.col(name) if name in df.columns else F.lit(None).cast("string")
 
+    def _rewrite_having(
+        self, e: ast.Expr, aggs: list[ast.Aggregate]
+    ) -> tuple[ast.Expr, list[ast.Aggregate]]:
+        """Replace aggregate calls inside a HAVING constraint with variable
+        references: a call matching a projected aggregate reuses its alias;
+        otherwise a hidden aggregate column is added (returned in the
+        second element) and dropped after the filter."""
+        extra: list[ast.Aggregate] = []
+
+        def walk(x: ast.Expr) -> ast.Expr:
+            if isinstance(x, ast.FuncCall) and x.name in (
+                "SUM", "MIN", "MAX", "AVG", "COUNT", "GROUP_CONCAT", "SAMPLE"
+            ):
+                if len(x.args) == 1 and isinstance(x.args[0], ast.TermExpr) \
+                        and isinstance(x.args[0].term, ast.Var):
+                    argv = x.args[0].term.name
+                else:
+                    raise CompileError(
+                        f"HAVING {x.name}(...) takes a single variable"
+                    )
+                for a in aggs:
+                    if a.func == x.name and a.arg is not None \
+                            and a.arg.name == argv and not a.distinct:
+                        return ast.TermExpr(ast.Var(a.alias))
+                hidden = ast.Aggregate(
+                    func=x.name, arg=ast.Var(argv),
+                    alias=f"__having_{len(extra)}",
+                )
+                extra.append(hidden)
+                return ast.TermExpr(ast.Var(hidden.alias))
+            if isinstance(x, ast.Cmp):
+                return ast.Cmp(walk(x.left), x.op, walk(x.right))
+            if isinstance(x, ast.And):
+                return ast.And(walk(x.left), walk(x.right))
+            if isinstance(x, ast.Or):
+                return ast.Or(walk(x.left), walk(x.right))
+            if isinstance(x, ast.Not):
+                return ast.Not(walk(x.expr))
+            if isinstance(x, ast.Arith):
+                return ast.Arith(x.op, walk(x.left), walk(x.right))
+            return x
+
+        return walk(e), extra
+
     def _agg_expr(self, a: ast.Aggregate, df: DataFrame) -> Column:
         if a.func == "COUNT":
             if a.arg is None:
@@ -338,6 +402,18 @@ class Compiler:
             return (F.count_distinct(c) if a.distinct else F.count(c)).alias(a.alias)
         if a.arg is None:
             raise CompileError(f"{a.func}(*) is not defined")
+        if a.func == "GROUP_CONCAT":
+            # SPARQL leaves GROUP_CONCAT order implementation-defined; this
+            # engine DEFINES it as sorted-by-value so the result is
+            # deterministic across partitionings and engines
+            c = self._var_col(df, a.arg.name).cast("string")
+            coll = F.collect_set(c) if a.distinct else F.collect_list(c)
+            return F.array_join(F.array_sort(coll), a.separator).alias(a.alias)
+        if a.func == "SAMPLE":
+            # deterministic SAMPLE: the minimum value (any stable choice
+            # satisfies SPARQL; min is reproducible and oracle-checkable)
+            c = self._var_col(df, a.arg.name)
+            return F.min(c).alias(a.alias)
         # numeric aggregation over f64-parsed values; non-numeric rows are
         # skipped because try_cast yields NULL (execute_query.rs:432-464)
         c = compare.num(self._var_col(df, a.arg.name))
@@ -832,7 +908,90 @@ class Compiler:
             return col if as_bool else col.cast("string")
         if name in ("SUBJECT", "PREDICATE", "OBJECT"):
             raise CompileError(f"{name} is only supported in BIND(... AS ?v)")
+        if name in _STRING_FUNCS:
+            return self._string_func(name, e, b, as_bool)
         if name in self.store.udfs:
             args = [self.compile_expr(a, b).cast("string") for a in e.args]
             return self.store.udfs[name](*args)
         raise CompileError(f"unknown function {name!r}")
+
+    def _string_func(
+        self, name: str, e: ast.FuncCall, b: Bindings, as_bool: bool
+    ) -> Column:
+        """SPARQL 1.1 string/numeric/functional builtins (extensions beyond
+        the reference grammar; value-space semantics on this engine's
+        string-valued terms)."""
+
+        def arg(i: int) -> Column:
+            return self.compile_expr(e.args[i], b)
+
+        def need(n: int, m: int | None = None) -> None:
+            lo, hi = n, (m if m is not None else n)
+            if not (lo <= len(e.args) <= hi):
+                raise CompileError(f"{name} takes {lo}..{hi} arguments")
+
+        def boolish(col: Column) -> Column:
+            return col if as_bool else col.cast("string")
+
+        if name == "STR":
+            need(1)
+            return arg(0).cast("string")
+        if name == "STRLEN":
+            need(1)
+            return F.length(arg(0).cast("string"))
+        if name == "UCASE":
+            need(1)
+            return F.upper(arg(0).cast("string"))
+        if name == "LCASE":
+            need(1)
+            return F.lower(arg(0).cast("string"))
+        if name == "SUBSTR":
+            need(2, 3)
+            s = arg(0).cast("string")
+            pos = compare.num(arg(1)).cast("int")
+            length = (
+                compare.num(arg(2)).cast("int") if len(e.args) == 3
+                else F.length(s)
+            )
+            return F.substring(s, pos, length)
+        if name == "CONTAINS":
+            need(2)
+            return boolish(arg(0).cast("string").contains(arg(1).cast("string")))
+        if name == "STRSTARTS":
+            need(2)
+            return boolish(arg(0).cast("string").startswith(arg(1).cast("string")))
+        if name == "STRENDS":
+            need(2)
+            return boolish(arg(0).cast("string").endswith(arg(1).cast("string")))
+        if name == "REPLACE":
+            need(3)
+            return F.regexp_replace(
+                arg(0).cast("string"), arg(1).cast("string"), arg(2).cast("string")
+            )
+        if name == "REGEX":
+            need(2, 3)
+            pat = arg(1).cast("string")
+            if len(e.args) == 3:
+                # only the "i" flag of the SPARQL flag set is supported
+                pat = F.concat(
+                    F.when(arg(2).cast("string") == "i", F.lit("(?i)"))
+                    .otherwise(F.lit("")),
+                    pat,
+                )
+            return boolish(F.regexp_like(arg(0).cast("string"), pat))
+        if name == "COALESCE":
+            need(1, 99)
+            return F.coalesce(*[arg(i).cast("string") for i in range(len(e.args))])
+        if name == "IF":
+            need(3)
+            cond = self.compile_expr(e.args[0], b, as_bool=True)
+            return F.when(cond, arg(1).cast("string")).otherwise(arg(2).cast("string"))
+        if name == "BOUND":
+            need(1)
+            return boolish(arg(0).isNotNull())
+        if name in ("ABS", "ROUND", "CEIL", "FLOOR"):
+            need(1)
+            n = compare.num(arg(0))
+            fn = {"ABS": F.abs, "ROUND": F.round, "CEIL": F.ceil, "FLOOR": F.floor}[name]
+            return fn(n)
+        raise CompileError(f"unknown function {name!r}")  # pragma: no cover

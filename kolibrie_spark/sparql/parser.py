@@ -66,7 +66,7 @@ from kolibrie_spark.sparql.ast import (
     Var,
 )
 
-AGG_FUNCS = {"SUM", "MIN", "MAX", "AVG", "COUNT"}
+AGG_FUNCS = {"SUM", "MIN", "MAX", "AVG", "COUNT", "GROUP_CONCAT", "SAMPLE"}
 KEYWORDS = {
     "SELECT", "DISTINCT", "WHERE", "FILTER", "BIND", "VALUES", "UNION",
     "GRAPH", "GROUP", "BY", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET",
@@ -306,6 +306,10 @@ class Parser:
             self.expect_kw("BY")
             while self.peek() is not None and self.peek().kind == "VAR":
                 q.group_by.append(Var(self.next().text[1:]))
+        if self.take_kw("HAVING"):
+            # SPARQL 1.1 HAVING (extension beyond the reference grammar):
+            # a constraint over aggregates and/or their aliases
+            q.having = self.parse_or_expr()
         if self.take_kw("ORDER"):
             self.expect_kw("BY")
             while True:
@@ -372,6 +376,14 @@ class Parser:
             if v.kind != "VAR":
                 raise ParseError(f"aggregate argument must be a variable, got {v!r}")
             arg = Var(v.text[1:])
+        separator = " "
+        if self.take_op(";"):
+            self.expect_kw("SEPARATOR")
+            self.expect_op("=")
+            s = self.next()
+            if s.kind != "STRING":
+                raise ParseError(f"SEPARATOR expects a string, got {s!r}")
+            separator = _unescape(s.text[1:-1])
         self.expect_op(")")
         alias = None
         if self.take_kw("AS"):
@@ -384,7 +396,7 @@ class Parser:
                 raise ParseError(f"({func}(...) needs AS ?alias)")
             # reference default alias: the aggregated variable's own name
             alias = arg.name if arg is not None else func.lower()
-        return Aggregate(func=func, arg=arg, alias=alias, distinct=distinct)
+        return Aggregate(func=func, arg=arg, alias=alias, distinct=distinct, separator=separator)
 
     # -- group graph pattern
     def parse_group(self) -> Group:
@@ -695,7 +707,13 @@ class Parser:
         return tmpl
 
 
-BUILTIN_FUNCS = {"CONCAT", "TRIPLE", "SUBJECT", "PREDICATE", "OBJECT", "ISTRIPLE"}
+BUILTIN_FUNCS = {
+    "CONCAT", "TRIPLE", "SUBJECT", "PREDICATE", "OBJECT", "ISTRIPLE",
+    # SPARQL 1.1 builtins (extensions beyond the reference grammar)
+    "STRLEN", "SUBSTR", "UCASE", "LCASE", "CONTAINS", "STRSTARTS",
+    "STRENDS", "REPLACE", "REGEX", "COALESCE", "IF", "BOUND", "STR",
+    "ABS", "ROUND", "CEIL", "FLOOR",
+}
 
 
 def parse_query(text: str) -> Query:

@@ -340,3 +340,90 @@ def test_distinct_order_by_non_projected_rejected(engine):
     e = seed(engine)
     with pytest.raises(CompileError):
         e.execute("SELECT DISTINCT ?c WHERE { ?s <ex:city> ?c . ?s <ex:age> ?a } ORDER BY ?a")
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 extensions beyond the reference grammar (round-3 session 4):
+# HAVING, GROUP_CONCAT/SAMPLE, string/numeric/functional builtins
+# ---------------------------------------------------------------------------
+
+
+def test_having_filters_groups(engine):
+    e = seed(engine)
+    got = rows(
+        e.query(
+            "SELECT ?c (COUNT(?s) AS ?n) WHERE { ?s <ex:city> ?c } "
+            "GROUP BY ?c HAVING (COUNT(?s) > 1)"
+        )
+    )
+    assert got == [("Ghent", "2")]
+
+
+def test_having_uses_hidden_aggregate(engine):
+    e = seed(engine)
+    # SUM(?a) not projected: compiles as a hidden column, dropped after
+    got = rows(
+        e.query(
+            "SELECT ?c WHERE { ?s <ex:city> ?c . ?s <ex:age> ?a } "
+            "GROUP BY ?c HAVING (SUM(?a) < 40)"
+        )
+    )
+    assert got == [("Paris",)]
+
+
+def test_group_concat_sorted_and_sample_min(engine):
+    e = seed(engine)
+    got = rows(
+        e.query(
+            'SELECT ?c (GROUP_CONCAT(?n; SEPARATOR=",") AS ?ns) '
+            "(SAMPLE(?n) AS ?one) WHERE "
+            "{ ?s <ex:city> ?c . ?s <ex:name> ?n } GROUP BY ?c"
+        )
+    )
+    assert got == [("Ghent", "Alice,Bob", "Alice"), ("Paris", "Carol", "Carol")]
+
+
+def test_string_builtins_in_bind_and_filter(engine):
+    e = seed(engine)
+    got = rows(
+        e.query(
+            "SELECT ?u ?l ?r WHERE { ?s <ex:name> ?n . "
+            'FILTER(STRLEN(?n) = 5 && CONTAINS(?n, "li") '
+            '&& STRSTARTS(?n, "A") && STRENDS(?n, "e") '
+            '&& REGEX(?n, "^ali", "i")) '
+            "BIND(UCASE(?n) AS ?u) BIND(LCASE(SUBSTR(?n, 1, 2)) AS ?l) "
+            'BIND(REPLACE(?n, "ice", "ce") AS ?r) }'
+        )
+    )
+    assert got == [("ALICE", "al", "Alce")]
+
+
+def test_if_bound_coalesce_and_numeric_builtins(engine):
+    e = seed(engine)
+    got = rows(
+        e.query(
+            "SELECT ?n ?grp ?x WHERE { ?s <ex:name> ?n . ?s <ex:age> ?a . "
+            "OPTIONAL { ?s <ex:missing> ?m } "
+            'BIND(IF(?a > 20, "adult", "minor") AS ?grp) '
+            'BIND(COALESCE(?m, "none") AS ?x) '
+            "FILTER(FLOOR(?a / 10) >= 1 && CEIL(?a / 10) <= 4 "
+            "&& ABS(0 - ?a) = ?a && ROUND(?a + 0.4) = ?a) }"
+        )
+    )
+    assert got == [
+        ("Alice", "adult", "none"),
+        ("Bob", "minor", "none"),
+        ("Carol", "adult", "none"),
+    ]
+
+
+def test_bound_distinguishes_optional_misses(engine):
+    e = seed(engine)
+    e.add_triples([("ex:alice", "ex:email", "a@x.org")])
+    got = rows(
+        e.query(
+            "SELECT ?n WHERE { ?s <ex:name> ?n . "
+            "OPTIONAL { ?s <ex:email> ?m } FILTER(!BOUND(?m)) }"
+        )
+    )
+    assert got == [("Bob",), ("Carol",)]
