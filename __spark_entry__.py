@@ -2989,6 +2989,49 @@ def _q_filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )(spark, sf_dir)
 
 
+def _q_construct_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT (SPARQL 1.1 extension): template instantiation over the
+    WHERE bindings via the distributed Update-template machinery;
+    deduplicated (s, p, o, g) graph out."""
+    return _sparql(
+        "CONSTRUCT { ?c <urn:inSegment> ?seg . ?c <urn:flagged> \"hi\" } "
+        "WHERE { ?c <urn:customer#c_mktsegment> ?seg . "
+        "?c <urn:customer#c_acctbal> ?bal . FILTER(?bal > 9000) }"
+    )(spark, sf_dir)
+
+
+def _q_ask_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASK (SPARQL 1.1 extension): lazy one-row boolean; LIMIT 1 stops the
+    scan at the first witness."""
+    return _sparql(
+        "ASK { ?o <urn:orders#o_totalprice> ?tp . FILTER(?tp > 100000) }"
+    )(spark, sf_dir)
+
+
+def _q_describe_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE (SPARQL 1.1 extension): subject-outbound description —
+    a partition-prunable IN-filter over the quads layout."""
+    return _sparql("DESCRIBE <urn:customer:42> <urn:customer:43>")(spark, sf_dir)
+
+
+def _describe_oracle() -> str:
+    # mirrors triplify's melt for the two described customer rows
+    cols = {
+        "c_custkey": "CAST(c_custkey AS VARCHAR)",
+        "c_name": "c_name",
+        "c_nationkey": "'urn:nation:' || CAST(c_nationkey AS VARCHAR)",
+        "c_acctbal": "CAST(c_acctbal AS VARCHAR)",
+        "c_mktsegment": "c_mktsegment",
+    }
+    selects = [
+        f"SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS s, "
+        f"'urn:customer#{c}' AS p, {expr} AS o "
+        f"FROM customer WHERE c_custkey IN (42, 43)"
+        for c, expr in cols.items()
+    ]
+    return " UNION ALL ".join(selects)
+
+
 def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (operators/bpe.py): 8 merge rounds over the
     documents corpus; returns the ordered merge table. No SQL oracle — the
@@ -3319,6 +3362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_concat_names": _q_group_concat,
         "bind_string_funcs": _q_bind_string_funcs,
         "filter_regex_sample": _q_filter_regex,
+        "construct_graph": _q_construct_graph,
+        "ask_exists": _q_ask_exists,
+        "describe_subject": _q_describe_subject,
         # --- ML / multimodal / builder (§2.11, §2.12)
         "ml_predict": _q_ml_predict,
         "multimodal_features": _q_multimodal_features,
@@ -3815,4 +3861,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_mktsegment AS seg, MIN(c_name) AS one FROM customer "
             "WHERE regexp_matches(c_name, '00[0-4]7$') GROUP BY 1"
         ),
+        "construct_graph": (
+            "WITH hits AS (SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR) AS c, "
+            "c_mktsegment AS seg FROM customer WHERE c_acctbal > 9000) "
+            "SELECT c AS s, 'urn:inSegment' AS p, seg AS o, CAST(NULL AS VARCHAR) AS g "
+            "FROM hits UNION ALL "
+            "SELECT c, 'urn:flagged', 'hi', CAST(NULL AS VARCHAR) FROM hits"
+        ),
+        "ask_exists": (
+            "SELECT EXISTS(SELECT 1 FROM orders WHERE o_totalprice > 100000) AS ask"
+        ),
+        "describe_subject": _describe_oracle(),
     })

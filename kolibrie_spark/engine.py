@@ -102,9 +102,16 @@ class SparqlEngine:
         if "ML.PREDICT" in text.upper().split("{")[0]:
             return self.ml_predict(text)
         q = parse_query(text)
+        c = Compiler(self.store)
+        if q.construct is not None:
+            return c.compile_construct(q.construct)
+        if q.ask is not None:
+            return c.compile_ask(q.ask)
+        if q.describe is not None:
+            return c.compile_describe(q.describe)
         if q.select is None:
             raise CompileError("not a SELECT query — use update()")
-        return Compiler(self.store).compile_select(q.select)
+        return c.compile_select(q.select)
 
     def update(self, text: str) -> None:
         q = parse_query(text)
@@ -119,7 +126,7 @@ class SparqlEngine:
         if q.update is not None:
             execute_update(self.store, q.update)
             return []
-        df = Compiler(self.store).compile_select(q.select)
+        df = self.query(text)
         return [
             ["" if v is None else str(v) for v in row]
             for row in df.collect()

@@ -276,9 +276,41 @@ UpdateOp = InsertData | DeleteData | Modify
 
 
 @dataclass
+class ConstructQuery:
+    """CONSTRUCT { template } WHERE { group } (SPARQL 1.1 extension —
+    the reference only has the RULE :- CONSTRUCT form)."""
+
+    template: list[TemplateQuad] = field(default_factory=list)
+    where: Group = field(default_factory=Group)
+    from_graphs: list[str] = field(default_factory=list)
+    from_named: list[str] = field(default_factory=list)
+
+
+@dataclass
+class AskQuery:
+    """ASK [WHERE] { group } (SPARQL 1.1 extension)."""
+
+    where: Group = field(default_factory=Group)
+    from_graphs: list[str] = field(default_factory=list)
+    from_named: list[str] = field(default_factory=list)
+
+
+@dataclass
+class DescribeQuery:
+    """DESCRIBE <iri>... (SPARQL 1.1 extension; ground IRIs, simple
+    subject-outbound description)."""
+
+    iris: list[Term] = field(default_factory=list)
+
+
+@dataclass
 class Query:
-    """Top-level parse result: exactly one of select / update."""
+    """Top-level parse result: exactly one of select / update /
+    construct / ask / describe."""
 
     prefixes: dict[str, str] = field(default_factory=dict)
     select: SelectQuery | None = None
     update: UpdateOp | None = None
+    construct: ConstructQuery | None = None
+    ask: AskQuery | None = None
+    describe: DescribeQuery | None = None

@@ -270,6 +270,49 @@ class Compiler:
         b = self.compile_group(q.where, view, active_graph=None)
         return self._apply_modifiers(q, b)
 
+    def compile_construct(self, q: "ast.ConstructQuery") -> DataFrame:
+        """CONSTRUCT (SPARQL 1.1 extension): the WHERE bindings instantiate
+        the template via the same distributed machinery as SPARQL Update
+        templates; instantiations with unbound components are skipped
+        (illegal RDF) and the result is a deduplicated (s, p, o, g) graph.
+        Quoted-triple template terms surface as their surrogate ids; the
+        accompanying surrogate rows are registered in the store so the
+        ids remain dereferenceable."""
+        from kolibrie_spark.sparql.update import _instantiate
+
+        view = DatasetView(self.store, q.from_graphs, q.from_named)
+        b = self.compile_group(q.where, view, active_graph=None)
+        quads, quoted = _instantiate(self, b, q.template, fresh_blanks=False)
+        if quads is None:
+            raise CompileError("CONSTRUCT needs a non-empty template")
+        if quoted is not None:
+            self.store.insert_quoted(quoted)
+        return quads
+
+    def compile_ask(self, q: "ast.AskQuery") -> DataFrame:
+        """ASK (SPARQL 1.1 extension): one boolean row, lazily — LIMIT 1
+        stops the scan at the first solution."""
+        view = DatasetView(self.store, q.from_graphs, q.from_named)
+        b = self.compile_group(q.where, view, active_graph=None)
+        return (
+            b.df.limit(1)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .select((F.col("__c") > 0).alias("ask"))
+        )
+
+    def compile_describe(self, q: "ast.DescribeQuery") -> DataFrame:
+        """DESCRIBE (SPARQL 1.1 extension): simple subject-outbound
+        description of ground IRIs over the default graph — a
+        partition-prunable IN-filter scan."""
+        values = [self._ground_term_value(t) for t in q.iris]
+        view = DatasetView(self.store, [], [])
+        return (
+            view.default_df()
+            .filter(F.col("s").isin(values))
+            .select("s", "p", "o")
+            .dropDuplicates()
+        )
+
     # ----------------------------------------------------solution modifiers
     def _apply_modifiers(self, q: ast.SelectQuery, b: Bindings) -> DataFrame:
         df = b.df

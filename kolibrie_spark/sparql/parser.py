@@ -29,6 +29,9 @@ from kolibrie_spark.sparql.ast import (
     Aggregate,
     And,
     Arith,
+    AskQuery,
+    ConstructQuery,
+    DescribeQuery,
     Bind,
     BlankNode,
     Cmp,
@@ -214,10 +217,45 @@ class Parser:
 
         if self.at_kw("SELECT"):
             q.select = self.parse_select()
+        elif self.at_kw("CONSTRUCT"):
+            self.i += 1
+            c = ConstructQuery()
+            c.template = self.parse_template()
+            while self.at_kw("FROM"):
+                self.i += 1
+                if self.take_kw("NAMED"):
+                    c.from_named.append(self._iri_value())
+                else:
+                    c.from_graphs.append(self._iri_value())
+            self.expect_kw("WHERE")
+            c.where = self.parse_group()
+            q.construct = c
+        elif self.at_kw("ASK"):
+            self.i += 1
+            a = AskQuery()
+            while self.at_kw("FROM"):
+                self.i += 1
+                if self.take_kw("NAMED"):
+                    a.from_named.append(self._iri_value())
+                else:
+                    a.from_graphs.append(self._iri_value())
+            self.take_kw("WHERE")
+            a.where = self.parse_group()
+            q.ask = a
+        elif self.at_kw("DESCRIBE"):
+            self.i += 1
+            d = DescribeQuery()
+            while self.peek() is not None and self.peek().kind in ("IRI", "PNAME"):
+                d.iris.append(Iri(self._iri_value()))
+            if not d.iris:
+                raise ParseError("DESCRIBE expects at least one IRI")
+            q.describe = d
         elif self.at_kw("INSERT", "DELETE", "WITH"):
             q.update = self.parse_update()
         else:
-            raise ParseError(f"expected SELECT or update at {self.peek()!r}")
+            raise ParseError(
+                f"expected SELECT/CONSTRUCT/ASK/DESCRIBE or update at {self.peek()!r}"
+            )
         if self.peek() is not None:
             raise ParseError(f"trailing tokens at {self.peek()!r}")
         return q

@@ -427,3 +427,40 @@ def test_bound_distinguishes_optional_misses(engine):
         )
     )
     assert got == [("Bob",), ("Carol",)]
+
+
+def test_construct_builds_graph(engine):
+    e = seed(engine)
+    got = rows(
+        e.query(
+            "CONSTRUCT { ?s <ex:adult> ?n } WHERE "
+            "{ ?s <ex:name> ?n . ?s <ex:age> ?a . FILTER(?a > 20) }"
+        )
+    )
+    assert got == [
+        ("ex:alice", "ex:adult", "Alice", ""),
+        ("ex:carol", "ex:adult", "Carol", ""),
+    ]
+
+
+def test_construct_skips_unbound_components(engine):
+    e = seed(engine)
+    got = rows(
+        e.query(
+            "CONSTRUCT { ?s <ex:mail> ?m } WHERE "
+            "{ ?s <ex:name> ?n . OPTIONAL { ?s <ex:email> ?m } }"
+        )
+    )
+    assert got == []  # no emails seeded: every instantiation incomplete
+
+
+def test_ask_and_describe(engine):
+    e = seed(engine)
+    assert e.execute("ASK { ?s <ex:age> ?a . FILTER(?a > 30) }") == [["True"]]
+    assert e.execute("ASK { ?s <ex:age> ?a . FILTER(?a > 99) }") == [["False"]]
+    got = rows(e.query("DESCRIBE <ex:bob>"))
+    assert got == [
+        ("ex:bob", "ex:age", "17"),
+        ("ex:bob", "ex:city", "Ghent"),
+        ("ex:bob", "ex:name", "Bob"),
+    ]
