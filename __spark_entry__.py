@@ -3032,6 +3032,16 @@ def _describe_oracle() -> str:
     return " UNION ALL ".join(selects)
 
 
+def _q_select_expr_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(expr AS ?v) SELECT projections (SPARQL 1.1 extension): aggregate
+    calls inside the expression compile as hidden agg columns (the HAVING
+    machinery), string builtins compose over group keys."""
+    return _sparql(
+        "SELECT ?seg (COUNT(?c) * 2 AS ?n2) (CONCAT(?seg, \"!\") AS ?tag) "
+        "WHERE { ?c <urn:customer#c_mktsegment> ?seg } GROUP BY ?seg"
+    )(spark, sf_dir)
+
+
 def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (operators/bpe.py): 8 merge rounds over the
     documents corpus; returns the ordered merge table. No SQL oracle — the
@@ -3365,6 +3375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "construct_graph": _q_construct_graph,
         "ask_exists": _q_ask_exists,
         "describe_subject": _q_describe_subject,
+        "select_expr_proj": _q_select_expr_proj,
         # --- ML / multimodal / builder (§2.11, §2.12)
         "ml_predict": _q_ml_predict,
         "multimodal_features": _q_multimodal_features,
@@ -3872,4 +3883,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT EXISTS(SELECT 1 FROM orders WHERE o_totalprice > 100000) AS ask"
         ),
         "describe_subject": _describe_oracle(),
+        "select_expr_proj": (
+            "SELECT c_mktsegment AS seg, "
+            "CAST(CAST(COUNT(*) * 2 AS DOUBLE) AS VARCHAR) AS n2, "
+            "c_mktsegment || '!' AS tag FROM customer GROUP BY 1"
+        ),
     })

@@ -222,8 +222,16 @@ class Aggregate:
 
 
 @dataclass
+class ProjExpr:
+    """(expr AS ?alias) projection (SPARQL 1.1 extension)."""
+
+    expr: object
+    alias: str
+
+
+@dataclass
 class SelectQuery:
-    select: list[Var | Aggregate]  # empty + star=True => SELECT *
+    select: list  # Var | Aggregate | ProjExpr; empty + star=True => SELECT *
     star: bool = False
     distinct: bool = False
     where: Group = field(default_factory=Group)

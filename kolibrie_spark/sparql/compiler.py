@@ -318,6 +318,7 @@ class Compiler:
         df = b.df
         aggs = [i for i in q.select if isinstance(i, ast.Aggregate)]
         plain = [i.name for i in q.select if isinstance(i, ast.Var)]
+        pexprs = [i for i in q.select if isinstance(i, ast.ProjExpr)]
         group_vars = [v.name for v in q.group_by]
 
         if aggs or group_vars:
@@ -329,24 +330,48 @@ class Compiler:
                 for v in plain
                 if v not in group_vars
             ]
+            hidden: list[ast.Aggregate] = []
             if q.having is not None:
                 # aggregates inside HAVING compile as hidden agg columns
                 # (reusing a projected aggregate's alias when one matches),
                 # filtered after the groupBy and dropped before projection
-                having_expr, extra = self._rewrite_having(q.having, aggs)
+                having_expr, extra = self._rewrite_having(q.having, aggs, "__having")
                 agg_exprs += [self._agg_expr(a, df) for a in extra]
+                hidden += extra
+            # expression projections in aggregation context: aggregate
+            # calls inside the expression compile the same way as HAVING
+            pexpr_rewritten: list[tuple[str, ast.Expr]] = []
+            for i, pe in enumerate(pexprs):
+                rewritten, extra = self._rewrite_having(pe.expr, aggs, f"__px{i}")
+                agg_exprs += [self._agg_expr(a, df) for a in extra]
+                hidden += extra
+                pexpr_rewritten.append((pe.alias, rewritten))
             gcols = [self._var_col(df, v).alias(v) for v in group_vars]
             df = df.groupBy(*gcols).agg(*agg_exprs) if gcols else df.agg(*agg_exprs)
             if q.having is not None:
                 df = df.filter(
                     self.compile_expr(having_expr, Bindings(df), as_bool=True)
                 )
-                df = df.drop(*[a.alias for a in extra])
+            for alias, rewritten in pexpr_rewritten:
+                df = df.withColumn(
+                    alias,
+                    self.compile_expr(rewritten, Bindings(df)).cast("string"),
+                )
+            if hidden:
+                df = df.drop(*[a.alias for a in hidden])
+        elif pexprs:
+            for pe in pexprs:
+                df = df.withColumn(
+                    pe.alias,
+                    self.compile_expr(pe.expr, Bindings(df)).cast("string"),
+                )
 
         if q.star:
             out_cols = sorted(b.vars) if not (aggs or group_vars) else list(df.columns)
         else:
-            out_cols = [i.name if isinstance(i, ast.Var) else i.alias for i in q.select]
+            out_cols = [
+                i.name if isinstance(i, ast.Var) else i.alias for i in q.select
+            ]
 
         if q.order_by and not q.distinct:
             keys: list[Column] = []
@@ -394,7 +419,7 @@ class Compiler:
         return F.col(name) if name in df.columns else F.lit(None).cast("string")
 
     def _rewrite_having(
-        self, e: ast.Expr, aggs: list[ast.Aggregate]
+        self, e: ast.Expr, aggs: list[ast.Aggregate], prefix: str = "__having"
     ) -> tuple[ast.Expr, list[ast.Aggregate]]:
         """Replace aggregate calls inside a HAVING constraint with variable
         references: a call matching a projected aggregate reuses its alias;
@@ -419,7 +444,7 @@ class Compiler:
                         return ast.TermExpr(ast.Var(a.alias))
                 hidden = ast.Aggregate(
                     func=x.name, arg=ast.Var(argv),
-                    alias=f"__having_{len(extra)}",
+                    alias=f"{prefix}_{len(extra)}",
                 )
                 extra.append(hidden)
                 return ast.TermExpr(ast.Var(hidden.alias))

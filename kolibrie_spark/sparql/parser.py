@@ -32,6 +32,7 @@ from kolibrie_spark.sparql.ast import (
     AskQuery,
     ConstructQuery,
     DescribeQuery,
+    ProjExpr,
     Bind,
     BlankNode,
     Cmp,
@@ -393,11 +394,26 @@ class Parser:
         # (AGG(?v) AS ?alias)
         if t.kind == "OP" and t.text == "(":
             if self.at_kw(*AGG_FUNCS, ahead=1):
-                self.i += 1
-                agg = self._parse_aggregate(require_alias=True)
-                self.expect_op(")")
-                return agg
-            return None
+                # try the plain-aggregate form; an aggregate inside a larger
+                # expression — (SUM(?a) / COUNT(?a) AS ?m) — backtracks to
+                # the expression-projection parse below
+                mark = self.i
+                try:
+                    self.i += 1
+                    agg = self._parse_aggregate(require_alias=True)
+                    self.expect_op(")")
+                    return agg
+                except ParseError:
+                    self.i = mark
+            # (expr AS ?alias) — SPARQL 1.1 expression projection
+            self.i += 1
+            expr = self.parse_or_expr()
+            self.expect_kw("AS")
+            a = self.next()
+            if a.kind != "VAR":
+                raise ParseError(f"AS expects a variable, got {a!r}")
+            self.expect_op(")")
+            return ProjExpr(expr=expr, alias=a.text[1:])
         # bare AGG(?v) [AS ?alias]
         if t.kind == "NAME" and t.text.upper() in AGG_FUNCS and self.at_op("(", ahead=1):
             return self._parse_aggregate(require_alias=False)
@@ -664,7 +680,12 @@ class Parser:
                 args.append(self.parse_or_expr())
                 self.take_op(",")
             self.expect_op(")")
-            return FuncCall(name.upper() if name.upper() in BUILTIN_FUNCS else name, tuple(args))
+            return FuncCall(
+                name.upper()
+                if name.upper() in BUILTIN_FUNCS or name.upper() in AGG_FUNCS
+                else name,
+                tuple(args),
+            )
         return TermExpr(self.parse_term())
 
     # -- updates

@@ -464,3 +464,18 @@ def test_ask_and_describe(engine):
         ("ex:bob", "ex:city", "Ghent"),
         ("ex:bob", "ex:name", "Bob"),
     ]
+
+
+def test_select_expression_projection(engine):
+    e = seed(engine)
+    got = rows(
+        e.query("SELECT ?n (?a + 1 AS ?next) WHERE { ?s <ex:age> ?a . ?s <ex:name> ?n }")
+    )
+    assert got == [("Alice", "26.0"), ("Bob", "18.0"), ("Carol", "32.0")]
+    got = rows(
+        e.query(
+            "SELECT ?c (SUM(?a) / COUNT(?a) AS ?mean) WHERE "
+            "{ ?s <ex:age> ?a . ?s <ex:city> ?c } GROUP BY ?c"
+        )
+    )
+    assert got == [("Ghent", "21.0"), ("Paris", "31.0")]
