@@ -169,3 +169,31 @@ def test_rsp_one_shot_query(client):
     assert r.status_code == 200
     rows = r.get_json()["results"]
     assert {(p["s"], p["v"]) for p in rows} == {("x", "1")}
+
+
+def test_query_ask_and_construct_forms(client):
+    r = client.post(
+        "/query",
+        json={
+            "sparql": 'ASK { ?s <http://ex/name> "alice" }',
+            "rdf": '''@prefix ex: <http://ex/> .
+                      ex:a ex:name "alice" .''',
+            "format": "turtle",
+        },
+    )
+    assert r.status_code == 200
+    assert r.get_json()["results"][0]["data"] == [["True"]]
+    r = client.post(
+        "/query",
+        json={
+            "sparql": "CONSTRUCT { ?s <http://ex/known> ?n } "
+            "WHERE { ?s <http://ex/name> ?n }",
+            "rdf": """@prefix ex: <http://ex/> .
+                      ex:a ex:name "alice" .""",
+            "format": "turtle",
+        },
+    )
+    assert r.status_code == 200
+    assert r.get_json()["results"][0]["data"] == [
+        ["http://ex/a", "http://ex/known", "alice", ""]
+    ]
