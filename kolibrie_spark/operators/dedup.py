@@ -636,6 +636,8 @@ def prefix_jaccard_pairs(
         return F.floor((s * num + den - 1) / den).cast("long")
 
     par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)  # spread the shingle explode itself
     sh = _shingle_table(df, id_col, text_col, n)
     dfreq = sh.groupBy("__sh").agg(F.count("*").alias("__df"))
     # per-doc shingles sorted rare-first: array_sort on (df, shingle) structs
@@ -660,18 +662,25 @@ def prefix_jaccard_pairs(
             ),
         )
     )
+    # the prefix join and pair-dedup run over (id, size, prefix-token)
+    # ONLY — shipping each doc's full token array per candidate pair would
+    # multiply shuffle bytes by the candidate fan-out; arrays re-attach
+    # once per SURVIVING pair side below
+    ordered = ordered.localCheckpoint(eager=False)  # feeds 3 branches once
+    # explicit partition counts on the join key: like the shared-shingle
+    # join, this stage is CPU-dense but byte-light and AQE would coalesce
+    # it onto a handful of tasks (it optimizes for bytes, not compute);
+    # explicit repartition is exempt from AQE coalescing
     a = ordered.select(
         F.col("__id").alias("id_a"),
-        F.col("__toks").alias("__ta"),
         F.col("__n").alias("__na"),
         F.explode("__prefix").alias("__ptok"),
-    )
+    ).repartition(par, "__ptok")
     b = ordered.select(
         F.col("__id").alias("id_b"),
-        F.col("__toks").alias("__tb"),
         F.col("__n").alias("__nb"),
         F.explode("__prefix").alias("__ptok"),
-    )
+    ).repartition(par, "__ptok")
     cand = (
         a.join(b.hint("shuffle_hash"), on="__ptok")
         .filter(
@@ -682,13 +691,17 @@ def prefix_jaccard_pairs(
                 <= F.least(F.col("__na"), F.col("__nb"))
             )
         )
-        .select("id_a", "id_b", "__ta", "__tb", "__na", "__nb")
+        .select("id_a", "id_b", "__na", "__nb")
         .dropDuplicates(["id_a", "id_b"])
         .repartition(par, "id_a", "id_b")
     )
+    ta = ordered.select(F.col("__id").alias("id_a"), F.col("__toks").alias("__ta"))
+    tb = ordered.select(F.col("__id").alias("id_b"), F.col("__toks").alias("__tb"))
     inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
     return (
-        cand.withColumn(
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
             "jaccard", inter / (F.col("__na") + F.col("__nb") - inter)
         )
         .filter(F.col("jaccard") >= threshold)
