@@ -196,6 +196,11 @@ def main() -> None:
             "r3 added real JPEG entropy decode (operators/jpeg.py) and PNG/"
             "WAV content decode to the gate; r2 timed header-only JPEG"
         ),
+        "dedup_exact": (
+            "sub-second gate at the scheduling floor; r2's count()-era "
+            "number let Catalyst skip the keep-set join output "
+            "materialization the noop sink now forces"
+        ),
     }
     for name in regressions:
         if name in notes:

@@ -376,7 +376,7 @@ class Compiler:
         if q.order_by and not q.distinct:
             keys: list[Column] = []
             for var, asc in q.order_by:
-                keys.extend(compare.order_keys(self._var_col(df, var.name), asc))
+                keys.extend(self._order_key_cols(df, var, asc))
             df = df.orderBy(*keys)
 
         numeric_out = {
@@ -402,12 +402,12 @@ class Compiler:
             if q.order_by:
                 keys = []
                 for var, asc in q.order_by:
-                    if var.name not in df.columns:
+                    if isinstance(var, ast.Var) and var.name not in df.columns:
                         raise CompileError(
                             f"ORDER BY ?{var.name} with SELECT DISTINCT requires "
                             "the variable to be projected"
                         )
-                    keys.extend(compare.order_keys(F.col(var.name), asc))
+                    keys.extend(self._order_key_cols(df, var, asc))
                 df = df.orderBy(*keys)
         if q.offset:
             df = df.offset(q.offset)
@@ -417,6 +417,16 @@ class Compiler:
 
     def _var_col(self, df: DataFrame, name: str) -> Column:
         return F.col(name) if name in df.columns else F.lit(None).cast("string")
+
+    def _order_key_cols(self, df: DataFrame, key, asc: bool) -> list[Column]:
+        """Sort keys for an ORDER BY entry: a bare variable keeps the
+        numeric-else-lexical contract; an expression key (SPARQL 1.1
+        extension) compiles over the current columns and sorts the same
+        way."""
+        if isinstance(key, ast.Var):
+            return compare.order_keys(self._var_col(df, key.name), asc)
+        col = self.compile_expr(key, Bindings(df)).cast("string")
+        return compare.order_keys(col, asc)
 
     def _rewrite_having(
         self, e: ast.Expr, aggs: list[ast.Aggregate], prefix: str = "__having"

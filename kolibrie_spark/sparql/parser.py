@@ -353,23 +353,21 @@ class Parser:
             self.expect_kw("BY")
             while True:
                 asc = True
-                if self.take_kw("ASC"):
-                    asc = True
+                if self.take_kw("ASC") or self.at_kw("DESC"):
+                    asc = not self.take_kw("DESC")
                     self.expect_op("(")
-                    v = self.next()
+                    # full expression key (SPARQL 1.1 extension); a bare
+                    # variable stays a Var for downstream compatibility
+                    e = self.parse_or_expr()
                     self.expect_op(")")
-                elif self.take_kw("DESC"):
-                    asc = False
-                    self.expect_op("(")
-                    v = self.next()
-                    self.expect_op(")")
+                    if isinstance(e, TermExpr) and isinstance(e.term, Var):
+                        q.order_by.append((e.term, asc))
+                    else:
+                        q.order_by.append((e, asc))
                 elif self.peek() is not None and self.peek().kind == "VAR":
-                    v = self.next()
+                    q.order_by.append((Var(self.next().text[1:]), True))
                 else:
                     break
-                if v.kind != "VAR":
-                    raise ParseError(f"ORDER BY expects a variable, got {v!r}")
-                q.order_by.append((Var(v.text[1:]), asc))
         if self.take_kw("LIMIT"):
             q.limit = int(self.next().text)
         if self.take_kw("OFFSET"):

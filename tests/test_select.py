@@ -479,3 +479,18 @@ def test_select_expression_projection(engine):
         )
     )
     assert got == [("Ghent", "21.0"), ("Paris", "31.0")]
+
+
+def test_order_by_expression_keys(engine):
+    e = seed(engine)
+    # execute() preserves row order (rows() sorts, so don't use it here)
+    got = e.execute(
+        "SELECT ?n WHERE { ?s <ex:name> ?n . ?s <ex:age> ?a } "
+        "ORDER BY DESC(?a * 2) ASC(STRLEN(?n))"
+    )
+    assert got == [["Carol"], ["Alice"], ["Bob"]]
+    # numeric-else-lexical still holds for bare-variable keys
+    assert e.execute(
+        "SELECT ?n ?a WHERE { ?s <ex:name> ?n . ?s <ex:age> ?a } "
+        "ORDER BY ASC(?a) LIMIT 1"
+    ) == [["Bob", "17"]]
