@@ -589,3 +589,48 @@ def test_funnel_stream_recovers_from_checkpoint(spark, tmp_path):
         key=lambda x: sum(v is not None for v in x),
     )
     assert emissions[-1] == (100, 200, 300)
+
+
+def test_ewma_stream_matches_batch_fold(spark, tmp_path):
+    """Streaming EWMA (applyInPandasWithState, 2-number state per key)
+    converges to the batch ewma_last fold over the full history when
+    batch boundaries respect event-time order."""
+    from kolibrie_spark.operators.scd import ewma_last
+    from kolibrie_spark.streaming.ewma import ewma_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    hist = [(f"k{i % 3}", i, float(((i * 31) % 97) - 48) / 7.0) for i in range(60)]
+    # two chronological batches
+    spark.createDataFrame(hist[:30], "k string, t long, v double").write.parquet(src)
+
+    stream = spark.readStream.schema("k string, t long, v double").parquet(src)
+    out = ewma_stream(stream, "k", "t", "v", alpha=0.3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_test")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(hist[30:], "k string, t long, v double").write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    # last emission per key == batch fold over the whole history
+    live = {
+        r.k: (r.n_obs, r.ewma)
+        for r in spark.sql(
+            "SELECT k, n_obs, ewma FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY k ORDER BY n_obs DESC) AS rn FROM ewma_test) "
+            "WHERE rn = 1"
+        ).collect()
+    }
+    batch_df = spark.createDataFrame(hist, "k string, t long, v double")
+    want = {
+        r.k: (r.n_obs, r.ewma)
+        for r in ewma_last(batch_df, "k", "t", "v", alpha=0.3).collect()
+    }
+    assert live == want
