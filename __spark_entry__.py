@@ -3042,6 +3042,16 @@ def _q_select_expr_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
     )(spark, sf_dir)
 
 
+def _q_filter_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL datetime accessors (YEAR/MONTH, extension): parse the
+    lexical timestamp value, filter on components; unparsable -> NULL ->
+    false (house error semantics)."""
+    return _sparql(
+        "SELECT ?o ?d WHERE { ?o <urn:orders#o_orderdate> ?d . "
+        "FILTER(YEAR(?d) = 1999 && MONTH(?d) = 2) }"
+    )(spark, sf_dir)
+
+
 def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (operators/bpe.py): 8 merge rounds over the
     documents corpus; returns the ordered merge table. No SQL oracle — the
@@ -3376,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ask_exists": _q_ask_exists,
         "describe_subject": _q_describe_subject,
         "select_expr_proj": _q_select_expr_proj,
+        "filter_datetime": _q_filter_datetime,
         # --- ML / multimodal / builder (§2.11, §2.12)
         "ml_predict": _q_ml_predict,
         "multimodal_features": _q_multimodal_features,
@@ -3887,5 +3898,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_mktsegment AS seg, "
             "CAST(CAST(COUNT(*) * 2 AS DOUBLE) AS VARCHAR) AS n2, "
             "c_mktsegment || '!' AS tag FROM customer GROUP BY 1"
+        ),
+        "filter_datetime": (
+            "SELECT 'urn:orders:' || CAST(o_orderkey AS VARCHAR) AS o, "
+            "CAST(o_orderdate AS VARCHAR) AS d FROM orders "
+            "WHERE year(o_orderdate) = 1999 AND month(o_orderdate) = 2"
         ),
     })

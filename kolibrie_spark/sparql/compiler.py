@@ -48,6 +48,7 @@ _STRING_FUNCS = {
     "STR", "STRLEN", "UCASE", "LCASE", "SUBSTR", "CONTAINS", "STRSTARTS",
     "STRENDS", "REPLACE", "REGEX", "COALESCE", "IF", "BOUND",
     "ABS", "ROUND", "CEIL", "FLOOR",
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
 }
 
 
@@ -1072,4 +1073,15 @@ class Compiler:
             n = compare.num(arg(0))
             fn = {"ABS": F.abs, "ROUND": F.round, "CEIL": F.ceil, "FLOOR": F.floor}[name]
             return fn(n)
+        if name in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+            # SPARQL datetime accessors over the engine's lexical timestamp
+            # values ('yyyy-MM-dd[ HH:mm:ss]'); unparsable values yield NULL
+            # (error -> false in FILTER, the house error semantics)
+            need(1)
+            ts = F.try_to_timestamp(arg(0).cast("string"))
+            fn = {
+                "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
+                "HOURS": F.hour, "MINUTES": F.minute, "SECONDS": F.second,
+            }[name]
+            return fn(ts)
         raise CompileError(f"unknown function {name!r}")  # pragma: no cover

@@ -494,3 +494,20 @@ def test_order_by_expression_keys(engine):
         "SELECT ?n ?a WHERE { ?s <ex:name> ?n . ?s <ex:age> ?a } "
         "ORDER BY ASC(?a) LIMIT 1"
     ) == [["Bob", "17"]]
+
+
+def test_datetime_builtins(engine):
+    e = seed(engine)
+    e.add_triples([
+        ("ex:e1", "ex:when", "1997-03-05 12:34:56"),
+        ("ex:e2", "ex:when", "1998-07-01 01:02:03"),
+        ("ex:e3", "ex:when", "not-a-date"),
+    ])
+    got = rows(
+        e.query(
+            "SELECT ?s (MONTH(?d) AS ?m) (HOURS(?d) AS ?h) WHERE "
+            "{ ?s <ex:when> ?d . FILTER(YEAR(?d) = 1997 && DAY(?d) = 5 "
+            "&& MINUTES(?d) = 34 && SECONDS(?d) = 56) }"
+        )
+    )
+    assert got == [("ex:e1", "3", "12")]
