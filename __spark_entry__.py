@@ -3091,6 +3091,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # prob_hybrid had NEVER had a driver row) FIRST — they must land inside the
 # 50-row window no matter what — then the session-4 gates (newest), then as
 # many session-3 gates as fit; the overflow rotates into the round-4 head.
+#
+# ROUND-4 ROTATION NOTE: next round, promote the keys that emitted PAST
+# position 50 this round (run `list(queries())[50:]` — the SPARQL-extension
+# gates, the stats pack, attribution, and the remaining session-3 +
+# round-1/2 gates) to the head; with ~138 gates and a 50-row window, full
+# driver coverage cycles in three rounds, and tools/check_correctness.py
+# remains the every-round full-coverage replica.
 _DRIVER_FIRST = [
     "prob_hybrid",
     "streaming_istream_replay",
