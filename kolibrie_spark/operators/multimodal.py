@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing (schema, batch iteration, partition sizing) is real
-and tested; the actual media decode is STUBBED — the container has no
-image/audio libraries — behind ``decoder=`` hooks. ``deterministic_fake``
-produces stable pseudo-features from the bytes so tests can assert
-end-to-end behavior; passing ``decoder=None`` raises NotImplementedError at
-the point a real codec (Pillow/torchaudio/decord) would plug in.
+Content decode is REAL for PNG (zlib inflate + filter reversal), baseline
+JPEG (pure-Python ITU-T T.81 entropy decoder in ``operators/jpeg.py``),
+WAV (PCM frame parse), and the MP4 container (mvhd/stbl atom walk):
+``extract_media_features`` / ``resize_images`` / ``sample_frames`` operate
+on actual pixel/sample data with no external media libraries. The only
+remaining hook is the generic ``extract_features(decoder=)`` embedding
+seam: ``deterministic_fake`` produces stable pseudo-features so tests can
+assert end-to-end behavior, and ``decoder=None`` raises NotImplementedError
+at the point a learned encoder (CLIP/torchaudio/decord) would plug in.
 
 Scale notes: media bytes ride in parquet binary columns; ``mapInPandas``
 streams Arrow record batches so one task never materializes more than

@@ -5,10 +5,9 @@ import __spark_entry__ as entry_mod
 
 
 # gates DELIBERATELY rows-only: no single-query SQL twin exists; each one
-# documents why on its _q_* function and carries pytest value checks instead
-ROWS_ONLY = {
-    "bpe_train_merges",  # iterative argmax-rewrite; bit-identity pytest-asserted
-}
+# documents why on its _q_* function and carries pytest value checks instead.
+# Empty since round 4: bpe_train_merges gained an unrolled-CTE DuckDB twin.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_an_oracle():
