@@ -2431,6 +2431,123 @@ def _media_near_dup_oracle() -> str:
     )
 
 
+def _q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash near-dup pairs (phash.phash_near_pairs) over TRIPLET groups
+    of content-identical PNG re-encodings: doc triple (3g, 3g+1, 3g+2)
+    carries the same group-specific pixel pattern encoded three
+    byte-distinct ways — plain filters, the all-five-filters cycle, and
+    an ancillary tEXt chunk. Exact-byte dedup sees three distinct blobs;
+    pHash decodes to identical pixels, so each complete triple yields its
+    3 pairs at hamming 0 and the oracle reduces to doc_id arithmetic.
+    Cross-group absence at hamming<=2 is part of the checked value set."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.phash import phash_near_pairs
+    from kolibrie_spark.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter("doc_id < 300")
+        # per-row Python decode work: spread a single-file read
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from kolibrie_spark.operators.multimodal import build_png
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // 3, did % 3
+                # group-dependent spatial frequencies (period lcm(23,19)
+                # = 437 > #groups, so no two groups share a pattern);
+                # the three variants re-encode IDENTICAL pixels
+                data = build_png(
+                    g % 16 + 8,
+                    g % 12 + 8,
+                    lambda x, y: (
+                        (x * (7 + g % 23) + y * (13 + g % 19) + g) * 31
+                    )
+                    % 200,
+                    filter_cycle=(v == 1),
+                    extra_text=f"variant-{g}" if v == 2 else None,
+                )
+                out.append((did, data))
+            yield pd.DataFrame(out, columns=["media_id", "data"])
+
+    media = docs.mapInPandas(make, "media_id long, data binary")
+    out = phash_near_pairs(media, "media_id", max_hamming=2)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _media_triplet_pairs_oracle() -> str:
+    """Complete triples (3g, 3g+1, 3g+2) -> their 3 pairs at hamming 0."""
+    return (
+        "SELECT CAST(3*g + p.a AS BIGINT) AS id_a, "
+        "CAST(3*g + p.b AS BIGINT) AS id_b, CAST(0 AS BIGINT) AS hamming "
+        "FROM (SELECT doc_id // 3 AS g FROM documents WHERE doc_id < 300 "
+        "GROUP BY 1 HAVING COUNT(*) = 3), "
+        "(VALUES (0, 1), (0, 2), (1, 2)) AS p(a, b)"
+    )
+
+
+def _q_media_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-fingerprint near-dup pairs (phash.audio_near_pairs) over
+    TRIPLET groups of gain variants: doc triple (3g, 3g+1, 3g+2) carries
+    the same group-specific chirp at gains 1x/2x/4x. Power-of-two gains
+    scale every FFT intermediate exactly (pure exponent shifts), so log
+    band energies shift by a constant and the Haitsma-Kalker double delta
+    cancels it — identical 64-bit fingerprints by construction, hamming 0
+    for every within-triple pair. Each group gets its own quadratic-phase
+    chirp rate (stationary tones would fingerprint alike across groups)."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.phash import audio_near_pairs
+    from kolibrie_spark.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter("doc_id < 300")
+        # per-row Python decode work: spread a single-file read
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from kolibrie_spark.operators.multimodal import build_wav
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // 3, did % 3
+                gain = 1 << v  # 1x / 2x / 4x: exact in IEEE doubles
+                data = build_wav(
+                    60 + (g * 13) % 160,
+                    sample_fn=lambda i: (
+                        (((5 + 2 * g) * i * i
+                          + (29 + 3 * g) * i + 7 * g) % 4001) - 2000
+                    )
+                    * gain,
+                )
+                out.append((did, data))
+            yield pd.DataFrame(out, columns=["media_id", "data"])
+
+    media = docs.mapInPandas(make, "media_id long, data binary")
+    out = audio_near_pairs(media, "media_id", max_hamming=1)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evenly-spaced video frame sampling over real MP4 (ftyp+mvhd)
     containers (multimodal.sample_frames): each blob fans out to 4 frame
@@ -3459,6 +3576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_hard_negatives": _q_embed_hard_negatives,
         "bpe_train_merges": _q_bpe_train_merges,
         "media_near_dup": _q_media_near_dup,
+        "media_phash_pairs": _q_media_phash_pairs,
+        "media_audio_fp": _q_media_audio_fp,
         "multimodal_frames": _q_multimodal_frames,
         "events_interval_merge": _q_events_interval_merge,
         "graph_triangles": _q_graph_triangles,
@@ -3908,6 +4027,8 @@ def oracle_sql() -> dict[str, str]:
         "audit_snapshot_diff": _audit_snapshot_diff_oracle(),
         "embed_hard_negatives": _hard_negatives_oracle(),
         "media_near_dup": _media_near_dup_oracle(),
+        "media_phash_pairs": _media_triplet_pairs_oracle(),
+        "media_audio_fp": _media_triplet_pairs_oracle(),
         "multimodal_frames": _multimodal_frames_oracle(),
         "events_interval_merge": _interval_merge_oracle(),
         "graph_triangles": _graph_triangles_oracle(),

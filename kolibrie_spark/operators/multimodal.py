@@ -472,11 +472,15 @@ def build_png(
     height: int,
     pixel_fn: Callable[[int, int], int] | None = None,
     filter_cycle: bool = False,
+    extra_text: str | None = None,
 ) -> bytes:
     """Fully-valid grayscale PNG.  ``pixel_fn(x, y) -> 0..255`` supplies
     content (default: zeros, byte-identical to the round-2 builder);
     ``filter_cycle`` encodes row y with filter type y % 5 so a decoder must
-    implement all five unfilters to recover the pixels."""
+    implement all five unfilters to recover the pixels; ``extra_text``
+    inserts an ancillary tEXt chunk before IDAT (spec-conformant: decoders
+    must skip unknown/ancillary chunks), yielding a third byte-distinct,
+    content-identical encoding of the same pixels."""
     import struct
     import zlib
 
@@ -514,9 +518,15 @@ def build_png(
                 filt[x] = (filt[x] - _paeth(left, prior[x], ul)) & 0xFF
         raw += bytes([ftype]) + filt
         prior = line
+    text = (
+        chunk(b"tEXt", b"Comment\x00" + extra_text.encode("latin-1"))
+        if extra_text is not None
+        else b""
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + text
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )

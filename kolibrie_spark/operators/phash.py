@@ -98,27 +98,31 @@ def with_phash(df: DataFrame, data_col: str = "data") -> DataFrame:
     return df.withColumn("phash", _ph(F.col(data_col)))
 
 
-def phash_near_pairs(
-    df: DataFrame,
-    id_col: str,
-    data_col: str = "data",
+def hamming_near_pairs(
+    sigs: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Image near-dup pairs: (id_a < id_b, hamming <= max_hamming) over
-    pHash signatures. Candidates via the 4-block Manku trick (four
-    16-bit-block equi-joins), exact popcount verify — same plan family
-    as simhash_near_pairs, no cross product."""
-    hashed = with_phash(df, data_col).filter(F.col("phash").isNotNull())
-    sigs = hashed.select(F.col(id_col).alias("id"), "phash")
-    blocks = sigs.select(
+    """Generic 64-bit-signature near-pair search: (id_a < id_b,
+    hamming <= max_hamming). Candidates via the 4-block Manku trick (a
+    pair within distance 3 shares at least one exact 16-bit block, so
+    four equi-joins on (block index, block value) cover the space —
+    never a cross product), then exact popcount verify. The shared core
+    under ``phash_near_pairs`` and ``media_near_dup_pairs``; same scale
+    story as ``simhash_near_pairs``."""
+    base = sigs.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("sig")
+    ).filter(F.col("sig").isNotNull())
+    blocks = base.select(
         "id",
-        "phash",
+        "sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("blk"),
-                        F.shiftrightunsigned(F.col("phash"), 16 * b)
+                        F.shiftrightunsigned(F.col("sig"), 16 * b)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("val"),
                     )
@@ -126,23 +130,57 @@ def phash_near_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("id", "phash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    ).select("id", "sig", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
     a = blocks.select(
-        F.col("id").alias("id_a"), F.col("phash").alias("ph_a"), "blk", "val"
+        F.col("id").alias("id_a"), F.col("sig").alias("s_a"), "blk", "val"
     )
     bb = blocks.select(
-        F.col("id").alias("id_b"), F.col("phash").alias("ph_b"), "blk", "val"
+        F.col("id").alias("id_b"), F.col("sig").alias("s_b"), "blk", "val"
     )
     return (
         a.join(bb, on=["blk", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ph_a", "ph_b")
+        .select("id_a", "id_b", "s_a", "s_b")
         .distinct()
         .withColumn(
-            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+            "hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def phash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    data_col: str = "data",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup pairs: (id_a < id_b, hamming <= max_hamming) over
+    pHash signatures — ``with_phash`` + the shared Manku block join."""
+    hashed = with_phash(df, data_col).filter(F.col("phash").isNotNull())
+    return hamming_near_pairs(
+        hashed.select(F.col(id_col).alias("id"), "phash"),
+        id_col="id",
+        sig_col="phash",
+        max_hamming=max_hamming,
+    )
+
+
+def audio_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    data_col: str = "data",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Audio near-dup pairs over Haitsma-Kalker fingerprints —
+    ``with_audio_fp`` + the shared Manku block join."""
+    hashed = with_audio_fp(df, data_col).filter(F.col("audio_fp").isNotNull())
+    return hamming_near_pairs(
+        hashed.select(F.col(id_col).alias("id"), "audio_fp"),
+        id_col="id",
+        sig_col="audio_fp",
+        max_hamming=max_hamming,
     )
 
 
@@ -233,44 +271,11 @@ def media_near_dup_pairs(
     hashed = with_audio_fp(with_phash(df, data_col), data_col)
 
     def pairs_for(col: str, modality: str) -> DataFrame:
-        sigs = hashed.filter(F.col(col).isNotNull()).select(
-            F.col(id_col).alias("id"), F.col(col).alias("sig")
-        )
-        blocks = sigs.select(
-            "id",
-            "sig",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("blk"),
-                            F.shiftrightunsigned(F.col("sig"), 16 * b)
-                            .bitwiseAND(F.lit(0xFFFF))
-                            .alias("val"),
-                        )
-                        for b in range(4)
-                    ]
-                )
-            ).alias("b"),
-        ).select(
-            "id", "sig", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
-        )
-        a = blocks.select(
-            F.col("id").alias("id_a"), F.col("sig").alias("s_a"), "blk", "val"
-        )
-        bb = blocks.select(
-            F.col("id").alias("id_b"), F.col("sig").alias("s_b"), "blk", "val"
-        )
-        return (
-            a.join(bb, on=["blk", "val"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "s_a", "s_b")
-            .distinct()
-            .withColumn(
-                "hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
-            )
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", F.lit(modality).alias("modality"), "hamming")
-        )
+        return hamming_near_pairs(
+            hashed.filter(F.col(col).isNotNull()).select(
+                F.col(id_col).alias("id"), F.col(col).alias("sig")
+            ),
+            max_hamming=max_hamming,
+        ).select("id_a", "id_b", F.lit(modality).alias("modality"), "hamming")
 
     return pairs_for("phash", "image").unionAll(pairs_for("audio_fp", "audio"))

@@ -166,3 +166,70 @@ def test_media_near_dup_pairs_routes_by_modality(spark):
     assert got.get((3, 4)) == "audio"
     # no cross-modality or garbage pairs, different image unmatched
     assert all(p in {(1, 2), (3, 4)} for p in got)
+
+
+def test_png_text_chunk_is_content_identical():
+    """An ancillary tEXt chunk changes bytes, not pixels -> identical
+    decode and identical pHash (the third re-encoding variant used by the
+    media_phash_pairs gate)."""
+    from kolibrie_spark.operators.multimodal import build_png, decode_png
+    from kolibrie_spark.operators.phash import phash64
+
+    plain = build_png(40, 30, _scene)
+    texty = build_png(40, 30, _scene, extra_text="hello metadata")
+    assert plain != texty
+    assert decode_png(plain)["pixels"] == decode_png(texty)["pixels"]
+    assert phash64(plain) == phash64(texty)
+
+
+def test_hamming_near_pairs_generic(spark):
+    """The shared Manku block join finds exactly the <=k pairs for
+    arbitrary 64-bit signatures, including negative (sign-bit-set) longs."""
+    from kolibrie_spark.operators.phash import hamming_near_pairs
+
+    sigs = [
+        (1, 0x0123456789ABCDEF),
+        (2, 0x0123456789ABCDEE),          # hamming 1 from id 1
+        (3, 0x0123456789ABCDEF ^ 0b111),  # hamming 3 from id 1
+        (4, (0xF123456789ABCDEF) - (1 << 64)),  # negative long, far away
+        (5, (0xF123456789ABCDEF) - (1 << 64)),  # exact dup of id 4
+    ]
+    df = spark.createDataFrame(sigs, "id long, sig long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_pairs(df, max_hamming=3).collect()
+    }
+    assert got == {(1, 2, 1), (1, 3, 3), (2, 3, 2), (4, 5, 0)}
+
+
+def test_audio_near_pairs_gain_invariance(spark):
+    """audio_near_pairs pairs power-of-two gain variants at hamming 0."""
+    import pandas as pd
+
+    from kolibrie_spark.operators.multimodal import build_wav
+    from kolibrie_spark.operators.phash import audio_near_pairs
+
+    rows = []
+    for g in range(4):
+        for v, gain in enumerate((1, 2, 4)):
+            data = build_wav(
+                200,
+                sample_fn=lambda i, g=g, gain=gain: (
+                    (((5 + 2 * g) * i * i + (29 + 3 * g) * i) % 4001) - 2000
+                )
+                * gain,
+            )
+            rows.append((3 * g + v, bytearray(data)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "data"])
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in audio_near_pairs(df, "id", max_hamming=1).collect()
+    }
+    want = {
+        (3 * g + a, 3 * g + b)
+        for g in range(4)
+        for a, b in ((0, 1), (0, 2), (1, 2))
+    }
+    assert got == want
