@@ -2497,6 +2497,93 @@ def _media_triplet_pairs_oracle() -> str:
     )
 
 
+def _q_multimodal_frame_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MJPEG-in-MP4 frame CONTENT decode (multimodal.sample_frames):
+    each blob is a spec-shaped MP4 whose stbl sample tables point at 4
+    baseline-JPEG frames in mdat; the sampler walks stts/stsz/stco to the
+    sample covering each requested timestamp, decodes it with the
+    pure-Python T.81 codec, and emits 16 box-mean features. Frames are
+    2x2 grids of constant 8x8 blocks under the flat quant table, so JPEG
+    round-trips the pixels EXACTLY and each 4x4 feature box lies inside
+    one block — feat_sum = 4 * sum of the four block values, closed-form
+    in the oracle. Certifies container walk + entropy decode + feature
+    extraction end-to-end (VERDICT r3 item #5)."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.multimodal import sample_frames
+    from kolibrie_spark.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter("doc_id < 120")
+        # per-row Python decode work: spread a single-file read
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from kolibrie_spark.operators.jpeg import (
+            QTABLE_FLAT,
+            build_jpeg_baseline,
+        )
+        from kolibrie_spark.operators.multimodal import build_mp4
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                g = int(did)
+                frames = []
+                for k in range(4):
+                    img = np.zeros((16, 16))
+                    for by in range(2):
+                        for bx in range(2):
+                            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                                37 * g + 11 * k + 5 * bx + 3 * by
+                            ) % 256
+                    frames.append(
+                        build_jpeg_baseline(
+                            16, 16, qtable=QTABLE_FLAT, image=img
+                        )
+                    )
+                dur = (g % 7 + 1) * 500 * 4
+                out.append((str(g), build_mp4(dur, frames=frames)))
+            yield pd.DataFrame(out, columns=["media_id", "data"])
+
+    media = docs.mapInPandas(make, "media_id string, data binary")
+    out = sample_frames(media, n_frames=4, dim=16)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        F.aggregate(
+            "frame_features", F.lit(0.0), lambda acc, x: acc + x
+        )
+        .cast("long")
+        .alias("feat_sum"),
+    )
+
+
+def _multimodal_frame_content_oracle() -> str:
+    # frame k of doc g: ts at the middle of its 1/4 slice of the
+    # 4*(g%7+1)*500 ms timeline; feat_sum = 4 blocks x 4 boxes each ->
+    # 4 * sum of the four block values (each mod-256 term separately)
+    base = "(37 * doc_id + 11 * f.k)"
+    return (
+        "SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+        "CAST(f.k AS INTEGER) AS frame_idx, "
+        "CAST((4 * (doc_id % 7 + 1) * 500 * (2 * f.k + 1)) // 8 "
+        "AS INTEGER) AS ts_ms, "
+        f"CAST(4 * (({base} % 256) + (({base} + 5) % 256) "
+        f"+ (({base} + 3) % 256) + (({base} + 8) % 256)) AS BIGINT) "
+        "AS feat_sum "
+        "FROM documents, (VALUES (0), (1), (2), (3)) AS f(k) "
+        "WHERE doc_id < 120"
+    )
+
+
 def _q_media_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-fingerprint near-dup pairs (phash.audio_near_pairs) over
     TRIPLET groups of gain variants: doc triple (3g, 3g+1, 3g+2) carries
@@ -3578,6 +3665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_near_dup": _q_media_near_dup,
         "media_phash_pairs": _q_media_phash_pairs,
         "media_audio_fp": _q_media_audio_fp,
+        "multimodal_frame_content": _q_multimodal_frame_content,
         "multimodal_frames": _q_multimodal_frames,
         "events_interval_merge": _q_events_interval_merge,
         "graph_triangles": _q_graph_triangles,
@@ -4029,6 +4117,7 @@ def oracle_sql() -> dict[str, str]:
         "media_near_dup": _media_near_dup_oracle(),
         "media_phash_pairs": _media_triplet_pairs_oracle(),
         "media_audio_fp": _media_triplet_pairs_oracle(),
+        "multimodal_frame_content": _multimodal_frame_content_oracle(),
         "multimodal_frames": _multimodal_frames_oracle(),
         "events_interval_merge": _interval_merge_oracle(),
         "graph_triangles": _graph_triangles_oracle(),

@@ -696,3 +696,78 @@ def test_prefix_jaccard_thresholds_and_empty(spark, docs):
         assert pref == exact
     empty = spark.createDataFrame([], "doc_id long, text string, lang string")
     assert prefix_jaccard_pairs(empty, "doc_id", "text", 3, 0.5).count() == 0
+
+
+def test_mp4_mjpeg_sample_tables_roundtrip():
+    """build_mp4(frames=...) writes real stts/stsz/stco tables;
+    parse_mp4_samples recovers exact byte ranges and start times, and
+    every extracted sample decodes back to its source pixels exactly
+    (flat quant table + block-constant content)."""
+    import numpy as np
+
+    from kolibrie_spark.operators.jpeg import (
+        QTABLE_FLAT,
+        build_jpeg_baseline,
+        decode_jpeg,
+    )
+    from kolibrie_spark.operators.multimodal import (
+        build_mp4,
+        parse_mp4_header,
+        parse_mp4_samples,
+    )
+
+    imgs = [np.full((16, 16), 20 * k + 5, dtype=np.float64) for k in range(3)]
+    frames = [
+        build_jpeg_baseline(16, 16, qtable=QTABLE_FLAT, image=im) for im in imgs
+    ]
+    blob = build_mp4(3000, frames=frames)
+    assert parse_mp4_header(blob)["duration_ms"] == 3000
+    tab = parse_mp4_samples(blob)
+    assert tab["codec"] == "jpeg"
+    assert [s[0] for s in tab["samples"]] == [0, 1000, 2000]
+    for k, (_, off, sz) in enumerate(tab["samples"]):
+        assert blob[off : off + sz] == frames[k]
+        px = decode_jpeg(blob[off : off + sz])["pixels"]
+        assert (px == 20 * k + 5).all()
+
+
+def test_sample_frames_decodes_mjpeg_content(spark):
+    """The content path: sample_frames picks the sample covering each
+    timestamp and emits exact box-mean features of the decoded pixels;
+    metadata-only skeletons in the same batch keep the fake-feature
+    fallback (decode_error stays NULL for both)."""
+    import numpy as np
+    import pandas as pd
+
+    from kolibrie_spark.operators.jpeg import QTABLE_FLAT, build_jpeg_baseline
+    from kolibrie_spark.operators.multimodal import build_mp4, sample_frames
+
+    frames = [
+        build_jpeg_baseline(
+            16, 16, qtable=QTABLE_FLAT,
+            image=np.full((16, 16), 50 + 40 * k, dtype=np.float64),
+        )
+        for k in range(4)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("mjpeg", bytearray(build_mp4(4000, frames=frames))),
+                ("skeleton", bytearray(build_mp4(4000))),
+            ],
+            columns=["media_id", "data"],
+        )
+    )
+    rows = sample_frames(df, n_frames=4, dim=16).collect()
+    by_id = {}
+    for r in rows:
+        assert r["decode_error"] is None
+        by_id.setdefault(r["media_id"], []).append(r)
+    for r in by_id["mjpeg"]:
+        k = r["frame_idx"]
+        assert r["ts_ms"] == 4000 * (2 * k + 1) // 8
+        # constant frame -> all 16 box means equal the frame value
+        assert list(r["frame_features"]) == [float(50 + 40 * k)] * 16
+    # skeleton rows carry the deterministic fake (still 16-dim, not None)
+    for r in by_id["skeleton"]:
+        assert len(r["frame_features"]) == 16
