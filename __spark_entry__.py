@@ -1474,6 +1474,117 @@ def _run_live_gate(spark: SparkSession, sf_dir: str, form: str) -> DataFrame:
     )
 
 
+def _q_streaming_sync_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE two-window Steal coordination (VERDICT r3 item #6): a real
+    readStream feeds 5-day event chunks (ascending mtimes,
+    maxFilesPerTrigger=1) through StructuredRSP with a 10-day and a
+    15-day tumbling window over the SAME stream under WITH POLICY STEAL.
+    Event times are rebased to the corpus min so window alignment is
+    sf-independent; the batch trace is then fixed: w1 [0,10d) fires at
+    hwm 15d-eps (no emission — w2 never materialized), w2 [0,15d) at
+    hwm 20d-eps (emission 1: fresh w2 joined with w1's last result), and
+    w1 [10d,20d) at hwm 25d-eps (emission 2: fresh w1 against the STALE
+    w2 [0,15d) — the nontrivial stale-reuse intersection Steal exists
+    for). The shared (?u ?t) pattern makes each emission the compatible
+    join = pair intersection, which the oracle recomputes with window
+    arithmetic."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.streaming.structured import compile_structured
+
+    day = 86400
+    ev = _events_stream_df(spark, sf_dir)
+    mn = ev.agg(F.min("event_time")).first()[0]
+    trip = ev.select(
+        F.col("u").cast("string").alias("s"),
+        F.lit("t").alias("p"),
+        F.col("t").alias("o"),
+        F.lit(None).cast("string").alias("g"),
+        F.lit("ev").alias("stream"),
+        (F.col("event_time") - F.lit(int(mn))).alias("event_time"),
+    ).withColumn(
+        "chunk", (F.col("event_time") / F.lit(5 * day)).cast("long")
+    )
+    chunks = sorted(r.chunk for r in trip.select("chunk").distinct().collect())
+    now = time.time()
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), "kolibrie_sync_*")):
+        try:
+            if now - os.path.getmtime(d) > 3600:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+    base = tempfile.mkdtemp(prefix="kolibrie_sync_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    results = os.path.join(base, "results")
+    for k, c in enumerate(chunks):
+        part_dir = os.path.join(base, f"part{k}")
+        trip.filter(F.col("chunk") == c).drop("chunk").coalesce(1).write.json(
+            part_dir
+        )
+        jfile = next(f for f in os.listdir(part_dir) if f.endswith(".json"))
+        dst = os.path.join(src, f"c{k:03d}.json")
+        shutil.move(os.path.join(part_dir, jfile), dst)
+        os.utime(dst, (k * 1000, k * 1000))
+
+    q = compile_structured(
+        spark,
+        "REGISTER RSTREAM <out> AS SELECT * "
+        f"FROM NAMED WINDOW :w1 ON :ev [RANGE {10 * day} STEP {10 * day}] "
+        f"FROM NAMED WINDOW :w2 ON :ev [RANGE {15 * day} STEP {15 * day}] "
+        "WHERE { WINDOW :w1 { ?u <t> ?t } WINDOW :w2 { ?u <t> ?t } }",
+        sync_policy=("STEAL",),
+    )
+    counter = {"n": 0}
+
+    def sink(out_df: DataFrame) -> None:
+        counter["n"] += 1
+        out_df.withColumn(
+            "emission", F.lit(counter["n"]).cast("int")
+        ).write.mode("append").parquet(results)
+
+    q.sink = sink
+    stream = (
+        spark.readStream.schema(
+            "s string, p string, o string, g string, stream string, event_time long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    sq = q.start(stream, os.path.join(base, "ckpt"))
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    shutil.rmtree(src, ignore_errors=True)  # results/ must outlive the return
+    return spark.read.parquet(results).select(
+        "emission", F.col("u").cast("long").alias("u"), "t"
+    )
+
+
+def _streaming_sync_live_oracle() -> str:
+    d = 86400
+    return (
+        "WITH e AS (SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) AS et, "
+        "user_id AS u, event_type AS t FROM events), "
+        "m AS (SELECT min(et) AS mn FROM e), "
+        "r AS (SELECT et - mn AS et0, u, t FROM e, m) "
+        f"SELECT CAST(1 AS INTEGER) AS emission, u, t FROM r "
+        f"WHERE et0 < {10 * d} GROUP BY u, t "
+        "UNION ALL "
+        "SELECT CAST(2 AS INTEGER) AS emission, u, t FROM ("
+        f"SELECT DISTINCT u, t FROM r WHERE et0 >= {10 * d} AND et0 < {20 * d} "
+        "INTERSECT "
+        f"SELECT DISTINCT u, t FROM r WHERE et0 < {15 * d})"
+    )
+
+
 def _q_ml_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML.PREDICT with a deterministic linear model — the prediction is
     reproducible in SQL, so even the ML path gets a value-exact oracle."""
@@ -3638,6 +3749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dstream_replay": _q_streaming_dstream_replay,
         "streaming_istream_live": _q_streaming_istream_live,
         "streaming_dstream_live": _q_streaming_dstream_live,
+        "streaming_sync_live": _q_streaming_sync_live,
         "profile_equidepth": _q_profile_equidepth,
         "profile_corr": _q_profile_corr,
         "ml_group_ols": _q_ml_group_ols,
@@ -4080,6 +4192,7 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM w c WHERE "
             "c.window_open = s.window_open AND c.u = s.u AND c.t = s.t)"
         ),
+        "streaming_sync_live": _streaming_sync_live_oracle(),
         "multimodal_features": _multimodal_features_oracle(),
         "ml_predict": (
             "SELECT 'urn:part:' || CAST(p_partkey AS VARCHAR) AS part, "

@@ -22,7 +22,11 @@ Documented divergences from the faithful mode (SURVEY §4.2.5):
 - optional watermark drops events older than ``hwm - watermark`` instead of
   re-opening past windows;
 - OnWindowClose fires at micro-batch granularity (the latest closed window
-  per spec per batch), not per event; Steal/Timeout coordination and the
+  per spec per batch), not per event — so two windows closing in the same
+  batch count as ONE coordination step (the faithful engine sees two);
+- Wait/Steal sync policies run at that batch granularity; Timeout deadlines
+  are measured in EVENT time against the high-water mark (deterministic
+  replays), where the faithful engine uses an injectable wall clock. The
   exotic report strategies remain faithful-mode features.
 
 State size is bounded: the buffer keeps at most max(width)+slide seconds of
@@ -70,6 +74,7 @@ class StructuredRSP:
     static_store: QuadStore | None = None
     watermark: int | None = None
     sink: object | None = None
+    sync_policy: tuple = ("WAIT",)
     emissions: list = field(default_factory=list)
 
     def __post_init__(self):
@@ -78,6 +83,14 @@ class StructuredRSP:
         self._fired_until: dict[str, int] = {}
         self._last_window_results: dict[str, Bindings] = {}
         self._r2s_state: DataFrame | None = None
+        self._cycle: set[str] = set()
+        self._cycle_start_hwm: int | None = None
+        # per-window WITH POLICY overrides the engine default, as in the
+        # faithful engine (reference query.rs:211)
+        for w in self.query.windows:
+            if w.policy is not None:
+                self.sync_policy = w.policy
+                break
 
     # ------------------------------------------------------------ batches
     def process_batch(self, events: DataFrame) -> list:
@@ -99,7 +112,7 @@ class StructuredRSP:
             F.col("event_time") > F.lit(horizon)
         ).localCheckpoint(eager=True)
 
-        fired_any = False
+        fired: set[str] = set()
         for w in self.query.windows:
             stream_events = (
                 self.buffer
@@ -118,18 +131,59 @@ class StructuredRSP:
             close = int(row.close)
             open_ = close - w.width
             self._fired_until[w.iri] = close
-            fired_any = True
+            fired.add(w.iri)
             # data plane: evaluate the registered group over the window
             content = stream_events.filter(
                 (F.col("event_time") >= open_) & (F.col("event_time") < close)
             ).select("s", "p", "o")
             self._last_window_results[w.iri] = self._eval_window(w, content)
 
-        if not fired_any or any(
-            w.iri not in self._last_window_results for w in self.query.windows
+        return self._coordinate(fired)
+
+    def _coordinate(self, fired: set) -> list:
+        """Multi-window sync at micro-batch granularity — the batch twin
+        of the faithful coordinator (engine.py / rsp_engine.rs:539-770):
+        Wait emits on full cycles; Steal emits on any firing once every
+        window has materialized (stale results for the rest); Timeout(d,
+        fallback) is Wait with an EVENT-TIME deadline — an open cycle
+        whose first firing is more than d seconds of stream time behind
+        the high-water mark triggers fallback Steal (emit stale) or Drop
+        (discard). Event-time deadlines keep replays deterministic; the
+        wall-clock flavor stays a faithful-engine feature."""
+        all_w = {w.iri for w in self.query.windows}
+        # deadline check precedes this batch's firings, like the faithful
+        # engine's _check_timeout on event arrival
+        if (
+            self.sync_policy[0] == "TIMEOUT"
+            and self._cycle
+            and self._cycle_start_hwm is not None
+            and self.hwm - self._cycle_start_hwm > self.sync_policy[1]
         ):
+            fallback = self.sync_policy[2]
+            self._cycle = set()
+            self._cycle_start_hwm = None
+            out = []
+            if fallback == "STEAL" and set(self._last_window_results) == all_w:
+                out = self._emit()
+            return out + self._advance(fired, all_w)
+        return self._advance(fired, all_w)
+
+    def _advance(self, fired: set, all_w: set) -> list:
+        if not fired:
             return []
-        return self._emit()
+        if not self._cycle:
+            self._cycle_start_hwm = self.hwm
+        self._cycle |= fired
+        if self._cycle == all_w:  # full cycle: every policy emits
+            self._cycle = set()
+            self._cycle_start_hwm = None
+            return self._emit()
+        if self.sync_policy[0] == "STEAL":
+            self._cycle = set()
+            self._cycle_start_hwm = None
+            if set(self._last_window_results) == all_w:
+                return self._emit()
+        return []
 
     def _eval_window(self, w, content: DataFrame) -> Bindings:
         store = QuadStore(
@@ -240,6 +294,7 @@ def compile_structured(
     static_store: QuadStore | None = None,
     watermark: int | None = None,
     sink=None,
+    sync_policy: tuple = ("WAIT",),
 ) -> StructuredRSP:
     return StructuredRSP(
         spark=spark,
@@ -247,4 +302,5 @@ def compile_structured(
         static_store=static_store,
         watermark=watermark,
         sink=sink,
+        sync_policy=sync_policy,
     )
