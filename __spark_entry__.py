@@ -297,11 +297,14 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kolibrie_spark.operators.dedup import embedding_cosine_pairs
+    """Scale path: hyperplane-LSH candidates + exact verify — the oracle is
+    the exact all-pairs SQL, so oracle equality IS the recall proof (same
+    contract as dedup_minhash_lsh vs its exact-Jaccard oracle)."""
+    from kolibrie_spark.operators.dedup import embedding_lsh_pairs
     from kolibrie_spark.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return embedding_lsh_pairs(emb, "vec_id", "embedding", dim=64, threshold=0.4)
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:

@@ -15,6 +15,8 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf can eval stringified hints
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -568,12 +570,20 @@ def embedding_cosine_pairs(
     block_rows: int = 2048,
     row_count: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by cosine similarity: BLAS-blocked candidate
-    generation at (threshold - 1e-6), then exact re-scoring of the (few)
-    candidates with the deterministic fold expression — so the output is
-    bit-identical to a naive exact all-pairs computation (and the DuckDB
-    oracle) while the heavy lifting runs as matrix products. Pass
-    ``row_count`` when known to avoid the block-sizing count() job."""
+    """EXACT all-pairs cosine >= threshold — a small-n verifier, NOT the
+    scale path.  Shuffle volume is quadratic (every row replicates into
+    n/block_rows applyInPandas groups), so this is only appropriate for
+    corpora that fit a single machine's all-pairs budget; use
+    :func:`embedding_lsh_pairs` for large corpora (identical output
+    contract, linear shuffle).  Kept because it is the ground-truth
+    generator the LSH path is verified against.
+
+    BLAS-blocked candidate generation at (threshold - 1e-6), then exact
+    re-scoring of the (few) candidates with the deterministic fold
+    expression — so the output is bit-identical to a naive exact all-pairs
+    computation (and the DuckDB oracle) while the heavy lifting runs as
+    matrix products. Pass ``row_count`` when known to avoid the
+    block-sizing count() job."""
     from kolibrie_spark.operators.similarity import cosine_expr
 
     cand = _blas_candidate_pairs(
@@ -589,6 +599,120 @@ def embedding_cosine_pairs(
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    threshold: float = 0.4,
+    bits: int = 4,
+    tables: int = 80,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale-safe near-dup pairs by cosine similarity: hyperplane-LSH
+    candidate generation + exact verify.  Same output contract as
+    :func:`embedding_cosine_pairs` (``(id_a, id_b, cosine)``, ``id_a <
+    id_b``, bit-exact cosine) but LINEAR shuffle volume — the scale path
+    for large corpora.  Mirrors the reference's LSH-bucketed similarity
+    design (kolibrie/src/ml/embeddings rather than all-pairs scoring).
+
+    Plan shape:
+
+    1. SIGNATURES — one Arrow-batched ``mapInPandas`` computes all
+       ``tables`` b-bit signatures per row as a single (batch x dim) @
+       (dim x tables*bits) matrix product (same sign convention as
+       :func:`~kolibrie_spark.operators.similarity.signature_expr`,
+       same :func:`~kolibrie_spark.operators.similarity.hyperplanes`
+       stream), exploding each row into ``tables`` (table, sig, id, vec)
+       rows — the only stage whose shuffle carries vectors, and its
+       volume is exactly ``tables`` copies of the input (LINEAR in n; the
+       standard LSH-table cost).
+    2. BUCKET SCORE — ``applyInPandas`` per (table, sig) bucket: one
+       BLAS matmul scores the bucket's members all-pairs and emits only
+       the id-pairs at cosine >= (threshold - 1e-6); the 1e-6 margin
+       covers numpy-pairwise vs sequential-fold summation drift.  No
+       candidate-pair materialization — buckets are scored where they
+       land, survivors are a few id-pairs per bucket.
+    3. DEDUP + EXACT VERIFY — global ``distinct`` on the (few)
+       survivors (a pair colliding in k tables must appear once), join
+       the two vectors back by id, and re-score with the deterministic
+       sequential-fold ``cosine_expr`` (bit-identical to the DuckDB
+       oracle's list_sum order), final filter at ``threshold``.
+
+    Recall: per-pair miss probability at cosine exactly 0.4 is
+    (1 - p^bits)^tables with p = 1 - acos(0.4)/pi = 0.631 → ~1e-6 at the
+    defaults; pairs meaningfully above threshold are exponentially safer.
+    Defaults verified to yield ZERO misses vs the exact oracle on the test
+    corpora (oracle equality is the recall proof, as with
+    :func:`minhash_lsh_pairs`).  At 100 TB, grow ``bits`` ~ log2(n) so
+    bucket sizes stay bounded (the per-bucket matmul is quadratic IN THE
+    BUCKET), and run exact dedup first so identical vectors don't form a
+    degenerate bucket — same guidance as MinHash-LSH.
+    """
+    import numpy as np
+
+    from kolibrie_spark.operators.similarity import cosine_expr, hyperplanes
+
+    H = np.asarray(hyperplanes(dim, bits * tables, seed)).T  # dim x (T*b)
+    weights = 1 << np.arange(bits)
+    eps = threshold - 1e-6
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)  # single-file reads: spread the matmul
+
+    def _sigs(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.vstack(pdf["__v"].to_numpy())
+            P = (V @ H) >= 0
+            S = (P.reshape(len(pdf), tables, bits) * weights).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "__t": np.tile(np.arange(tables, dtype=np.int32), len(pdf)),
+                    "__sig": S.reshape(-1).astype(np.int64),
+                    "__id": pdf["__id"].to_numpy().repeat(tables),
+                    "__v": pdf["__v"].to_numpy().repeat(tables),
+                }
+            )
+
+    sig = base.mapInPandas(
+        _sigs, "__t int, __sig long, __id long, __v array<double>"
+    )
+
+    def _bucket_score(pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        V = np.vstack(pdf["__v"].to_numpy())
+        ids = pdf["__id"].to_numpy()
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        ia, jb = np.nonzero(np.triu(S >= eps, k=1))
+        id_a = np.minimum(ids[ia], ids[jb])
+        id_b = np.maximum(ids[ia], ids[jb])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b})
+
+    survivors = (
+        sig.groupBy("__t", "__sig")
+        .applyInPandas(_bucket_score, "id_a long, id_b long")
+        .distinct()
+    )
+    av = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    bv = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        survivors.join(av, "id_a")
+        .join(bv, "id_b")
+        .withColumn("cosine", cosine_expr(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

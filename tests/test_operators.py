@@ -771,3 +771,41 @@ def test_sample_frames_decodes_mjpeg_content(spark):
     # skeleton rows carry the deterministic fake (still 16-dim, not None)
     for r in by_id["skeleton"]:
         assert len(r["frame_features"]) == 16
+
+
+def test_embedding_lsh_pairs_equals_exact(spark):
+    """LSH-candidate + exact-verify must reproduce the exact all-pairs
+    output bit-for-bit (same contract the driver oracle enforces), on a
+    corpus with planted near-dup clusters AND a correlated background that
+    puts many pairs just under the threshold."""
+    import numpy as np
+
+    from kolibrie_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_lsh_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    shared = rng.randn(32)  # correlated background component
+    rows = []
+    for i in range(300):
+        if i < 6:
+            v = shared * 2.0 + rng.randn(32) * 0.3  # tight cluster
+        else:
+            v = shared * 0.8 + rng.randn(32)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_cosine_pairs(
+            df, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    )
+    assert exact, "fixture must produce at least one above-threshold pair"
+    lsh = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_lsh_pairs(
+            df, "vec_id", "embedding", dim=32, threshold=0.4
+        ).collect()
+    )
+    assert lsh == exact

@@ -1,0 +1,68 @@
+"""Time a subset of gates in isolation at an arbitrary SF dir.
+
+Usage: python tools/bench_one.py [--sf-dir DIR] [--runs N] gate [gate ...]
+
+Same session config and noop-sink methodology as bench.py (min of N runs,
+default 2), but a fresh JVM per invocation — the tool for (a) isolating
+suite-level pressure effects from real per-gate regressions and (b) the
+sf1.0 scale probes.  Prints one JSON line {gate: sec, ...}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.1"
+    runs = 2
+    names: list[str] = []
+    it = iter(args)
+    for a in it:
+        if a == "--sf-dir":
+            sf_dir = next(it)
+        elif a == "--runs":
+            runs = int(next(it))
+        else:
+            names.append(a)
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("kolibrie_spark-bench-one")
+        .config("spark.sql.shuffle.partitions", str(int(cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    entry_mod._base_store(spark, sf_dir)  # triplified quads, as bench.py does
+
+    out: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(runs):
+            t1 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t1)
+        out[name] = round(best, 3)
+        print(f"# {name}: {best:.3f}s", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
