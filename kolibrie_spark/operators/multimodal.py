@@ -298,38 +298,58 @@ def decode_png(data: bytes) -> dict:
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG: IDAT length does not match dimensions")
-    out = bytearray(stride * height)
+    # numpy-vectorized unfilter: rows stay sequential (Up/Average/Paeth
+    # read the decoded prior row) but within a row the arithmetic is
+    # mod-256 integer, so uint8 wraparound ops are bit-identical to the
+    # per-byte loops they replace.  None/Up are whole-row vector ops; Sub
+    # is a per-channel-lane uint8 cumsum (numpy accumulates in the input
+    # dtype, i.e. mod 256); Average/Paeth keep a per-byte loop — their
+    # left-neighbor recurrence has a floor/branch inside, which doesn't
+    # fold into a scan.
+    import numpy as np
+
     bpp = channels
-    prior = bytes(stride)
+    raw_rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = raw_rows[:, 0]
+    unknown = ftypes > 4
+    if unknown.any():
+        raise ValueError(
+            f"PNG: unknown filter type {int(ftypes[unknown][0])}"
+        )
+    out = np.empty((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        off = y * (stride + 1)
-        ftype = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
-        if ftype == 1:  # Sub
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        ftype = int(ftypes[y])
+        line = raw_rows[y, 1:]
+        if ftype == 0:  # None
+            cur = line.copy()
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for o in range(bpp):
+                cur[o::bpp] = np.cumsum(cur[o::bpp], dtype=np.uint8)
         elif ftype == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prior[x]) & 0xFF
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                left = line[x - bpp] if x >= bpp else 0
-                ul = prior[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + _paeth(left, prior[x], ul)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"PNG: unknown filter type {ftype}")
-        out[y * stride : (y + 1) * stride] = line
-        prior = bytes(line)
+            cur = line + prior
+        else:  # Average / Paeth: per-byte recurrence
+            lb = bytearray(line.tobytes())
+            pb = prior.tobytes()
+            if ftype == 3:
+                for x in range(stride):
+                    left = lb[x - bpp] if x >= bpp else 0
+                    lb[x] = (lb[x] + ((left + pb[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    left = lb[x - bpp] if x >= bpp else 0
+                    ul = pb[x - bpp] if x >= bpp else 0
+                    lb[x] = (lb[x] + _paeth(left, pb[x], ul)) & 0xFF
+            cur = np.frombuffer(bytes(lb), dtype=np.uint8)
+        out[y] = cur
+        prior = out[y]
     return {
         "width": width,
         "height": height,
         "channels": channels,
         "color_type": color_type,
-        "pixels": bytes(out),
+        "pixels": out.tobytes(),
     }
 
 
