@@ -1503,7 +1503,16 @@ def _q_streaming_sync_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     day = 86400
     ev = _events_stream_df(spark, sf_dir)
-    mn = ev.agg(F.min("event_time")).first()[0]
+    mn, mx = ev.agg(F.min("event_time"), F.max("event_time")).first()
+    # the hard-coded two-emission trace below assumes the rebased corpus
+    # spans < 30 days (w1 [20d,30d) and w2 [15d,30d) must never close);
+    # fail loudly on a wider corpus instead of hash-mismatching the oracle
+    if mx - mn >= 30 * day:
+        raise ValueError(
+            f"streaming_sync_live fixture expects a <30-day event span, got "
+            f"{(mx - mn) / day:.1f} days — extend the oracle's emission "
+            "trace for the extra full cycles"
+        )
     trip = ev.select(
         F.col("u").cast("string").alias("s"),
         F.lit("t").alias("p"),

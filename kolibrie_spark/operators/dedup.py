@@ -356,10 +356,24 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs where hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Candidate pruning via the 4-block trick: if two 64-bit hashes differ in
-    <= 3 bits, at least one of their four 16-bit blocks is identical — so a
-    4-way block equi-join replaces the cross join (Manku et al., WWW'07).
+    Candidate pruning via the Manku block trick (Manku et al., WWW'07)
+    with the block count DERIVED from max_hamming: the 64 bits split into
+    (max_hamming + 1) contiguous blocks, so two hashes within the budget
+    share at least one exact block (pigeonhole) — complete recall for any
+    max_hamming, equi-joins only.  The default keeps the classic 4x16-bit
+    layout.
     """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    nblk = max_hamming + 1
+    bounds = [(i * 64) // nblk for i in range(nblk + 1)]
+
+    def _block_val(lo: int, hi: int):
+        shifted = F.shiftrightunsigned(F.col("simhash"), lo)
+        if hi - lo >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+
     sh = simhash64(df, id_col, text_col)
     blocks = sh.select(
         F.col(id_col).alias("__id"),
@@ -370,11 +384,9 @@ def simhash_near_pairs(
                     F.concat_ws(
                         ":",
                         F.lit(i),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .cast("string"),
+                        _block_val(bounds[i], bounds[i + 1]).cast("string"),
                     )
-                    for i in range(4)
+                    for i in range(nblk)
                 ]
             )
         ).alias("__block"),

@@ -848,14 +848,36 @@ def parse_mp4_samples(data: bytes) -> dict:
                 return s, e
         return None
 
+    def need(typ, scope):
+        """find() or a diagnosable ValueError — a malformed blob must hit
+        sample_frames' except-ValueError skeleton fallback, not surface a
+        TypeError as a decode_error row."""
+        r = find(typ, *scope)
+        if r is None:
+            raise ValueError(f"MP4: missing {typ.decode()}")
+        return r
+
     moov = find(b"moov", 0, len(data))
     if moov is None:
         raise ValueError("MP4: no moov box")
-    trak = find(b"trak", *moov)
+    # select the first VIDEO trak by hdlr handler_type — a leading audio
+    # (or other) track must not shadow the video samples
+    trak = None
+    for t, s, e in boxes(data, *moov):
+        if t != b"trak":
+            continue
+        m = find(b"mdia", s, e)
+        if m is None:
+            continue
+        h = find(b"hdlr", *m)
+        # hdlr payload: version/flags(4) + pre_defined(4) + handler_type(4)
+        if h is not None and data[h[0] + 8 : h[0] + 12] == b"vide":
+            trak = (s, e)
+            break
     if trak is None:
         raise ValueError("MP4: no video track (metadata-only skeleton)")
-    mdia = find(b"mdia", *trak)
-    mdhd = find(b"mdhd", *mdia)
+    mdia = need(b"mdia", trak)
+    mdhd = need(b"mdhd", mdia)
     version = data[mdhd[0]]
     if version == 0:
         timescale = int.from_bytes(data[mdhd[0] + 12 : mdhd[0] + 16], "big")
@@ -863,15 +885,15 @@ def parse_mp4_samples(data: bytes) -> dict:
         timescale = int.from_bytes(data[mdhd[0] + 20 : mdhd[0] + 24], "big")
     if timescale == 0:
         raise ValueError("MP4: zero media timescale")
-    minf = find(b"minf", *mdia)
+    minf = need(b"minf", mdia)
     stbl = find(b"stbl", *minf)
     if stbl is None:
         raise ValueError("MP4: no sample table")
 
-    stsd = find(b"stsd", *stbl)
+    stsd = need(b"stsd", stbl)
     codec = data[stsd[0] + 12 : stsd[0] + 16].decode("latin-1")
 
-    s, _ = find(b"stts", *stbl)
+    s, _ = need(b"stts", stbl)
     n_entries = int.from_bytes(data[s + 4 : s + 8], "big")
     starts: list[int] = []
     t = 0
@@ -884,7 +906,7 @@ def parse_mp4_samples(data: bytes) -> dict:
             t += delta
         p += 8
 
-    s, _ = find(b"stsz", *stbl)
+    s, _ = need(b"stsz", stbl)
     fixed = int.from_bytes(data[s + 4 : s + 8], "big")
     n_samples = int.from_bytes(data[s + 8 : s + 12], "big")
     if fixed:
@@ -895,7 +917,7 @@ def parse_mp4_samples(data: bytes) -> dict:
             for i in range(n_samples)
         ]
 
-    s, _ = find(b"stco", *stbl)
+    s, _ = need(b"stco", stbl)
     offset = int.from_bytes(data[s + 8 : s + 12], "big")
 
     samples = []

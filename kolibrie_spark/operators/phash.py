@@ -109,12 +109,30 @@ def hamming_near_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Generic 64-bit-signature near-pair search: (id_a < id_b,
-    hamming <= max_hamming). Candidates via the 4-block Manku trick (a
-    pair within distance 3 shares at least one exact 16-bit block, so
-    four equi-joins on (block index, block value) cover the space —
-    never a cross product), then exact popcount verify. The shared core
-    under ``phash_near_pairs`` and ``media_near_dup_pairs``; same scale
-    story as ``simhash_near_pairs``."""
+    hamming <= max_hamming). Candidates via the Manku block trick with
+    the block count DERIVED from max_hamming: the 64 bits split into
+    (max_hamming + 1) contiguous blocks, so a pair within the distance
+    budget must share at least one exact block (pigeonhole) — complete
+    recall for ANY max_hamming, equi-joins only, never a cross product —
+    then exact popcount verify.  max_hamming=3 keeps the classic 4x16-bit
+    layout.  The shared core under ``phash_near_pairs`` and
+    ``media_near_dup_pairs``; same scale story as ``simhash_near_pairs``.
+    Note the usual LSH trade-off: a larger max_hamming means fewer/wider-
+    matching blocks and therefore more candidates to verify."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming must be in [0, 63], got {max_hamming}"
+        )
+    nblk = max_hamming + 1
+    bounds = [(i * 64) // nblk for i in range(nblk + 1)]
+
+    def _block_val(lo: int, hi: int):
+        width = hi - lo
+        shifted = F.shiftrightunsigned(F.col("sig"), lo)
+        if width >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     base = sigs.select(
         F.col(id_col).alias("id"), F.col(sig_col).alias("sig")
     ).filter(F.col("sig").isNotNull())
@@ -126,11 +144,9 @@ def hamming_near_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("blk"),
-                        F.shiftrightunsigned(F.col("sig"), 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("val"),
+                        _block_val(bounds[b], bounds[b + 1]).alias("val"),
                     )
-                    for b in range(4)
+                    for b in range(nblk)
                 ]
             )
         ).alias("b"),

@@ -26,8 +26,15 @@ Documented divergences from the faithful mode (SURVEY §4.2.5):
   batch count as ONE coordination step (the faithful engine sees two);
 - Wait/Steal sync policies run at that batch granularity; Timeout deadlines
   are measured in EVENT time against the high-water mark (deterministic
-  replays), where the faithful engine uses an injectable wall clock. The
-  exotic report strategies remain faithful-mode features.
+  replays), where the faithful engine uses an injectable wall clock; the
+  deadline check runs BEFORE the batch's window evals, so a flush emits
+  the state as of the deadline (parity test vs RSPEngine with an injected
+  event-time clock);
+- window firing advances on the GLOBAL high-water mark (any stream's
+  events), Spark-watermark style: a window over a stalled stream still
+  closes once other streams push the hwm past its close. The faithful
+  engine is event-driven per stream — a stalled stream's window never
+  fires there. The exotic report strategies remain faithful-mode features.
 
 State size is bounded: the buffer keeps at most max(width)+slide seconds of
 events (plus watermark slack); R2S state is one result set per query.
@@ -85,6 +92,11 @@ class StructuredRSP:
         self._r2s_state: DataFrame | None = None
         self._cycle: set[str] = set()
         self._cycle_start_hwm: int | None = None
+        # report-strategy state (only touched for non-default REPORT specs):
+        # per-spec strictly-advancing app time (TimeDriven tick gate) and the
+        # last-judged content identity (count, hash) for OnContentChange
+        self._app_time: dict[str, int] = {}
+        self._last_change: dict[str, tuple] = {}
         # per-window WITH POLICY overrides the engine default, as in the
         # faithful engine (reference query.rs:211)
         for w in self.query.windows:
@@ -112,6 +124,26 @@ class StructuredRSP:
             F.col("event_time") > F.lit(horizon)
         ).localCheckpoint(eager=True)
 
+        # TIMEOUT deadline check BEFORE this batch's window evals, mirroring
+        # the faithful engine's _check_timeout-on-event-arrival (engine.py:144,
+        # reference rsp_engine.rs coordinator): a flushed STEAL emission must
+        # see only the window results that existed AT the deadline — the
+        # pre-batch _last_window_results — never this batch's post-deadline
+        # firings (which belong to the next cycle's emission).
+        pre_flush: list = []
+        all_w = {w.iri for w in self.query.windows}
+        if (
+            self.sync_policy[0] == "TIMEOUT"
+            and self._cycle
+            and self._cycle_start_hwm is not None
+            and self.hwm - self._cycle_start_hwm > self.sync_policy[1]
+        ):
+            fallback = self.sync_policy[2]
+            self._cycle = set()
+            self._cycle_start_hwm = None
+            if fallback == "STEAL" and set(self._last_window_results) == all_w:
+                pre_flush = self._emit()
+
         fired: set[str] = set()
         for w in self.query.windows:
             stream_events = (
@@ -138,9 +170,9 @@ class StructuredRSP:
             ).select("s", "p", "o")
             self._last_window_results[w.iri] = self._eval_window(w, content)
 
-        return self._coordinate(fired)
+        return pre_flush + self._advance(fired, all_w)
 
-    def _coordinate(self, fired: set) -> list:
+    def _advance(self, fired: set, all_w: set) -> list:
         """Multi-window sync at micro-batch granularity — the batch twin
         of the faithful coordinator (engine.py / rsp_engine.rs:539-770):
         Wait emits on full cycles; Steal emits on any firing once every
@@ -148,27 +180,9 @@ class StructuredRSP:
         fallback) is Wait with an EVENT-TIME deadline — an open cycle
         whose first firing is more than d seconds of stream time behind
         the high-water mark triggers fallback Steal (emit stale) or Drop
-        (discard). Event-time deadlines keep replays deterministic; the
+        (discard); the deadline check runs in process_batch BEFORE window
+        evaluation. Event-time deadlines keep replays deterministic; the
         wall-clock flavor stays a faithful-engine feature."""
-        all_w = {w.iri for w in self.query.windows}
-        # deadline check precedes this batch's firings, like the faithful
-        # engine's _check_timeout on event arrival
-        if (
-            self.sync_policy[0] == "TIMEOUT"
-            and self._cycle
-            and self._cycle_start_hwm is not None
-            and self.hwm - self._cycle_start_hwm > self.sync_policy[1]
-        ):
-            fallback = self.sync_policy[2]
-            self._cycle = set()
-            self._cycle_start_hwm = None
-            out = []
-            if fallback == "STEAL" and set(self._last_window_results) == all_w:
-                out = self._emit()
-            return out + self._advance(fired, all_w)
-        return self._advance(fired, all_w)
-
-    def _advance(self, fired: set, all_w: set) -> list:
         if not fired:
             return []
         if not self._cycle:

@@ -809,3 +809,61 @@ def test_embedding_lsh_pairs_equals_exact(spark):
         ).collect()
     )
     assert lsh == exact
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+
+def test_mp4_leading_audio_track_and_missing_boxes():
+    """parse_mp4_samples must (a) skip a leading non-video trak and find
+    the 'vide' one by hdlr handler_type, and (b) raise ValueError — not
+    TypeError — when a video trak is missing its sample machinery, so
+    sample_frames' except-ValueError fallback catches it."""
+    import pytest
+
+    from kolibrie_spark.operators.jpeg import build_jpeg_baseline
+    from kolibrie_spark.operators.multimodal import build_mp4, parse_mp4_samples
+
+    frames = [build_jpeg_baseline(16, 16, lambda x, y: 90)]
+    good = build_mp4(1000, frames=frames)
+    base = parse_mp4_samples(good)
+    assert base["codec"] == "jpeg" and len(base["samples"]) == 1
+
+    # splice an audio trak BEFORE the video trak inside moov
+    audio_hdlr = _mp4_box(
+        b"hdlr", b"\x00\x00\x00\x00" + bytes(4) + b"soun" + bytes(12) + b"X\x00"
+    )
+    audio_trak = _mp4_box(b"trak", _mp4_box(b"mdia", audio_hdlr))
+    ftyp_len = int.from_bytes(good[0:4], "big")
+    moov_len = int.from_bytes(good[ftyp_len : ftyp_len + 4], "big")
+    moov_payload = good[ftyp_len + 8 : ftyp_len + moov_len]
+    mvhd_len = int.from_bytes(moov_payload[0:4], "big")
+    new_moov = _mp4_box(
+        b"moov",
+        moov_payload[:mvhd_len] + audio_trak + moov_payload[mvhd_len:],
+    )
+    spliced = good[:ftyp_len] + new_moov + good[ftyp_len + moov_len :]
+    # the video trak's sample tables are byte-identical after the splice
+    # (stco stores the absolute offset AS WRITTEN), so the parse must
+    # return exactly the base result — proving the audio trak was skipped
+    got = parse_mp4_samples(spliced)
+    assert got == base
+
+    # a 'vide' trak with no mdhd/stbl: diagnosable ValueError, not TypeError
+    vide_hdlr = _mp4_box(
+        b"hdlr", b"\x00\x00\x00\x00" + bytes(4) + b"vide" + bytes(12) + b"X\x00"
+    )
+    broken_trak = _mp4_box(b"trak", _mp4_box(b"mdia", vide_hdlr))
+    broken = good[:ftyp_len] + _mp4_box(
+        b"moov", moov_payload[:mvhd_len] + broken_trak
+    )
+    with pytest.raises(ValueError, match="missing mdhd"):
+        parse_mp4_samples(broken)
+
+    # audio-only file: "no video track", same as the skeleton path
+    audio_only = good[:ftyp_len] + _mp4_box(
+        b"moov", moov_payload[:mvhd_len] + audio_trak
+    )
+    with pytest.raises(ValueError, match="no video track"):
+        parse_mp4_samples(audio_only)

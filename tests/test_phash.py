@@ -233,3 +233,26 @@ def test_audio_near_pairs_gain_invariance(spark):
         for a, b in ((0, 1), (0, 2), (1, 2))
     }
     assert got == want
+
+
+def test_hamming_near_pairs_wide_budget_complete_recall(spark):
+    """max_hamming > 3 must still find every pair — the block count is
+    derived as (max_hamming + 1), so a 4-bit-spread pair that defeats the
+    classic 4x16 layout (one flipped bit per 16-bit block) is caught."""
+    from kolibrie_spark.operators.phash import hamming_near_pairs
+
+    a = 0
+    b = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)  # one bit per 16-bit block
+    df = spark.createDataFrame([(1, a), (2, b)], "id long, sig long")
+    got = hamming_near_pairs(df, "id", "sig", max_hamming=4).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 4)]
+    # and the same pair is (correctly) absent under the tighter budget
+    assert hamming_near_pairs(df, "id", "sig", max_hamming=3).count() == 0
+    # hamming 0 degenerates to exact signature equality
+    df0 = spark.createDataFrame([(1, 7), (2, 7), (3, 8)], "id long, sig long")
+    got0 = hamming_near_pairs(df0, "id", "sig", max_hamming=0).collect()
+    assert [(r.id_a, r.id_b) for r in got0] == [(1, 2)]
+    import pytest
+
+    with pytest.raises(ValueError):
+        hamming_near_pairs(df, "id", "sig", max_hamming=64)

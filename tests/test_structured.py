@@ -762,3 +762,50 @@ def test_live_two_window_sync_matches_faithful_engine(spark, tmp_path):
     assert live_out["WAIT"] == faithful_out["WAIT"]
     assert live_out["STEAL"] == faithful_out["STEAL"]
     assert len(live_out["STEAL"]) > len(live_out["WAIT"])
+
+
+def test_structured_timeout_matches_faithful_engine_event_clock(spark):
+    """ADVICE r4: the structured TIMEOUT path must match RSPEngine driven
+    by an injected EVENT-TIME clock — in particular the deadline flush
+    must emit the window results as of the deadline (pre-batch state),
+    not results evaluated in the same batch that trips the deadline.
+
+    Both streams keep flowing (a stalled stream is the documented
+    global-hwm divergence, not what this pins): w1 closes at 4,8,12,16
+    and w2 at 5,10,15, so every cycle opens with a lone w1 firing and the
+    1-second deadline trips at the NEXT event — the same event whose
+    batch fires w2 — making flush-before-eval vs flush-after-eval
+    produce different emissions."""
+    from kolibrie_spark.streaming.engine import RSPEngine
+    from kolibrie_spark.streaming.structured import compile_structured
+
+    rows = []
+    for ts in range(18):
+        rows.append((f"a{ts}", "p", f"x{ts % 3}", "s1", ts))
+        rows.append((f"b{ts}", "q", f"y{ts % 2}", "s2", ts))
+
+    for fallback in ("STEAL", "DROP"):
+        q = compile_structured(
+            spark, _TWO_WINDOW_Q, sync_policy=("TIMEOUT", 1, fallback)
+        )
+        q.run_events_df(events_df(spark, rows), batch_seconds=1)
+        structured = sorted(map(tuple, q.emissions))
+
+        collected = []
+        clock_now = [0.0]
+        eng = RSPEngine(
+            spark,
+            _TWO_WINDOW_Q,
+            consumer=collected.append,
+            sync_policy=("TIMEOUT", 1, fallback),
+            clock=lambda: clock_now[0],
+        )
+        for ts in range(18):
+            clock_now[0] = float(ts)
+            eng.add_to_stream("s1", (f"a{ts}", "p", f"x{ts % 3}"), ts)
+            eng.add_to_stream("s2", (f"b{ts}", "q", f"y{ts % 2}"), ts)
+        faithful = sorted(map(tuple, collected))
+        assert structured == faithful, (
+            f"fallback={fallback}: structured {len(structured)} emissions "
+            f"!= faithful {len(faithful)}"
+        )
