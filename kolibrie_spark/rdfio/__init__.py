@@ -17,6 +17,7 @@ dump ingests as a map-only job with no driver involvement.
 """
 
 from kolibrie_spark.rdfio.parsers import (
+    _PREFIX_RE,
     parse_n3,
     parse_nquads,
     parse_ntriples,
@@ -112,3 +113,96 @@ def read_nquads_df(spark, path: str):
             yield from quads
 
     return lines.rdd.mapPartitions(lambda it: run(it)).toDF(QUADS_SCHEMA)
+
+
+def _turtle_statement_chunks(text: str, per_chunk: int):
+    """Split Turtle text into independently-parseable statement chunks —
+    the reference's chunk-parallel trick (sparql_database.rs:965-1141)
+    done by a single linear scan: a '.' terminates a statement when it is
+    outside <IRI> brackets and string literals (short and long, both
+    quote styles) and is followed by whitespace/EOF (so decimals like
+    1.5 don't split).  @prefix lines are dropped here (the caller
+    broadcasts the collected prefix map instead)."""
+    body = "\n".join(
+        line
+        for line in text.splitlines()
+        if not (_PREFIX_RE.match(line.strip()) or line.strip().startswith("#"))
+    )
+    chunks: list[str] = []
+    start = 0
+    n_stmts = 0
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == "<":  # IRI: skip to closing '>'
+            j = body.find(">", i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if c in ('"', "'"):
+            if body[i : i + 3] in ('"""', "'''"):  # long string
+                j = body.find(c * 3, i + 3)
+                i = n if j < 0 else j + 3
+            else:
+                j = i + 1
+                while j < n and body[j] != c:
+                    j += 2 if body[j] == "\\" else 1
+                i = j + 1
+            continue
+        if c == "#":  # comment to end of line
+            j = body.find("\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c == "." and (i + 1 >= n or body[i + 1].isspace()):
+            n_stmts += 1
+            if n_stmts >= per_chunk:
+                chunks.append(body[start : i + 1])
+                start = i + 1
+                n_stmts = 0
+        i += 1
+    if body[start:].strip():
+        chunks.append(body[start:])
+    return chunks
+
+
+def read_turtle_df(spark, path: str, statements_per_chunk: int = 2000):
+    """Distributed Turtle(-star) ingestion (reference chunk-parallel
+    parser, sparql_database.rs:965-1141): one map-only pass collects the
+    (tiny) @prefix header from every file and broadcasts it; a second
+    pass splits each file into statement chunks at top-level '.'
+    boundaries and parses the chunks in parallel with the shared prefix
+    map — so a multi-file / multi-GB Turtle corpus ingests without the
+    driver ever seeing a triple.  Matches ``parse_turtle`` exactly on the
+    same input (round-trip tested), with the same documented divergence
+    as the reference's parallel path: prefixes apply file-globally, not
+    declaration-ordered."""
+    from kolibrie_spark.schema import QUADS_SCHEMA
+
+    files = spark.read.text(path, wholetext=True)
+
+    def prefix_lines(part):
+        from kolibrie_spark.rdfio.parsers import _PREFIX_RE
+
+        for row in part:
+            for line in row.value.splitlines():
+                m = _PREFIX_RE.match(line.strip())
+                if m:
+                    yield (m.group(1) or "", m.group(2))
+
+    prefixes = dict(files.rdd.mapPartitions(prefix_lines).collect())
+
+    par = spark.sparkContext.defaultParallelism
+
+    def chunk(part):
+        for row in part:
+            for ch in _turtle_statement_chunks(row.value, statements_per_chunk):
+                yield (ch,)
+
+    chunked = files.rdd.mapPartitions(chunk).repartition(par)
+
+    def parse_part(part):
+        for (ch,) in part:
+            triples, _quoted, _ = parse_turtle(ch, prefixes=prefixes)
+            for s, p, o in triples:
+                yield (s, p, o, None)
+
+    return chunked.mapPartitions(parse_part).toDF(QUADS_SCHEMA)

@@ -145,3 +145,37 @@ def test_distributed_ntriples_read(spark, tmp_path):
     df = read_ntriples_df(spark, str(path))
     assert df.count() == 100
     assert df.filter("o = '42'").count() == 1
+
+
+def test_distributed_turtle_read_matches_driver_parse(spark, tmp_path):
+    """read_turtle_df (chunk-parallel, VERDICT r4 item #7) must produce the
+    same quads the driver-side parse_turtle produces — across multiple
+    files, multi-statement lines, `;`/`,` continuations, decimals (whose
+    '.' must not split statements), comments, and string literals
+    containing dots."""
+    from kolibrie_spark.rdfio import parse_turtle, read_turtle_df
+
+    header = "@prefix ex: <http://ex/> .\n@prefix foaf: <http://xmlns.com/foaf/0.1/> .\n"
+    bodies = []
+    for f in range(3):
+        lines = [header, f"# file {f} comment . with a dot\n"]
+        for i in range(40):
+            k = f * 100 + i
+            lines.append(
+                f'ex:s{k} foaf:name "N. {k}. dotted" ;\n'
+                f"    ex:score 3.5 ,\n"
+                f"        4.25 ;\n"
+                f"    ex:knows ex:s{k + 1} .\n"
+            )
+        bodies.append("".join(lines))
+    d = tmp_path / "ttl"
+    d.mkdir()
+    expected = []
+    for f, body in enumerate(bodies):
+        (d / f"part{f}.ttl").write_text(body)
+        triples, _, _ = parse_turtle(body)
+        expected.extend((s, p, o, None) for (s, p, o) in triples)
+    df = read_turtle_df(spark, str(d), statements_per_chunk=7)
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == sorted(expected)
+    assert df.rdd.getNumPartitions() > 1  # actually distributed
