@@ -1477,6 +1477,112 @@ def _run_live_gate(spark: SparkSession, sf_dir: str, form: str) -> DataFrame:
     )
 
 
+def _q_streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE sliding-window gate (VERDICT r4 item #6): RANGE 10d STEP 5d —
+    the first live gate where STEP < RANGE, so every event belongs to TWO
+    windows and the multi-membership firing order runs against the
+    C-SPARQL scope math (s2r.rs:298-330) for real.  One file per 5-day
+    SLIDE chunk (ascending mtimes, maxFilesPerTrigger=1) advances the hwm
+    one slide per micro-batch, so window [kS-W, kS) fires at batch k with
+    chunks k-2 and k-1 as content.  The oracle is pure window arithmetic:
+    every slide-multiple close in (0, max_et] fires once and emits the
+    distinct (u, t) of its [close-W, close) range; the two still-open
+    tail windows never fire.  window_open = close - W goes negative for
+    the first firing (the reference's saturating open applies to CONTENT
+    membership, which starts at 0 anyway)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.streaming.structured import compile_structured
+
+    width = 864000  # RANGE 10 days
+    slide = 432000  # STEP 5 days: 2x multi-membership
+    trip = (
+        _events_stream_df(spark, sf_dir)
+        .select(
+            F.col("u").cast("string").alias("s"),
+            F.lit("t").alias("p"),
+            F.col("t").alias("o"),
+            F.lit(None).cast("string").alias("g"),
+            F.lit("ev").alias("stream"),
+            F.col("event_time"),
+        )
+        .withColumn(
+            "win", (F.col("event_time") - F.col("event_time") % slide).cast("long")
+        )
+    )
+    wins = sorted(r.win for r in trip.select("win").distinct().collect())
+    now = time.time()
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), "kolibrie_slide_*")):
+        try:
+            if now - os.path.getmtime(d) > 3600:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+    base = tempfile.mkdtemp(prefix="kolibrie_slide_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    results = os.path.join(base, "results")
+    for k, w0 in enumerate(wins):
+        part_dir = os.path.join(base, f"part{k}")
+        trip.filter(F.col("win") == w0).drop("win").coalesce(1).write.json(part_dir)
+        jfile = next(f for f in os.listdir(part_dir) if f.endswith(".json"))
+        dst = os.path.join(src, f"w{k:03d}.json")
+        shutil.move(os.path.join(part_dir, jfile), dst)
+        os.utime(dst, (k * 1000, k * 1000))
+
+    q = compile_structured(
+        spark,
+        "REGISTER RSTREAM <out> AS SELECT * "
+        f"FROM NAMED WINDOW :w ON :ev [RANGE {width} STEP {slide}] "
+        "WHERE { WINDOW :w { ?u <t> ?t } }",
+    )
+    wiri = q.query.windows[0].iri
+
+    def sink(out_df: DataFrame) -> None:
+        out_df.withColumn(
+            "window_open", F.lit(q._fired_until[wiri] - width).cast("long")
+        ).write.mode("append").parquet(results)
+
+    q.sink = sink
+    stream = (
+        spark.readStream.schema(
+            "s string, p string, o string, g string, stream string, event_time long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    sq = q.start(stream, os.path.join(base, "ckpt"))
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    shutil.rmtree(src, ignore_errors=True)
+    return spark.read.parquet(results).select(
+        "window_open", F.col("u").cast("long").alias("u"), "t"
+    )
+
+
+def _streaming_sliding_live_oracle() -> str:
+    w, s = 864000, 432000
+    return (
+        "WITH e AS (SELECT CAST(epoch_us(ts) // 1000000 AS BIGINT) AS et, "
+        "user_id AS u, event_type AS t FROM events), "
+        "mx AS (SELECT max(et) AS m FROM e), "
+        "closes AS (SELECT unnest(generate_series("
+        f"{s}, (SELECT (m // {s}) * {s} FROM mx), {s})) AS close) "
+        f"SELECT c.close - {w} AS window_open, e.u, e.t "
+        "FROM closes c JOIN e "
+        f"ON e.et >= c.close - {w} AND e.et < c.close "
+        "GROUP BY 1, 2, 3"
+    )
+
+
 def _q_streaming_sync_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE two-window Steal coordination (VERDICT r3 item #6): a real
     readStream feeds 5-day event chunks (ascending mtimes,
@@ -3761,6 +3867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dstream_replay": _q_streaming_dstream_replay,
         "streaming_istream_live": _q_streaming_istream_live,
         "streaming_dstream_live": _q_streaming_dstream_live,
+        "streaming_sliding_live": _q_streaming_sliding_live,
         "streaming_sync_live": _q_streaming_sync_live,
         "profile_equidepth": _q_profile_equidepth,
         "profile_corr": _q_profile_corr,
@@ -4204,6 +4311,7 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM w c WHERE "
             "c.window_open = s.window_open AND c.u = s.u AND c.t = s.t)"
         ),
+        "streaming_sliding_live": _streaming_sliding_live_oracle(),
         "streaming_sync_live": _streaming_sync_live_oracle(),
         "multimodal_features": _multimodal_features_oracle(),
         "ml_predict": (

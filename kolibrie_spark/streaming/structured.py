@@ -34,7 +34,12 @@ Documented divergences from the faithful mode (SURVEY §4.2.5):
   events), Spark-watermark style: a window over a stalled stream still
   closes once other streams push the hwm past its close. The faithful
   engine is event-driven per stream — a stalled stream's window never
-  fires there. The exotic report strategies remain faithful-mode features.
+  fires there;
+- non-default REPORT strategies (NonEmptyContent, OnContentChange,
+  Periodic) run as batch-granularity emission gates (_report_fire): the
+  batch hwm stands in for the event timestamp, so they coincide with the
+  faithful engine exactly when micro-batches carry one event time each
+  (parity-tested); non-TimeDriven ticks remain faithful-mode features.
 
 State size is bounded: the buffer keeps at most max(width)+slide seconds of
 events (plus watermark slack); R2S state is one result set per query.
@@ -51,6 +56,7 @@ from kolibrie_spark.sparql import ast
 from kolibrie_spark.sparql.compiler import Bindings, Compiler, DatasetView, join_bindings
 from kolibrie_spark.store import QuadStore
 from kolibrie_spark.streaming.rspql import RSPQLQuery, parse_rspql
+from kolibrie_spark.streaming.s2r import Periodic, ReportStrategy
 
 _BUFFER_SCHEMA = "s string, p string, o string, stream string, event_time long"
 
@@ -112,6 +118,11 @@ class StructuredRSP:
         stats = batch.agg(F.max("event_time").alias("hi"), F.count("*").alias("n")).first()
         if stats.n == 0:
             return []
+        # pre-batch snapshots: report-gated specs judge candidates on the
+        # PRE-event window contents (s2r.rs judges and emits the originals
+        # while filling clones)
+        prev_hwm = self.hwm
+        pre_buffer = self.buffer
         self.hwm = max(self.hwm, int(stats.hi))
         if self.watermark is not None:
             batch = batch.filter(F.col("event_time") >= self.hwm - self.watermark)
@@ -146,6 +157,30 @@ class StructuredRSP:
 
         fired: set[str] = set()
         for w in self.query.windows:
+            strategies = list(getattr(w, "report", None) or [])
+            if strategies and strategies != [ReportStrategy.ON_WINDOW_CLOSE]:
+                # non-default REPORT clause: the event-at-a-time report
+                # semantics at batch granularity
+                pre_events = (
+                    pre_buffer
+                    if w.stream is None
+                    else pre_buffer.filter(F.col("stream") == w.stream)
+                )
+                close = self._report_fire(w, strategies, pre_events, prev_hwm)
+                if close is None:
+                    continue
+                open_ = max(0, close - w.width)
+                content = (
+                    pre_events.filter(
+                        (F.col("event_time") >= open_)
+                        & (F.col("event_time") < close)
+                    )
+                    .select("s", "p", "o")
+                    .distinct()  # Content keys items: set semantics
+                )
+                self._last_window_results[w.iri] = self._eval_window(w, content)
+                fired.add(w.iri)
+                continue
             stream_events = (
                 self.buffer
                 if w.stream is None
@@ -171,6 +206,102 @@ class StructuredRSP:
             self._last_window_results[w.iri] = self._eval_window(w, content)
 
         return pre_flush + self._advance(fired, all_w)
+
+    def _report_fire(self, w, strategies, pre_events: DataFrame, prev_hwm: int):
+        """Non-default report strategies (NonEmptyContent, OnContentChange,
+        Periodic, combinable with OnWindowClose) as batch-granularity
+        emission gates — the structured twin of CSparqlWindow._passes
+        (s2r.py:122-134 / reference s2r.rs:28-84), treating the batch
+        high-water mark as the arriving event's timestamp (exact parity
+        when micro-batches carry one event time each).
+
+        Candidate windows reconstruct the faithful active set by window
+        arithmetic (closes are multiples of slide): windows covering the
+        previous event time plus the scope() additions at the current one,
+        judged ascending by close on PRE-batch content identities — one
+        tiny aggregate (count + order-independent hash of the distinct
+        triples per candidate) feeds the driver-side strategy loop, so the
+        driver sees a handful of numbers, never events.  OnContentChange
+        keeps the reference's quirk: it fires when content EQUALS the last
+        JUDGED content, and every judged candidate updates that state in
+        iteration order.  Returns the fired close, or None."""
+        import math
+
+        t = self.hwm
+        slide, width = w.slide, w.width
+        closes: set[int] = set()
+        if prev_hwm >= 0:
+            # previously-active windows: max(0, c - width) <= prev_hwm < c
+            c = (prev_hwm // slide + 1) * slide
+            while c <= prev_hwm + width:
+                if max(0, c - width) <= prev_hwm:
+                    closes.add(c)
+                c += slide
+        c_sup = math.ceil(t / slide) * slide
+        for c in range(c_sup, t + width + 1, slide):
+            closes.add(c)
+        stats = self._candidate_stats(pre_events, sorted(closes), width)
+        last = self._last_change.get(w.iri, (0, 0))
+        passing: list[int] = []
+        for c in sorted(closes):
+            cnt, hsh = stats.get(c, (0, 0))
+            ok = True
+            for s in strategies:
+                if s is ReportStrategy.NON_EMPTY_CONTENT:
+                    ok = ok and cnt > 0
+                elif s is ReportStrategy.ON_CONTENT_CHANGE:
+                    ok = ok and (cnt, hsh) == last
+                    last = (cnt, hsh)
+                elif s is ReportStrategy.ON_WINDOW_CLOSE:
+                    ok = ok and c <= t
+                elif isinstance(s, Periodic):
+                    ok = ok and t % s.period == 0
+            if ok:
+                passing.append(c)
+        self._last_change[w.iri] = last
+        if not passing:
+            return None
+        fired = max(passing)
+        # TimeDriven tick: strictly-advancing app time; a firing consumes
+        # the timestamp even when its content is empty (s2r.rs:246-265)
+        if t <= self._app_time.get(w.iri, 0):
+            return None
+        self._app_time[w.iri] = t
+        return fired
+
+    def _candidate_stats(
+        self, pre_events: DataFrame, closes: list[int], width: int
+    ) -> dict[int, tuple]:
+        """(distinct-count, order-independent hash) per candidate window
+        over the pre-batch buffer, in ONE aggregate job."""
+        if not closes:
+            return {}
+        cand = F.array(
+            *[
+                F.when(
+                    (F.col("event_time") >= max(0, c - width))
+                    & (F.col("event_time") < c),
+                    F.lit(c).cast("long"),
+                )
+                for c in closes
+            ]
+        )
+        per = (
+            pre_events.select(
+                "s", "p", "o",
+                F.explode(F.filter(cand, lambda x: x.isNotNull())).alias("__c"),
+            )
+            .distinct()  # Content keys items: set semantics per window
+            .groupBy("__c")
+            .agg(
+                F.count("*").alias("n"),
+                # XOR combine: order-independent and overflow-free; sound
+                # as a set identity because the triples are distinct'd
+                F.expr("bit_xor(xxhash64(s, p, o))").alias("h"),
+            )
+            .collect()
+        )
+        return {int(r["__c"]): (int(r["n"]), int(r["h"])) for r in per}
 
     def _advance(self, fired: set, all_w: set) -> list:
         """Multi-window sync at micro-batch granularity — the batch twin

@@ -809,3 +809,70 @@ def test_structured_timeout_matches_faithful_engine_event_clock(spark):
             f"fallback={fallback}: structured {len(structured)} emissions "
             f"!= faithful {len(faithful)}"
         )
+
+
+def _report_parity(spark, query, timeline):
+    """Run one (query, scripted-timeline) scenario through BOTH engines —
+    structured at one-event-time-per-batch granularity and the faithful
+    RSPEngine event-at-a-time — and return (structured, faithful)
+    emission lists."""
+    from kolibrie_spark.streaming.engine import RSPEngine
+    from kolibrie_spark.streaming.structured import compile_structured
+
+    q = compile_structured(spark, query)
+    q.run_events_df(
+        events_df(spark, [(s, p, o, st, ts) for (st, (s, p, o), ts) in timeline]),
+        batch_seconds=1,
+    )
+    structured = sorted(map(tuple, q.emissions))
+
+    collected = []
+    eng = RSPEngine(spark, query, consumer=collected.append)
+    eng.add_events(timeline)
+    return structured, sorted(map(tuple, collected))
+
+
+@pytest.mark.parametrize(
+    "report, timeline",
+    [
+        (  # NonEmptyContent gates out the empty just-closed windows that
+           # plain OnWindowClose would fire (gap timeline from s2r tests)
+            "REPORT NON_EMPTY_CONTENT REPORT ON_WINDOW_CLOSE",
+            [("s1", (f"a{t}", "p", f"x{t % 2}", ), t) for t in (1, 2, 3, 10, 20)],
+        ),
+        (  # Periodic(2): fires only on even event times
+            "REPORT PERIODIC 2",
+            [("s1", (f"a{t}", "p", f"x{t % 3}"), t) for t in range(1, 8)],
+        ),
+        (  # OnContentChange (reference quirk: fires on content EQUAL to
+           # the last judged) over a timeline with repeats and changes
+            "REPORT ON_CONTENT_CHANGE",
+            [
+                ("s1", ("a", "p", "x"), 1),
+                ("s1", ("a", "p", "x"), 2),
+                ("s1", ("a", "p", "x"), 4),
+                ("s1", ("b", "p", "y"), 6),
+                ("s1", ("b", "p", "y"), 7),
+                ("s1", ("c", "p", "z"), 9),
+            ],
+        ),
+        (  # NonEmptyContent alone: fires open windows too (max-close
+           # candidate judged on pre-event content)
+            "REPORT NON_EMPTY_CONTENT",
+            [("s1", (f"a{t}", "p", "x"), t) for t in (1, 3, 6, 7, 11)],
+        ),
+    ],
+    ids=["nonempty+close", "periodic", "content-change", "nonempty-alone"],
+)
+def test_structured_report_strategies_match_faithful(spark, report, timeline):
+    """VERDICT r4 item #5: the faithful engine's report-strategy timeline
+    semantics hold on the structured path too (at one-event-time-per-batch
+    granularity, where the two coordinations coincide)."""
+    timeline = [(st, tuple(tr), ts) for (st, tr, ts) in timeline]
+    query = (
+        "REGISTER RSTREAM <out> AS SELECT * "
+        f"FROM NAMED WINDOW :w ON :s1 [RANGE 4 STEP 1 {report}] "
+        "WHERE { WINDOW :w { ?a <p> ?x } }"
+    )
+    structured, faithful = _report_parity(spark, query, timeline)
+    assert structured == faithful
