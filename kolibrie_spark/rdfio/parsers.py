@@ -260,26 +260,67 @@ def parse_n3(text: str, prefixes: dict[str, str] | None = None):
 _RDF_NS = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
 
 
-def parse_rdfxml(text: str) -> list[tuple[str, str, str]]:
-    """rdf:Description subset: rdf:about subjects, child elements as
-    predicates, rdf:resource or text content as objects."""
+_XML_BASE = "{http://www.w3.org/XML/1998/namespace}base"
+_ABS_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+def parse_rdfxml(text: str, base: str | None = None) -> list[tuple[str, str, str]]:
+    """RDF/XML node-element subset (reference sparql_database.rs:630-804,
+    extended spec-ward per VERDICT r4 #9): rdf:about / rdf:ID (resolved
+    against xml:base or ``base`` with '#', W3C rdf-syntax §5.3) /
+    rdf:nodeID (blank node) subjects; typed node elements emit rdf:type;
+    property elements take rdf:resource (base-resolved), rdf:nodeID,
+    NESTED node elements (recursing, object = nested subject — anonymous
+    nested nodes get deterministic _:genid labels), or text content as
+    objects."""
+    from urllib.parse import urljoin
+
     root = ET.fromstring(text)
+    doc_base = root.get(_XML_BASE) or base or ""
     triples: list[tuple[str, str, str]] = []
-    descriptions = (
-        list(root)
-        if root.tag in (f"{_RDF_NS}RDF",)
-        else [root]
-    )
-    for desc in descriptions:
-        about = desc.get(f"{_RDF_NS}about") or desc.get(f"{_RDF_NS}ID") or ""
-        if desc.tag != f"{_RDF_NS}Description":
-            # typed node element => rdf:type triple
-            triples.append((about, RDF_TYPE, _expand_tag(desc.tag)))
-        for child in desc:
+    genid = [0]
+
+    def resolve(iri: str) -> str:
+        if doc_base and not _ABS_IRI_RE.match(iri):
+            return urljoin(doc_base, iri)
+        return iri
+
+    def subject_of(el) -> str:
+        about = el.get(f"{_RDF_NS}about")
+        if about is not None:
+            return resolve(about)
+        rid = el.get(f"{_RDF_NS}ID")
+        if rid is not None:
+            return urljoin(doc_base, "#" + rid) if doc_base else rid
+        nid = el.get(f"{_RDF_NS}nodeID")
+        if nid is not None:
+            return f"_:{nid}"
+        genid[0] += 1
+        return f"_:genid{genid[0]}"
+
+    def node_element(el) -> str:
+        s = subject_of(el)
+        if el.tag != f"{_RDF_NS}Description":
+            triples.append((s, RDF_TYPE, _expand_tag(el.tag)))
+        for child in el:  # property elements
             pred = _expand_tag(child.tag)
             res = child.get(f"{_RDF_NS}resource")
-            obj = res if res is not None else (child.text or "").strip()
-            triples.append((about, pred, obj))
+            nid = child.get(f"{_RDF_NS}nodeID")
+            nested = list(child)
+            if res is not None:
+                obj = resolve(res)
+            elif nid is not None:
+                obj = f"_:{nid}"
+            elif nested:
+                obj = node_element(nested[0])
+            else:
+                obj = (child.text or "").strip()
+            triples.append((s, pred, obj))
+        return s
+
+    descriptions = list(root) if root.tag == f"{_RDF_NS}RDF" else [root]
+    for desc in descriptions:
+        node_element(desc)
     return triples
 
 
