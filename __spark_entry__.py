@@ -3579,62 +3579,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # 50-row window no matter what — then the session-4 gates (newest), then as
 # many session-3 gates as fit; the overflow rotates into the round-4 head.
 #
-# ROUND-4 ROTATION (executed per VERDICT r3 item #1): the 38 gates that
-# never had a driver row across r1-r3 windows lead, so after r4 every gate
-# in queries() has an official driver verdict. The remaining 12 slots carry
-# (a) bpe_train_merges, whose new unrolled-CTE DuckDB oracle flips it from
-# no_oracle to a full rows+schema+hash gate, and (b) the new round-4 gates
-# (perceptual pHash / audio-fingerprint near-dup, MJPEG-in-MP4 frame
-# content, live sync policies) plus streaming_dstream_replay to re-verify
-# it after the r4 perf work. Names not present in queries() are skipped by
-# _driver_order, so listing planned gates here is safe.
+# ROUND-5 ROTATION (executed per VERDICT r4 item #1, now the STANDING
+# policy: oldest driver row leads).  The 44 gates whose last driver row is
+# r2 — two rounds of code churn ago — lead the window, followed by the
+# round-5 gates: streaming_sliding_live (brand new, never had a driver
+# row) and the gates round-5 code touched whose last row is r4
+# (embedding-LSH rewrite, pHash/decode vectorization + Manku block-count
+# derivation, structured TIMEOUT/report changes).  44 + 6 = 50 exactly;
+# the touched multimodal_features/frames/resize and istream/dstream_live
+# rotate into r6's head (their r5 changes are bit-exactness-tested:
+# decode differential + live-parity pytest).  Names not present in
+# queries() are skipped by _driver_order, so listing planned gates is safe.
 _DRIVER_FIRST = [
-    # -- the 38 never-driver-checked gates (VERDICT r3 list, verbatim)
-    "sim_topk_pq",
-    "text_bm25_topk",
-    "range_join_binned",
-    "layout_zorder",
-    "embed_centroids",
-    "profile_quantiles",
-    "profile_histogram",
-    "graph_pagerank",
-    "text_quality_model",
-    "dedup_semantic",
-    "sample_dsir",
-    "pack_sequences",
-    "text_repetition",
-    "sample_domain_mix",
-    "text_contamination",
-    "text_top_terms",
-    "sample_group_split",
-    "profile_stats",
-    "text_scrub_pii",
-    "pipeline_curate",
-    "text_tokenize_ids",
-    "text_lm_score",
-    "text_chunk",
-    "top_docs_per_source",
-    "streaming_istream_live",
-    "profile_equidepth",
-    "profile_corr",
-    "ml_group_ols",
-    "events_attribution",
-    "having_count",
-    "group_concat_names",
-    "bind_string_funcs",
-    "filter_regex_sample",
-    "construct_graph",
-    "ask_exists",
-    "describe_subject",
-    "select_expr_proj",
-    "filter_datetime",
-    # -- 12 spare slots: newly-oracled + new round-4 gates
-    "bpe_train_merges",
+    # -- the 44 r2-stale gates (VERDICT r4 list, verbatim)
+    "agg_count",
+    "bind_arithmetic",
+    "bind_concat",
+    "dedup_cluster",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_segments",
+    "events_sessionize",
+    "events_window_agg",
+    "filter_exists",
+    "from_merge_dedup",
+    "graph_default_named_join",
+    "graph_fixed",
+    "graph_var",
+    "groupby_agg",
+    "minus_anti",
+    "offset_pagination",
+    "optional_left_join",
+    "order_by_desc_limit",
+    "order_numeric_lexical",
+    "path_opt_direct",
+    "path_plus_reach",
+    "path_seq_fk",
+    "path_star_reach",
+    "rdf_star_annotate",
+    "rdf_star_builtins",
+    "reasoner_transitive_closure",
+    "sample_stratified",
+    "sim_topk_cosine",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "sim_topk_quantized",
+    "subquery_count_join",
+    "text_analyze",
+    "udf_bind",
+    "union_multiset",
+    "union_three_branches",
+    "update_delete_where",
+    "update_insert_delete_data",
+    "update_insert_where",
+    "values_undef",
+    # -- round-5 gates: new + touched-this-round
+    "streaming_sliding_live",
+    "media_near_dup",
     "media_phash_pairs",
     "media_audio_fp",
     "multimodal_frame_content",
     "streaming_sync_live",
-    "streaming_dstream_replay",
 ]
 
 

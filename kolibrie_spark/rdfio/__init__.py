@@ -164,6 +164,60 @@ def _turtle_statement_chunks(text: str, per_chunk: int):
     return chunks
 
 
+def read_rdfxml_df(spark, path: str):
+    """Distributed RDF/XML ingestion at FILE granularity: XML has no
+    safe mid-document split point (element nesting), so the parallel
+    grain is one document per task — the natural shape for the many-file
+    corpora RDF/XML ships as; shred giant single documents upstream.
+    Blank-node labels (_:genid) are per-document, so no cross-file
+    coordination is needed."""
+    from kolibrie_spark.schema import QUADS_SCHEMA
+
+    files = spark.read.text(path, wholetext=True)
+
+    def run(part):
+        for row in part:
+            for s, p, o in parse_rdfxml(row.value):
+                yield (s, p, o, None)
+
+    return files.rdd.mapPartitions(run).toDF(QUADS_SCHEMA)
+
+
+def read_n3_df(spark, path: str, statements_per_chunk: int = 2000):
+    """Distributed N3 ingestion — same chunk-parallel scheme as
+    :func:`read_turtle_df` (the repo's N3 subset shares Turtle's
+    statement syntax; formulas `{ }` are driver-side only)."""
+    from kolibrie_spark.schema import QUADS_SCHEMA
+
+    files = spark.read.text(path, wholetext=True)
+
+    def prefix_lines(part):
+        for row in part:
+            for line in row.value.splitlines():
+                m = _PREFIX_RE.match(line.strip())
+                if m:
+                    yield (m.group(1) or "", m.group(2))
+
+    prefixes = dict(files.rdd.mapPartitions(prefix_lines).collect())
+    par = spark.sparkContext.defaultParallelism
+
+    def chunk(part):
+        for row in part:
+            for ch in _turtle_statement_chunks(row.value, statements_per_chunk):
+                yield (ch,)
+
+    def parse_part(part):
+        for (ch,) in part:
+            triples, _quoted, _ = parse_n3(ch, prefixes=prefixes)
+            for s, p, o in triples:
+                yield (s, p, o, None)
+
+    return (
+        files.rdd.mapPartitions(chunk).repartition(par).mapPartitions(parse_part)
+        .toDF(QUADS_SCHEMA)
+    )
+
+
 def read_turtle_df(spark, path: str, statements_per_chunk: int = 2000):
     """Distributed Turtle(-star) ingestion (reference chunk-parallel
     parser, sparql_database.rs:965-1141): one map-only pass collects the

@@ -216,3 +216,38 @@ def test_rdfxml_id_nodeid_nested_and_base():
     assert (pets[0], "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
             "http://ex/ns#Cat") in got
     assert (pets[0], "http://ex/ns#name", "Mia") in got
+
+
+def test_distributed_rdfxml_and_n3_read(spark, tmp_path):
+    """File-parallel RDF/XML + chunk-parallel N3 distributed readers
+    match their driver-side parsers across multiple files."""
+    from kolibrie_spark.rdfio import parse_n3, parse_rdfxml, read_n3_df, read_rdfxml_df
+
+    xdir = tmp_path / "xml"
+    xdir.mkdir()
+    expected_x = []
+    for f in range(3):
+        xml = f"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="http://ex/">
+  <rdf:Description rdf:about="http://ex/s{f}">
+    <ex:name>Doc {f}</ex:name>
+    <ex:link rdf:resource="http://ex/t{f}"/>
+  </rdf:Description>
+</rdf:RDF>"""
+        (xdir / f"f{f}.rdf").write_text(xml)
+        expected_x.extend((s, p, o, None) for (s, p, o) in parse_rdfxml(xml))
+    got_x = sorted(tuple(r) for r in read_rdfxml_df(spark, str(xdir)).collect())
+    assert got_x == sorted(expected_x)
+
+    ndir = tmp_path / "n3"
+    ndir.mkdir()
+    expected_n = []
+    for f in range(2):
+        n3 = "@prefix ex: <http://ex/> .\n" + "".join(
+            f"ex:a{f * 50 + i} ex:p ex:b{i} .\n" for i in range(50)
+        )
+        (ndir / f"f{f}.n3").write_text(n3)
+        triples, _, _ = parse_n3(n3)
+        expected_n.extend((s, p, o, None) for (s, p, o) in triples)
+    got_n = sorted(tuple(r) for r in read_n3_df(spark, str(ndir), statements_per_chunk=13).collect())
+    assert got_n == sorted(expected_n)
