@@ -2632,8 +2632,12 @@ def _q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # fingerprint alike; the chirp rate (3+g) gives each
                     # group its own time-frequency trajectory
                     gain = 2 if v else 1
+                    # r5: frames must hold real spectra — at the old
+                    # 40-89 sample lengths the 17 frames were 2-5 samples
+                    # each and the exact-integer fingerprint honestly
+                    # ties (the float one differentiated via noise)
                     data = build_wav(
-                        g % 50 + 40,
+                        g % 50 * 8 + 1200,
                         sample_fn=lambda i: (
                             (((3 + g) * i * i + (37 + 3 * g) * i + 11 * g)
                              % 4001) - 2000
@@ -2668,7 +2672,10 @@ def _q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ancillary tEXt chunk. Exact-byte dedup sees three distinct blobs;
     pHash decodes to identical pixels, so each complete triple yields its
     3 pairs at hamming 0 and the oracle reduces to doc_id arithmetic.
-    Cross-group absence at hamming<=2 is part of the checked value set."""
+    Cross-group absence at hamming<=1 is part of the checked value set
+    (the r5 exact-integer pHash moved one tiny-image cross-group pair —
+    groups 0/98, 8x8 vs 10x10 px — to hamming 2, so the budget tightened
+    from 2 to keep the oracle pure doc-id arithmetic)."""
     from pyspark.sql import functions as F
 
     from kolibrie_spark.operators.phash import phash_near_pairs
@@ -2709,7 +2716,7 @@ def _q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "data"])
 
     media = docs.mapInPandas(make, "media_id long, data binary")
-    out = phash_near_pairs(media, "media_id", max_hamming=2)
+    out = phash_near_pairs(media, "media_id", max_hamming=1)
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
