@@ -256,3 +256,35 @@ def test_hamming_near_pairs_wide_budget_complete_recall(spark):
 
     with pytest.raises(ValueError):
         hamming_near_pairs(df, "id", "sig", max_hamming=64)
+
+
+def test_hash_exact_through_arrow_with_nulls_in_batch(spark):
+    """Regression (r5): pandas turns a list of (int | None) into float64,
+    rounding hashes above 2^53 whenever a batch contained an undecodable
+    blob — the UDFs must deliver the driver-computed value bit-exactly
+    even when NULLs share the batch."""
+    from kolibrie_spark.operators.multimodal import build_png, build_wav
+    from kolibrie_spark.operators.phash import (
+        audio_fp64,
+        phash64,
+        with_audio_fp,
+        with_phash,
+    )
+
+    png = build_png(64, 48, lambda x, y: (x * 7 + y * 13 + (x * y) % 29) % 256)
+    wav = build_wav(2000, sample_fn=lambda i: ((i * i * 11 + 3 * i) % 4001) - 2000)
+    rows = [
+        (1, bytearray(png)),
+        (2, bytearray(b"garbage")),  # NULL in the same batch
+        (3, bytearray(wav)),
+    ]
+    df = spark.createDataFrame(rows, "id long, data binary").coalesce(1)
+    got = {r.id: (r.phash, r.audio_fp) for r in
+           with_audio_fp(with_phash(df, "data"), "data").collect()}
+
+    def signed(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    assert got[1][0] == signed(phash64(png))
+    assert got[3][1] == signed(audio_fp64(wav))
+    assert got[2] == (None, None)
