@@ -867,3 +867,12 @@ def test_mp4_leading_audio_track_and_missing_boxes():
     )
     with pytest.raises(ValueError, match="no video track"):
         parse_mp4_samples(audio_only)
+
+
+def test_embedding_lsh_pairs_degenerate_inputs(spark):
+    from kolibrie_spark.operators.dedup import embedding_lsh_pairs
+
+    one = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    assert embedding_lsh_pairs(one, "vec_id", "embedding", dim=2).count() == 0
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_lsh_pairs(empty, "vec_id", "embedding", dim=2).count() == 0

@@ -251,3 +251,29 @@ def test_distributed_rdfxml_and_n3_read(spark, tmp_path):
         expected_n.extend((s, p, o, None) for (s, p, o) in triples)
     got_n = sorted(tuple(r) for r in read_n3_df(spark, str(ndir), statements_per_chunk=13).collect())
     assert got_n == sorted(expected_n)
+
+
+def test_turtle_chunker_edges():
+    """_turtle_statement_chunks must not split inside long strings,
+    IRIs, or comments, and must handle trailing statements without a
+    final newline."""
+    from kolibrie_spark.rdfio import _turtle_statement_chunks
+
+    text = (
+        '@prefix ex: <http://ex/> .\n'
+        'ex:a ex:doc """multi. line. literal.\nwith \'quotes\' and . dots""" .\n'
+        "# comment with a dot . and \"quotes\"\n"
+        "ex:b ex:iri <http://ex/path.with.dots> .\n"
+        "ex:c ex:num 3.25 .\n"
+        "ex:d ex:esc \"short \\\" escaped. quote\" ."  # no trailing newline
+    )
+    chunks = _turtle_statement_chunks(text, per_chunk=1)
+    assert len(chunks) == 4
+    assert 'multi. line. literal.' in chunks[0]
+    assert "path.with.dots" in chunks[1]
+    assert "3.25" in chunks[2]
+    assert "escaped. quote" in chunks[3]
+    # prefix lines are stripped (caller broadcasts the map)
+    assert all("@prefix" not in c for c in chunks)
+    # one big chunk keeps everything
+    assert len(_turtle_statement_chunks(text, per_chunk=100)) == 1
