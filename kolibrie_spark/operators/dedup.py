@@ -657,6 +657,13 @@ def embedding_lsh_pairs(
        sequential-fold ``cosine_expr`` (bit-identical to the DuckDB
        oracle's list_sum order), final filter at ``threshold``.
 
+    Determinism note: bucket ASSIGNMENT uses float projections (numpy
+    GEMM), so a vector lying within float noise of a hyperplane could
+    bucket differently across runs — harmless, because the OUTPUT is the
+    exactly-verified pair set, which is run-independent as long as every
+    true pair collides somewhere (the recall bound below); the exact
+    verify uses the deterministic sequential fold.
+
     Recall: per-pair miss probability at cosine exactly 0.4 is
     (1 - p^bits)^tables with p = 1 - acos(0.4)/pi = 0.631 → ~1e-6 at the
     defaults; pairs meaningfully above threshold are exponentially safer.
