@@ -1285,6 +1285,95 @@ def _events_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/urltools.py) over a deterministic
+    synthetic crawl: URLs derive from doc_id arithmetic with mixed-case
+    scheme/host, default ports, tracking params, unsorted query params,
+    trailing slashes, and fragments — every rule in the canonicalizer
+    fires on some subset. Pure column expressions; the oracle builds the
+    same URLs and runs the DuckDB twin of the regex pipeline."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.urltools import canonical_url, url_host
+    from kolibrie_spark.tables import load_table
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.lit("WWW.Site"), (d % 7).cast("string"), F.lit(".COM"),
+        F.when(d % 4 == 0, F.lit(":80"))
+        .when(d % 4 == 1, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/p"), (d % 5).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("?b=2&utm_source=news&a=1")).otherwise(
+            F.lit("?z=9&gclid=abc")
+        ),
+        F.when(d % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.select(
+        "doc_id",
+        canonical_url(url).alias("canonical_url"),
+        url_host(url).alias("host"),
+    )
+
+
+def _url_canonicalize_oracle() -> str:
+    from kolibrie_spark.operators.urltools import canonical_url_duckdb_sql
+
+    url = (
+        "CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END || "
+        "'WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM' || "
+        "CASE WHEN doc_id % 4 = 0 THEN ':80' "
+        "WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END || "
+        "'/p' || CAST(doc_id % 5 AS VARCHAR) || "
+        "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || "
+        "CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=news&a=1' "
+        "ELSE '?z=9&gclid=abc' END || "
+        "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END"
+    )
+    canon = canonical_url_duckdb_sql("u")
+    host = "lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?:]*)', 1))"
+    return (
+        f"WITH base AS (SELECT doc_id, {url} AS u FROM documents) "
+        f"SELECT doc_id, {canon} AS canonical_url, {host} AS host FROM base"
+    )
+
+
+def _q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (operators/sampling.py): greedy
+    best-score-first prefix under a cumulative whitespace-token budget —
+    'the best data that fits the training budget'. Score is a
+    deterministic proxy (n_chars % 97) so the ranking exercises real
+    reordering; exact window-cumsum twin in the oracle."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.sampling import token_budget_sample
+    from kolibrie_spark.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (F.col("n_chars") % 97).alias("score"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("tokens"),
+        )
+    )
+    return token_budget_sample(docs, "doc_id", "score", "tokens", budget=8000)
+
+
+def _sample_token_budget_oracle() -> str:
+    return (
+        "WITH t AS (SELECT doc_id, n_chars % 97 AS score, "
+        "len(string_split_regex(trim(text), '\\s+')) AS tokens FROM documents), "
+        "c AS (SELECT doc_id, score, tokens, "
+        "SUM(tokens) OVER (ORDER BY score DESC, doc_id ASC "
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
+        "SELECT doc_id, score, tokens FROM c WHERE cum <= 8000"
+    )
+
+
 def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling over orders: per-priority keep
     rates via the cross-engine polynomial hash — the kept set is a pure
@@ -3648,8 +3737,8 @@ _DRIVER_FIRST = [
     "media_near_dup",
     "media_phash_pairs",
     "media_audio_fp",
-    "multimodal_frame_content",
-    "streaming_sync_live",
+    "url_canonicalize",
+    "sample_token_budget",
 ]
 
 
@@ -3875,6 +3964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": _q_events_window_agg,
         "events_sessionize": _q_events_sessionize,
         "sample_stratified": _q_sample_stratified,
+        "url_canonicalize": _q_url_canonicalize,
+        "sample_token_budget": _q_sample_token_budget,
         # --- reasoner + streaming replay (§2.9/§2.10)
         "reasoner_transitive_closure": _q_reasoner_closure,
         "prob_hybrid": _q_prob_hybrid,
@@ -4296,6 +4387,8 @@ def oracle_sql() -> dict[str, str]:
         "prob_hybrid": _prob_hybrid_oracle(),
         "events_sessionize": _events_sessionize_oracle(),
         "sample_stratified": _sample_stratified_oracle(),
+        "url_canonicalize": _url_canonicalize_oracle(),
+        "sample_token_budget": _sample_token_budget_oracle(),
         "streaming_istream_replay": (
             "WITH w AS (SELECT DISTINCT "
             "CAST(epoch_us(ts) // 1000000 AS BIGINT) "

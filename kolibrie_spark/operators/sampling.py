@@ -261,3 +261,38 @@ def stratified_sample(
             F.col(strata_col) == F.lit(value), F.lit(int(round(frac * BUCKETS)))
         ).otherwise(cutoff)
     return df.filter(_bucket(F.col(key_col), hash_fn) < cutoff)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy corpus selection under a TOKEN BUDGET: take documents in
+    descending ``score_col`` order (ties broken by ascending id for
+    determinism) while the running token total stays within ``budget`` —
+    the canonical "best quality data that fits the training budget"
+    selector. A document is kept iff the cumulative token count UP TO AND
+    INCLUDING it is <= budget, so the kept set is a prefix of the quality
+    ranking (documents after the first overflow are skipped even if a
+    later small one would still fit — prefix semantics keep the rule
+    SQL-expressible and order-stable, and match how crawl pipelines cut
+    quality-sorted shards).
+
+    Plan: one window cumulative sum over (score desc, id) — a single
+    global sort.  At 100 TB, pre-aggregate per quality BUCKET first
+    (quantile the scores, sum tokens per bucket, pick the threshold
+    bucket on the driver) and only sort within the boundary bucket; the
+    exact form here is the semantics those approximations approximate.
+    """
+    w = (
+        Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__cum", F.sum(F.col(tokens_col)).over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )

@@ -876,3 +876,41 @@ def test_embedding_lsh_pairs_degenerate_inputs(spark):
     assert embedding_lsh_pairs(one, "vec_id", "embedding", dim=2).count() == 0
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert embedding_lsh_pairs(empty, "vec_id", "embedding", dim=2).count() == 0
+
+
+def test_canonical_url_rules(spark):
+    from kolibrie_spark.operators.urltools import canonical_url, url_dedup
+
+    rows = [
+        (1, "HTTP://WWW.Example.COM:80/a/b/?b=2&utm_source=x&a=1#frag"),
+        (2, "http://www.example.com/a/b?a=1&b=2"),          # same canonical as 1
+        (3, "https://Example.com:443/"),
+        (4, "https://example.com"),                          # same canonical as 3
+        (5, "https://example.com/path?gclid=zzz&fbclid=yyy"),
+        (6, "https://example.com:8080/x"),                   # non-default port kept
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r.c for r in df.select("id", canonical_url(F.col("url")).alias("c")).collect()}
+    assert got[1] == "http://www.example.com/a/b?a=1&b=2"
+    assert got[1] == got[2]
+    assert got[3] == "https://example.com/" == got[4]
+    assert got[5] == "https://example.com/path"
+    assert got[6] == "https://example.com:8080/x"
+    kept = sorted(r.id for r in url_dedup(df, "id", "url").collect())
+    assert kept == [1, 3, 5, 6]
+
+
+def test_token_budget_sample_prefix_semantics(spark):
+    from kolibrie_spark.operators.sampling import token_budget_sample
+
+    rows = [  # (id, score, tokens)
+        (1, 90, 40), (2, 80, 50), (3, 70, 30), (4, 60, 10), (5, 50, 5),
+    ]
+    df = spark.createDataFrame(rows, "id long, score long, tokens long")
+    # budget 95: 40 + 50 fit (90), the 30-token doc overflows -> STOP
+    # (prefix semantics: the later 10- and 5-token docs are not back-filled)
+    kept = sorted(r.id for r in token_budget_sample(df, "id", "score", "tokens", 95).collect())
+    assert kept == [1, 2]
+    # exact boundary inclusion
+    kept2 = sorted(r.id for r in token_budget_sample(df, "id", "score", "tokens", 120).collect())
+    assert kept2 == [1, 2, 3]
