@@ -190,15 +190,7 @@ def read_n3_df(spark, path: str, statements_per_chunk: int = 2000):
     from kolibrie_spark.schema import QUADS_SCHEMA
 
     files = spark.read.text(path, wholetext=True)
-
-    def prefix_lines(part):
-        for row in part:
-            for line in row.value.splitlines():
-                m = _PREFIX_RE.match(line.strip())
-                if m:
-                    yield (m.group(1) or "", m.group(2))
-
-    prefixes = dict(files.rdd.mapPartitions(prefix_lines).collect())
+    prefixes = _collect_prefixes(spark, path)
     par = spark.sparkContext.defaultParallelism
 
     def chunk(part):
@@ -218,11 +210,66 @@ def read_n3_df(spark, path: str, statements_per_chunk: int = 2000):
     )
 
 
+def _collect_prefixes(spark, path: str, head_bytes: int = 1 << 16) -> dict:
+    """@prefix map for a Turtle/N3 corpus, reading only each file's HEAD
+    (``head_bytes``, default 64 KiB) when the path is local — prefix
+    headers live at the top of a Turtle file, and re-reading a 100 TB
+    corpus end-to-end just to find them would double the ingest IO.
+    Falls back to a full line scan for non-listable paths.  A prefix
+    declared beyond the head window is missed — the same
+    header-broadcast assumption the reference's chunk-parallel parser
+    makes (prefixes are file-global here, not declaration-ordered)."""
+    import glob as _glob
+    import os
+
+    paths: list[str] | None = None
+    if os.path.isdir(path):
+        paths = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if os.path.isfile(os.path.join(path, f))
+        )
+    elif os.path.isfile(path):
+        paths = [path]
+    else:
+        hits = sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+        paths = hits or None
+
+    if paths:
+        sc = spark.sparkContext
+
+        def heads(it):
+            for fp in it:
+                try:
+                    with open(fp, "rb") as f:
+                        text = f.read(head_bytes).decode("utf-8", "replace")
+                except OSError:
+                    continue
+                for line in text.splitlines():
+                    m = _PREFIX_RE.match(line.strip())
+                    if m:
+                        yield (m.group(1) or "", m.group(2))
+
+        n = max(1, min(len(paths), sc.defaultParallelism))
+        return dict(sc.parallelize(paths, n).mapPartitions(heads).collect())
+
+    lines = spark.read.text(path)
+
+    def prefix_lines(part):
+        for row in part:
+            m = _PREFIX_RE.match(row.value.strip())
+            if m:
+                yield (m.group(1) or "", m.group(2))
+
+    return dict(lines.rdd.mapPartitions(prefix_lines).collect())
+
+
 def read_turtle_df(spark, path: str, statements_per_chunk: int = 2000):
     """Distributed Turtle(-star) ingestion (reference chunk-parallel
-    parser, sparql_database.rs:965-1141): one map-only pass collects the
-    (tiny) @prefix header from every file and broadcasts it; a second
-    pass splits each file into statement chunks at top-level '.'
+    parser, sparql_database.rs:965-1141): one head-only pass collects the
+    (tiny) @prefix header from every file and broadcasts it
+    (:func:`_collect_prefixes` — 64 KiB per file, not a full re-read); a
+    second pass splits each file into statement chunks at top-level '.'
     boundaries and parses the chunks in parallel with the shared prefix
     map — so a multi-file / multi-GB Turtle corpus ingests without the
     driver ever seeing a triple.  Matches ``parse_turtle`` exactly on the
@@ -232,17 +279,7 @@ def read_turtle_df(spark, path: str, statements_per_chunk: int = 2000):
     from kolibrie_spark.schema import QUADS_SCHEMA
 
     files = spark.read.text(path, wholetext=True)
-
-    def prefix_lines(part):
-        from kolibrie_spark.rdfio.parsers import _PREFIX_RE
-
-        for row in part:
-            for line in row.value.splitlines():
-                m = _PREFIX_RE.match(line.strip())
-                if m:
-                    yield (m.group(1) or "", m.group(2))
-
-    prefixes = dict(files.rdd.mapPartitions(prefix_lines).collect())
+    prefixes = _collect_prefixes(spark, path)
 
     par = spark.sparkContext.defaultParallelism
 
