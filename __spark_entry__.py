@@ -1482,6 +1482,40 @@ def _q_streaming_dstream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_live_gate(spark, sf_dir, "DSTREAM")
 
 
+def _write_stream_chunks(trip, win_col: str, base: str) -> str:
+    """Materialize a chunked file-source feed for a live gate in ONE Spark
+    job: repartition on the chunk key (each key lands in exactly one
+    task), write partitionBy(chunk), then move each partition's single
+    json file into src/ with ascending mtimes so maxFilesPerTrigger=1
+    replays chunks in order.  Replaces the per-chunk
+    distinct+collect+coalesce(1) loop (N+1 jobs -> 2)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    part_root = os.path.join(base, "parts")
+    n = trip.select(win_col).distinct().count()
+    trip.repartition(max(n, 1), F.col(win_col)).write.partitionBy(win_col).json(
+        part_root
+    )
+    wins = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(part_root)
+        if d.startswith(f"{win_col}=")
+    )
+    for k, w0 in enumerate(wins):
+        pdir = os.path.join(part_root, f"{win_col}={w0}")
+        jfile = next(f for f in os.listdir(pdir) if f.endswith(".json"))
+        dst = os.path.join(src, f"w{k:03d}.json")
+        shutil.move(os.path.join(pdir, jfile), dst)
+        os.utime(dst, (k * 1000, k * 1000))  # mtime order == chunk order
+    shutil.rmtree(part_root, ignore_errors=True)
+    return src
+
+
 def _run_live_gate(spark: SparkSession, sf_dir: str, form: str) -> DataFrame:
     import glob
     import os
@@ -1508,7 +1542,6 @@ def _run_live_gate(spark: SparkSession, sf_dir: str, form: str) -> DataFrame:
             "win", (F.col("event_time") - F.col("event_time") % width).cast("long")
         )
     )
-    wins = sorted(r.win for r in trip.select("win").distinct().collect())
     # results/ must outlive the returned (lazy) DataFrame, so the scratch
     # dir can't be removed here; instead prune dirs older than an hour
     # left by previous runs, so repeated bench/correctness invocations
@@ -1521,16 +1554,8 @@ def _run_live_gate(spark: SparkSession, sf_dir: str, form: str) -> DataFrame:
         except OSError:
             pass
     base = tempfile.mkdtemp(prefix="kolibrie_live_")
-    src = os.path.join(base, "src")
-    os.makedirs(src)
     results = os.path.join(base, "results")
-    for k, w0 in enumerate(wins):
-        part_dir = os.path.join(base, f"part{k}")
-        trip.filter(F.col("win") == w0).drop("win").coalesce(1).write.json(part_dir)
-        jfile = next(f for f in os.listdir(part_dir) if f.endswith(".json"))
-        dst = os.path.join(src, f"w{k:03d}.json")
-        shutil.move(os.path.join(part_dir, jfile), dst)
-        os.utime(dst, (k * 1000, k * 1000))  # mtime order == window order
+    src = _write_stream_chunks(trip, "win", base)
 
     q = compile_structured(
         spark,
@@ -1605,7 +1630,6 @@ def _q_streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             "win", (F.col("event_time") - F.col("event_time") % slide).cast("long")
         )
     )
-    wins = sorted(r.win for r in trip.select("win").distinct().collect())
     now = time.time()
     for d in glob.glob(os.path.join(tempfile.gettempdir(), "kolibrie_slide_*")):
         try:
@@ -1614,16 +1638,8 @@ def _q_streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             pass
     base = tempfile.mkdtemp(prefix="kolibrie_slide_")
-    src = os.path.join(base, "src")
-    os.makedirs(src)
     results = os.path.join(base, "results")
-    for k, w0 in enumerate(wins):
-        part_dir = os.path.join(base, f"part{k}")
-        trip.filter(F.col("win") == w0).drop("win").coalesce(1).write.json(part_dir)
-        jfile = next(f for f in os.listdir(part_dir) if f.endswith(".json"))
-        dst = os.path.join(src, f"w{k:03d}.json")
-        shutil.move(os.path.join(part_dir, jfile), dst)
-        os.utime(dst, (k * 1000, k * 1000))
+    src = _write_stream_chunks(trip, "win", base)
 
     q = compile_structured(
         spark,
@@ -1718,7 +1734,6 @@ def _q_streaming_sync_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "chunk", (F.col("event_time") / F.lit(5 * day)).cast("long")
     )
-    chunks = sorted(r.chunk for r in trip.select("chunk").distinct().collect())
     now = time.time()
     for d in glob.glob(os.path.join(tempfile.gettempdir(), "kolibrie_sync_*")):
         try:
@@ -1727,18 +1742,8 @@ def _q_streaming_sync_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             pass
     base = tempfile.mkdtemp(prefix="kolibrie_sync_")
-    src = os.path.join(base, "src")
-    os.makedirs(src)
     results = os.path.join(base, "results")
-    for k, c in enumerate(chunks):
-        part_dir = os.path.join(base, f"part{k}")
-        trip.filter(F.col("chunk") == c).drop("chunk").coalesce(1).write.json(
-            part_dir
-        )
-        jfile = next(f for f in os.listdir(part_dir) if f.endswith(".json"))
-        dst = os.path.join(src, f"c{k:03d}.json")
-        shutil.move(os.path.join(part_dir, jfile), dst)
-        os.utime(dst, (k * 1000, k * 1000))
+    src = _write_stream_chunks(trip, "chunk", base)
 
     q = compile_structured(
         spark,
