@@ -97,7 +97,10 @@ def canonical_url_duckdb_sql(url_expr: str) -> str:
         f"list_filter(string_split({query}, '&'), "
         f"p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_RE}'))"
     )
-    sorted_q = f"array_to_string(list_sort({params}), '&')"
+    # COALESCE: DuckDB's array_to_string over an EMPTY list yields NULL
+    # (Spark's array_join yields ''), which would null out the whole
+    # concatenation for query-less URLs
+    sorted_q = f"COALESCE(array_to_string(list_sort({params}), '&'), '')"
     return (
         f"{head} || {path} || "
         f"CASE WHEN {sorted_q} = '' THEN '' ELSE '?' || {sorted_q} END"

@@ -125,3 +125,64 @@ def test_repetition_fraction_bounds_and_twin(spark, texts, n):
         ).fetchall()
     )
     assert got == want  # struct-zip and string formulations agree exactly
+
+
+_scheme_st = st.sampled_from(["http", "HTTP", "https", "HtTpS"])
+_host_st = st.sampled_from(["Example.COM", "www.site.org", "A.B.io"])
+_port_st = st.sampled_from(["", ":80", ":443", ":8080"])
+_path_st = st.sampled_from(["", "/", "/a", "/a/b", "/a/b/", "/x.y/"])
+_params_st = st.lists(
+    st.sampled_from(["a=1", "b=2", "z=9", "utm_source=x", "gclid=g", "ref=r"]),
+    max_size=4,
+)
+_frag_st = st.sampled_from(["", "#f", "#frag/ment"])
+
+
+@SLOW
+@given(
+    parts=st.lists(
+        st.tuples(_scheme_st, _host_st, _port_st, _path_st, _params_st, _frag_st),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_canonical_url_matches_duckdb_and_is_idempotent(spark, parts):
+    """Differential property: the Spark canonicalizer and its DuckDB twin
+    produce identical strings on randomized URLs, and canonicalization is
+    idempotent (canonical of a canonical URL is itself)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.urltools import (
+        canonical_url,
+        canonical_url_duckdb_sql,
+    )
+
+    urls = []
+    for s, h, port, path, params, frag in parts:
+        q = "?" + "&".join(params) if params else ""
+        urls.append(f"{s}://{h}{port}{path}{q}{frag}")
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "id long, url string")
+    mine = {
+        r.id: r.c
+        for r in df.select("id", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(urls)))
+    ref = dict(
+        con.execute(
+            f"SELECT id, {canonical_url_duckdb_sql('u')} FROM t"
+        ).fetchall()
+    )
+    assert mine == ref
+    # idempotency
+    df2 = spark.createDataFrame(
+        [(i, c) for i, c in mine.items()], "id long, url string"
+    )
+    again = {
+        r.id: r.c
+        for r in df2.select("id", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    assert again == mine
