@@ -288,3 +288,49 @@ def test_hash_exact_through_arrow_with_nulls_in_batch(spark):
     assert got[1][0] == signed(phash64(png))
     assert got[3][1] == signed(audio_fp64(wav))
     assert got[2] == (None, None)
+
+
+def test_phash_brightness_shift_exact_invariance():
+    """r5 integer DCT with zero-sum AC rows: a uniform (non-clipping)
+    brightness shift moves ONLY the dropped DC coefficient, so the hash
+    is EXACTLY invariant — not just within float noise."""
+    import numpy as np
+
+    from kolibrie_spark.operators.multimodal import build_png
+    from kolibrie_spark.operators.phash import phash64
+
+    rng = np.random.RandomState(13)
+    for trial in range(8):
+        w, h = int(rng.randint(8, 120)), int(rng.randint(8, 120))
+        a, b, c = int(rng.randint(1, 60)), int(rng.randint(1, 60)), int(rng.randint(0, 40))
+        shift = int(rng.randint(1, 50))
+
+        def px(x, y):
+            return (x * a + y * b + c) % 200  # <= 199, shift <= 49: no clip
+
+        base = phash64(build_png(w, h, px))
+        shifted = phash64(build_png(w, h, lambda x, y: px(x, y) + shift))
+        assert shifted == base, (trial, w, h, shift)
+
+
+def test_audio_fp_gain_exact_invariance():
+    """r5 exact-integer fingerprint: ANY integer gain scales every band
+    energy by gain^2 and both cross-products by gain^4 — identical bits,
+    exactly, for arbitrary (not just power-of-two) gains."""
+    import numpy as np
+
+    from kolibrie_spark.operators.multimodal import build_wav
+    from kolibrie_spark.operators.phash import audio_fp64
+
+    rng = np.random.RandomState(29)
+    for trial in range(6):
+        n = int(rng.randint(400, 3000))
+        k1, k2 = int(rng.randint(1, 9)), int(rng.randint(11, 37))
+        gain = int(rng.randint(2, 7))  # gain*|sample| must stay in int16
+
+        def s(i):
+            return ((k1 * i * i + k2 * i) % 4001 - 2000) // 8  # |s| <= 250
+
+        base = audio_fp64(build_wav(n, sample_fn=s))
+        scaled = audio_fp64(build_wav(n, sample_fn=lambda i: s(i) * gain))
+        assert scaled == base, (trial, n, gain)
