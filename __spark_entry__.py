@@ -1497,10 +1497,10 @@ def _write_stream_chunks(trip, win_col: str, base: str) -> str:
     src = os.path.join(base, "src")
     os.makedirs(src, exist_ok=True)
     part_root = os.path.join(base, "parts")
-    n = trip.select(win_col).distinct().count()
-    trip.repartition(max(n, 1), F.col(win_col)).write.partitionBy(win_col).json(
-        part_root
-    )
+    # hash partitioning sends each chunk key to exactly one task, so every
+    # partition dir gets exactly one json file — no key-count job needed
+    par = trip.sparkSession.sparkContext.defaultParallelism
+    trip.repartition(par, F.col(win_col)).write.partitionBy(win_col).json(part_root)
     wins = sorted(
         int(d.split("=", 1)[1])
         for d in os.listdir(part_root)
