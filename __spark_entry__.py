@@ -3682,15 +3682,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-5 ROTATION (executed per VERDICT r4 item #1, now the STANDING
 # policy: oldest driver row leads).  The 44 gates whose last driver row is
-# r2 — two rounds of code churn ago — lead the window, followed by the
-# round-5 gates: streaming_sliding_live (brand new, never had a driver
-# row) and the gates round-5 code touched whose last row is r4
-# (embedding-LSH rewrite, pHash/decode vectorization + Manku block-count
-# derivation, structured TIMEOUT/report changes).  44 + 6 = 50 exactly;
-# the touched multimodal_features/frames/resize and istream/dstream_live
-# rotate into r6's head (their r5 changes are bit-exactness-tested:
-# decode differential + live-parity pytest).  Names not present in
-# queries() are skipped by _driver_order, so listing planned gates is safe.
+# r2 — two rounds of code churn ago — lead the window, followed by the six
+# round-5 gates that have never had a driver row or whose behavior
+# changed most: streaming_sliding_live (new), media_near_dup /
+# media_phash_pairs / media_audio_fp (exact-integer fingerprints + fixture
+# changes), and url_canonicalize / sample_token_budget (new operators).
+# 44 + 6 = 50 exactly.  Rotating into r6's head: the r4-rowed touched
+# gates that did not fit — multimodal_features/frames/resize,
+# multimodal_frame_content, streaming_istream/dstream_live,
+# streaming_sync_live (all re-verified locally this round: 145/145
+# check_correctness sweeps + bit-exactness/live-parity pytest).  Names
+# not in queries() are skipped by _driver_order, so listing planned gates
+# is safe.
 _DRIVER_FIRST = [
     # -- the 44 r2-stale gates (VERDICT r4 list, verbatim)
     "agg_count",
