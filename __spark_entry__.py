@@ -511,6 +511,52 @@ def _text_contamination_oracle() -> str:
 _SPLITS = {"train": 0.8, "valid": 0.1, "test": 0.1}
 
 
+def _q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline composition: MinHash-LSH near-dup pairs →
+    connected components → deterministic hash split BY CLUSTER, so no
+    near-duplicate chain ever straddles train and eval (the leakage bug
+    domain-level splitting can't catch when duplicates cross domains).
+    The oracle recomputes components with a recursive CTE over the
+    exact-Jaccard pair set and applies the same polynomial-hash split."""
+    from kolibrie_spark.operators.dedup import minhash_lsh_pairs
+    from kolibrie_spark.operators.sampling import leakage_safe_split
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.5
+    )
+    return leakage_safe_split(docs, "doc_id", pairs, _SPLITS)
+
+
+def _split_leakage_safe_oracle() -> str:
+    from kolibrie_spark.operators.dedup import ngram_jaccard_pairs_duckdb_sql
+    from kolibrie_spark.operators.sampling import group_split_duckdb_case
+
+    pairs_sql = ngram_jaccard_pairs_duckdb_sql("documents", "doc_id", "text", 3, 0.5)
+    case = group_split_duckdb_case("cluster", _SPLITS)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+comp AS (
+  SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id
+),
+clustered AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+)
+SELECT doc_id, cluster, {case} AS split FROM clustered
+"""
+
+
 def _q_sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe split assignment: whole source domains land in one of
     train/valid/test via the deterministic group-key hash (near-duplicates
@@ -3974,6 +4020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "url_canonicalize": _q_url_canonicalize,
         "sample_token_budget": _q_sample_token_budget,
+        "split_leakage_safe": _q_split_leakage_safe,
         # --- reasoner + streaming replay (§2.9/§2.10)
         "reasoner_transitive_closure": _q_reasoner_closure,
         "prob_hybrid": _q_prob_hybrid,
@@ -4397,6 +4444,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": _sample_stratified_oracle(),
         "url_canonicalize": _url_canonicalize_oracle(),
         "sample_token_budget": _sample_token_budget_oracle(),
+        "split_leakage_safe": _split_leakage_safe_oracle(),
         "streaming_istream_replay": (
             "WITH w AS (SELECT DISTINCT "
             "CAST(epoch_us(ts) // 1000000 AS BIGINT) "

@@ -296,3 +296,28 @@ def token_budget_sample(
         .filter(F.col("__cum") <= budget)
         .drop("__cum")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    splits: dict[str, float],
+    hash_fn: str = "poly",
+) -> DataFrame:
+    """Train/valid/test assignment where NEAR-DUP CLUSTERS are the atomic
+    unit: documents connected by any chain of near-dup pairs land in the
+    same split, so no evaluation document has a near-duplicate in
+    training — the leakage guard :func:`group_split` provides for
+    explicit group keys, derived here from the similarity graph itself
+    (pairs from any of the dedup family: MinHash-LSH, SimHash,
+    embedding-LSH, ...).  Returns (id, cluster, split).
+
+    Scale shape = the two composed pieces: distributed min-label
+    propagation for components (checkpointed rounds, shuffles on the
+    pair keys only) + a pure hash projection for the split — nothing new
+    materializes beyond the cluster column."""
+    from kolibrie_spark.operators.dedup import near_dup_clusters
+
+    clustered = near_dup_clusters(df, pairs, id_col)
+    return group_split(clustered, "cluster", splits, hash_fn)

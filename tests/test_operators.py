@@ -914,3 +914,22 @@ def test_token_budget_sample_prefix_semantics(spark):
     # exact boundary inclusion
     kept2 = sorted(r.id for r in token_budget_sample(df, "id", "score", "tokens", 120).collect())
     assert kept2 == [1, 2, 3]
+
+
+def test_leakage_safe_split_no_near_dup_straddles(spark, docs):
+    """Every near-dup pair (and every chain of pairs) must land whole in
+    one split — the property the operator exists for."""
+    from kolibrie_spark.operators.dedup import minhash_lsh_pairs
+    from kolibrie_spark.operators.sampling import leakage_safe_split
+
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", 3, 64, 32, 0.5)
+    out = leakage_safe_split(
+        docs, "doc_id", pairs, {"train": 0.7, "test": 0.3}
+    )
+    split_of = {r.doc_id: (r.cluster, r.split) for r in out.collect()}
+    assert len(split_of) == 5  # every doc assigned
+    for r in pairs.collect():
+        assert split_of[r.id_a] == split_of[r.id_b], (r.id_a, r.id_b)
+    # docs 1,2,3 chain into one cluster; 4 and 5 are singletons
+    assert split_of[1] == split_of[2] == split_of[3]
+    assert split_of[4][0] == 4 and split_of[5][0] == 5
