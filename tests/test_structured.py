@@ -876,3 +876,38 @@ def test_structured_report_strategies_match_faithful(spark, report, timeline):
     )
     structured, faithful = _report_parity(spark, query, timeline)
     assert structured == faithful
+
+
+@pytest.mark.parametrize(
+    "report, rng",
+    [
+        ("REPORT NON_EMPTY_CONTENT", "[RANGE 6 STEP 2"),
+        ("REPORT PERIODIC 4", "[RANGE 9 STEP 3"),
+        ("REPORT ON_CONTENT_CHANGE", "[RANGE 8 STEP 2"),
+    ],
+    ids=["nonempty-step2", "periodic-step3", "content-change-step2"],
+)
+def test_structured_report_strategies_sliding_step_gt1(spark, report, rng):
+    """Report-strategy parity must also hold for STEP > 1 (multi-slide
+    window arithmetic in _report_fire's candidate reconstruction)."""
+    from kolibrie_spark.streaming.engine import RSPEngine
+    from kolibrie_spark.streaming.structured import compile_structured
+
+    query = (
+        "REGISTER RSTREAM <out> AS SELECT * "
+        f"FROM NAMED WINDOW :w ON :s1 {rng} {report}] "
+        "WHERE { WINDOW :w { ?a <p> ?x } }"
+    )
+    timeline = [
+        ("s1", (f"a{t}", "p", f"x{t % 2}"), t) for t in (1, 2, 5, 7, 8, 11, 14, 15)
+    ]
+    q = compile_structured(spark, query)
+    q.run_events_df(
+        events_df(spark, [(s, p, o, st, ts) for (st, (s, p, o), ts) in timeline]),
+        batch_seconds=1,
+    )
+    structured = sorted(map(tuple, q.emissions))
+    collected = []
+    eng = RSPEngine(spark, query, consumer=collected.append)
+    eng.add_events(timeline)
+    assert structured == sorted(map(tuple, collected))
