@@ -568,8 +568,18 @@ def _blas_candidate_pairs(
         ia, jb = np.nonzero(S >= threshold)
         id_a = ai["__id"].to_numpy()[ia]
         id_b = bj["__id"].to_numpy()[jb]
-        keep = id_a < id_b
-        return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep]})
+        if i == j:
+            # diagonal: both orientations are present, keep one
+            keep = id_a < id_b
+            return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep]})
+        # off-diagonal: each unordered pair appears ONCE, in whichever
+        # orientation the block assignment dictates — normalize instead of
+        # filtering (an id_a < id_b filter here silently dropped every
+        # cross-block pair whose lower-block row had the larger id; the
+        # bug could never fire below n = block_rows, where b == 1)
+        return pd.DataFrame(
+            {"id_a": np.minimum(id_a, id_b), "id_b": np.maximum(id_a, id_b)}
+        )
 
     return exploded.groupBy("__pk").applyInPandas(score, "id_a long, id_b long")
 

@@ -795,10 +795,12 @@ def test_embedding_lsh_pairs_equals_exact(spark):
             v = shared * 0.8 + rng.randn(32)
         rows.append((i, [float(x) for x in v]))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # block_rows=64 < n forces MULTI-BLOCK candidate generation (the
+    # default 2048 would hide cross-block bugs behind a single block)
     exact = sorted(
         (r.id_a, r.id_b, r.cosine)
         for r in embedding_cosine_pairs(
-            df, "vec_id", "embedding", threshold=0.4
+            df, "vec_id", "embedding", threshold=0.4, block_rows=64
         ).collect()
     )
     assert exact, "fixture must produce at least one above-threshold pair"
