@@ -39,13 +39,22 @@ def semantic_dedup(
     ncells: int = 8,
     threshold: float = 0.95,
     centroid_provider=None,
+    vectorized_assign: bool = False,
 ) -> DataFrame:
     """Rows of ``df`` surviving semantic dedup, plus their ``ivf_cell``.
     A row is dropped iff a lower-id same-cell row has cosine similarity
-    >= ``threshold`` with it."""
+    >= ``threshold`` with it.
+
+    SCALE GUIDANCE: the within-cell comparison is quadratic IN THE CELL,
+    so ``ncells`` must grow with the corpus (~n / desired_cell_size) —
+    a fixed ncells makes the whole operator quadratic (measured: 10x
+    data at ncells=8 cost 14x).  Past ~tens of centroids also set
+    ``vectorized_assign=True``: the expression-fold assignment's codegen
+    collapses there, while the Arrow matmul path stays flat (the gate
+    keeps the default fold for bit-exact oracle parity at small ncells)."""
     provider = centroid_provider or seed_centroids
     centroids = provider(df, id_col, vec_col, ncells)
-    assigned = with_ivf_cell(df, vec_col, centroids)
+    assigned = with_ivf_cell(df, vec_col, centroids, vectorized=vectorized_assign)
     # the within-cell quadratic comparison joins on ivf_cell alone, which
     # caps parallelism at ncells tasks (8 cells = 8 busy cores on a
     # CPU-dense cosine loop). Salting the a-side by id hash and

@@ -210,11 +210,52 @@ def kmeans_centroids(
     ]
 
 
-def with_ivf_cell(df: DataFrame, vec_col: str, centroids) -> DataFrame:
+def with_ivf_cell(
+    df: DataFrame, vec_col: str, centroids, vectorized: bool = False
+) -> DataFrame:
     """Assign each vector to its nearest centroid (argmin squared-L2, ties
-    to the lowest cell id). One pass, no shuffle: the centroid list is a
-    literal array-of-structs folded per row — each distance is computed
-    exactly once (transform), then reduced to the argmin (aggregate)."""
+    to the lowest cell id). One pass, no shuffle.
+
+    Default path: the centroid list is a literal array-of-structs folded
+    per row — each distance is computed exactly once (transform), then
+    reduced to the argmin (aggregate); sequential-fold accumulation is
+    bit-matchable by the DuckDB oracles.
+
+    ``vectorized=True``: one Arrow-batched matmul per record batch
+    ((batch x dim) @ (dim x ncells)) — the SCALE path.  The expression
+    path generates O(ncells * dim) code per row, and whole-stage codegen
+    collapses past ~tens of centroids (measured: ncells=80 on 20k rows
+    runs 100x slower than the matmul).  Caveat: matmul summation order
+    differs from the sequential fold, so a vector lying within float
+    noise of two centroid boundaries may land in the other cell — fine
+    for clustering/dedup, not for bit-exact oracle gates (keep the
+    default there)."""
+    if vectorized:
+        import numpy as np
+        import pandas as pd
+
+        cents = sorted(centroids, key=lambda cv: cv[0])  # argmin tie → lowest cid
+        cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+        C = np.array([list(map(float, vec)) for _, vec in cents], dtype=np.float64)
+        cn = (C * C).sum(axis=1)
+        out_schema = df.withColumn("ivf_cell", F.lit(0).cast("bigint")).schema
+
+        def assign(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.vstack(
+                    pdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64)).to_numpy()
+                )
+                # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 is
+                # constant per row, irrelevant to the argmin
+                scores = cn - 2.0 * (V @ C.T)
+                pdf = pdf.copy()
+                pdf["ivf_cell"] = cids[np.argmin(scores, axis=1)]
+                yield pdf
+
+        return df.mapInPandas(assign, out_schema)
+
     v = F.col(vec_col).cast("array<double>")
     cent_arr = F.array(*[
         F.struct(F.lit(cid).cast("bigint").alias("cid"), _vec_lit(vec).alias("cvec"))

@@ -935,3 +935,27 @@ def test_leakage_safe_split_no_near_dup_straddles(spark, docs):
     # docs 1,2,3 chain into one cluster; 4 and 5 are singletons
     assert split_of[1] == split_of[2] == split_of[3]
     assert split_of[4][0] == 4 and split_of[5][0] == 5
+
+
+def test_ivf_cell_vectorized_matches_expression(spark):
+    """The Arrow-matmul assignment path must agree with the fold-
+    expression path away from centroid boundaries (well-separated
+    clusters) — same argmin, same lowest-cid tie-break convention."""
+    import numpy as np
+
+    from kolibrie_spark.operators.similarity import seed_centroids, with_ivf_cell
+
+    rng = np.random.RandomState(17)
+    centers = rng.randn(6, 16) * 10
+    rows = []
+    for i in range(240):
+        c = i % 6
+        rows.append((i, [float(x) for x in centers[c] + rng.randn(16) * 0.1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = seed_centroids(df, "vec_id", "embedding", 6)
+    a = {r.vec_id: r.ivf_cell for r in with_ivf_cell(df, "embedding", cents).collect()}
+    b = {
+        r.vec_id: r.ivf_cell
+        for r in with_ivf_cell(df, "embedding", cents, vectorized=True).collect()
+    }
+    assert a == b
