@@ -3733,11 +3733,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # changed most: streaming_sliding_live (new), media_near_dup /
 # media_phash_pairs / media_audio_fp (exact-integer fingerprints + fixture
 # changes), and url_canonicalize / sample_token_budget (new operators).
-# 44 + 6 = 50 exactly.  Rotating into r6's head: the r4-rowed touched
-# gates that did not fit — multimodal_features/frames/resize,
-# multimodal_frame_content, streaming_istream/dstream_live,
-# streaming_sync_live (all re-verified locally this round: 145/145
-# check_correctness sweeps + bit-exactness/live-parity pytest).  Names
+# 44 + 6 = 50 exactly.  Rotating into r6's head: split_leakage_safe
+# (new, no driver row yet) plus the r4-rowed touched gates that did not
+# fit — multimodal_features/frames/resize, multimodal_frame_content,
+# streaming_istream/dstream_live, streaming_sync_live (all re-verified
+# locally this round: repeated full check_correctness sweeps, last at
+# 146/146, + bit-exactness/live-parity pytest).  Names
 # not in queries() are skipped by _driver_order, so listing planned gates
 # is safe.
 _DRIVER_FIRST = [
