@@ -451,3 +451,46 @@ def test_materialize_with_repairs_repairs_inconsistent_base(spark):
     assert ("X", "employed", "yes") in out
     assert sum(1 for f in out if f[1] == "role") == 1
     assert r.check_constraints().isEmpty()
+
+
+def test_premise_edge_cases_const_varpred_repeated(reasoner):
+    """Ports the reference's 0.2.0 rule-premise bug fixes (changes.txt
+    111-113): a constant subject/object premise must NOT match every
+    same-predicate triple; a variable-predicate premise must derive; a
+    repeated-variable premise rel(V, V) must only match s == o."""
+    reasoner.add_triples(
+        [
+            ("a", "knows", "b"),
+            ("b", "knows", "b"),
+            ("c", "likes", "c"),
+            ("a", "likes", "b"),
+        ]
+    )
+    # 111: constant subject
+    reasoner.add_rule(
+        Rule(
+            premise=[P(I("a"), I("knows"), V("y"))],
+            conclusion=[P(V("y"), I("knownByA"), I("a"))],
+        )
+    )
+    # 112: variable predicate
+    reasoner.add_rule(
+        Rule(
+            premise=[P(I("a"), V("p"), V("y"))],
+            conclusion=[P(I("a"), I("relatedTo"), V("y"))],
+        )
+    )
+    # 113: repeated variable
+    reasoner.add_rule(
+        Rule(
+            premise=[P(V("x"), I("knows"), V("x"))],
+            conclusion=[P(V("x"), I("selfKnown"), V("x"))],
+        )
+    )
+    facts = reasoner.materialize()
+    got = {(r.s, r.p, r.o) for r in facts.collect()}
+    assert {(s, p, o) for (s, p, o) in got if p == "knownByA"} == {("b", "knownByA", "a")}
+    assert {(s, p, o) for (s, p, o) in got if p == "relatedTo"} == {
+        ("a", "relatedTo", "b")  # via knows AND likes: one fact
+    }
+    assert {(s, p, o) for (s, p, o) in got if p == "selfKnown"} == {("b", "selfKnown", "b")}
