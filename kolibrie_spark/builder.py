@@ -137,6 +137,39 @@ class QueryBuilder:
     def get_results(self) -> list[tuple[str, str, str]]:
         return [(r.s, r.p, r.o) for r in self.dataframe().collect()]
 
+    # reference python-binding names (py_query_builder.rs:640-730):
+    # get_decoded_triples + per-position projections (deduped only when
+    # distinct() was called, like the Rust builder) + grouping dicts
+    def get_decoded_triples(self) -> list[tuple[str, str, str]]:
+        return self.get_results()
+
+    def _position(self, col: str) -> list[str]:
+        return [r[0] for r in self.dataframe().select(col).collect()]
+
+    def get_subjects(self) -> list[str]:
+        return self._position("s")
+
+    def get_predicates(self) -> list[str]:
+        return self._position("p")
+
+    def get_objects(self) -> list[str]:
+        return self._position("o")
+
+    def group_by_subject(self) -> dict[str, list[tuple[str, str, str]]]:
+        return self._group(0)
+
+    def group_by_predicate(self) -> dict[str, list[tuple[str, str, str]]]:
+        return self._group(1)
+
+    def group_by_object(self) -> dict[str, list[tuple[str, str, str]]]:
+        return self._group(2)
+
+    def _group(self, pos: int) -> dict[str, list[tuple[str, str, str]]]:
+        groups: dict[str, list[tuple[str, str, str]]] = {}
+        for t in self.get_results():
+            groups.setdefault(t[pos], []).append(t)
+        return groups
+
     def count(self) -> int:
         return self.dataframe().count()
 
@@ -193,3 +226,13 @@ class StreamingQueryBuilder:
 
     def get_stream_results(self) -> list[list[tuple[str, str, str]]]:
         return self.results
+
+    def get_all_stream_results(self) -> list[list[tuple[str, str, str]]]:
+        return self.results
+
+    def clear_stream_results(self) -> None:
+        self.results = []
+
+    def stop_stream(self) -> None:
+        """Flush active windows (reference stop semantics) and stop."""
+        self.window.flush()
