@@ -15,5 +15,10 @@ by Catalyst/AQE — not a port of its Rust binding-passing interpreter.
 from kolibrie_spark.engine import SparqlEngine
 from kolibrie_spark.store import QuadStore
 
+# Reference-bindings drop-in surface (``import kolibrie_spark.compat as
+# kolibrie`` runs the reference's Python example scripts verbatim) lives
+# in kolibrie_spark.compat; imported lazily there to keep this package
+# import light.
+
 __all__ = ["SparqlEngine", "QuadStore"]
 __version__ = "0.1.0"
