@@ -372,6 +372,13 @@ class Parser:
             q.limit = int(self.next().text)
         if self.take_kw("OFFSET"):
             q.offset = int(self.next().text)
+        # SPARQL 1.1 query-level ValuesClause (trailing VALUES after the
+        # solution modifiers — spec §10.2.2; an extension over the
+        # reference's current grammar, whose legacy values.rs example
+        # uses exactly this placement). Semantics: joined into the WHERE
+        # group like an in-group VALUES.
+        if self.take_kw("VALUES"):
+            q.where.elements.append(self.parse_values())
         return q
 
     def _iri_value(self) -> str:
