@@ -158,3 +158,51 @@ def test_aggregate_example_and_legacy_groupby_rejected(spark):
     assert len(got) == 1 and float(got[0][0]) == 75000.0
     with pytest.raises(ParseError):
         e.execute(q + " GROUPBY ?average_salary")
+
+
+def test_udf_example(spark):
+    """examples/sparql_syntax/user_defined_function: register a
+    string-vararg UDF and call it from BIND."""
+    store = QuadStore(spark)
+    store.add_quads(
+        [("http://example.com/s1", "http://example.com/predicate", "value1", None)]
+    )
+    e = SparqlEngine(spark, store)
+    e.register_udf("concatValues", lambda *args: "".join(args))
+    q = """
+    PREFIX ex: <http://example.com/>
+    SELECT ?subject ?result
+    WHERE {
+      ?subject ex:predicate ?object
+      BIND(concatValues(?object, "suffix") AS ?result)
+    }"""
+    assert [tuple(r) for r in e.execute(q)] == [
+        ("http://example.com/s1", "value1suffix")
+    ]
+
+
+def test_insert_where_example(spark):
+    """examples/sparql_syntax/insert: INSERT ... WHERE over RDF/XML data
+    (the reference's template shorthand without the DELETE clause)."""
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://example.org/">
+  <rdf:Description rdf:about="http://example.org/JohnDoe">
+    <ex:age>30</ex:age>
+  </rdf:Description>
+</rdf:RDF>"""
+    e = _engine(spark, xml)
+    e.update(
+        'PREFIX ex: <http://example.org/> '
+        'PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> '
+        'INSERT {<http://example.org/JohnDoe> ex:occupation "Software Developer"} '
+        'WHERE {<http://example.org/JohnDoe> ex:age "30"}'
+    )
+    got = [
+        tuple(r)
+        for r in e.execute(
+            "PREFIX ex: <http://example.org/> SELECT ?o "
+            "WHERE {<http://example.org/JohnDoe> ex:occupation ?o}"
+        )
+    ]
+    assert got == [("Software Developer",)]
