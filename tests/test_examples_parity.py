@@ -206,3 +206,80 @@ def test_insert_where_example(spark):
         )
     ]
     assert got == [("Software Developer",)]
+
+
+def test_filter_examples(spark):
+    """examples/sparql_syntax/filter: equality, || disjunction, numeric
+    comparison, and arithmetic-in-FILTER forms."""
+    store = QuadStore(spark)
+    ds = "https://data.cityofchicago.org/resource/xzkq-xp2w/"
+    store.add_quads(
+        [
+            ("e1", f"{ds}annual_salary", "100000", None),
+            ("e2", f"{ds}annual_salary", "50000", None),
+            ("e3", f"{ds}annual_salary", "75500", None),
+        ]
+    )
+    e = SparqlEngine(spark, store)
+    q1 = (
+        f"PREFIX ds: <{ds}> SELECT ?employee ?salary "
+        "WHERE {?employee ds:annual_salary ?salary FILTER(?salary > 75000)}"
+    )
+    assert sorted(tuple(r) for r in e.execute(q1)) == [
+        ("e1", "100000"), ("e3", "75500"),
+    ]
+    q2 = (
+        f"PREFIX ds: <{ds}> SELECT ?employee ?salary "
+        "WHERE { ?employee ds:annual_salary ?salary "
+        "FILTER(?salary > (75000 + 1000)) }"
+    )
+    assert sorted(tuple(r) for r in e.execute(q2)) == [("e1", "100000")]
+
+    store2 = QuadStore(spark)
+    v = "http://example.org/vocab#"
+    store2.add_quads(
+        [
+            ("ev1", f"{v}name", "SparkSummit", None),
+            ("ev1", f"{v}type", "Technical", None),
+            ("ev1", f"{v}attendees", "500", None),
+            ("ev2", f"{v}name", "ArtFair", None),
+            ("ev2", f"{v}type", "Cultural", None),
+            ("ev2", f"{v}attendees", "120", None),
+        ]
+    )
+    e2 = SparqlEngine(spark, store2)
+    q3 = f"""
+    PREFIX ex: <{v}>
+    SELECT ?name ?type ?attendees
+    WHERE {{
+        ?event ex:name ?name .
+        ?event ex:type ?type .
+        ?event ex:attendees ?attendees .
+        FILTER (?type = "Technical" || ?type = "Academic")
+    }}"""
+    assert [tuple(r) for r in e2.execute(q3)] == [("SparkSummit", "Technical", "500")]
+
+
+def test_simple_join_example(spark):
+    """examples/sparql_syntax/simple_join: dc:title/dc:creator join with
+    an equality FILTER."""
+    store = QuadStore(spark)
+    dc = "http://purl.org/dc/elements/1.1/"
+    store.add_quads(
+        [
+            ("b1", f"{dc}title", "Pride and Prejudice", None),
+            ("b1", f"{dc}creator", "Jane Austen", None),
+            ("b2", f"{dc}title", "Moby Dick", None),
+            ("b2", f"{dc}creator", "Herman Melville", None),
+        ]
+    )
+    e = SparqlEngine(spark, store)
+    q = f"""
+    PREFIX dc: <{dc}>
+    SELECT ?title ?author
+    WHERE {{
+      ?book dc:title ?title .
+      ?book dc:creator ?author
+      FILTER (?author = "Jane Austen")
+    }}"""
+    assert [tuple(r) for r in e.execute(q)] == [("Pride and Prejudice", "Jane Austen")]
