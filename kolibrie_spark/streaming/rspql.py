@@ -70,6 +70,14 @@ class RSPQLParser(Parser):
         pfx, _, local = text.partition(":")
         if pfx == "" and pfx not in self.prefixes:
             return local  # ':w' with no declared prefix = bare name
+        if pfx not in self.prefixes:
+            # reference parity: resolve_term_with_prefix (parser.rs:3379)
+            # falls back to the RAW prefixed name when the prefix is
+            # undeclared — the RSP examples use ssn:/sosa: terms without
+            # PREFIX declarations. The core SPARQL parser stays strict
+            # (better error reporting), only the streaming grammar is
+            # lenient like the reference.
+            return text
         return super().resolve_pname(text)
 
     def _stream_term(self):

@@ -5,7 +5,7 @@ firing counts and emissions."""
 import pytest
 
 from kolibrie_spark.streaming.r2s import DStream, IStream, RStream
-from kolibrie_spark.streaming.rspql import ParseError, parse_duration, parse_rspql
+from kolibrie_spark.streaming.rspql import ParseError, parse_duration, parse_retrieve, parse_rspql
 from kolibrie_spark.streaming.s2r import CSparqlWindow, ReportStrategy, Periodic
 
 
@@ -367,3 +367,38 @@ WHERE { ?a <q> ?b . }"""
     assert "REGISTER DSTREAM <urn:rule:X>" in r.register_text
     assert "WINDOW <w>" in r.register_text
     assert len(r.template) == 1
+
+
+def test_parse_rsp_ql_syntax_example_verbatim():
+    """Ports examples/sparql_syntax/rsp_ql_syntax/retrieve.rs: the full
+    RETRIEVE + REGISTER text parses as-is, including the undeclared
+    ssn:/: prefixed terms the reference resolves leniently
+    (resolve_term_with_prefix falls back to the raw name)."""
+    q = """RETRIEVE SOME ACTIVE STREAM ?s FROM <http://my.org/catalog>
+WITH {
+    ?s a :Stream .
+    ?s :hasDescriptor ?descriptor .
+    ?descriptor :hasMetaData ?meta.
+    ?meta :hasLocation <:somelocation>.
+    ?meta :hasCoverage <:someArea>.
+}
+REGISTER RSTREAM <http://out/stream> AS
+SELECT *
+FROM NAMED WINDOW :wind ON ?s [RANGE PT10M STEP PT1M]
+WHERE {
+    WINDOW :wind {
+        ?obs a ssn:Observation .
+        ?obs ssn:hasSimpleResult ?value .
+    }
+}"""
+    clause = parse_retrieve(q)
+    assert clause.mode == "SOME" and clause.variable == "s"
+    assert len(clause.group.elements) == 5
+    reg = parse_rspql(q[q.index("REGISTER") :])
+    assert reg.operator == "RSTREAM"
+    assert reg.output_iri == "http://out/stream"
+    w = reg.windows[0]
+    assert (w.iri, w.width, w.slide, w.stream) == ("wind", 600, 60, None)
+    # undeclared ssn: terms kept as raw prefixed names (reference parity)
+    pats = [e for e in w.group.elements]
+    assert any(getattr(p.p, "value", None) == "ssn:hasSimpleResult" for p in pats)
