@@ -28,30 +28,106 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # round-over-round regressions are visible on every operator.
 
 
+# keys that appear as `"name": number` in a bench JSON line but are NOT
+# per-query timings — the tail-regex fallback must not treat them as gates
+_NON_QUERY_KEYS = {"value", "setup_sec", "cpus", "prev", "now", "ratio", "n", "rc", "sf"}
+
+
+def _timings_from_tail(tail: str) -> dict[str, float]:
+    """Recover per-query timings from a driver-truncated BENCH tail string.
+
+    The driver's BENCH_r{N}.json stores `parsed: null` plus only the LAST
+    2000 chars of stdout (VERDICT r5 what's-wrong #1: that made the
+    tripwire compare against nothing since r3). The tail still contains
+    `"gate_name": 1.234` pairs from the tail end of the "queries" dict —
+    regex them out, dropping the metadata keys that share the shape. A
+    partial map is fine: the tripwire then covers the recovered subset
+    instead of zero gates.
+    """
+    out: dict[str, float] = {}
+    # stop at "regressions": entries there repeat gate names with prev/now
+    # floats that are NOT this round's timings
+    cut = tail.find('"regressions"')
+    body = tail[:cut] if cut >= 0 else tail
+    for m in re.finditer(r'"([A-Za-z_][\w]*)":\s*(-?\d+(?:\.\d+)?)\b', body):
+        name, val = m.group(1), float(m.group(2))
+        if name not in _NON_QUERY_KEYS:
+            out[name] = val
+    # the first regex hit may be a gate name truncated mid-word by the
+    # 2000-char window ('...ntal_near": 2.975'); drop it if the tail does
+    # not start at a clean `"` boundary
+    if out and not body.lstrip().startswith('"') and not body.lstrip().startswith("{"):
+        first = next(iter(out))
+        prefix = body[: body.find('"%s"' % first)]
+        if prefix and not prefix.rstrip().endswith((",", "{")):
+            out.pop(first, None)
+    return out
+
+
+def _round_file_index(here: str) -> dict[int, dict[str, str]]:
+    """{round N: {"driver": path?, "local": path?}} over BENCH*_r{N}.json."""
+    idx: dict[int, dict[str, str]] = {}
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")) + glob.glob(
+        os.path.join(here, "BENCH_LOCAL_r*.json")
+    ):
+        m = re.search(r"BENCH(_LOCAL)?_r(\d+)\.json$", path)
+        if not m:
+            continue
+        kind = "local" if m.group(1) else "driver"
+        idx.setdefault(int(m.group(2)), {})[kind] = path
+    return idx
+
+
+def _current_round(here: str) -> int:
+    """This build round = latest driver-written BENCH_r{N} + 1 (the driver
+    writes its file only AFTER the round ends, so during round N the newest
+    driver file is r{N-1})."""
+    idx = _round_file_index(here)
+    driver_rounds = [n for n, kinds in idx.items() if "driver" in kinds]
+    return (max(driver_rounds) + 1) if driver_rounds else 1
+
+
 def _previous_round_timings() -> tuple[str | None, dict[str, float]]:
-    """Latest BENCH_r{N}.json in the repo root → (filename, per-query secs).
+    """Per-query timings for the PREVIOUS round → (filename, secs).
 
     The regression tripwire (VERDICT r2 item 6): round N+1 must not silently
-    regress what round N fixed, so every bench run diffs itself against the
-    most recent recorded round and annotates >1.5x per-query slowdowns.
+    regress what round N fixed. Diff-base preference (VERDICT r5 item #1):
+
+    1. BENCH_LOCAL_r{N-1}.json — our own complete record, written by
+       main() at the end of every bench run (full "queries" dict).
+    2. BENCH_r{N-1}.json "parsed" dict, when the driver populated it.
+    3. BENCH_r{N-1}.json "tail" string, regex-recovered (partial but real —
+       the driver has stored parsed:null + a 2000-char tail since r3).
     """
     here = os.path.dirname(os.path.abspath(__file__))
-    best_n, best_path = -1, None
-    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if m and int(m.group(1)) > best_n:
-            best_n, best_path = int(m.group(1)), path
-    if best_path is None:
-        return None, {}
-    try:
-        with open(best_path) as fh:
-            prev = json.load(fh)
-        # the driver wraps the bench JSON line under "parsed"
-        if "queries" not in prev and isinstance(prev.get("parsed"), dict):
-            prev = prev["parsed"]
-        return os.path.basename(best_path), dict(prev.get("queries", {}))
-    except Exception:
-        return None, {}
+    idx = _round_file_index(here)
+    prev_round = _current_round(here) - 1
+    kinds = idx.get(prev_round, {})
+    if "local" in kinds:
+        try:
+            with open(kinds["local"]) as fh:
+                data = json.load(fh)
+            q = dict(data.get("queries", {}))
+            if q:
+                return os.path.basename(kinds["local"]), q
+        except Exception:
+            pass
+    if "driver" in kinds:
+        try:
+            with open(kinds["driver"]) as fh:
+                prev = json.load(fh)
+            if isinstance(prev.get("parsed"), dict) and prev["parsed"].get("queries"):
+                return os.path.basename(kinds["driver"]), dict(
+                    prev["parsed"]["queries"]
+                )
+            tail = prev.get("tail")
+            if isinstance(tail, str):
+                q = _timings_from_tail(tail)
+                if q:
+                    return os.path.basename(kinds["driver"]) + " (tail-regex)", q
+        except Exception:
+            pass
+    return None, {}
 
 
 def _find_regressions(
