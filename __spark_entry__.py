@@ -3721,79 +3721,74 @@ def entry(spark: SparkSession) -> DataFrame:
 # becomes the head of round N+1's list, so every gate gets an official
 # driver check at least every other round.
 #
-# Round 3 head = the 7 gates the r2 driver never checked (VERDICT r2 item 1;
-# prob_hybrid had NEVER had a driver row) FIRST — they must land inside the
-# 50-row window no matter what — then the session-4 gates (newest), then as
-# many session-3 gates as fit; the overflow rotates into the round-4 head.
+# STANDING policy since r5: oldest driver row leads.  Names not in
+# queries() are skipped by _driver_order, so listing planned gates is safe.
 #
-# ROUND-5 ROTATION (executed per VERDICT r4 item #1, now the STANDING
-# policy: oldest driver row leads).  The 44 gates whose last driver row is
-# r2 — two rounds of code churn ago — lead the window, followed by the six
-# round-5 gates that have never had a driver row or whose behavior
-# changed most: streaming_sliding_live (new), media_near_dup /
-# media_phash_pairs / media_audio_fp (exact-integer fingerprints + fixture
-# changes), and url_canonicalize / sample_token_budget (new operators).
-# 44 + 6 = 50 exactly.  Rotating into r6's head: split_leakage_safe
-# (new, no driver row yet) plus the r4-rowed touched gates that did not
-# fit — multimodal_features/frames/resize, multimodal_frame_content,
-# streaming_istream/dstream_live, streaming_sync_live (all re-verified
-# locally this round: repeated full check_correctness sweeps, last at
-# 146/146, + bit-exactness/live-parity pytest).  Names
-# not in queries() are skipped by _driver_order, so listing planned gates
-# is safe.
+# ROUND-7 ROTATION (executed per VERDICT r6 item #1 — the r6 list was
+# accidentally left byte-identical to r5's, so r6's window duplicated
+# r5's).  Head: split_leakage_safe (only gate never driver-checked),
+# sample_token_budget (implementation replaced this round: bucket-based
+# budget cut), the 12 r5-touched gates whose driver rows predate their
+# current code, then the 36 oldest (r3-rowed) gates that fit.
 _DRIVER_FIRST = [
-    # -- the 44 r2-stale gates (VERDICT r4 list, verbatim)
-    "agg_count",
-    "bind_arithmetic",
-    "bind_concat",
-    "dedup_cluster",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "distinct_segments",
-    "events_sessionize",
-    "events_window_agg",
-    "filter_exists",
-    "from_merge_dedup",
-    "graph_default_named_join",
-    "graph_fixed",
-    "graph_var",
-    "groupby_agg",
-    "minus_anti",
-    "offset_pagination",
-    "optional_left_join",
-    "order_by_desc_limit",
-    "order_numeric_lexical",
-    "path_opt_direct",
-    "path_plus_reach",
-    "path_seq_fk",
-    "path_star_reach",
-    "rdf_star_annotate",
-    "rdf_star_builtins",
-    "reasoner_transitive_closure",
-    "sample_stratified",
-    "sim_topk_cosine",
-    "sim_topk_ivf",
-    "sim_topk_lsh",
-    "sim_topk_quantized",
-    "subquery_count_join",
-    "text_analyze",
-    "udf_bind",
-    "union_multiset",
-    "union_three_branches",
-    "update_delete_where",
-    "update_insert_delete_data",
-    "update_insert_where",
-    "values_undef",
-    # -- round-5 gates: new + touched-this-round
-    "streaming_sliding_live",
-    "media_near_dup",
-    "media_phash_pairs",
-    "media_audio_fp",
-    "url_canonicalize",
+    # -- never driver-checked in 6 rounds (VERDICT r6 item #1)
+    "split_leakage_safe",
+    # -- implementation changes this round (r7): bucket-based token budget
     "sample_token_budget",
+    # -- the 12 r5-touched gates still carrying pre-r5 driver rows
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_frame_content",
+    "multimodal_resize",
+    "streaming_istream_live",
+    "streaming_dstream_live",
+    "streaming_sync_live",
+    "builder_chain",
+    "dedup_prefix_jaccard",
+    "dedup_incremental_near",
+    "dedup_semantic",
+    "sim_topk_pq",
+    # -- oldest remaining driver rows (r3), prioritized per VERDICT r6:
+    # prob/ml/analytics/sketches first, then text pack, dedup, sampling,
+    # profiling, events. 14 + 36 = 50 exactly; the four r3 gates that do
+    # not fit (asof_join_events_orders, telemetry_resample,
+    # embed_hard_negatives, events_path_trigrams) lead r8 with the r4 set.
+    "prob_hybrid",
+    "ml_predict",
+    "analytics_q3",
+    "analytics_q5",
+    "analytics_q10",
+    "streaming_istream_replay",
+    "sketch_kmv_distinct",
+    "sketch_hll_distinct",
+    "graph_triangles",
+    "text_common_spans",
+    "text_quality_gopher",
+    "text_strip_html",
+    "text_normalize",
+    "dedup_incremental",
+    "dedup_substring",
+    "dedup_paragraphs",
+    "fuzzy_vocab_pairs",
+    "embed_contamination",
+    "sample_weighted",
+    "sample_domain_cap",
+    "profile_rollup",
+    "profile_token_budget",
+    "profile_pivot",
+    "profile_ks_drift",
+    "profile_winsorize",
+    "audit_quality",
+    "audit_snapshot_diff",
+    "scd2_orders",
+    "events_downsample",
+    "events_json_agg",
+    "events_rolling",
+    "events_funnel",
+    "events_retention",
+    "events_interval_merge",
+    "events_anomaly_mad",
+    "events_ewma",
 ]
 
 

@@ -1,0 +1,135 @@
+"""Regression-tripwire unit tests for bench.py (VERDICT r5 item #1 /
+VERDICT r6 item #2): the tripwire must recover prior-round timings from a
+driver-truncated BENCH tail, flag a 2x slowdown, and prefer the full
+BENCH_LOCAL record when one exists.
+
+No SparkSession needed — these test the pure-Python diff machinery only.
+"""
+
+import importlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+bench = importlib.import_module("bench")
+
+
+def _driver_bench_file(tmp_path, rnd, tail):
+    """Write a BENCH_r{rnd}.json shaped exactly like the driver's: the
+    stdout JSON is NOT parsed (parsed: null) and only a truncated tail of
+    stdout survives."""
+    path = tmp_path / f"BENCH_r{rnd}.json"
+    path.write_text(json.dumps({"parsed": None, "tail": tail, "rc": 0}))
+    return path
+
+
+def _suite_json(queries, **extra):
+    payload = {
+        "metric": "operator_suite_wall_seconds",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": "0.1",
+        "setup_sec": 1.0,
+        "cpus": 32,
+        "regressions": {},
+        "regressions_vs": None,
+    }
+    payload.update(extra)
+    return json.dumps(payload)
+
+
+def test_tail_regex_recovers_timings_and_2x_slowdown_trips(tmp_path, monkeypatch):
+    """The r5-ordered scenario: plant a parsed:null + tail BENCH file for
+    the previous round, assert a 2x slowdown on a recovered gate trips the
+    1.5x + 0.3s threshold."""
+    prev = {"groupby_agg": 1.0, "dedup_exact": 0.8, "sim_topk_cosine": 2.0}
+    full = _suite_json(prev)
+    # driver keeps only the last N chars; cut inside the metric header so
+    # the whole queries dict survives but the JSON is unparseable-prefix
+    tail = full[len('{"metric": "opera') :]
+    _driver_bench_file(tmp_path, 6, tail)
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
+
+    src, recovered = bench._previous_round_timings()
+    assert "tail-regex" in src
+    assert recovered["groupby_agg"] == 1.0
+    assert recovered["sim_topk_cosine"] == 2.0
+
+    now = dict(prev, groupby_agg=2.1)  # 2.1x and +1.1s: must trip
+    regs = bench._find_regressions(now, recovered)
+    assert "groupby_agg" in regs and regs["groupby_agg"]["ratio"] == 2.1
+    # unchanged gates must NOT trip
+    assert "dedup_exact" not in regs and "sim_topk_cosine" not in regs
+
+
+def test_tail_cut_exactly_at_quote_boundary_drops_first_gate():
+    """ADVICE r6 low (bench.py:59): a cut landing AFTER the opening quote
+    ('"togram": 0.412, ...') passes the old startswith('"') guard; the
+    truncated name must still be discarded."""
+    full = _suite_json({"profile_histogram": 0.412, "groupby_agg": 1.0})
+    cut = full.find('"profile_histogram"') + len('"profile_his')
+    tail = full[cut:]  # tail starts 'togram": 0.412, ...' — mid-name
+    got = bench._timings_from_tail(tail)
+    assert "togram" not in got and "profile_histogram" not in got
+    assert got["groupby_agg"] == 1.0
+
+    # variant: cut lands exactly ON the opening quote — name is intact,
+    # but bench can't know that; best-effort drop of the first hit is the
+    # documented behavior
+    tail2 = full[full.find('"profile_histogram"') :]
+    got2 = bench._timings_from_tail(tail2)
+    assert got2["groupby_agg"] == 1.0
+
+    # untruncated object: nothing dropped
+    got3 = bench._timings_from_tail(full)
+    assert got3 == {"profile_histogram": 0.412, "groupby_agg": 1.0}
+
+
+def test_bench_local_preferred_over_driver_tail(tmp_path, monkeypatch):
+    """Tier-1: when BENCH_LOCAL_r{N-1}.json exists it wins over the tail
+    regex and covers gates the 2000-char window lost."""
+    all_gates = {f"gate_{i:03d}": 1.0 for i in range(140)}
+    local = tmp_path / "BENCH_LOCAL_r6.json"
+    local.write_text(_suite_json(all_gates))
+    # driver file for the same round only has the last few gates in tail
+    _driver_bench_file(tmp_path, 6, '"gate_138": 1.0, "gate_139": 1.0}}')
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
+
+    src, recovered = bench._previous_round_timings()
+    assert src == "BENCH_LOCAL_r6.json"
+    assert len(recovered) == 140  # full coverage, not the ~tail subset
+
+
+def test_current_round_prefers_env(tmp_path, monkeypatch):
+    """ADVICE r6 low (bench.py:81): a stale BENCH_r{N} for the CURRENT
+    round must not make the tripwire self-compare when the env var says
+    otherwise."""
+    _driver_bench_file(tmp_path, 7, '"groupby_agg": 1.0}}')
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
+    assert bench._current_round(str(tmp_path)) == 7
+    monkeypatch.delenv("SPARK_GRAFT_ROUND")
+    # heuristic fallback: newest driver file + 1
+    assert bench._current_round(str(tmp_path)) == 8
+
+
+def test_metadata_keys_not_treated_as_gates():
+    tail = (
+        '"queries": {"groupby_agg": 1.0}, "sf": 0.1, "setup_sec": 3.2, '
+        '"cpus": 32, "value": 1.0'
+    )
+    got = bench._timings_from_tail(tail)
+    assert got == {"groupby_agg": 1.0}
+
+
+def test_regressions_section_in_tail_not_mistaken_for_timings():
+    tail = (
+        '{"queries": {"groupby_agg": 1.0}, "regressions": '
+        '{"groupby_agg": {"prev": 0.2, "now": 1.0, "ratio": 5.0}}}'
+    )
+    got = bench._timings_from_tail(tail)
+    assert got == {"groupby_agg": 1.0}
