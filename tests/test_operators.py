@@ -218,6 +218,78 @@ def test_png_content_roundtrip_all_filters():
     assert decode_png(build_png(5, 4))["pixels"] == bytes(20)
 
 
+def test_encode_png_gray_bit_identical_to_build_png():
+    """encode_png_gray (vectorized filter-0 emit, r7 resize-regression
+    fix) must produce the exact bytes of the per-pixel build_png path —
+    the media gates hash re-encoded blobs, so byte identity is the
+    contract, not just decode equivalence."""
+    import numpy as np
+
+    from kolibrie_spark.operators.multimodal import (
+        build_png,
+        decode_png,
+        encode_png_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    for w, h in [(1, 1), (6, 4), (32, 32), (17, 23)]:
+        px = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        fast = encode_png_gray(px, w, h)
+        slow = build_png(w, h, pixel_fn=lambda x, y, px=px, w=w: px[y * w + x])
+        assert fast == slow
+        assert bytes(decode_png(fast)["pixels"]) == px
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_png_gray(b"\x00" * 5, 2, 2)
+
+
+def test_resize_pixels_integral_image_bit_exact():
+    """The r7 integral-image resampler must match the per-box loop it
+    replaced (floor integer means over the same index grids) on every
+    channel count, including upscale (degenerate 1-px boxes)."""
+    import numpy as np
+
+    from kolibrie_spark.operators.multimodal import resize_pixels
+
+    def loop_resize(px, w, h, ch, out_w, out_h):
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w * ch)
+        if ch <= 2:
+            gray = (
+                arr[:, 0::ch].astype(np.int64) if ch == 2 else arr.astype(np.int64)
+            )
+        else:
+            pix = arr.reshape(h, w, ch).astype(np.int64)
+            gray = (
+                299 * pix[:, :, 0] + 587 * pix[:, :, 1] + 114 * pix[:, :, 2]
+            ) // 1000
+        ys = [(y * h) // out_h for y in range(out_h + 1)]
+        xs = [(x * w) // out_w for x in range(out_w + 1)]
+        out = bytearray(out_w * out_h)
+        for yi in range(out_h):
+            y0, y1 = ys[yi], max(ys[yi + 1], ys[yi] + 1)
+            for xi in range(out_w):
+                x0, x1 = xs[xi], max(xs[xi + 1], xs[xi] + 1)
+                box = gray[y0:y1, x0:x1]
+                out[yi * out_w + xi] = int(box.sum()) // box.size
+        return bytes(out)
+
+    rng = np.random.default_rng(13)
+    cases = [
+        (5, 3, 1, 32, 32),   # upscale: boxes degenerate to 1 px
+        (64, 48, 3, 16, 16), # RGB downscale
+        (7, 7, 2, 7, 7),     # gray+alpha identity-ish
+        (100, 60, 4, 32, 24),
+        (1, 1, 1, 4, 4),
+        (22, 16, 1, 6, 4),   # the multimodal_resize gate's shape class
+    ]
+    for w, h, ch, ow, oh in cases:
+        px = rng.integers(0, 256, size=h * w * ch, dtype=np.uint8).tobytes()
+        assert resize_pixels(px, w, h, ch, ow, oh) == loop_resize(
+            px, w, h, ch, ow, oh
+        ), (w, h, ch, ow, oh)
+
+
 def test_png_decode_rejects_unsupported():
     from kolibrie_spark.operators.multimodal import build_png, decode_png
 
