@@ -264,7 +264,12 @@ _XML_BASE = "{http://www.w3.org/XML/1998/namespace}base"
 _ABS_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
 
-def parse_rdfxml(text: str, base: str | None = None) -> list[tuple[str, str, str]]:
+def parse_rdfxml(
+    text: str,
+    base: str | None = None,
+    bnode_prefix: str = "",
+    genid_prefix: str | None = None,
+) -> list[tuple[str, str, str]]:
     """RDF/XML node-element subset (reference sparql_database.rs:630-804,
     extended spec-ward per VERDICT r4 #9): rdf:about / rdf:ID (resolved
     against xml:base or ``base`` with '#', W3C rdf-syntax §5.3) /
@@ -272,11 +277,26 @@ def parse_rdfxml(text: str, base: str | None = None) -> list[tuple[str, str, str
     property elements take rdf:resource (base-resolved), rdf:nodeID,
     NESTED node elements (recursing, object = nested subject — anonymous
     nested nodes get deterministic _:genid labels), or text content as
-    objects."""
+    objects.
+
+    Blank-node scoping (VERDICT r6 item #4): per RDF semantics a blank
+    node label is DOCUMENT-scoped, so a multi-document ingest must salt
+    labels or two files both writing ``rdf:nodeID="b1"`` (or both
+    containing anonymous nested nodes → ``_:genid1``) silently merge into
+    one node. ``bnode_prefix`` is inserted after ``_:`` on every
+    rdf:nodeID label; ``genid_prefix`` (defaults to ``bnode_prefix``) on
+    every generated anonymous label. ``read_rdfxml_df`` passes a per-file
+    hash for the former and a per-file-chunk hash for the latter —
+    nodeID labels must unify ACROSS chunks of one file while anonymous
+    counters, which restart per chunk, must not. The reference scopes
+    equivalently: each document's labels pass through its own dictionary
+    encoding pass (kolibrie/src/sparql_database.rs:806-963)."""
     from urllib.parse import urljoin
 
     root = ET.fromstring(text)
     doc_base = root.get(_XML_BASE) or base or ""
+    if genid_prefix is None:
+        genid_prefix = bnode_prefix
     triples: list[tuple[str, str, str]] = []
     genid = [0]
 
@@ -294,9 +314,9 @@ def parse_rdfxml(text: str, base: str | None = None) -> list[tuple[str, str, str
             return urljoin(doc_base, "#" + rid) if doc_base else rid
         nid = el.get(f"{_RDF_NS}nodeID")
         if nid is not None:
-            return f"_:{nid}"
+            return f"_:{bnode_prefix}{nid}"
         genid[0] += 1
-        return f"_:genid{genid[0]}"
+        return f"_:{genid_prefix}genid{genid[0]}"
 
     def node_element(el) -> str:
         s = subject_of(el)
@@ -310,7 +330,7 @@ def parse_rdfxml(text: str, base: str | None = None) -> list[tuple[str, str, str
             if res is not None:
                 obj = resolve(res)
             elif nid is not None:
-                obj = f"_:{nid}"
+                obj = f"_:{bnode_prefix}{nid}"
             elif nested:
                 obj = node_element(nested[0])
             else:

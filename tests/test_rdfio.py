@@ -277,3 +277,120 @@ def test_turtle_chunker_edges():
     assert all("@prefix" not in c for c in chunks)
     # one big chunk keeps everything
     assert len(_turtle_statement_chunks(text, per_chunk=100)) == 1
+
+
+def test_multifile_rdfxml_blank_nodes_stay_distinct(spark, tmp_path):
+    """VERDICT r6 item #4: two files each containing anonymous nested
+    nodes AND the same rdf:nodeID label must yield DISTINCT blank nodes —
+    labels are document-scoped in RDF."""
+    from kolibrie_spark.rdfio import read_rdfxml_df
+
+    xdir = tmp_path / "xml"
+    xdir.mkdir()
+    for f in range(2):
+        xml = f"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="http://ex/">
+  <rdf:Description rdf:about="http://ex/s{f}">
+    <ex:pet><ex:Cat><ex:name>Cat{f}</ex:name></ex:Cat></ex:pet>
+    <ex:knows rdf:nodeID="b1"/>
+  </rdf:Description>
+  <rdf:Description rdf:nodeID="b1"><ex:name>Friend{f}</ex:name></rdf:Description>
+</rdf:RDF>"""
+        (xdir / f"f{f}.rdf").write_text(xml)
+
+    rows = [tuple(r) for r in read_rdfxml_df(spark, str(xdir)).collect()]
+    # two files x one anonymous cat each -> 2 distinct genid subjects
+    cat_nodes = {s for s, p, o, _ in rows if p == "http://ex/name" and o.startswith("Cat")}
+    assert len(cat_nodes) == 2 and all(n.startswith("_:") for n in cat_nodes)
+    # the rdf:nodeID="b1" labels must NOT conflate across files: each
+    # file's ex:knows object is that file's own Friend node
+    friend_of = {}
+    name_of = {s: o for s, p, o, _ in rows if p == "http://ex/name"}
+    for s, p, o, _ in rows:
+        if p == "http://ex/knows":
+            friend_of[s] = o
+    assert len(set(friend_of.values())) == 2
+    assert {name_of[b] for b in friend_of.values()} == {"Friend0", "Friend1"}
+    # within one file, the nodeID reference and its definition DO unify
+    assert all(b in name_of for b in friend_of.values())
+
+
+def test_single_file_rdfxml_chunk_parallel_roundtrip(spark, tmp_path):
+    """VERDICT r6 item #8: ONE RDF/XML file must split into >1 parse
+    chunks and still produce the whole-document triple set (modulo
+    blank-node relabeling), with rdf:ID/xml:base resolution and
+    rdf:nodeID unification working across chunk boundaries."""
+    from kolibrie_spark.rdfio import _rdfxml_chunks, read_rdfxml_df
+    from kolibrie_spark.rdfio.parsers import parse_rdfxml
+
+    n = 40
+    body = "".join(
+        f'<rdf:Description rdf:ID="r{i}"><ex:idx>{i}</ex:idx>'
+        f'<ex:next rdf:resource="#r{(i + 1) % n}"/>'
+        f"<ex:tag><ex:Tag><ex:val>t{i}</ex:val></ex:Tag></ex:tag>"
+        f'<ex:hub rdf:nodeID="hub"/></rdf:Description>'
+        for i in range(n)
+    )
+    xml = (
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://ex/" xml:base="http://base/doc">'
+        f'{body}<rdf:Description rdf:nodeID="hub"><ex:name>HUB</ex:name>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    f = tmp_path / "one.rdf"
+    f.write_text(xml)
+
+    assert len(_rdfxml_chunks(xml, 7)) > 1  # >1 parse tasks from ONE file
+
+    got = [tuple(r) for r in read_rdfxml_df(spark, str(f), elements_per_chunk=7).collect()]
+    want = [(s, p, o, None) for s, p, o in parse_rdfxml(xml)]
+    assert len(got) == len(want)
+
+    def skeleton(rows):
+        # blank labels are arbitrary: canonicalize each bnode by its
+        # 1-hop signature (sorted incident predicate/ground-term edges) —
+        # unique in this fixture (distinct ex:val per genid node, one hub)
+        sig = {}
+        for s, p, o, _ in rows:
+            if s.startswith("_:") and not o.startswith("_:"):
+                sig.setdefault(s, []).append(("out", p, o))
+            if o.startswith("_:") and not s.startswith("_:"):
+                sig.setdefault(o, []).append(("in", p, s))
+
+        def wipe(t):
+            return f"_:{sorted(sig[t])!r}" if t.startswith("_:") else t
+
+        assert len({wipe(b) for b in sig}) == len(sig)  # signatures unique
+        return sorted((wipe(s), p, wipe(o), g) for s, p, o, g in rows)
+
+    assert skeleton(got) == skeleton(want)
+    # xml:base'd rdf:ID resolution survives chunking
+    assert ("http://base/doc#r0", "http://ex/idx", "0", None) in got
+    assert ("http://base/doc#r3", "http://ex/next", "http://base/doc#r4", None) in got
+    # rdf:nodeID="hub" unifies ACROSS chunks: every element's ex:hub
+    # object is the single node that carries ex:name HUB
+    hub_objs = {o for s, p, o, _ in got if p == "http://ex/hub"}
+    hub_defs = {s for s, p, o, _ in got if o == "HUB"}
+    assert len(hub_objs) == 1 and hub_objs == hub_defs
+
+
+def test_multifile_turtle_prefixes_stay_per_file(spark, tmp_path):
+    """VERDICT r6 item #5: two files binding the same @prefix label to
+    DIFFERENT IRIs must each expand their own terms in their own
+    namespace (no last-file-wins clobbering)."""
+    from kolibrie_spark.rdfio import read_n3_df, read_turtle_df
+
+    for reader, ext in [(read_turtle_df, "ttl"), (read_n3_df, "n3")]:
+        d = tmp_path / f"corpus_{ext}"
+        d.mkdir()
+        for f in range(2):
+            (d / f"f{f}.{ext}").write_text(
+                f"@prefix ex: <http://domain{f}/> .\n"
+                f"ex:subj ex:pred ex:obj{f} .\n"
+            )
+        rows = sorted(tuple(r) for r in reader(spark, str(d)).collect())
+        assert rows == [
+            ("http://domain0/subj", "http://domain0/pred", "http://domain0/obj0", None),
+            ("http://domain1/subj", "http://domain1/pred", "http://domain1/obj1", None),
+        ], rows
