@@ -281,21 +281,110 @@ def token_budget_sample(
     SQL-expressible and order-stable, and match how crawl pipelines cut
     quality-sorted shards).
 
-    Plan: one window cumulative sum over (score desc, id) — a single
-    global sort.  At 100 TB, pre-aggregate per quality BUCKET first
-    (quantile the scores, sum tokens per bucket, pick the threshold
-    bucket on the driver) and only sort within the boundary bucket; the
-    exact form here is the semantics those approximations approximate.
+    Plan (VERDICT r6 item #6 — no whole-corpus single-partition window):
+    quantile-bucket the scores (same score value → same bucket, so the
+    between-bucket order IS the global score order), aggregate token
+    sums per bucket (a ``n_buckets``-row driver aggregate), walk the
+    buckets best-first on the driver to find the BOUNDARY bucket where
+    the cumulative crosses the budget, then run the exact
+    (score desc, id) cumulative-sum window ONLY inside that one bucket
+    (~1/n_buckets of the data) seeded with the kept-buckets' token sum.
+    Fully-kept buckets pass through with no sort; everything after the
+    boundary bucket is pruned at the scan.  Output is row-identical to
+    the single global window — the driver sees only the tiny per-bucket
+    aggregate, never rows.
     """
+    bounds = _distinct_score_bounds(df, score_col, n_buckets=64)
+    if not bounds:
+        # degenerate score distribution (constant / all-null / empty):
+        # ordering is by id within one bucket — window over everything,
+        # which IS the boundary bucket
+        return _prefix_within(df, id_col, score_col, tokens_col, budget, 0)
+
+    # bucket index: number of boundaries strictly below this score →
+    # higher bucket = higher score; equal scores always share a bucket,
+    # so ties (broken by id) never straddle a bucket boundary.  NULL
+    # scores sort LAST under ORDER BY score DESC — give them bucket -1.
+    barr = F.array(*[F.lit(b) for b in bounds])
+    bucket_expr = F.when(
+        F.col(score_col).isNull(), F.lit(-1)
+    ).otherwise(
+        F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(b < F.col(score_col), 1).otherwise(0),
+        )
+    )
+    with_bucket = df.withColumn("__tb_bucket", bucket_expr)
+
+    # tiny aggregate: one row per bucket → driver picks the boundary
+    totals = {
+        row["__tb_bucket"]: row["__tb_sum"]
+        for row in with_bucket.groupBy("__tb_bucket")
+        .agg(F.sum(F.coalesce(F.col(tokens_col), F.lit(0))).alias("__tb_sum"))
+        .collect()
+    }
+    cum = 0
+    boundary = None
+    for b in sorted(totals, reverse=True):  # best-score bucket first
+        if cum + totals[b] > budget:
+            boundary = b
+            break
+        cum += totals[b]
+    if boundary is None:  # whole corpus fits
+        return with_bucket.drop("__tb_bucket")
+
+    kept_full = with_bucket.filter(F.col("__tb_bucket") > boundary).drop(
+        "__tb_bucket"
+    )
+    boundary_kept = _prefix_within(
+        with_bucket.filter(F.col("__tb_bucket") == boundary).drop("__tb_bucket"),
+        id_col,
+        score_col,
+        tokens_col,
+        budget,
+        cum,
+    )
+    # buckets below the boundary are dropped entirely (prefix semantics:
+    # nothing after the first overflow is kept) — pruned at the scan
+    return kept_full.unionByName(boundary_kept)
+
+
+def _prefix_within(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+    offset: int,
+) -> DataFrame:
+    """Exact (score desc, id asc) running-total prefix filter, seeded
+    with ``offset`` tokens already spent — the boundary-bucket tail of
+    :func:`token_budget_sample` (and its exact-semantics fallback)."""
     w = (
         Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.withColumn("__cum", F.sum(F.col(tokens_col)).over(w))
+        df.withColumn("__cum", F.sum(F.col(tokens_col)).over(w) + F.lit(offset))
         .filter(F.col("__cum") <= budget)
         .drop("__cum")
     )
+
+
+def _distinct_score_bounds(
+    df: DataFrame, score_col: str, n_buckets: int
+) -> list[float]:
+    """Distinct ascending quantile boundaries for the score column.
+    approxQuantile is one driver-side aggregate (Greenwald-Khanna
+    sketch, no sort, no row movement); boundary PLACEMENT only affects
+    bucket sizing, never the result, so the approximation is free."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    try:
+        qs = df.stat.approxQuantile(score_col, probs, 0.001)
+    except Exception:
+        return []
+    return sorted(set(qs))
 
 
 def leakage_safe_split(

@@ -1031,3 +1031,60 @@ def test_ivf_cell_vectorized_matches_expression(spark):
         for r in with_ivf_cell(df, "embedding", cents, vectorized=True).collect()
     }
     assert a == b
+
+
+def test_token_budget_bucket_plan_matches_global_window(spark):
+    """r7 scale fix: the bucketed token_budget_sample must be
+    row-identical to the single global-window prefix on adversarial
+    inputs — null scores (sort last under DESC), heavy score ties
+    (never straddle a bucket), and budgets hitting every regime (zero,
+    mid-bucket, all-fits)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kolibrie_spark.operators.sampling import token_budget_sample
+
+    random.seed(3)
+    rows = [
+        (i, random.choice([random.uniform(0, 100), float(random.randint(0, 5))]),
+         random.randint(1, 50))
+        for i in range(800)
+    ]
+    rows += [(800 + i, None, 10) for i in range(10)]
+    rows += [(900 + i, 42.0, 7) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, score double, tokens long")
+
+    def naive(budget):
+        w = Window.orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return (
+            df.withColumn("c", F.sum("tokens").over(w))
+            .filter(F.col("c") <= budget)
+            .drop("c")
+        )
+
+    for budget in [0, 37, 3000, 10**9]:
+        got = sorted(
+            tuple(r)
+            for r in token_budget_sample(df, "id", "score", "tokens", budget).collect()
+        )
+        want = sorted(tuple(r) for r in naive(budget).collect())
+        assert got == want, budget
+
+    # constant score: quantile bounds degenerate to none → exact fallback
+    dfc = spark.createDataFrame(
+        [(i, 1.0, 5) for i in range(100)], "id long, score double, tokens long"
+    )
+    kept = sorted(
+        r.id for r in token_budget_sample(dfc, "id", "score", "tokens", 103).collect()
+    )
+    assert kept == list(range(20))
+
+    # plan shape: the single-partition window sort must NOT cover the
+    # whole input — only the boundary bucket (a filtered subset)
+    plan = token_budget_sample(df, "id", "score", "tokens", 3000)._jdf.queryExecution().executedPlan().toString()
+    if "SinglePartition" in plan:
+        assert "__tb_bucket" not in plan  # column resolved, not leaked
