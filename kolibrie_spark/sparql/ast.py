@@ -242,6 +242,10 @@ class SelectQuery:
     order_by: list[tuple[Var, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
     offset: int | None = None
+    # SPARQL 1.1 query-level ValuesClause (trailing VALUES). Spec
+    # §18.2.4.5 joins it AFTER grouping/aggregation; the compiler honors
+    # that when the query aggregates, else folds it into the WHERE group.
+    trailing_values: object | None = None  # ValuesBlock
 
 
 # ------------------------------------------------------------------ updates

@@ -269,7 +269,19 @@ class Compiler:
     def compile_select(self, q: ast.SelectQuery) -> DataFrame:
         view = DatasetView(self.store, q.from_graphs, q.from_named)
         b = self.compile_group(q.where, view, active_graph=None)
+        if q.trailing_values is not None and not self._query_aggregates(q):
+            # no aggregation: joining the query-level VALUES onto the
+            # group result is spec order (§18.2.4.5) already
+            b = join_bindings(b, self._values(q.trailing_values))
         return self._apply_modifiers(q, b)
+
+    @staticmethod
+    def _query_aggregates(q: ast.SelectQuery) -> bool:
+        return bool(
+            q.group_by
+            or q.having is not None
+            or any(isinstance(i, ast.Aggregate) for i in q.select)
+        )
 
     def compile_construct(self, q: "ast.ConstructQuery") -> DataFrame:
         """CONSTRUCT (SPARQL 1.1 extension): the WHERE bindings instantiate
@@ -326,10 +338,13 @@ class Compiler:
             agg_exprs = [self._agg_expr(a, df) for a in aggs]
             # non-grouped, non-aggregated projected vars carried as
             # first-of-group (reference execute_query.rs:466-471)
+            # vars absent from the pattern stay ABSENT (unbound), not
+            # null-valued columns — a manufactured NULL column would
+            # equi-join against a trailing VALUES binding and drop rows
             agg_exprs += [
                 F.first(self._var_col(df, v)).alias(v)
                 for v in plain
-                if v not in group_vars
+                if v not in group_vars and v in df.columns
             ]
             hidden: list[ast.Aggregate] = []
             if q.having is not None:
@@ -353,6 +368,15 @@ class Compiler:
                 df = df.filter(
                     self.compile_expr(having_expr, Bindings(df), as_bool=True)
                 )
+            if q.trailing_values is not None:
+                # spec §18.2.4.5: the query-level VALUES joins AFTER
+                # grouping/aggregation (and HAVING), before projection
+                # expressions — ADVICE r6: the old fold-into-WHERE
+                # placement made GROUP BY group over the VALUES join,
+                # which is non-conformant
+                df = join_bindings(
+                    Bindings(df), self._values(q.trailing_values)
+                ).df
             for alias, rewritten in pexpr_rewritten:
                 df = df.withColumn(
                     alias,

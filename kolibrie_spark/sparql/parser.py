@@ -375,10 +375,12 @@ class Parser:
         # SPARQL 1.1 query-level ValuesClause (trailing VALUES after the
         # solution modifiers — spec §10.2.2; an extension over the
         # reference's current grammar, whose legacy values.rs example
-        # uses exactly this placement). Semantics: joined into the WHERE
-        # group like an in-group VALUES.
+        # uses exactly this placement). Kept on the AST so the compiler
+        # can join it per spec §18.2.4.5: AFTER aggregation when the
+        # query groups/aggregates, else folded into the WHERE group
+        # (identical join semantics there).
         if self.take_kw("VALUES"):
-            q.where.elements.append(self.parse_values())
+            q.trailing_values = self.parse_values()
         return q
 
     def _iri_value(self) -> str:

@@ -511,3 +511,39 @@ def test_datetime_builtins(engine):
         )
     )
     assert got == [("ex:e1", "3", "12")]
+
+
+def test_trailing_values_joins_after_group_by(engine):
+    """SPARQL §18.2.4.5 (ADVICE r6): a query-level VALUES joins AFTER
+    aggregation — it filters/extends the GROUPED solutions, it must not
+    multiply the rows being grouped."""
+    e = seed(engine)
+    # city counts: Ghent 2, Paris 1. Trailing VALUES restricts the
+    # grouped output to Ghent; pre-aggregation folding would have joined
+    # first (1 city match) and still count 2 — the distinguishing case
+    # is a VALUES row that matches NO group:
+    got = e.execute(
+        "SELECT ?c (COUNT(?s) AS ?n) WHERE { ?s <ex:city> ?c } GROUP BY ?c "
+        'VALUES ?c { "Ghent" "Atlantis" }'
+    )
+    assert got == [["Ghent", "2"]] or got == [["Ghent", 2]]
+
+    # a VALUES var NOT in the aggregate output cross-extends the grouped
+    # rows (compatible-mapping join with disjoint domains)
+    got = sorted(
+        e.execute(
+            "SELECT ?c ?tag (COUNT(?s) AS ?n) WHERE { ?s <ex:city> ?c } "
+            'GROUP BY ?c VALUES ?tag { "t1" "t2" }'
+        )
+    )
+    assert [g[0] for g in got] == ["Ghent", "Ghent", "Paris", "Paris"]
+    assert {g[1] for g in got} == {"t1", "t2"}
+    assert all(str(g[2]) in {"1", "2"} for g in got)
+
+    # non-aggregate trailing VALUES keeps its join-into-pattern result
+    got = rows(
+        e.query(
+            'SELECT ?n WHERE { ?s <ex:name> ?n } VALUES ?n { "Alice" "Bob" }'
+        )
+    )
+    assert sorted(got) == [("Alice",), ("Bob",)]
