@@ -34,7 +34,11 @@ Documented divergences from the faithful mode (SURVEY §4.2.5):
   events), Spark-watermark style: a window over a stalled stream still
   closes once other streams push the hwm past its close. The faithful
   engine is event-driven per stream — a stalled stream's window never
-  fires there;
+  fires there. OPT-IN: ``per_stream_hwm=True`` advances each
+  fixed-stream window on its own stream's mark instead, restoring the
+  event-driven hold (parity-tested against RSPEngine with one stream
+  stalled); the default stays global because it is the standard
+  watermark contract a Spark user expects;
 - non-default REPORT strategies (NonEmptyContent, OnContentChange,
   Periodic) run as batch-granularity emission gates (_report_fire): the
   batch hwm stands in for the event timestamp, so they coincide with the
@@ -88,11 +92,21 @@ class StructuredRSP:
     watermark: int | None = None
     sink: object | None = None
     sync_policy: tuple = ("WAIT",)
+    # Opt-in event-driven firing parity (VERDICT r6 item #9): advance each
+    # fixed-stream window on ITS OWN stream's high-water mark instead of
+    # the global one, matching the reference's per-stream event routing
+    # (rsp_engine.rs:773-811: add_to_stream only ticks the matching
+    # windows) — a stalled stream's window then HOLDS instead of being
+    # closed by other streams' progress. Variable-stream windows and the
+    # non-default REPORT gates still use the global hwm; buffer eviction
+    # keys on the slowest window so a held window's events are retained.
+    per_stream_hwm: bool = False
     emissions: list = field(default_factory=list)
 
     def __post_init__(self):
         self.buffer: DataFrame = self.spark.createDataFrame([], _BUFFER_SCHEMA)
         self.hwm = -1
+        self._stream_hwm: dict[str, int] = {}
         self._fired_until: dict[str, int] = {}
         self._last_window_results: dict[str, Bindings] = {}
         self._r2s_state: DataFrame | None = None
@@ -124,11 +138,23 @@ class StructuredRSP:
         prev_hwm = self.hwm
         pre_buffer = self.buffer
         self.hwm = max(self.hwm, int(stats.hi))
+        if self.per_stream_hwm:
+            # tiny control-plane aggregate: one row per stream in the batch
+            for r in batch.groupBy("stream").agg(
+                F.max("event_time").alias("hi")
+            ).collect():
+                self._stream_hwm[r["stream"]] = max(
+                    self._stream_hwm.get(r["stream"], -1), int(r["hi"])
+                )
         if self.watermark is not None:
             batch = batch.filter(F.col("event_time") >= self.hwm - self.watermark)
         self.buffer = self.buffer.unionByName(batch)
-        # bounded state: nothing older than any window can still need
-        horizon = self.hwm - max(w.width + w.slide for w in self.query.windows)
+        # bounded state: nothing older than any window can still need —
+        # under per-stream firing the slowest window's OWN hwm governs,
+        # so a held window's events survive other streams' progress
+        horizon = min(
+            self._hwm_for(w) - (w.width + w.slide) for w in self.query.windows
+        )
         if self.watermark is not None:
             horizon = max(horizon, self.hwm - self.watermark)
         self.buffer = self.buffer.filter(
@@ -186,10 +212,11 @@ class StructuredRSP:
                 if w.stream is None
                 else self.buffer.filter(F.col("stream") == w.stream)
             )
-            # control plane: latest window of this spec closed under the hwm
+            # control plane: latest window of this spec closed under the
+            # governing hwm (this stream's own, under per_stream_hwm)
             assigned = window_assignments(stream_events, "event_time", w.width, w.slide)
             row = (
-                assigned.filter(F.col("window_close") <= self.hwm)
+                assigned.filter(F.col("window_close") <= self._hwm_for(w))
                 .agg(F.max("window_close").alias("close"))
                 .first()
             )
@@ -206,6 +233,15 @@ class StructuredRSP:
             self._last_window_results[w.iri] = self._eval_window(w, content)
 
         return pre_flush + self._advance(fired, all_w)
+
+    def _hwm_for(self, w) -> int:
+        """The high-water mark that governs window ``w``: its own
+        stream's under ``per_stream_hwm`` (variable-stream windows always
+        see every event, so the global mark IS their stream mark), else
+        the global one."""
+        if self.per_stream_hwm and w.stream is not None:
+            return self._stream_hwm.get(w.stream, -1)
+        return self.hwm
 
     def _report_fire(self, w, strategies, pre_events: DataFrame, prev_hwm: int):
         """Non-default report strategies (NonEmptyContent, OnContentChange,
@@ -440,6 +476,7 @@ def compile_structured(
     watermark: int | None = None,
     sink=None,
     sync_policy: tuple = ("WAIT",),
+    per_stream_hwm: bool = False,
 ) -> StructuredRSP:
     return StructuredRSP(
         spark=spark,
@@ -448,4 +485,5 @@ def compile_structured(
         watermark=watermark,
         sink=sink,
         sync_policy=sync_policy,
+        per_stream_hwm=per_stream_hwm,
     )

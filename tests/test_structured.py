@@ -911,3 +911,51 @@ def test_structured_report_strategies_sliding_step_gt1(spark, report, rng):
     eng = RSPEngine(spark, query, consumer=collected.append)
     eng.add_events(timeline)
     assert structured == sorted(map(tuple, collected))
+
+
+def test_per_stream_hwm_holds_stalled_stream_window(spark):
+    """VERDICT r6 item #9: with per_stream_hwm=True, a stalled stream's
+    window must HOLD (event-driven firing, reference
+    rsp_engine.rs:773-811 routes events only to the matching windows) —
+    parity with the faithful RSPEngine on a two-stream timeline where s2
+    stalls at ts=5 while s1 runs to ts=17; the default global-hwm mode
+    keeps closing the stalled window (the documented divergence)."""
+    from kolibrie_spark.streaming.engine import RSPEngine
+    from kolibrie_spark.streaming.structured import compile_structured
+
+    n = 18
+    stall_at = 5
+
+    def timeline():
+        for ts in range(n):
+            rows = [(f"a{ts}", "p", f"x{ts % 3}", "s1", ts)]
+            if ts < stall_at:
+                rows.append((f"b{ts}", "q", f"y{ts % 2}", "s2", ts))
+            yield ts, rows
+
+    # faithful engine: event-at-a-time, s2's window never fires past its
+    # last event
+    collected = []
+    eng = RSPEngine(spark, _TWO_WINDOW_Q, consumer=collected.append)
+    for ts, rows in timeline():
+        for s, p, o, st, t in rows:
+            eng.add_to_stream(st, (s, p, o), t)
+    faithful = sorted(map(tuple, collected))
+
+    # structured, per-stream hwm, one event time per micro-batch (the
+    # granularity where batch and event coordination coincide)
+    q = compile_structured(spark, _TWO_WINDOW_Q, per_stream_hwm=True)
+    out = []
+    for ts, rows in timeline():
+        out.extend(q.process_batch(events_df(spark, rows)))
+    assert sorted(map(tuple, out)) == faithful
+
+    # default mode diverges by design: the global hwm closes w2 windows
+    # after s2 stalls, so it fires MORE (stale s2 content joins under
+    # WAIT only when both windows fired this cycle — compare emission
+    # multisets, not just counts, to pin the divergence is real)
+    q_global = compile_structured(spark, _TWO_WINDOW_Q)
+    out_global = []
+    for ts, rows in timeline():
+        out_global.extend(q_global.process_batch(events_df(spark, rows)))
+    assert sorted(map(tuple, out_global)) != faithful
