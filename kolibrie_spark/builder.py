@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from kolibrie_spark import compare
 from kolibrie_spark.store import QuadStore
 from kolibrie_spark.streaming.r2s import make_r2s
-from kolibrie_spark.streaming.s2r import CSparqlWindow, Periodic, ReportStrategy
+from kolibrie_spark.streaming.s2r import CSparqlWindow, Periodic, ReportStrategy, Tick
 
 
 class QueryBuilder:
@@ -33,6 +33,7 @@ class QueryBuilder:
         self._window: tuple[int, int] | None = None
         self._report: list = []
         self._stream_op = "RSTREAM"
+        self._tick = Tick.TIME_DRIVEN
 
     def _op(self, fn: Callable[[DataFrame], DataFrame]) -> "QueryBuilder":
         self._ops.append(fn)
@@ -189,6 +190,13 @@ class QueryBuilder:
         self._stream_op = op.upper()
         return self
 
+    def with_tick_strategy(self, tick) -> "QueryBuilder":
+        """Window tick strategy (py_query_builder.rs:614-618): a
+        :class:`Tick` member or its name ("TimeDriven"/"TupleDriven"/
+        "BatchDriven")."""
+        self._tick = tick if isinstance(tick, Tick) else Tick(str(tick))
+        return self
+
     def as_stream(self) -> "StreamingQueryBuilder":
         if self._window is None:
             raise ValueError("call window(width, slide) before as_stream()")
@@ -203,7 +211,11 @@ class StreamingQueryBuilder:
         self.qb = qb
         width, slide = qb._window
         self.window = CSparqlWindow(
-            width, slide, report=list(qb._report) or None, uri="builder"
+            width,
+            slide,
+            report=list(qb._report) or None,
+            tick=qb._tick,
+            uri="builder",
         )
         self.r2s = make_r2s(qb._stream_op)
         self.results: list[list[tuple[str, str, str]]] = []
@@ -236,3 +248,30 @@ class StreamingQueryBuilder:
     def stop_stream(self) -> None:
         """Flush active windows (reference stop semantics) and stop."""
         self.window.flush()
+
+    # ------------------------------------------- config accessors
+    # (py_query_builder.rs:408-439 — ADVICE r6: reference scripts call
+    # these on the streaming query object)
+    def is_streaming(self) -> bool:
+        return True
+
+    def get_window_config(self) -> tuple[int, int] | None:
+        return self.qb._window
+
+    def get_stream_operator(self) -> str | None:
+        return self.qb._stream_op
+
+    def get_report_strategies(self) -> list[str]:
+        out = []
+        for r in self.qb._report:
+            if isinstance(r, Periodic):
+                out.append("Periodic")
+            else:
+                out.append(r.value if isinstance(r, ReportStrategy) else str(r))
+        return out
+
+    def get_periodic_periods(self) -> list[int]:
+        return [r.period for r in self.qb._report if isinstance(r, Periodic)]
+
+    def get_tick_strategy(self) -> Tick:
+        return self.qb._tick

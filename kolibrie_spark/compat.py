@@ -70,6 +70,15 @@ class StreamOperator:
     DSTREAM = "DSTREAM"
 
 
+# the reference module also exposes the Tick enum
+# (py_query_builder.rs:211-217, lib.rs m.add_class::<PyTick>())
+from kolibrie_spark.streaming.s2r import Tick  # noqa: E402
+
+Tick.TimeDriven = Tick.TIME_DRIVEN
+Tick.TupleDriven = Tick.TUPLE_DRIVEN
+Tick.BatchDriven = Tick.BATCH_DRIVEN
+
+
 def _session() -> SparkSession:
     return (
         SparkSession.builder.master("local[*]")

@@ -34,7 +34,7 @@ _TOK = re.compile(
   | (?P<LANG>@[A-Za-z][A-Za-z0-9\-]*)
   | (?P<PUNCT>[;,.])
   | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-  | (?P<PNAME>(?:[A-Za-z_][\w\-]*)?:[\w.\-/%#~]*)
+  | (?P<PNAME>(?:[A-Za-z_][\w\-]*)?:(?:[\w.\-/%#~]*[\w\-/%#~])?)
   | (?P<NAME>[A-Za-z_]\w*)
     """,
     re.VERBOSE,

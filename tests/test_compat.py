@@ -121,3 +121,36 @@ def test_windowing_example(kolibrie, spark):
     assert len(sq.get_all_stream_results()) >= len(results)
     sq.clear_stream_results()
     assert sq.get_stream_results() == []
+
+
+def test_streaming_config_accessors(kolibrie, spark):
+    """ADVICE r6 / py_query_builder.rs:408-439: reference scripts read
+    the streaming config back off the query object — is_streaming,
+    get_window_config, get_stream_operator, get_report_strategies,
+    get_periodic_periods, get_tick_strategy — and the Tick enum is part
+    of the module surface with the reference's member spelling."""
+    db = kolibrie.SparqlDatabase(spark)
+    sq = (
+        db.query()
+        .window(10, 2)
+        .with_report_strategy("OnWindowClose")
+        .with_report_strategy("periodic", 4)
+        .with_tick_strategy(kolibrie.Tick.TimeDriven)
+        .with_stream_operator(kolibrie.StreamOperator.ISTREAM)
+        .as_stream()
+    )
+    assert sq.is_streaming() is True
+    assert sq.get_window_config() == (10, 2)
+    assert sq.get_stream_operator() == "ISTREAM"
+    assert sq.get_report_strategies() == ["OnWindowClose", "Periodic"]
+    assert sq.get_periodic_periods() == [4]
+    assert sq.get_tick_strategy() is kolibrie.Tick.TimeDriven
+
+    # subject filters exist on the fluent builder (exact / like /
+    # starting / ending), reference py_query_builder.rs:59-136
+    qb = db.query()
+    for m in (
+        "with_subject", "with_subject_like", "with_subject_starting",
+        "with_subject_ending", "with_predicate_like", "with_object_ending",
+    ):
+        qb = getattr(qb, m)("x")

@@ -283,3 +283,234 @@ def test_simple_join_example(spark):
       FILTER (?author = "Jane Austen")
     }}"""
     assert [tuple(r) for r in e.execute(q)] == [("Pride and Prejudice", "Jane Austen")]
+
+
+_EMPLOYEE_XML = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:foaf="http://xmlns.com/foaf/0.1/" xmlns:ds="https://data.cityofchicago.org/resource/xzkq-xp2w/">
+<rdf:Description rdf:about="http://example.org/employee1">
+        <foaf:name>http://example.org/employee1</foaf:name>
+        <foaf:title>Developer</foaf:title>
+        <foaf:workplaceHomepage>Company Name</foaf:workplaceHomepage>
+        <ds:full_or_part_time>F</ds:full_or_part_time>
+        <ds:salary_or_hourly>SALARY</ds:salary_or_hourly>
+        <ds:annual_salary>73681</ds:annual_salary>
+    </rdf:Description>
+<rdf:Description rdf:about="http://example.org/employee2">
+        <foaf:name>http://example.org/employee2</foaf:name>
+        <foaf:title>Developer</foaf:title>
+        <foaf:workplaceHomepage>Company Name</foaf:workplaceHomepage>
+        <ds:full_or_part_time>F</ds:full_or_part_time>
+        <ds:salary_or_hourly>SALARY</ds:salary_or_hourly>
+        <ds:annual_salary>83504</ds:annual_salary>
+    </rdf:Description>
+<rdf:Description rdf:about="http://example.org/employee3">
+        <foaf:name>http://example.org/employee3</foaf:name>
+        <foaf:title>Developer</foaf:title>
+        <foaf:workplaceHomepage>Company Name</foaf:workplaceHomepage>
+        <ds:full_or_part_time>F</ds:full_or_part_time>
+        <ds:salary_or_hourly>SALARY</ds:salary_or_hourly>
+        <ds:annual_salary>90065</ds:annual_salary>
+    </rdf:Description>
+<rdf:Description rdf:about="http://example.org/employee4">
+        <foaf:name>http://example.org/employee4</foaf:name>
+        <foaf:title>Manager</foaf:title>
+        <foaf:workplaceHomepage>Company Name</foaf:workplaceHomepage>
+        <ds:full_or_part_time>F</ds:full_or_part_time>
+        <ds:salary_or_hourly>SALARY</ds:salary_or_hourly>
+        <ds:annual_salary>67751</ds:annual_salary>
+    </rdf:Description>
+</rdf:RDF>"""
+
+
+def test_select_semicolon_example(spark):
+    """examples/sparql_syntax/select_semicolon: predicate-object lists
+    (`;`) in the WHERE clause."""
+    xml = """<rdf:RDF
+    xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    xmlns:ex="http://example.org/">
+<rdf:Description rdf:about="http://example.org/John">
+    <ex:name>John</ex:name>
+    <ex:age>42</ex:age>
+    <ex:knows rdf:resource="http://example.org/Alice"/>
+</rdf:Description>
+<rdf:Description rdf:about="http://example.org/Alice">
+    <ex:name>Alice</ex:name>
+    <ex:age>30</ex:age>
+</rdf:Description>
+</rdf:RDF>"""
+    e = _engine(spark, xml)
+    got = sorted(
+        tuple(r)
+        for r in e.execute(
+            "PREFIX ex: <http://example.org/> SELECT ?person ?name ?age "
+            "WHERE { ?person ex:name ?name ; ex:age ?age }"
+        )
+    )
+    assert got == [
+        ("http://example.org/Alice", "Alice", "30"),
+        ("http://example.org/John", "John", "42"),
+    ]
+
+
+def test_select_all_example(spark):
+    """examples/sparql_syntax/select_all: SELECT * projects every
+    in-scope variable of the six-pattern star join."""
+    e = _engine(spark, _EMPLOYEE_XML)
+    q = (
+        "PREFIX foaf: <http://xmlns.com/foaf/0.1/> "
+        "PREFIX ds: <https://data.cityofchicago.org/resource/xzkq-xp2w/> "
+        "SELECT * WHERE {?employee foaf:name ?name . ?employee foaf:title ?title . "
+        "?employee foaf:workplaceHomepage ?workplaceHomepage . "
+        "?employee ds:full_or_part_time ?full_or_part_time . "
+        "?employee ds:salary_or_hourly ?salary_or_hourly . "
+        "?employee ds:annual_salary ?salary}"
+    )
+    df = e.query(q)
+    # SELECT * projects the in-scope vars (sorted column order)
+    assert sorted(df.columns) == [
+        "employee", "full_or_part_time", "name", "salary",
+        "salary_or_hourly", "title", "workplaceHomepage",
+    ]
+    rows_ = {tuple(r[c] for c in sorted(df.columns)) for r in df.collect()}
+    assert len(rows_) == 4
+    assert (
+        "http://example.org/employee4", "F", "http://example.org/employee4",
+        "67751", "SALARY", "Manager", "Company Name",
+    ) in rows_
+
+
+def test_simple_select_example(spark):
+    """examples/sparql_syntax/simple_select: single-pattern projection
+    over the synthetic employee data."""
+    e = _engine(spark, _EMPLOYEE_XML)
+    got = sorted(
+        tuple(r)
+        for r in e.execute(
+            "PREFIX ds: <https://data.cityofchicago.org/resource/xzkq-xp2w/> "
+            "SELECT ?employee ?salary WHERE {?employee ds:annual_salary ?salary}"
+        )
+    )
+    assert got == [
+        ("http://example.org/employee1", "73681"),
+        ("http://example.org/employee2", "83504"),
+        ("http://example.org/employee3", "90065"),
+        ("http://example.org/employee4", "67751"),
+    ]
+
+
+def test_from_file_example(spark, tmp_path):
+    """examples/sparql_syntax/from_file: load the RDF/XML from disk
+    (the reference reads ../datasets/synthetic_data_employee_100K.rdf —
+    same shape, file-backed here), then the two-pattern join."""
+    f = tmp_path / "employees.rdf"
+    f.write_text('<?xml version="1.0" encoding="UTF-8"?>\n' + _EMPLOYEE_XML)
+    from kolibrie_spark.rdfio import load_into
+    from kolibrie_spark.store import QuadStore
+
+    store = QuadStore(spark)
+    n = load_into(store, str(f))
+    assert n == 24  # 4 employees x 6 properties
+    e = SparqlEngine(spark, store)
+    got = sorted(
+        tuple(r)
+        for r in e.execute(
+            "PREFIX ds: <https://data.cityofchicago.org/resource/xzkq-xp2w/> "
+            "PREFIX foaf: <http://xmlns.com/foaf/0.1/> "
+            "SELECT ?employee ?workplaceHomepage ?salary WHERE { "
+            "?employee foaf:workplaceHomepage ?workplaceHomepage . "
+            "?employee ds:annual_salary ?salary }"
+        )
+    )
+    assert len(got) == 4 and got[0] == (
+        "http://example.org/employee1", "Company Name", "73681",
+    )
+
+
+def test_n3_data_example(spark):
+    """examples/sparql_syntax/n3_data: N3 payload verbatim (prefixed
+    names, `;` lists, typed literals, comments), then the name/salary
+    join. Typed literals store lexically cleaned (datatype stripped)."""
+    n3 = """
+        @prefix ex: <http://example.org/>.
+        @prefix xsd: <http://www.w3.org/2001/XMLSchema#>.
+        @prefix currency: <http://purl.org/commerce#>.
+
+        ex:john ex:name "John Smith" ;
+                ex:hasFriend ex:jane ;
+                ex:hasJob ex:softwareEngineer ;
+                ex:annualSalary "75000"^^xsd:integer ;
+                ex:salaryCurrency currency:USD.
+
+        ex:jane 
+        ex:name "Jane Doe" ; # Changed to singular "Jane" for consistency, adjust as needed
+        ex:hasJob ex:doctor ;
+        ex:annualSalary "95000"^^xsd:integer ;
+        ex:salaryCurrency currency:USD.
+
+        ex:softwareEngineer 
+        ex:jobTitle "Software Engineer".
+
+        ex:doctor 
+        ex:jobTitle "Doctor/Physician".
+    """
+    store = QuadStore(spark)
+    parse_into(store, n3, fmt="n3")
+    e = SparqlEngine(spark, store)
+    got = sorted(
+        tuple(r)
+        for r in e.execute(
+            "PREFIX ex: <http://example.org/> "
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            "SELECT ?name ?salary WHERE { ?person ex:name ?name . "
+            "?person ex:annualSalary ?salary }"
+        )
+    )
+    assert got == [("Jane Doe", "95000"), ("John Smith", "75000")]
+
+
+def test_automate_policy_example(spark):
+    """examples/policy/automate_policy.rs: the RSP-QL registration
+    (RANGE 10 STEP 5, RSTREAM, match-all pattern) over 20 ticks of
+    n-triples events — windows fire on close with the window's triples
+    as bindings."""
+    from kolibrie_spark.streaming.engine import RSPEngine
+
+    rsp_query = """
+        PREFIX ex: <http://example.org/>
+
+        REGISTER RSTREAM <http://example.org/out> AS
+        SELECT ?s ?p ?o
+        FROM NAMED WINDOW :policyWindow ON :policyStream [RANGE 10 STEP 5]
+        WHERE {
+            WINDOW :policyWindow {
+                ?s ?p ?o .
+            }
+        }
+    """
+    collected = []
+    eng = RSPEngine(spark, rsp_query, consumer=collected.append)
+    for counter in range(1, 21):
+        eng.add_to_stream(
+            "policyStream",
+            (
+                f"http://example.org/subject{counter}",
+                f"http://example.org/predicate{counter}",
+                f"http://example.org/object{counter}",
+            ),
+            counter,
+        )
+    # the consumer receives one (var, value) pair-list per solution row,
+    # the reference's Vec<(String, String)> shape; windows [0,10) and
+    # [5,15) close within the 20-tick run
+    assert collected, "no window fired"
+    rows_ = [dict(pairs) for pairs in collected]
+    assert all(set(r) == {"s", "p", "o"} for r in rows_)
+    subj_ticks = sorted(
+        int(r["s"].rsplit("subject", 1)[1]) for r in rows_
+    )
+    assert subj_ticks[0] == 1  # the first window's content was emitted
+    # RSTREAM emits each window's rows; every emitted tick is < 20 and
+    # every row is a subject/predicate/object of the same counter
+    assert all(
+        r["p"].endswith(f"predicate{t}") and r["o"].endswith(f"object{t}")
+        for r, t in ((r, int(r["s"].rsplit("subject", 1)[1])) for r in rows_)
+    )
