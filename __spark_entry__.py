@@ -405,6 +405,48 @@ def _text_bm25_topk_oracle() -> str:
     return bm25_topk_duckdb_sql("documents", "doc_id", "text", _BM25_TERMS, k=20)
 
 
+def _q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/search.py:rrf_fuse): Reciprocal Rank
+    Fusion of the sparse BM25 top-20 and the dense cosine top-20 — the
+    standard two-tower combiner a curation pipeline runs for
+    hard-negative mining and contamination sweeps. Both inputs are the
+    engine's own scale-safe top-k plans; fusion is O(k) and the fixed
+    left-to-right 1/(60+rank) summation is bit-identical in DuckDB."""
+    from kolibrie_spark.operators.search import bm25_topk, rrf_fuse
+    from kolibrie_spark.operators.similarity import cosine_topk
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sparse = bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=20)
+    dense = cosine_topk(emb, _query_vector(spark, sf_dir), 20, "vec_id", "embedding")
+    return rrf_fuse(
+        [(sparse, "doc_id", "bm25"), (dense, "vec_id", "cosine")], k=10
+    )
+
+
+def _search_hybrid_rrf_oracle() -> str:
+    from kolibrie_spark.operators.search import (
+        bm25_topk_duckdb_sql,
+        rrf_fuse_duckdb_sql,
+    )
+    from kolibrie_spark.operators.similarity import cosine_duckdb_sql
+
+    bm_sql = bm25_topk_duckdb_sql("documents", "doc_id", "text", _BM25_TERMS, k=20)
+    cos = cosine_duckdb_sql("v", "qv")
+    cos_sql = (
+        "WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        "AS qv FROM embeddings WHERE vec_id = 0), "
+        "e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings) "
+        f"SELECT vec_id, {cos} AS cosine "
+        "FROM e, q ORDER BY cosine DESC, vec_id LIMIT 20"
+    )
+    return rrf_fuse_duckdb_sql(
+        [(bm_sql, "doc_id", "bm25"), (cos_sql, "vec_id", "cosine")], k=10
+    )
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing of the document stream
     into 2048-token training sequences, sharded 8 ways so the layout cumsum
@@ -3733,8 +3775,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_FIRST = [
     # -- never driver-checked in 6 rounds (VERDICT r6 item #1)
     "split_leakage_safe",
-    # -- implementation changes this round (r7): bucket-based token budget
+    # -- r7 code changes: bucket-based token budget; new hybrid-RRF gate
     "sample_token_budget",
+    "search_hybrid_rrf",
     # -- the 12 r5-touched gates still carrying pre-r5 driver rows
     "multimodal_features",
     "multimodal_frames",
@@ -3750,9 +3793,11 @@ _DRIVER_FIRST = [
     "sim_topk_pq",
     # -- oldest remaining driver rows (r3), prioritized per VERDICT r6:
     # prob/ml/analytics/sketches first, then text pack, dedup, sampling,
-    # profiling, events. 14 + 36 = 50 exactly; the four r3 gates that do
-    # not fit (asof_join_events_orders, telemetry_resample,
-    # embed_hard_negatives, events_path_trigrams) lead r8 with the r4 set.
+    # profiling, events. 15 + 35 = 50 exactly (search_hybrid_rrf is new
+    # in r7 and leads with the other r7-touched gates); the five r3
+    # gates that do not fit (asof_join_events_orders, telemetry_resample,
+    # embed_hard_negatives, events_path_trigrams, events_ewma) lead r8
+    # with the r4 set.
     "prob_hybrid",
     "ml_predict",
     "analytics_q3",
@@ -3788,7 +3833,6 @@ _DRIVER_FIRST = [
     "events_retention",
     "events_interval_merge",
     "events_anomaly_mad",
-    "events_ewma",
 ]
 
 
@@ -3965,6 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_pq": _q_sim_topk_pq,
         "text_analyze": _q_text_analyze,
         "text_bm25_topk": _q_text_bm25_topk,
+        "search_hybrid_rrf": _q_search_hybrid_rrf,
         "text_common_spans": _q_text_common_spans,
         "text_quality_gopher": _q_text_quality_gopher,
         "dedup_incremental": _q_dedup_incremental,
@@ -4369,6 +4414,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_pq": _sim_topk_pq_oracle(),
         "text_analyze": _text_analyze_oracle(),
         "text_bm25_topk": _text_bm25_topk_oracle(),
+        "search_hybrid_rrf": _search_hybrid_rrf_oracle(),
         "text_common_spans": _text_common_spans_oracle(),
         "text_quality_gopher": _text_quality_gopher_oracle(),
         "dedup_incremental": _dedup_incremental_oracle(),

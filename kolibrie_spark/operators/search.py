@@ -104,6 +104,89 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str, str]],
+    k: int = 10,
+    rrf_k: int = 60,
+    out_id: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher, SIGIR'09) of
+    several retrieval result lists — the standard hybrid-retrieval
+    combiner (sparse BM25 + dense ANN) a training-data pipeline uses for
+    hard-negative mining and contamination sweeps.
+
+    ``rankings``: (df, id_col, score_col) per retriever, each df one of
+    the engine's top-k outputs (bm25_topk, cosine_topk, ivf_topk, ...).
+    Each list is ranked by (score desc, id asc); a document scores
+    ``sum over lists of 1/(rrf_k + rank)`` with absent-from-list
+    contributing 0.0, summed in the rankings order — the same fixed op
+    order as the DuckDB twin, so doubles are bit-identical.
+
+    Scale shape: the inputs are ALREADY top-k lists (k rows each), so
+    the rank windows and the full-outer fusion join run on k-row
+    DataFrames — the heavy lifting happened inside each retriever's own
+    scale-safe plan; fusion itself is O(lists * k) and shuffle-trivial.
+    """
+    from pyspark.sql.window import Window
+
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    ranked = []
+    for i, (df, id_col, score_col) in enumerate(rankings):
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        ranked.append(
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.row_number().over(w).alias(f"__r{i}"),
+            )
+        )
+    fused = ranked[0]
+    for nxt in ranked[1:]:
+        fused = fused.join(nxt, on=out_id, how="full_outer")
+    score = F.lit(0.0)
+    for i in range(len(rankings)):
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(f"__r{i}")), F.lit(0.0)
+        )
+    return (
+        fused.select(F.col(out_id), score.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col(out_id))
+        .limit(k)
+    )
+
+
+def rrf_fuse_duckdb_sql(
+    ranking_sqls: list[tuple[str, str, str]],
+    k: int = 10,
+    rrf_k: int = 60,
+    out_id: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`rrf_fuse`: ``ranking_sqls`` is
+    (subquery_sql, id_col, score_col) per retriever, fused with the same
+    rank windows, COALESCE ordering, and left-to-right summation."""
+    ctes = []
+    for i, (sql, id_col, score_col) in enumerate(ranking_sqls):
+        ctes.append(
+            f"r{i} AS (SELECT {id_col} AS {out_id}, row_number() OVER "
+            f"(ORDER BY {score_col} DESC, {id_col} ASC) AS rk "
+            f"FROM ({sql}))"
+        )
+    joined = "r0"
+    id_expr = f"r0.{out_id}"
+    for i in range(1, len(ranking_sqls)):
+        joined = f"{joined} FULL JOIN r{i} ON {id_expr} = r{i}.{out_id}"
+        id_expr = f"COALESCE({id_expr}, r{i}.{out_id})"
+    score = " + ".join(
+        f"COALESCE(1.0 / ({float(rrf_k)} + r{i}.rk), 0.0)"
+        for i in range(len(ranking_sqls))
+    )
+    return (
+        "WITH " + ", ".join(ctes) + f" SELECT {id_expr} AS {out_id}, "
+        f"{score} AS rrf FROM {joined} "
+        f"ORDER BY rrf DESC, {out_id} LIMIT {k}"
+    )
+
+
 def top_terms(df: DataFrame, text_col: str, k: int = 25) -> DataFrame:
     """Corpus-wide top-k terms by occurrence count (vocabulary heavy
     hitters). One explode + one hash aggregation (map-side partial combine

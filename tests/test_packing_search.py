@@ -163,3 +163,61 @@ def test_pack_rejects_bad_params(spark, docs_tokens):
         pack_sequences(docs_tokens, "doc_id", "tokens", 0)
     with pytest.raises(ValueError):
         pack_sequences(docs_tokens, "doc_id", "tokens", 16, shards=0)
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    """RRF: rank by (score desc, id), 1/(60+rank) summed per list;
+    absent-from-list contributes 0; ties break on id."""
+    from kolibrie_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 5.0), (4, 1.0)], "doc_id long, s double"
+    )
+    b = spark.createDataFrame(
+        [(3, 0.9), (5, 0.8), (1, 0.7)], "vec_id long, c double"
+    )
+    got = {
+        r.doc_id: r.rrf
+        for r in rrf_fuse(
+            [(a, "doc_id", "s"), (b, "vec_id", "c")], k=10
+        ).collect()
+    }
+    # list a ranks: 1->1, 2->2 (tie 5.0 breaks on id), 3->3, 4->4
+    # list b ranks: 3->1, 5->2, 1->3
+    assert got[1] == 1 / 61 + 1 / 63
+    assert got[2] == 1 / 62 + 0.0
+    assert got[3] == 1 / 63 + 1 / 61
+    assert got[4] == 1 / 64
+    assert got[5] == 1 / 62
+    # fusion order: 1 and 3 share the top score; id breaks the tie
+    order = [
+        r.doc_id
+        for r in rrf_fuse([(a, "doc_id", "s"), (b, "vec_id", "c")], k=3).collect()
+    ]
+    assert order == [1, 3, 2]
+
+
+def test_rrf_fuse_three_lists_and_duckdb_twin(spark):
+    """Three-retriever fusion equals the DuckDB twin bit-for-bit."""
+    import duckdb
+
+    from kolibrie_spark.operators.search import rrf_fuse, rrf_fuse_duckdb_sql
+
+    lists = [
+        [(i, float((i * 7) % 11)) for i in range(8)],
+        [(i, float((i * 3) % 13)) for i in range(2, 12)],
+        [(i, float((i * 5) % 7)) for i in range(5, 15)],
+    ]
+    dfs = [
+        (spark.createDataFrame(rows, "id long, sc double"), "id", "sc")
+        for rows in lists
+    ]
+    got = [(r.doc_id, r.rrf) for r in rrf_fuse(dfs, k=12).collect()]
+
+    con = duckdb.connect()
+    sqls = []
+    for j, rows in enumerate(lists):
+        vals = ", ".join(f"({i}, {s})" for i, s in rows)
+        sqls.append((f"SELECT * FROM (VALUES {vals}) AS t(id, sc)", "id", "sc"))
+    want = con.execute(rrf_fuse_duckdb_sql(sqls, k=12)).fetchall()
+    assert [(int(i), float(s)) for i, s in want] == got
