@@ -514,3 +514,124 @@ def test_automate_policy_example(spark):
         r["p"].endswith(f"predicate{t}") and r["o"].endswith(f"object{t}")
         for r, t in ((r, int(r["s"].rsplit("subject", 1)[1])) for r in rows_)
     )
+
+
+def test_advanced_join_example(spark):
+    """examples/sparql_syntax/advanced_join: a three-pattern join where
+    two patterns share the ?location key (one FK hop + a star leg)."""
+    xml = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://example.org/">
+  <rdf:Description rdf:about="http://example.org/peter">
+    <ex:worksAt rdf:resource="http://example.org/kulak"/>
+  </rdf:Description>
+  <rdf:Description rdf:about="http://example.org/kulak">
+    <ex:located rdf:resource="http://example.org/kortrijk"/>
+    <ex:zipcode>8050</ex:zipcode>
+  </rdf:Description>
+  <rdf:Description rdf:about="http://example.org/charlotte">
+    <ex:worksAt rdf:resource="http://example.org/ughent"/>
+  </rdf:Description>
+  <rdf:Description rdf:about="http://example.org/ughent">
+    <ex:located rdf:resource="http://example.org/ghent"/>
+    <ex:zipcode>9000</ex:zipcode>
+  </rdf:Description>
+</rdf:RDF>"""
+    e = _engine(spark, xml)
+    got = sorted(
+        tuple(r)
+        for r in e.execute(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?person ?location ?city ?zipcode WHERE {"
+            "?person ex:worksAt ?location . ?location ex:located ?city . "
+            "?location ex:zipcode ?zipcode}"
+        )
+    )
+    assert got == [
+        ("http://example.org/charlotte", "http://example.org/ughent",
+         "http://example.org/ghent", "9000"),
+        ("http://example.org/peter", "http://example.org/kulak",
+         "http://example.org/kortrijk", "8050"),
+    ]
+
+
+def test_n_triples_data_example(spark):
+    """examples/sparql_syntax/n_triples_data: N-Triples payload verbatim
+    (typed literals clean to their lexical form), friend-name join."""
+    nt = """
+<http://example.org/john> <http://example.org/hasFriend> <http://example.org/jane> .
+<http://example.org/jane> <http://example.org/name> "Jane Doe" .
+<http://example.org/john> <http://example.org/name> "John Smith" .
+<http://example.org/jane> <http://example.org/age> "25"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://example.org/john> <http://example.org/age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .
+"""
+    store = QuadStore(spark)
+    parse_into(store, nt, fmt="ntriples")
+    e = SparqlEngine(spark, store)
+    got = e.execute(
+        "PREFIX ex: <http://example.org/> SELECT ?name WHERE { "
+        "?person ex:hasFriend ?friend . ?friend ex:name ?name }"
+    )
+    assert got == [["Jane Doe"]]
+
+
+def test_turtle_example_builder_filter(spark):
+    """examples/turtle/turtle_example.rs: Turtle load + fluent builder
+    with a predicate filter and a numeric object filter (the reference's
+    filter closure `object.parse::<i32>() > 5000` is the builder's
+    declarative filter here — Catalyst pushes it to the scan)."""
+    turtle = """
+        <http://example.org/employee1> <http://example.org/name> "Alice" .
+        <http://example.org/employee1> <http://example.org/jobTitle> "Engineer" .
+        <http://example.org/employee1> <http://example.org/salary> "6000" .
+
+        <http://example.org/employee2> <http://example.org/name> "Bob" .
+        <http://example.org/employee2> <http://example.org/jobTitle> "Designer" .
+        <http://example.org/employee2> <http://example.org/salary> "4500" .
+
+        <http://example.org/employee3> <http://example.org/name> "Charlie" .
+        <http://example.org/employee3> <http://example.org/jobTitle> "Manager" .
+        <http://example.org/employee3> <http://example.org/salary> "7000" .
+    """
+    import kolibrie_spark.compat as kolibrie
+
+    db = kolibrie.SparqlDatabase(spark)
+    db.parse_turtle(turtle)
+    got = sorted(
+        db.query()
+        .with_predicate("http://example.org/salary")
+        .filter("o", ">", "5000")
+        .get_results()
+    )
+    assert got == [
+        ("http://example.org/employee1", "http://example.org/salary", "6000"),
+        ("http://example.org/employee3", "http://example.org/salary", "7000"),
+    ]
+
+
+def test_volcano_optimizer_example_equivalent(spark):
+    """examples/sparql_syntax/volcano_optimizer/volcano.rs: the logical
+    plan scan(?person foaf:name ?name) JOIN scan(?person foaf:age ?age)
+    that the reference's Volcano/Streamertail optimizer reorders — here
+    the same plan is declared as SPARQL and Catalyst does the
+    reordering; results match the reference's executed physical plan."""
+    store = QuadStore(spark)
+    store.add_quads(
+        [
+            ("http://example.org/alice", "foaf:name", "Alice", None),
+            ("http://example.org/bob", "foaf:name", "Bob", None),
+            ("http://example.org/alice", "foaf:age", "30", None),
+            ("http://example.org/bob", "foaf:age", "25", None),
+        ]
+    )
+    e = SparqlEngine(spark, store)
+    got = sorted(
+        tuple(r)
+        for r in e.execute(
+            "SELECT ?person ?name ?age WHERE { "
+            "?person <foaf:name> ?name . ?person <foaf:age> ?age }"
+        )
+    )
+    assert got == [
+        ("http://example.org/alice", "Alice", "30"),
+        ("http://example.org/bob", "Bob", "25"),
+    ]
