@@ -3775,9 +3775,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_FIRST = [
     # -- never driver-checked in 6 rounds (VERDICT r6 item #1)
     "split_leakage_safe",
-    # -- r7 code changes: bucket-based token budget; new hybrid-RRF gate
+    # -- r7 code changes: bucket-based token budget; new RRF + NPS gates
     "sample_token_budget",
     "search_hybrid_rrf",
+    "path_negated_set",
     # -- the 12 r5-touched gates still carrying pre-r5 driver rows
     "multimodal_features",
     "multimodal_frames",
@@ -3793,11 +3794,11 @@ _DRIVER_FIRST = [
     "sim_topk_pq",
     # -- oldest remaining driver rows (r3), prioritized per VERDICT r6:
     # prob/ml/analytics/sketches first, then text pack, dedup, sampling,
-    # profiling, events. 15 + 35 = 50 exactly (search_hybrid_rrf is new
-    # in r7 and leads with the other r7-touched gates); the five r3
-    # gates that do not fit (asof_join_events_orders, telemetry_resample,
-    # embed_hard_negatives, events_path_trigrams, events_ewma) lead r8
-    # with the r4 set.
+    # profiling, events. 16 + 34 = 50 exactly (search_hybrid_rrf and
+    # path_negated_set are new in r7 and lead with the other r7-touched
+    # gates); the six r3 gates that do not fit (asof_join_events_orders,
+    # telemetry_resample, embed_hard_negatives, events_path_trigrams,
+    # events_ewma, events_anomaly_mad) lead r8 with the r4 set.
     "prob_hybrid",
     "ml_predict",
     "analytics_q3",
@@ -3832,7 +3833,6 @@ _DRIVER_FIRST = [
     "events_funnel",
     "events_retention",
     "events_interval_merge",
-    "events_anomaly_mad",
 ]
 
 
@@ -3909,6 +3909,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "path_opt_direct": _sparql(
             "SELECT ?n WHERE { ?n <urn:customer#c_nationkey>? <urn:nation:3> }"
+        ),
+        "path_negated_set": _sparql(
+            # SPARQL 1.1 negated property set, mixed forward+inverse:
+            # nation 3's own properties except the comment, plus every
+            # node pointing a non-customer FK edge AT nation 3 (its
+            # suppliers)
+            "SELECT ?v WHERE { <urn:nation:3> "
+            "!(<urn:nation#n_comment>|^<urn:customer#c_nationkey>) ?v }"
         ),
         # --- aggregation (§2.4)
         "groupby_agg": _sparql(
@@ -4314,6 +4322,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'urn:nation:3' AS n"  # zero-length: the object itself
             " UNION SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR)"
             " FROM customer WHERE c_nationkey = 3"
+        ),
+        "path_negated_set": (
+            "SELECT CAST(n_nationkey AS VARCHAR) AS v FROM nation WHERE n_nationkey = 3"
+            " UNION ALL SELECT n_name FROM nation WHERE n_nationkey = 3"
+            " UNION ALL SELECT 'urn:region:' || CAST(n_regionkey AS VARCHAR)"
+            " FROM nation WHERE n_nationkey = 3"
+            " UNION ALL SELECT 'urn:supplier:' || CAST(s_suppkey AS VARCHAR)"
+            " FROM supplier WHERE s_nationkey = 3"
         ),
         "groupby_agg": (
             "SELECT l_returnflag AS flag, SUM(l_quantity) AS sum_qty, "

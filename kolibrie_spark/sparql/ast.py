@@ -190,7 +190,22 @@ class PathOpt:
     inner: "Path"
 
 
-Path = Iri | PathInverse | PathSeq | PathAlt | PathPlus | PathStar | PathOpt
+@dataclass
+class PathNeg:
+    """Negated property set ``!(:p | ^:q | ...)`` (SPARQL 1.1 §9.1,
+    PathNegatedPropertySet): matches one edge whose predicate is NOT in
+    ``forward`` (subject→object direction) unioned with one REVERSED
+    edge whose predicate is not in ``inverse`` (for the ``^``-marked
+    members)."""
+
+    forward: list  # list[Iri]
+    inverse: list  # list[Iri]
+
+
+Path = (
+    Iri | PathInverse | PathSeq | PathAlt | PathPlus | PathStar | PathOpt
+    | PathNeg
+)
 
 
 @dataclass

@@ -735,6 +735,39 @@ class Compiler:
             for p in parts[1:]:
                 e = e.unionByName(p)
             return e
+        if isinstance(path, ast.PathNeg):
+            # negated property set (SPARQL 1.1 §9.1): NPS(forward) ∪
+            # ^NPS(inverse). One var-predicate scan per direction with a
+            # NOT IN filter — the filter stays at the scan (no join), and
+            # each branch appears once per matching edge (bag semantics).
+            branches: list[DataFrame] = []
+            if path.forward or not path.inverse:
+                pat = ast.TriplePattern(
+                    ast.Var("__src"), ast.Var("__negp"), ast.Var("__dst")
+                )
+                e = self._scan(pat, view, active_graph).df
+                if path.forward:
+                    e = e.filter(
+                        ~F.col("__negp").isin(
+                            [self._ground_term_value(i) for i in path.forward]
+                        )
+                    )
+                branches.append(e.select("__src", "__dst"))
+            if path.inverse:
+                pat = ast.TriplePattern(
+                    ast.Var("__dst"), ast.Var("__negp"), ast.Var("__src")
+                )
+                e = self._scan(pat, view, active_graph).df
+                e = e.filter(
+                    ~F.col("__negp").isin(
+                        [self._ground_term_value(i) for i in path.inverse]
+                    )
+                )
+                branches.append(e.select("__src", "__dst"))
+            out = branches[0]
+            for b2 in branches[1:]:
+                out = out.unionByName(b2)
+            return out
         if isinstance(path, ast.PathPlus):
             base = (
                 self._path_edges(path.inner, view, active_graph)

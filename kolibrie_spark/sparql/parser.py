@@ -52,6 +52,7 @@ from kolibrie_spark.sparql.ast import (
     Or,
     PathAlt,
     PathInverse,
+    PathNeg,
     PathOpt,
     PathPattern,
     PathPlus,
@@ -574,7 +575,7 @@ class Parser:
             p = self.parse_path()
             while True:
                 o = self.parse_term()
-                if isinstance(p, (PathInverse, PathSeq, PathAlt, PathPlus, PathStar, PathOpt)):
+                if isinstance(p, (PathInverse, PathSeq, PathAlt, PathPlus, PathStar, PathOpt, PathNeg)):
                     g.elements.append(PathPattern(s, p, o))
                 else:
                     g.elements.append(TriplePattern(s, p, o))
@@ -621,11 +622,38 @@ class Parser:
         return elt
 
     def _parse_path_primary(self):
+        if self.take_op("!"):
+            return self._parse_negated_property_set()
         if self.take_op("("):
             inner = self.parse_path()
             self.expect_op(")")
             return inner
         return self.parse_term()
+
+    def _parse_negated_property_set(self) -> PathNeg:
+        """``!iri`` / ``!^iri`` / ``!(iri | ^iri | ...)`` — SPARQL 1.1
+        §9.1 PathNegatedPropertySet (spec-ward extension like the rest of
+        the property-path block; the reference grammar has no paths)."""
+        forward: list = []
+        inverse: list = []
+
+        def one() -> None:
+            inv = self.take_op("^")
+            t = self.parse_term(allow_var=False)
+            if not isinstance(t, Iri):
+                raise ParseError(
+                    "negated property set members must be IRIs"
+                )
+            (inverse if inv else forward).append(t)
+
+        if self.take_op("("):
+            one()
+            while self.take_op("|"):
+                one()
+            self.expect_op(")")
+        else:
+            one()
+        return PathNeg(forward, inverse)
 
     # -- expressions (FILTER / BIND)
     def parse_or_expr(self):

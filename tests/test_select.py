@@ -547,3 +547,43 @@ def test_trailing_values_joins_after_group_by(engine):
         )
     )
     assert sorted(got) == [("Alice",), ("Bob",)]
+
+
+def test_negated_property_set(engine):
+    """SPARQL 1.1 §9.1 PathNegatedPropertySet: !iri, !(a|b), !^iri, and
+    mixed !(a|^b) — forward edges exclude the forward set, ^-members
+    exclude on the REVERSED edges, results union."""
+    e = seed(engine)
+    # everything about alice except her age
+    got = sorted(
+        rows(e.query("SELECT ?v WHERE { <ex:alice> !<ex:age> ?v }"))
+    )
+    assert got == [("Alice",), ("Ghent",)]
+    # exclude two predicates
+    got = rows(e.query("SELECT ?v WHERE { <ex:alice> !(<ex:age>|<ex:city>) ?v }"))
+    assert got == [("Alice",)]
+    # inverse-only NPS: s !^p o matches when (o, q, s) exists with
+    # q != p — so FROM the literal "Ghent" it reaches whoever points a
+    # non-name edge AT Ghent (alice and bob via ex:city); the forward
+    # reading ?x !^name "Ghent" is empty (nothing has subject "Ghent")
+    got = rows(e.query('SELECT ?x WHERE { ?x !^<ex:name> "Ghent" }'))
+    assert got == []
+    got = sorted(
+        rows(e.query('SELECT ?x WHERE { "Ghent" !^<ex:name> ?x }'))
+    )
+    assert got == [("ex:alice",), ("ex:bob",)]
+    # mixed: forward non-age edges from alice UNION reversed non-name
+    # edges arriving at alice (there are none: nothing points at alice)
+    got = sorted(
+        rows(e.query("SELECT ?v WHERE { <ex:alice> !(<ex:age>|^<ex:name>) ?v }"))
+    )
+    assert got == [("Alice",), ("Ghent",)]
+    # NPS inside a sequence path still compiles through the edge algebra
+    got = sorted(
+        rows(
+            e.query(
+                "SELECT ?n WHERE { ?s <ex:city> ?c . ?s !(<ex:age>|<ex:city>) ?n }"
+            )
+        )
+    )
+    assert got == [("Alice",), ("Bob",), ("Carol",)]
