@@ -228,6 +228,18 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
+def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (operators/dedup.py:
+    containment_pairs): |A∩B| / min(|A|,|B|) over 3-gram shingles —
+    catches subset-style duplication symmetric Jaccard misses; same
+    skew-guarded shared-shingle candidate plan as dedup_ngram_jaccard."""
+    from kolibrie_spark.operators.dedup import containment_pairs
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
 def _q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard join via prefix filtering (AllPairs/PPJoin) — same
     output as dedup_ngram_jaccard from a near-linear candidate set; shares
@@ -3779,6 +3791,7 @@ _DRIVER_FIRST = [
     "sample_token_budget",
     "search_hybrid_rrf",
     "path_negated_set",
+    "dedup_containment",
     # -- the 12 r5-touched gates still carrying pre-r5 driver rows
     "multimodal_features",
     "multimodal_frames",
@@ -3794,11 +3807,12 @@ _DRIVER_FIRST = [
     "sim_topk_pq",
     # -- oldest remaining driver rows (r3), prioritized per VERDICT r6:
     # prob/ml/analytics/sketches first, then text pack, dedup, sampling,
-    # profiling, events. 16 + 34 = 50 exactly (search_hybrid_rrf and
-    # path_negated_set are new in r7 and lead with the other r7-touched
-    # gates); the six r3 gates that do not fit (asof_join_events_orders,
-    # telemetry_resample, embed_hard_negatives, events_path_trigrams,
-    # events_ewma, events_anomaly_mad) lead r8 with the r4 set.
+    # profiling, events. 17 + 33 = 50 exactly (search_hybrid_rrf,
+    # path_negated_set, dedup_containment are new in r7 and lead with
+    # the other r7-touched gates); the seven r3 gates that do not fit
+    # (asof_join_events_orders, telemetry_resample, embed_hard_negatives,
+    # events_path_trigrams, events_ewma, events_anomaly_mad,
+    # events_interval_merge) lead r8 with the r4 set.
     "prob_hybrid",
     "ml_predict",
     "analytics_q3",
@@ -3832,7 +3846,6 @@ _DRIVER_FIRST = [
     "events_rolling",
     "events_funnel",
     "events_retention",
-    "events_interval_merge",
 ]
 
 
@@ -4005,6 +4018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- LLM-pipeline operators (north-star extensions)
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_containment": _q_dedup_containment,
         "dedup_prefix_jaccard": _q_dedup_prefix_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_cluster": _q_dedup_cluster,
@@ -4237,6 +4251,12 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+def _containment_oracle() -> str:
+    from kolibrie_spark.operators.dedup import containment_pairs_duckdb_sql
+
+    return containment_pairs_duckdb_sql("documents", "doc_id", "text", 3, 0.8)
+
+
 def _ngram_jaccard_oracle() -> str:
     from kolibrie_spark.operators.dedup import ngram_jaccard_pairs_duckdb_sql
 
@@ -4418,6 +4438,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY substr(text, 1, 40)"
         ),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
+        "dedup_containment": _containment_oracle(),
         "dedup_minhash_lsh": _ngram_jaccard_oracle(),
         "dedup_prefix_jaccard": _ngram_jaccard_oracle(),
         "dedup_cluster": _dedup_cluster_oracle(),

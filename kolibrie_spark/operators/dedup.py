@@ -57,30 +57,19 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
 
 
 # ------------------------------------------------------------ n-gram Jaccard
-def ngram_jaccard_pairs(
+def _shared_shingle_counts(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 3,
-    threshold: float = 0.5,
-    heavy_df: int = 64,
-    salt: int = 16,
-) -> DataFrame:
-    """Exact Jaccard over word n-gram shingle sets for every pair sharing at
-    least one shingle. Returns (id_a, id_b, jaccard), id_a < id_b.
-
-    The shared-shingle self-join is the candidate pruner: pairs with zero
-    overlap never materialize. One shuffle on the shingle, one on the pair.
-
-    Skew guard: a shingle shared by m documents produces O(m²) pairs on ONE
-    join key — an ultra-common ("stop") shingle turns the self-join into a
-    single straggler task. Shingles with document frequency >= ``heavy_df``
-    are salted: the a-side gets a deterministic salt hash(id) % salt, the
-    b-side is replicated across all ``salt`` values, so each unordered pair
-    still appears exactly once but the hot key spreads over ``salt`` reducers.
-    Values are bit-identical to the unsalted join (no recall loss, unlike
-    stop-shingle dropping), so the DuckDB oracle is unchanged.
-    """
+    n: int,
+    heavy_df: int,
+    salt: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate machinery for the set-overlap pair operators
+    (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`): the
+    skew-guarded shared-shingle self-join. Returns
+    (shared: (id_a, id_b, __c) with id_a < id_b,
+     sizes: (__id, __n) shingle-set sizes)."""
     # explicit partition count on the join key: the shingle self-join is
     # CPU-dense but byte-light, and AQE would otherwise coalesce it onto a
     # single task (it optimizes for bytes, not compute) — an explicit
@@ -130,6 +119,36 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("__c"))
     )
+    return shared, sizes
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    heavy_df: int = 64,
+    salt: int = 16,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets for every pair sharing at
+    least one shingle. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    The shared-shingle self-join is the candidate pruner: pairs with zero
+    overlap never materialize. One shuffle on the shingle, one on the pair.
+
+    Skew guard: a shingle shared by m documents produces O(m²) pairs on ONE
+    join key — an ultra-common ("stop") shingle turns the self-join into a
+    single straggler task. Shingles with document frequency >= ``heavy_df``
+    are salted: the a-side gets a deterministic salt hash(id) % salt, the
+    b-side is replicated across all ``salt`` values, so each unordered pair
+    still appears exactly once but the hot key spreads over ``salt`` reducers.
+    Values are bit-identical to the unsalted join (no recall loss, unlike
+    stop-shingle dropping), so the DuckDB oracle is unchanged.
+    """
+    shared, sizes = _shared_shingle_counts(
+        df, id_col, text_col, n, heavy_df, salt
+    )
     sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
     sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
     out = (
@@ -143,6 +162,73 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    heavy_df: int = 64,
+    salt: int = 16,
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT (overlap
+    coefficient): |A∩B| / min(|A|, |B|) over word n-gram shingle sets,
+    for every pair sharing a shingle. Catches subset-style duplication —
+    a short document quoted wholesale inside a long one scores ~1.0 here
+    but can fall below any symmetric-Jaccard threshold (the union is
+    dominated by the long side). RefinedWeb/Gopher-style pipelines run
+    this NEXT TO Jaccard, not instead of it.
+
+    Same candidate plan as :func:`ngram_jaccard_pairs` (shared-shingle
+    equi-join with the salted skew guard — one shuffle on the shingle,
+    one on the pair); only the final score expression differs, so the
+    100 TB shape is identical to the already-probed Jaccard join."""
+    shared, sizes = _shared_shingle_counts(
+        df, id_col, text_col, n, heavy_df, salt
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("__c") / F.least(F.col("__na"), F.col("__nb")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
+def containment_pairs_duckdb_sql(
+    table: str, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> str:
+    """DuckDB oracle computing exactly containment_pairs."""
+    gram = " || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+    return f"""
+WITH words AS (
+  SELECT {id_col} AS id, string_split_regex(trim({text_col}), '\\s+') AS w
+  FROM {table}
+),
+sh AS (
+  SELECT DISTINCT id, {gram} AS s
+  FROM words, UNNEST(generate_series(1, greatest(len(w) - {n - 1}, 1))) t(i)
+  WHERE i <= len(w) - {n - 1} OR len(w) < {n}
+),
+sizes AS (SELECT id, COUNT(*) AS sn FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, c * 1.0 / least(sa.sn, sb.sn) AS containment
+FROM shared
+JOIN sizes sa ON id_a = sa.id
+JOIN sizes sb ON id_b = sb.id
+WHERE c * 1.0 / least(sa.sn, sb.sn) >= {threshold}
+"""
 
 
 def ngram_jaccard_pairs_duckdb_sql(

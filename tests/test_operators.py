@@ -1088,3 +1088,28 @@ def test_token_budget_bucket_plan_matches_global_window(spark):
     plan = token_budget_sample(df, "id", "score", "tokens", 3000)._jdf.queryExecution().executedPlan().toString()
     if "SinglePartition" in plan:
         assert "__tb_bucket" not in plan  # column resolved, not leaked
+
+
+def test_containment_pairs_asymmetric(spark):
+    """Containment (overlap coefficient) catches a short doc embedded in
+    a long one that symmetric Jaccard misses at the same threshold."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(20))
+    rows_ = [(1, short), (2, long_), (3, "entirely different content here now")]
+    df = spark.createDataFrame(rows_, "doc_id long, text string")
+
+    from kolibrie_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, "doc_id", "text", n=3, threshold=0.8).collect()
+    }
+    # every 3-gram of the short doc appears in the long one
+    assert cont[(1, 2)] == 1.0
+    assert list(cont) == [(1, 2)]
+    # symmetric Jaccard at the same threshold misses it
+    jac = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.8).collect()
+    }
+    assert (1, 2) not in jac
