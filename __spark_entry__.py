@@ -1441,6 +1441,25 @@ def _url_canonicalize_oracle() -> str:
     )
 
 
+def _q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export sharding manifest (operators/export.py):
+    per-shard row counts, char totals, and an order-independent xor
+    content hash over the cross-engine polynomial row hash — the
+    reproducible hand-off contract at the end of a curation run. One
+    hash aggregation; shard assignment is a pure key function."""
+    from kolibrie_spark.operators.export import shard_manifest
+    from kolibrie_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_manifest(docs, "doc_id", ["text", "source"], n_shards=16)
+
+
+def _export_manifest_oracle() -> str:
+    from kolibrie_spark.operators.export import shard_manifest_duckdb_sql
+
+    return shard_manifest_duckdb_sql("documents", "doc_id", ["text", "source"], 16)
+
+
 def _q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus selection (operators/sampling.py): greedy
     best-score-first prefix under a cumulative whitespace-token budget —
@@ -3792,6 +3811,7 @@ _DRIVER_FIRST = [
     "search_hybrid_rrf",
     "path_negated_set",
     "dedup_containment",
+    "export_manifest",
     # -- the 12 r5-touched gates still carrying pre-r5 driver rows
     "multimodal_features",
     "multimodal_frames",
@@ -3807,12 +3827,13 @@ _DRIVER_FIRST = [
     "sim_topk_pq",
     # -- oldest remaining driver rows (r3), prioritized per VERDICT r6:
     # prob/ml/analytics/sketches first, then text pack, dedup, sampling,
-    # profiling, events. 17 + 33 = 50 exactly (search_hybrid_rrf,
-    # path_negated_set, dedup_containment are new in r7 and lead with
-    # the other r7-touched gates); the seven r3 gates that do not fit
-    # (asof_join_events_orders, telemetry_resample, embed_hard_negatives,
-    # events_path_trigrams, events_ewma, events_anomaly_mad,
-    # events_interval_merge) lead r8 with the r4 set.
+    # profiling, events. 18 + 32 = 50 exactly (search_hybrid_rrf,
+    # path_negated_set, dedup_containment, export_manifest are new in
+    # r7 and lead with the other r7-touched gates); the eight r3 gates
+    # that do not fit (asof_join_events_orders, telemetry_resample,
+    # embed_hard_negatives, events_path_trigrams, events_ewma,
+    # events_anomaly_mad, events_interval_merge, events_retention) lead
+    # r8 with the r4 set.
     "prob_hybrid",
     "ml_predict",
     "analytics_q3",
@@ -3845,7 +3866,6 @@ _DRIVER_FIRST = [
     "events_json_agg",
     "events_rolling",
     "events_funnel",
-    "events_retention",
 ]
 
 
@@ -4083,6 +4103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "url_canonicalize": _q_url_canonicalize,
         "sample_token_budget": _q_sample_token_budget,
+        "export_manifest": _q_export_manifest,
         "split_leakage_safe": _q_split_leakage_safe,
         # --- reasoner + streaming replay (§2.9/§2.10)
         "reasoner_transitive_closure": _q_reasoner_closure,
@@ -4523,6 +4544,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": _sample_stratified_oracle(),
         "url_canonicalize": _url_canonicalize_oracle(),
         "sample_token_budget": _sample_token_budget_oracle(),
+        "export_manifest": _export_manifest_oracle(),
         "split_leakage_safe": _split_leakage_safe_oracle(),
         "streaming_istream_replay": (
             "WITH w AS (SELECT DISTINCT "

@@ -1113,3 +1113,47 @@ def test_containment_pairs_asymmetric(spark):
         for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.8).collect()
     }
     assert (1, 2) not in jac
+
+
+def test_shard_manifest_deterministic_and_mergeable(spark):
+    """Export manifest invariants: shard assignment is a pure key
+    function (repartition-invariant), the xor content hash is
+    order-independent, and any row change flips its shard's hash."""
+    from kolibrie_spark.operators.export import (
+        assign_shards,
+        shard_manifest,
+        shard_manifest_duckdb_sql,
+    )
+
+    rows_ = [(i, f"text body {i} " * (i % 5 + 1), f"src{i % 3}") for i in range(200)]
+    df = spark.createDataFrame(rows_, "doc_id long, text string, source string")
+
+    m1 = {r.shard: (r.n_rows, r.n_chars, r.content_hash)
+          for r in shard_manifest(df, "doc_id", ["text", "source"], 8).collect()}
+    # partitioning/order must not matter
+    m2 = {r.shard: (r.n_rows, r.n_chars, r.content_hash)
+          for r in shard_manifest(
+              df.repartition(13).sortWithinPartitions("source"),
+              "doc_id", ["text", "source"], 8).collect()}
+    assert m1 == m2 and sum(v[0] for v in m1.values()) == 200
+
+    # DuckDB twin agrees exactly
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    want = {int(s): (int(n), int(c), int(h)) for s, n, c, h in con.execute(
+        shard_manifest_duckdb_sql("docs", "doc_id", ["text", "source"], 8)
+    ).fetchall()}
+    assert want == m1
+
+    # a single-row edit flips exactly that row's shard hash
+    df2 = df.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.lit("tampered")).otherwise(F.col("text")),
+    )
+    m3 = {r.shard: (r.n_rows, r.n_chars, r.content_hash)
+          for r in shard_manifest(df2, "doc_id", ["text", "source"], 8).collect()}
+    s7 = [r.shard for r in assign_shards(df, "doc_id", 8).filter("doc_id = 7").collect()][0]
+    assert m3[s7][2] != m1[s7][2]
+    assert all(m3[s][2] == m1[s][2] for s in m1 if s != s7)
