@@ -1314,6 +1314,87 @@ def _q_reasoner_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("s", "o")
 
 
+def _q_reasoner_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical multi-level reasoner (§2.10, reference
+    datalog/src/reasoning_experimental.rs:17-306): base facts from
+    supplier/nation/region, one deductive join rule, one abductive
+    hypothesis rule, one meta-level 2-premise rule; result is every fact
+    with its level number and the reference's certainty mapping
+    (1.0 / 0.9 / 0.6 / 0.4)."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.reasoner.hierarchy import (
+        HierarchicalRule,
+        ReasoningHierarchy,
+        ReasoningLevel,
+    )
+    from kolibrie_spark.reasoner.rule import Rule
+    from kolibrie_spark.sparql.ast import Iri, TriplePattern, Var
+
+    from kolibrie_spark.tables import load_table
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    located = supplier.join(nation, supplier.s_nationkey == nation.n_nationkey).select(
+        F.col("s_name").alias("s"), F.lit("located_in").alias("p"), F.col("n_name").alias("o")
+    )
+    in_region = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        F.col("n_name").alias("s"), F.lit("in_region").alias("p"), F.col("r_name").alias("o")
+    )
+    h = ReasoningHierarchy(spark)
+    h.levels[ReasoningLevel.BASE].facts = located.unionByName(in_region).dropDuplicates()
+
+    h.add_rule_at_level(
+        ReasoningLevel.DEDUCTIVE,
+        Rule(
+            premise=[
+                TriplePattern(Var("x"), Iri("located_in"), Var("n")),
+                TriplePattern(Var("n"), Iri("in_region"), Var("r")),
+            ],
+            conclusion=[TriplePattern(Var("x"), Iri("in_macro"), Var("r"))],
+        ),
+        priority=1,
+    )
+    h.add_cross_level_rule(
+        HierarchicalRule(
+            rule=Rule(
+                premise=[TriplePattern(Var("x"), Iri("in_macro"), Var("r"))],
+                conclusion=[TriplePattern(Var("x"), Iri("might_trade"), Var("r"))],
+            ),
+            level=ReasoningLevel.ABDUCTIVE,
+            priority=1,
+            dependencies=[ReasoningLevel.BASE, ReasoningLevel.DEDUCTIVE],
+        )
+    )
+    h.add_cross_level_rule(
+        HierarchicalRule(
+            rule=Rule(
+                premise=[
+                    TriplePattern(Var("x"), Iri("might_trade"), Var("r")),
+                    TriplePattern(Var("x"), Iri("located_in"), Var("n")),
+                ],
+                conclusion=[TriplePattern(Var("x"), Iri("is_a"), Iri("global_supplier"))],
+            ),
+            level=ReasoningLevel.META_REASONING,
+            priority=1,
+            dependencies=[
+                ReasoningLevel.BASE,
+                ReasoningLevel.DEDUCTIVE,
+                ReasoningLevel.ABDUCTIVE,
+            ],
+        )
+    )
+    h.hierarchical_inference()
+    return h.facts_with_certainty().select(
+        F.col("level_no").cast("int").alias("level_no"),
+        "s",
+        "p",
+        "o",
+        F.col("certainty").cast("double").alias("certainty"),
+    )
+
+
 def _q_prob_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid probabilistic reasoning gate (§2.10, reference hybrid.rs):
     supplier→nation and nation→region edges carry deterministic seed
@@ -3812,6 +3893,7 @@ _DRIVER_FIRST = [
     "path_negated_set",
     "dedup_containment",
     "export_manifest",
+    "reasoner_hierarchy",
     # -- the 12 r5-touched gates still carrying pre-r5 driver rows
     "multimodal_features",
     "multimodal_frames",
@@ -4107,6 +4189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_safe": _q_split_leakage_safe,
         # --- reasoner + streaming replay (§2.9/§2.10)
         "reasoner_transitive_closure": _q_reasoner_closure,
+        "reasoner_hierarchy": _q_reasoner_hierarchy,
         "prob_hybrid": _q_prob_hybrid,
         "streaming_istream_replay": _q_streaming_istream_replay,
         "streaming_dstream_replay": _q_streaming_dstream_replay,
@@ -4538,6 +4621,29 @@ def oracle_sql() -> dict[str, str]:
             "  UNION"
             "  SELECT e.x, c.y FROM edges e JOIN closure c ON e.y = c.x"
             ") SELECT x AS s, y AS o FROM closure"
+        ),
+        "reasoner_hierarchy": (
+            "WITH base AS ("
+            "  SELECT s_name AS s, 'located_in' AS p, n_name AS o"
+            "  FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+            "  UNION"
+            "  SELECT n_name, 'in_region', r_name"
+            "  FROM nation JOIN region ON n_regionkey = r_regionkey"
+            "), ded AS ("
+            "  SELECT DISTINCT l.s AS s, 'in_macro' AS p, r.o AS o"
+            "  FROM base l JOIN base r ON l.o = r.s"
+            "  WHERE l.p = 'located_in' AND r.p = 'in_region'"
+            "), abd AS ("
+            "  SELECT DISTINCT s, 'might_trade' AS p, o FROM ded"
+            "), meta AS ("
+            "  SELECT DISTINCT a.s AS s, 'is_a' AS p, 'global_supplier' AS o"
+            "  FROM abd a JOIN base b ON a.s = b.s AND b.p = 'located_in'"
+            ") "
+            "SELECT CAST(0 AS INT) AS level_no, s, p, o, "
+            "CAST(1.0 AS DOUBLE) AS certainty FROM base "
+            "UNION ALL SELECT CAST(1 AS INT), s, p, o, CAST(0.9 AS DOUBLE) FROM ded "
+            "UNION ALL SELECT CAST(2 AS INT), s, p, o, CAST(0.6 AS DOUBLE) FROM abd "
+            "UNION ALL SELECT CAST(3 AS INT), s, p, o, CAST(0.4 AS DOUBLE) FROM meta"
         ),
         "prob_hybrid": _prob_hybrid_oracle(),
         "events_sessionize": _events_sessionize_oracle(),
