@@ -238,3 +238,29 @@ def test_rule_order_within_level_feeds_later_rules(spark):
 
 def advanced_facts(h, level):
     return h.query_hierarchy(level)
+
+
+def test_to_dot_renders_nodes_rules_edges(spark):
+    """DOT export (reference datalog/src/reasoning/to_dot.rs): node per
+    subject/object term, a box pair per rule, labelled fact edges, and a
+    premise->conclusion edge per rule."""
+    from kolibrie_spark.reasoner import Reasoner, to_dot
+
+    r = Reasoner(spark)
+    r.add_triples([("alice", "parent", "bob"), ("bob", "parent", "carol")])
+    r.add_rule(
+        rule(
+            [tp(v("X"), c("parent"), v("Y")), tp(v("Y"), c("parent"), v("Z"))],
+            [tp(v("X"), c("grandparent"), v("Z"))],
+        )
+    )
+    dot = to_dot(r)
+    assert dot.startswith("digraph {") and dot.endswith("}")
+    assert '0 [label="alice"]' in dot
+    assert '1 [label="bob"]' in dot
+    assert '2 [label="carol"]' in dot
+    assert '0 -> 1 [label="parent"]' in dot
+    assert '1 -> 2 [label="parent"]' in dot
+    assert 'Rule0_premise [label="(X, parent, Y)\n(Y, parent, Z)", shape=box]' in dot
+    assert 'Rule0_conclusion [label="(X, grandparent, Z)", shape=box]' in dot
+    assert "Rule0_premise -> Rule0_conclusion" in dot
