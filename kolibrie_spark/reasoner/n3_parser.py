@@ -47,8 +47,13 @@ def _term_of(m: "re.Match", prefixes: dict[str, str]):
     if m.group("lit") is not None:
         return Lit(m.group("lit"))
     if m.group("pname") is not None:
-        pfx, _, local = m.group("pname").partition(":")
-        return Iri(prefixes.get(pfx, "") + local)
+        pname = m.group("pname")
+        pfx, _, local = pname.partition(":")
+        if pfx in prefixes:
+            return Iri(prefixes[pfx] + local)
+        # undeclared prefix: keep the prefixed name verbatim, as the
+        # reference's expand_prefix does (parser_n3_logic.rs:206-221)
+        return Iri(pname)
     if m.group("name") is not None:
         return Iri(RDF_TYPE) if m.group("name") == "a" else Iri(m.group("name"))
     return Lit(m.group("num"))

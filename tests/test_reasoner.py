@@ -268,6 +268,21 @@ def test_n3_rules_parse_and_run(spark):
     assert not r.infer("A", "http://family/guardian", "B")  # dead => no guardian
 
 
+def test_n3_rules_undeclared_prefix_kept_verbatim():
+    """An undeclared prefix is NOT expanded to the empty namespace — the
+    prefixed name survives verbatim, matching the reference's
+    expand_prefix fallback (parser_n3_logic.rs:206-221)."""
+    rules = parse_n3_rules(
+        """
+        @prefix ex: <http://ex.org/> .
+        { ?x ssn:observes ?y . } => { ?x ex:sees ?y . } .
+        """
+    )
+    assert len(rules) == 1
+    assert rules[0].premise[0].p == I("ssn:observes")  # verbatim, not "observes"
+    assert rules[0].conclusion[0].p == I("http://ex.org/sees")
+
+
 def test_engine_rule_grammar_and_materialize(engine):
     """RULE :- CONSTRUCT/WHERE registration through the engine facade."""
     engine.add_triples(
