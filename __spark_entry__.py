@@ -1314,6 +1314,35 @@ def _q_reasoner_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("s", "o")
 
 
+def _q_closure_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-chain transitive closure by path doubling (§2.10; the Spark-first
+    answer to the reference's deep-taxonomy workload,
+    kolibrie/examples/sparql_syntax/knowledge_graph/deep_taxonomy.rs:71-95):
+    parts chained by successive p_partkey within p_partkey % 64 groups form
+    64 disjoint deep chains; the closure converges in ⌈log₂ depth⌉ doubling
+    joins instead of depth semi-naive rounds.  Output: per-group ancestor-
+    pair counts (closure of a depth-d chain has d·(d+1)/2 pairs)."""
+    from pyspark.sql import Window, functions as F
+
+    from kolibrie_spark.reasoner import transitive_closure
+    from kolibrie_spark.tables import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy(F.col("p_partkey") % 64).orderBy("p_partkey")
+    edges = (
+        part.select("p_partkey")
+        .withColumn("dst", F.lead("p_partkey").over(w))
+        .filter(F.col("dst").isNotNull())
+        .select(F.col("p_partkey").alias("src"), "dst")
+    )
+    closure = transitive_closure(edges, src="src", dst="dst", max_iter=12)
+    return (
+        closure.groupBy((F.col("src") % 64).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("pairs"))
+        .orderBy("grp")
+    )
+
+
 def _q_reasoner_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical multi-level reasoner (§2.10, reference
     datalog/src/reasoning_experimental.rs:17-306): base facts from
@@ -3887,13 +3916,15 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_FIRST = [
     # -- never driver-checked in 6 rounds (VERDICT r6 item #1)
     "split_leakage_safe",
-    # -- r7 code changes: bucket-based token budget; new RRF + NPS gates
+    # -- r7 code changes: bucket-based token budget; new RRF + NPS +
+    #    doubling-closure gates
     "sample_token_budget",
     "search_hybrid_rrf",
     "path_negated_set",
     "dedup_containment",
     "export_manifest",
     "reasoner_hierarchy",
+    "closure_doubling",
     # -- the 12 r5-touched gates still carrying pre-r5 driver rows
     "multimodal_features",
     "multimodal_frames",
@@ -3909,13 +3940,13 @@ _DRIVER_FIRST = [
     "sim_topk_pq",
     # -- oldest remaining driver rows (r3), prioritized per VERDICT r6:
     # prob/ml/analytics/sketches first, then text pack, dedup, sampling,
-    # profiling, events. 18 + 32 = 50 exactly (search_hybrid_rrf,
-    # path_negated_set, dedup_containment, export_manifest are new in
-    # r7 and lead with the other r7-touched gates); the eight r3 gates
-    # that do not fit (asof_join_events_orders, telemetry_resample,
-    # embed_hard_negatives, events_path_trigrams, events_ewma,
-    # events_anomaly_mad, events_interval_merge, events_retention) lead
-    # r8 with the r4 set.
+    # profiling, events. 19 + 31 = 50 exactly (search_hybrid_rrf,
+    # path_negated_set, dedup_containment, export_manifest,
+    # closure_doubling are new in r7 and lead with the other r7-touched
+    # gates); the nine r3 gates that do not fit (events_funnel,
+    # asof_join_events_orders, telemetry_resample, embed_hard_negatives,
+    # events_path_trigrams, events_ewma, events_anomaly_mad,
+    # events_interval_merge, events_retention) lead r8 with the r4 set.
     "prob_hybrid",
     "ml_predict",
     "analytics_q3",
@@ -3947,7 +3978,6 @@ _DRIVER_FIRST = [
     "events_downsample",
     "events_json_agg",
     "events_rolling",
-    "events_funnel",
 ]
 
 
@@ -4189,6 +4219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_safe": _q_split_leakage_safe,
         # --- reasoner + streaming replay (§2.9/§2.10)
         "reasoner_transitive_closure": _q_reasoner_closure,
+        "closure_doubling": _q_closure_doubling,
         "reasoner_hierarchy": _q_reasoner_hierarchy,
         "prob_hybrid": _q_prob_hybrid,
         "streaming_istream_replay": _q_streaming_istream_replay,
@@ -4621,6 +4652,21 @@ def oracle_sql() -> dict[str, str]:
             "  UNION"
             "  SELECT e.x, c.y FROM edges e JOIN closure c ON e.y = c.x"
             ") SELECT x AS s, y AS o FROM closure"
+        ),
+        "closure_doubling": (
+            "WITH RECURSIVE edges AS ("
+            "  SELECT src, dst FROM ("
+            "    SELECT p_partkey AS src, "
+            "           lead(p_partkey) OVER (PARTITION BY p_partkey % 64 "
+            "                                 ORDER BY p_partkey) AS dst"
+            "    FROM part)"
+            "  WHERE dst IS NOT NULL"
+            "), reach AS ("
+            "  SELECT src, dst FROM edges"
+            "  UNION"
+            "  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src"
+            ") SELECT src % 64 AS grp, count(*) AS pairs "
+            "FROM reach GROUP BY grp ORDER BY grp"
         ),
         "reasoner_hierarchy": (
             "WITH base AS ("

@@ -10,6 +10,7 @@ from kolibrie_spark.reasoner.hierarchy import (
     ReasoningHierarchy,
     ReasoningLevel,
 )
+from kolibrie_spark.reasoner.closure import ancestors_via_closure, transitive_closure
 from kolibrie_spark.reasoner.n3_parser import parse_n3_rules
 from kolibrie_spark.reasoner.to_dot import to_dot
 
@@ -23,4 +24,6 @@ __all__ = [
     "ReasoningLevel",
     "parse_n3_rules",
     "to_dot",
+    "transitive_closure",
+    "ancestors_via_closure",
 ]
