@@ -34,6 +34,8 @@ _TERM_RE = re.compile(
       | (?P<name>[A-Za-z_]\w*(?:\.\w+)*)
       | (?P<num>[+-]?\d+(?:\.\d+)?)
       | (?P<dot>\.)
+      | (?P<semi>;)
+      | (?P<comma>,)
     """,
     re.VERBOSE,
 )
@@ -61,24 +63,36 @@ def _term_of(m: "re.Match", prefixes: dict[str, str]):
 
 def _parse_patterns(body: str, prefixes: dict[str, str]) -> list[TriplePattern]:
     """Tokenize the body; '.' is a statement terminator only between terms
-    (IRIs/pnames/decimals keep their internal dots)."""
+    (IRIs/pnames/decimals keep their internal dots).  Turtle predicate
+    lists are supported as the reference's rule grammar accepts them in
+    CONSTRUCT/WHERE templates (examples/.../multiple_conclusions.rs:58-64):
+    ';' keeps the subject, ',' keeps subject and predicate."""
     pats: list[TriplePattern] = []
     terms: list = []
+
+    def flush(keep: int) -> None:
+        if not terms and keep == 0:
+            return  # stray terminator (e.g. trailing '.' after a ';' list)
+        if len(terms) != 3:
+            raise ValueError(
+                f"bad N3 statement (need 3 terms, got {len(terms)}): {body!r}"
+            )
+        pats.append(TriplePattern(*terms))
+        del terms[keep:]
+
     for m in _TERM_RE.finditer(body):
         if m.group("dot") is not None:
-            if terms:
-                if len(terms) != 3:
-                    raise ValueError(
-                        f"bad N3 statement (need 3 terms, got {len(terms)}): {body!r}"
-                    )
-                pats.append(TriplePattern(*terms))
-                terms = []
-            continue
-        terms.append(_term_of(m, prefixes))
-    if terms:
-        if len(terms) != 3:
-            raise ValueError(f"bad N3 statement (need 3 terms, got {len(terms)}): {body!r}")
-        pats.append(TriplePattern(*terms))
+            flush(0)
+        elif m.group("semi") is not None:
+            flush(1)  # next: predicate object
+        elif m.group("comma") is not None:
+            flush(2)  # next: object
+        else:
+            terms.append(_term_of(m, prefixes))
+    if len(terms) > 1:  # a lone kept-subject after '; .' is not a statement
+        flush(0)
+    elif len(terms) == 1:
+        raise ValueError(f"bad N3 statement (need 3 terms, got 1): {body!r}")
     return pats
 
 

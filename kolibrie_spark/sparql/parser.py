@@ -314,6 +314,12 @@ class Parser:
         if t.kind == "NAME" and t.text == "a":
             self.i += 1
             return Iri(RDF_TYPE)
+        if t.kind == "NAME" and t.text in ("true", "false"):
+            # SPARQL BooleanLiteral; stored by its lexical form like every
+            # other literal (the reference's rule/SELECT examples match
+            # `true` as a plain term, multiple_conclusions.rs:59-104)
+            self.i += 1
+            return Lit(t.text)
         raise ParseError(f"expected term at {t!r}")
 
     # -- SELECT

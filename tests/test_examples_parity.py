@@ -635,3 +635,127 @@ def test_volcano_optimizer_example_equivalent(spark):
         ("http://example.org/alice", "Alice", "30"),
         ("http://example.org/bob", "Bob", "25"),
     ]
+
+
+def test_multiple_conclusions_example(spark):
+    """examples/sparql_syntax/combination/multiple_conclusions.rs: one
+    RULE whose CONSTRUCT template is a four-triple ';' predicate list
+    (overheatingAlert / status / timestamp / requiresAction), fired for
+    readings with temperature > 80, then a SELECT joining the derived
+    alert facts back to every reading of the alerted rooms."""
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://example.org#"
+         xmlns:alert="http://example.org/alerts#">
+  <rdf:Description rdf:about="http://example.org#Room101">
+    <ex:temperature>75</ex:temperature>
+    <ex:room>Room101</ex:room>
+  </rdf:Description>
+  <rdf:Description rdf:about="http://example.org#Sensor1">
+    <ex:room>Room101</ex:room>
+    <ex:temperature>90</ex:temperature>
+  </rdf:Description>
+  <rdf:Description rdf:about="http://example.org#Room102">
+    <ex:temperature>35</ex:temperature>
+    <ex:room>Room102</ex:room>
+  </rdf:Description>
+  <rdf:Description rdf:about="http://example.org#Sensor2">
+    <ex:room>Room102</ex:room>
+    <ex:temperature>70</ex:temperature>
+  </rdf:Description>
+  <rdf:Description rdf:about="http://example.org#Room103">
+    <ex:temperature>45</ex:temperature>
+    <ex:room>Room103</ex:room>
+  </rdf:Description>
+  <rdf:Description rdf:about="http://example.org#Sensor3">
+    <ex:room>Room103</ex:room>
+    <ex:temperature>190</ex:temperature>
+  </rdf:Description>
+</rdf:RDF>"""
+    e = _engine(spark, xml)
+    e.register_rule(
+        """PREFIX ex: <http://example.org#>
+PREFIX alert: <http://example.org/alerts#>
+RULE :OverheatingAlert :-
+  CONSTRUCT {
+      ?room ex:overheatingAlert true ;
+            alert:status "Critical" ;
+            alert:timestamp "2025-04-19T13:49:18Z" ;
+            alert:requiresAction true .
+  }
+  WHERE {
+      ?reading ex:room ?room ;
+               ex:temperature ?temp .
+      FILTER (?temp > 80)
+  }"""
+    )
+    e.materialize()
+    got = sorted(
+        tuple(r)
+        for r in e.execute(
+            """PREFIX ex: <http://example.org#>
+PREFIX alert: <http://example.org/alerts#>
+SELECT ?room ?temp ?status ?timestamp ?action
+WHERE {
+  ?room ex:overheatingAlert true .
+  ?room alert:status ?status .
+  ?room alert:timestamp ?timestamp .
+  ?room alert:requiresAction ?action .
+  ?reading ex:room ?room .
+  ?reading ex:temperature ?temp .
+}"""
+        )
+    )
+    ts = "2025-04-19T13:49:18Z"
+    assert got == [
+        ("Room101", "75", "Critical", ts, "true"),
+        ("Room101", "90", "Critical", ts, "true"),
+        ("Room103", "190", "Critical", ts, "true"),
+        ("Room103", "45", "Critical", ts, "true"),
+    ]
+
+
+def test_n3_data_advanced_example(spark):
+    """examples/sparql_syntax/n3_data/n3_data_advanced.rs: N3 data with
+    ';' predicate lists, '#' comments, typed literals (datatype stripped)
+    and multi-line subjects; SELECT joins name with annualSalary."""
+    n3 = """
+        @prefix ex: <http://example.org/>.
+        @prefix xsd: <http://www.w3.org/2001/XMLSchema#>.
+        @prefix currency: <http://purl.org/commerce#>.
+
+        ex:john ex:name "John Smith" ;
+                ex:hasFriend ex:jane ;
+                ex:hasJob ex:softwareEngineer ;
+                ex:annualSalary "75000"^^xsd:integer ;
+                ex:salaryCurrency currency:USD.
+
+        ex:jane 
+        ex:name "Jane Doe" ; # Changed to singular "Jane" for consistency, adjust as needed
+        ex:hasJob ex:doctor ;
+        ex:annualSalary "95000"^^xsd:integer ;
+        ex:salaryCurrency currency:USD.
+
+        ex:softwareEngineer 
+        ex:jobTitle "Software Engineer".
+
+        ex:doctor 
+        ex:jobTitle "Doctor/Physician".
+    """
+    store = QuadStore(spark)
+    parse_into(store, n3, fmt="n3")
+    e = SparqlEngine(spark, store)
+    got = sorted(
+        tuple(r)
+        for r in e.execute(
+            """PREFIX ex: <http://example.org/>
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+
+    SELECT ?name ?salary
+    WHERE {
+        ?person ex:name ?name .
+        ?person ex:annualSalary ?salary
+    }"""
+        )
+    )
+    assert got == [("Jane Doe", "95000"), ("John Smith", "75000")]
