@@ -759,3 +759,65 @@ def test_n3_data_advanced_example(spark):
         )
     )
     assert got == [("Jane Doe", "95000"), ("John Smith", "75000")]
+
+
+def test_repro_sensor_path_benchmark_query(spark):
+    """examples/sparql_syntax/n_triples_data/repro_sensor_path_benchmark.rs:
+    the TrainBenchmark repro query verbatim — a 13-pattern BGP (5-hop
+    connectsTo path whose six segments are all monitored by the SAME
+    sensor, all typed Segment).  The reference reads a 100 MB .nt dump not
+    shipped with the repo, so the data is a synthetic TrainBenchmark shape
+    with a computable answer: per sensor an 8-segment monitored chain
+    (3 six-segment windows each), chains joined across sensors so the
+    same-sensor constraint has decoys to reject."""
+    tb = "http://www.semanticweb.org/ontologies/2015/trainbenchmark#"
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    n_sensors, chain = 20, 8
+    quads = []
+    for s in range(n_sensors):
+        sensor = f"{tb}sensor{s}"
+        quads.append((sensor, f"{rdf}type", f"{tb}Sensor", None))
+        for i in range(chain):
+            seg = f"{tb}seg_{s}_{i}"
+            quads.append((seg, f"{rdf}type", f"{tb}Segment", None))
+            quads.append((seg, f"{tb}monitoredBy", sensor, None))
+            if i + 1 < chain:
+                quads.append((seg, f"{tb}connectsTo", f"{tb}seg_{s}_{i + 1}", None))
+        if s + 1 < n_sensors:  # cross-sensor decoy link
+            quads.append(
+                (f"{tb}seg_{s}_{chain - 1}", f"{tb}connectsTo", f"{tb}seg_{s + 1}_0", None)
+            )
+    store = QuadStore(spark)
+    store.add_quads(quads)
+    e = SparqlEngine(spark, store)
+    rows = e.execute(
+        """
+PREFIX base: <http://www.semanticweb.org/ontologies/2015/trainbenchmark#>
+PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+SELECT ?sensor ?segment1 ?segment2 ?segment3 ?segment4 ?segment5 ?segment6 WHERE {
+    ?segment1 base:connectsTo ?segment2 .
+    ?segment2 base:connectsTo ?segment3 .
+    ?segment3 base:connectsTo ?segment4 .
+    ?segment4 base:connectsTo ?segment5 .
+    ?segment5 base:connectsTo ?segment6 .
+    ?sensor rdf:type base:Sensor .
+    ?segment1 base:monitoredBy ?sensor .
+    ?segment2 base:monitoredBy ?sensor .
+    ?segment3 base:monitoredBy ?sensor .
+    ?segment4 base:monitoredBy ?sensor .
+    ?segment5 base:monitoredBy ?sensor .
+    ?segment6 base:monitoredBy ?sensor .
+    ?segment1 rdf:type base:Segment .
+    ?segment2 rdf:type base:Segment .
+    ?segment3 rdf:type base:Segment .
+    ?segment4 rdf:type base:Segment .
+    ?segment5 rdf:type base:Segment .
+    ?segment6 rdf:type base:Segment .
+}"""
+    )
+    # per sensor: windows starting at 0,1,2 of its own 8-chain; cross-sensor
+    # paths die on the shared-?sensor join
+    assert len(rows) == 3 * n_sensors
+    assert all(len(r) == 7 for r in rows)
+    one = next(r for r in rows if r[0] == f"{tb}sensor0" and r[1] == f"{tb}seg_0_0")
+    assert one[1:] == [f"{tb}seg_0_{i}" for i in range(6)]

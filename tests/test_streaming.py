@@ -402,3 +402,46 @@ WHERE {
     # undeclared ssn: terms kept as raw prefixed names (reference parity)
     pats = [e for e in w.group.elements]
     assert any(getattr(p.p, "value", None) == "ssn:hasSimpleResult" for p in pats)
+
+
+def test_continuous_stream_rule_strings_parse():
+    """Grammar-parity pin for combination/continious_stream.rs: its three
+    windowed RULE strings (SLIDING+SLIDE, TUMBLING with TUPLE_DRIVEN tick,
+    RANGE with bare `REPORT PERIODIC`) must all parse to the matching
+    stream operators."""
+    from kolibrie_spark.streaming.rules import parse_streaming_rule
+
+    rstream = parse_streaming_rule(
+        """PREFIX ex: <http://example.org#>
+RULE :TemperatureAlert :-
+RSTREAM
+FROM NAMED WINDOW <http://example.org/window1> ON <http://example.org/temperatureStream> [SLIDING 6 SLIDE 2 REPORT ON_WINDOW_CLOSE TICK TIME_DRIVEN]
+CONSTRUCT { ?room ex:hasAlert "high_temperature" . }
+WHERE { ?reading ex:room ?room ;
+                 ex:temperature ?temp ;
+                 ex:timestamp ?time .
+        FILTER (?temp > 90) }"""
+    )
+    istream = parse_streaming_rule(
+        """PREFIX ex: <http://example.org#>
+RULE :NewHighTemp :-
+ISTREAM
+FROM NAMED WINDOW <http://example.org/window2> ON <http://example.org/tempStream> [TUMBLING 4 REPORT NON_EMPTY_CONTENT TICK TUPLE_DRIVEN]
+CONSTRUCT { ?room ex:newHighReading ?temp . }
+WHERE { ?reading ex:room ?room ; ex:temperature ?temp . FILTER (?temp > 85) }"""
+    )
+    dstream = parse_streaming_rule(
+        """PREFIX ex: <http://example.org#>
+RULE :ExtremeAlert :-
+DSTREAM
+FROM NAMED WINDOW <http://example.org/window3> ON <http://example.org/sensorStream> [RANGE 8 REPORT PERIODIC TICK TIME_DRIVEN]
+CONSTRUCT { ?room ex:extremeLevel ?temp . }
+WHERE { ?reading ex:room ?room ; ex:temperature ?temp ; ex:timestamp ?time .
+        FILTER (?temp > 115) }"""
+    )
+    assert (rstream.operator, istream.operator, dstream.operator) == (
+        "RSTREAM",
+        "ISTREAM",
+        "DSTREAM",
+    )
+    assert all(len(r.template) == 1 for r in (rstream, istream, dstream))
