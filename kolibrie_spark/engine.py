@@ -207,12 +207,66 @@ class SparqlEngine:
         if ann is not None and ann.combination == "hybrid":
             return self._process_hybrid_rule(rule, ann.hybrid_config)
         if ann is not None:
-            return self._process_provenance_rule(rule, ann)
+            return self._process_provenance_rule([rule], ann)
         self.rules.append(rule)
         return []
 
-    def _process_provenance_rule(self, rule, ann) -> "DerivedFacts | list":
-        """Non-hybrid PROB variants (reference parser.rs:3785-3930):
+    def register_rule_batch(self, texts: list[str]) -> list:
+        """Shared-lineage batch registration of PROB rules — the reference's
+        ``execute_sdd_rule_batch`` pattern (provenance_feedback_loop.rs:
+        157-196): every rule joins ONE reasoner/provenance evaluation, so a
+        fact derivable by several rules gets a single combined tag (e.g.
+        P((t∧p)∨(h∧p))) and one prob:proofCount over the merged lineage,
+        instead of per-rule annotations.  All rules must carry the same
+        PROB combination."""
+        import re as _re
+
+        from kolibrie_spark.reasoner.hybrid import parse_prob_annotation
+        from kolibrie_spark.reasoner.n3_parser import _parse_patterns, _FILTER_RE
+        from kolibrie_spark.reasoner.rule import FilterCondition, Rule, check_rule_safety
+
+        rules, anns = [], []
+        for text in texts:
+            head = _re.search(r"RULE\s+\S+\s*", text, _re.I)
+            if head is None:
+                raise ValueError("expected RULE :Name PROB(...) :- CONSTRUCT { ... } WHERE { ... }")
+            prefixes = dict(self.store.prefixes)
+            for pm in _re.finditer(
+                r"PREFIX\s+([A-Za-z_][\w\-]*)?:\s*<([^<>\s]*)>", text[: head.start()], _re.I
+            ):
+                prefixes[pm.group(1) or ""] = pm.group(2)
+            rest = text[head.end():]
+            if not _re.match(r"PROB\s*\(", rest, _re.I):
+                raise ValueError("register_rule_batch requires PROB(...) rules")
+            ann, rest = parse_prob_annotation(rest)
+            m = _re.match(
+                r"\s*:-\s*CONSTRUCT\s*\{(.*?)\}\s*WHERE\s*\{(.*)\}\s*\.?\s*$",
+                rest, _re.S | _re.I,
+            )
+            if m is None:
+                raise ValueError("expected RULE :Name PROB(...) :- CONSTRUCT { ... } WHERE { ... }")
+            concl_src, where_src = m.group(1), m.group(2)
+            filters = [
+                FilterCondition(fm.group(1), fm.group(2), fm.group(3).strip().strip('"'))
+                for fm in _FILTER_RE.finditer(where_src)
+            ]
+            where_src = _FILTER_RE.sub(" ", where_src)
+            rule = Rule(
+                premise=_parse_patterns(where_src, prefixes),
+                conclusion=_parse_patterns(concl_src, prefixes),
+                filters=filters,
+                prob=ann,
+            )
+            check_rule_safety(rule)
+            rules.append(rule)
+            anns.append(ann)
+        if len({a.combination for a in anns}) != 1:
+            raise ValueError("register_rule_batch rules must share one PROB combination")
+        return self._process_provenance_rule(rules, anns[0])
+
+    def _process_provenance_rule(self, rules, ann) -> "DerivedFacts | list":
+        """Non-hybrid PROB variants (reference parser.rs:3785-3930), over
+        one rule or a shared-lineage batch (provenance_feedback_loop.rs):
 
         - ``minmax``/``min``/``boolean`` → tagged semi-naive fixpoint with
           the (min, max) semiring (boolean degenerates to it with all-1.0
@@ -256,7 +310,7 @@ class SparqlEngine:
             else:
                 tagged = base.withColumn("tag", F.lit(1.0))
             r = _R(self.spark)
-            r.rules = [rule]
+            r.rules = list(rules)
             out = r.materialize_with_provenance(tagged, semiring)
             derived = out.join(base, on=["s", "p", "o"], how="left_anti").localCheckpoint(
                 eager=True
@@ -272,7 +326,7 @@ class SparqlEngine:
             return DerivedFacts(derived)
 
         if comb in ("wmc", "sdd", "topk"):
-            ev = self.hybrid_evaluator(rules=[rule])
+            ev = self.hybrid_evaluator(rules=list(rules))
             inferred = ev.inferred()
             if comb == "topk":
                 k = int(ann.threshold) if ann.threshold else 5
@@ -285,6 +339,19 @@ class SparqlEngine:
                     [(s, p, o, t) for (s, p, o), t in tags.items()], TAGGED_SCHEMA
                 )
                 materialize_tags_as_rdfstar(self.store, tagged)
+                if comb in ("wmc", "sdd"):
+                    # explanation superset of encode_as_rdf_star
+                    # (tag_store.rs:119-240): prob:proofCount — DNF clause
+                    # count for wmc, satisfying-model count for sdd
+                    counter = ev.proof_count if comb == "wmc" else ev.model_count
+                    counts = self.spark.createDataFrame(
+                        [(s, p, o, float(counter((s, p, o)))) for (s, p, o) in inferred],
+                        TAGGED_SCHEMA,
+                    ).withColumn("tag", F.col("tag").cast("int"))
+                    materialize_tags_as_rdfstar(
+                        self.store, counts,
+                        predicate="http://www.w3.org/ns/prob#proofCount",
+                    )
             return inferred
 
         raise ValueError(f"unknown PROB provenance {comb!r}")

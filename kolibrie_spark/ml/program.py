@@ -156,7 +156,21 @@ def _parse_model_decl(text: str) -> tuple[ModelDecl, str]:
     if om is None:
         raise ValueError("MODEL needs OUTPUT EXCLUSIVE { ... } or OUTPUT BINARY { ... }")
     labels_body, _ = _balanced(after_arch[om.end():])
-    values = [v for v in _QUOTED_RE.findall(labels_body)]
+    # comma-separated label list: quoted strings, <IRI>s (angle brackets
+    # stripped to the store's bracket-free lexical form), or bare tokens —
+    # the reference keeps unquoted values verbatim (parser.rs:2178-2195)
+    values = []
+    for part in labels_body.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        qm = _QUOTED_RE.match(part)
+        if qm:
+            values.append(qm.group(1))
+        elif part.startswith("<") and part.endswith(">"):
+            values.append(part[1:-1])
+        else:
+            values.append(part)
     if om.group(1) == "EXCLUSIVE":
         decl = ModelDecl(name, hidden, "exclusive", labels=values)
     else:

@@ -171,12 +171,20 @@ def apply_rule(
     return out
 
 
-PROB_PREDICATE = "prob:value"
+# Full annotation IRI: the reference's tag stores encode the predicate as
+# http://www.w3.org/ns/prob#value (shared/src/tag_store.rs:94), so reference
+# scripts with PREFIX prob: <http://www.w3.org/ns/prob#> match it.
+PROB_PREDICATE = "http://www.w3.org/ns/prob#value"
 
 
-def materialize_tags_as_rdfstar(store, tagged_facts: DataFrame) -> None:
+def materialize_tags_as_rdfstar(
+    store, tagged_facts: DataFrame, predicate: str = PROB_PREDICATE
+) -> None:
     """Write provenance tags into the store as RDF-star annotations:
-    ``<< s p o >> prob:value "0.56"`` (reference reasoning.rs:84-93)."""
+    ``<< s p o >> prob:value "0.56"`` (reference reasoning.rs:84-93 via
+    tag_store.rs:88-111).  `predicate` lets callers emit the explanation
+    predicates of encode_as_rdf_star_with_explanation (tag_store.rs:119+,
+    e.g. prob:proofCount) from the same (s, p, o, tag) frame."""
     from kolibrie_spark import rdfstar
 
     qid = rdfstar.qt_id_col(F.col("s"), F.col("p"), F.col("o"))
@@ -189,7 +197,7 @@ def materialize_tags_as_rdfstar(store, tagged_facts: DataFrame) -> None:
     store.insert_quoted(quoted)
     annotations = tagged_facts.select(
         qid.alias("s"),
-        F.lit(PROB_PREDICATE).alias("p"),
+        F.lit(predicate).alias("p"),
         F.col("tag").cast("string").alias("o"),
         F.lit(None).cast("string").alias("g"),
     )

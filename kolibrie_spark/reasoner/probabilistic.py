@@ -335,6 +335,38 @@ class HybridEvaluator:
         paths = signed_paths(lin) if has_negation(lin) else _paths(lin)
         return exact_wmc(paths, self.seeds, groups=self.groups or None)
 
+    def proof_count(self, fact: Triple) -> int:
+        """Number of distinct derivations (DNF clauses after absorption) —
+        the WMC tag store's prob:proofCount (tag_store.rs:119-143,
+        ``formula.len()``).  Certain facts have 0 explicit proofs."""
+        lin = self.facts.get(fact)
+        if lin is None:
+            return 0
+        return len(signed_paths(lin) if has_negation(lin) else _paths(lin))
+
+    def model_count(self, fact: Triple) -> int:
+        """Number of satisfying assignments of the lineage over its own
+        seed variables — the SDD tag store's prob:proofCount
+        (tag_store.rs:186-240, ``enumerate_models(sdd_id).len()``)."""
+        lin = self.facts.get(fact)
+        if lin is None:
+            return 0
+        paths = signed_paths(lin) if has_negation(lin) else [
+            frozenset((t, True) for t in p) for p in _paths(lin)
+        ]
+        vars_ = sorted({v for p in paths for (v, _pol) in p})
+        if len(vars_) > 24:
+            raise ValueError(
+                f"model_count over {len(vars_)} seed vars would enumerate "
+                f"2^{len(vars_)} assignments; use probability() instead"
+            )
+        count = 0
+        for mask in range(1 << len(vars_)):
+            assign = {v: bool(mask >> i & 1) for i, v in enumerate(vars_)}
+            if any(all(assign[v] == pol for (v, pol) in p) for p in paths):
+                count += 1
+        return count
+
     def topk_lower_bound(self, fact: Triple, k: int = 3) -> float:
         """Certified lower bound from the k most probable derivations
         (hybrid.rs top-k path); equals exact() once k covers all paths."""

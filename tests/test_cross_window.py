@@ -153,7 +153,7 @@ def test_provenance_tags_materialize_as_rdfstar(spark, engine):
     )
     materialize_tags_as_rdfstar(engine.store, tagged)
     got = engine.execute(
-        "SELECT ?t WHERE { << <ex:a> <ex:rel> <ex:c> >> <prob:value> ?t }"
+        "SELECT ?t WHERE { << <ex:a> <ex:rel> <ex:c> >> <http://www.w3.org/ns/prob#value> ?t }"
     )
     assert got == [["0.56"]]
 

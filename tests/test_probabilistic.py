@@ -419,7 +419,7 @@ def test_prob_rule_minmax_materializes_tags(engine):
     )
     assert inferred == [("A", "rel2", "C")]
     tag = (
-        engine.store.quads.filter(F.col("p") == "prob:value").select("o").first()[0]
+        engine.store.quads.filter(F.col("p") == "http://www.w3.org/ns/prob#value").select("o").first()[0]
     )
     assert float(tag) == pytest.approx(0.6)  # min(0.8, 0.6)
     assert engine.execute("SELECT ?z WHERE { <A> <rel2> ?z }") == [["C"]]
@@ -435,7 +435,7 @@ def test_prob_rule_addmult_product(engine):
         "CONSTRUCT { ?x <rel2> ?z . } WHERE { ?x <rel> ?y . ?y <rel> ?z . } ."
     )
     tag = (
-        engine.store.quads.filter(F.col("p") == "prob:value").select("o").first()[0]
+        engine.store.quads.filter(F.col("p") == "http://www.w3.org/ns/prob#value").select("o").first()[0]
     )
     assert float(tag) == pytest.approx(0.4)  # 0.8 * 0.5
 
@@ -455,7 +455,7 @@ def test_prob_rule_wmc_exact_shared_seed(engine):
     assert set(inferred) == {("A", "reach", "C"), ("A", "reach", "D")}
     tags = {
         r.o
-        for r in engine.store.quads.filter(F.col("p") == "prob:value").collect()
+        for r in engine.store.quads.filter(F.col("p") == "http://www.w3.org/ns/prob#value").collect()
     }
     assert all(float(t) == pytest.approx(0.5) for t in tags)
 
@@ -474,7 +474,7 @@ def test_prob_rule_topk_estimate(engine):
 
     tags = [
         float(r.o)
-        for r in engine.store.quads.filter(F.col("p") == "prob:value").collect()
+        for r in engine.store.quads.filter(F.col("p") == "http://www.w3.org/ns/prob#value").collect()
     ]
     assert any(t == pytest.approx(0.48) for t in tags)  # best single proof
 
