@@ -184,6 +184,15 @@ class SparqlEngine:
             from kolibrie_spark.streaming.rules import register_streaming_rule
 
             return register_streaming_rule(self, text)
+        # combined RULE + ML.PREDICT form (reference parse_standalone_rule's
+        # ml_predict clause, examples/combination/combination_ml.rs:69-91):
+        # the trailing clause is split off, the rule registers normally, and
+        # the prediction DataFrame is returned for the caller to materialize
+        ml_text = None
+        mlm = _re.search(r"ML\.PREDICT\s*\(", rest, _re.I)
+        if mlm is not None:
+            ml_text = text[: head.start()] + rest[mlm.start():]  # keep PREFIXes
+            rest = rest[: mlm.start()]
         m = _re.match(
             r"\s*:-\s*CONSTRUCT\s*\{(.*?)\}\s*WHERE\s*\{(.*)\}\s*\.?\s*$",
             rest,
@@ -209,6 +218,8 @@ class SparqlEngine:
         if ann is not None:
             return self._process_provenance_rule([rule], ann)
         self.rules.append(rule)
+        if ml_text is not None:
+            return self.ml_predict(ml_text)
         return []
 
     def register_rule_batch(self, texts: list[str]) -> list:

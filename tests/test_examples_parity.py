@@ -821,3 +821,192 @@ SELECT ?sensor ?segment1 ?segment2 ?segment3 ?segment4 ?segment5 ?segment6 WHERE
     assert all(len(r) == 7 for r in rows)
     one = next(r for r in rows if r[0] == f"{tb}sensor0" and r[1] == f"{tb}seg_0_0")
     assert one[1:] == [f"{tb}seg_0_{i}" for i in range(6)]
+
+
+def test_combined_syntax_example(spark):
+    """examples/sparql_syntax/combination/combined_syntax_example.rs: the
+    eight-stage combined workflow — RDF facts, Turtle-star reliability
+    annotations, SPARQL-star query, classical RULE (FILTER ?t > 80),
+    SELECT, PROB(combination=minmax) RULE whose ';'-list premise consumes
+    the classical rule's output, SELECT, and the SPARQL-star re-query."""
+    EX = "http://example.org/"
+    store = QuadStore(spark)
+    e = SparqlEngine(spark, store)
+    e.add_triples(
+        [
+            (f"{EX}sensor/S1", f"{EX}temperature", "92"),
+            (f"{EX}sensor/S1", f"{EX}pressure", "135"),
+            (f"{EX}sensor/S2", f"{EX}temperature", "71"),
+            (f"{EX}sensor/S2", f"{EX}pressure", "118"),
+            (f"{EX}sensor/S3", f"{EX}temperature", "88"),
+            (f"{EX}sensor/S3", f"{EX}pressure", "142"),
+        ]
+    )
+    parse_into(
+        store,
+        '<< <http://example.org/sensor/S1> <http://example.org/temperature> "92" >> <http://example.org/reliability> "0.95" .\n'
+        '<< <http://example.org/sensor/S2> <http://example.org/temperature> "71" >> <http://example.org/reliability> "0.80" .\n'
+        '<< <http://example.org/sensor/S3> <http://example.org/temperature> "88" >> <http://example.org/reliability> "0.85" .',
+        fmt="turtle",
+    )
+
+    star_query = """SELECT ?sensor ?temp ?reliability WHERE {
+    << ?sensor <http://example.org/temperature> ?temp >> <http://example.org/reliability> ?reliability .
+}"""
+    star1 = sorted(tuple(r) for r in e.execute(star_query))
+    assert star1 == [
+        (f"{EX}sensor/S1", "92", "0.95"),
+        (f"{EX}sensor/S2", "71", "0.80"),
+        (f"{EX}sensor/S3", "88", "0.85"),
+    ]
+
+    e.register_rule(
+        """PREFIX ex: <http://example.org/>
+
+RULE :OverheatAlert :-
+CONSTRUCT {
+    ?sensor ex:overheatAlert true .
+}
+WHERE {
+    ?sensor ex:temperature ?t .
+    FILTER(?t > 80)
+}"""
+    )
+    e.materialize()
+    alerts = sorted(
+        r[0]
+        for r in e.execute(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?sensor WHERE { ?sensor ex:overheatAlert true . }"
+        )
+    )
+    assert alerts == [f"{EX}sensor/S1", f"{EX}sensor/S3"]
+
+    # Stage 6: PROB(minmax) rule consuming the classical output; ';' list
+    derived = e.register_rule(
+        """PREFIX ex: <http://example.org/>
+
+RULE :CriticalRisk PROB(combination=minmax) :-
+CONSTRUCT {
+    ?sensor ex:criticalRisk true .
+}
+WHERE {
+    ?sensor ex:overheatAlert true ;
+            ex:pressure ?p .
+    FILTER(?p > 130)
+}"""
+    )
+    critical = sorted(
+        r[0]
+        for r in e.execute(
+            "PREFIX ex: <http://example.org/> "
+            "SELECT ?sensor WHERE { ?sensor ex:criticalRisk true . }"
+        )
+    )
+    assert critical == [f"{EX}sensor/S1", f"{EX}sensor/S3"]
+
+    # Stage 8: annotations still accessible, untouched
+    assert sorted(tuple(r) for r in e.execute(star_query)) == star1
+
+
+def test_combination_ml_example(spark):
+    """examples/sparql_syntax/combination/combination_ml.rs: one RULE text
+    carrying BOTH a classical CONSTRUCT/WHERE (temp > 25 → alert) and a
+    trailing ML.PREDICT clause; the rule fires on materialize, the
+    predictions come back as a DataFrame and are written back as
+    sensor:predictedTemperature / sensor:predictionConfidence facts that
+    the example's three final SELECTs then read."""
+    EX = "http://example.org#"
+    SENSOR = "http://example.org/sensor#"
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://example.org#"
+         xmlns:sensor="http://example.org/sensor#">
+    <rdf:Description rdf:about="http://example.org#room101">
+        <rdf:type rdf:resource="http://example.org#Room"/>
+        <sensor:temperature>22.5</sensor:temperature>
+        <sensor:humidity>45.0</sensor:humidity>
+        <sensor:occupancy>5</sensor:occupancy>
+    </rdf:Description>
+    <rdf:Description rdf:about="http://example.org#room102">
+        <rdf:type rdf:resource="http://example.org#Room"/>
+        <sensor:temperature>23.8</sensor:temperature>
+        <sensor:humidity>52.0</sensor:humidity>
+        <sensor:occupancy>8</sensor:occupancy>
+    </rdf:Description>
+    <rdf:Description rdf:about="http://example.org#room103">
+        <rdf:type rdf:resource="http://example.org#Room"/>
+        <sensor:temperature>27.2</sensor:temperature>
+        <sensor:humidity>48.0</sensor:humidity>
+        <sensor:occupancy>3</sensor:occupancy>
+    </rdf:Description>
+</rdf:RDF>"""
+    e = _engine(spark, xml)
+    # deterministic stand-in for the pyo3 temperature model
+    e.register_model("temperature_predictor", lambda X: X.iloc[:, 0] + 0.5)
+
+    predictions = e.register_rule(
+        """PREFIX ex: <http://example.org#>
+PREFIX sensor: <http://example.org/sensor#>
+RULE :TemperatureAlert :-
+    CONSTRUCT {
+        ?room ex:temperatureAlert "High temperature detected" .
+    }
+    WHERE {
+        ?room sensor:temperature ?temp ;
+            sensor:humidity ?humidity
+        FILTER (?temp > 25)
+    }
+    ML.PREDICT(MODEL "temperature_predictor",
+        INPUT {
+            SELECT ?room ?temp ?humidity ?occupancy
+            WHERE {
+                ?room sensor:temperature ?temp ;
+                    sensor:humidity ?humidity ;
+                    sensor:occupancy ?occupancy
+            }
+        },
+        OUTPUT ?predicted_temp
+    )"""
+    )
+    e.materialize()
+
+    # classical part: only room103 (27.2 > 25)
+    alerts = [tuple(r) for r in e.execute(
+        "PREFIX ex: <http://example.org#> SELECT ?room ?alert "
+        "WHERE { ?room ex:temperatureAlert ?alert . }"
+    )]
+    assert alerts == [(f"{EX}room103", "High temperature detected")]
+
+    # ML part: per-room predictions (add_prediction_to_database parity)
+    rows = predictions.collect()
+    assert {r.room for r in rows} == {f"{EX}room10{i}" for i in (1, 2, 3)}
+    e.add_triples(
+        [t for r in rows for t in (
+            (r.room, f"{SENSOR}predictedTemperature", f"{float(r.predicted_temp):g}"),
+            (r.room, f"{SENSOR}predictionConfidence", "0.95"),
+        )]
+    )
+    got = sorted(tuple(r) for r in e.execute(
+        """PREFIX sensor: <http://example.org/sensor#>
+SELECT ?room ?predicted_temp ?confidence
+WHERE {
+    ?room sensor:predictedTemperature ?predicted_temp ;
+          sensor:predictionConfidence ?confidence
+}"""
+    ))
+    assert got == [
+        (f"{EX}room101", "23", "0.95"),
+        (f"{EX}room102", "24.3", "0.95"),
+        (f"{EX}room103", "27.7", "0.95"),
+    ]
+    all_rooms = e.execute(
+        """PREFIX sensor: <http://example.org/sensor#>
+SELECT ?room ?temp ?humidity ?occupancy
+WHERE {
+    ?room sensor:temperature ?temp ;
+          sensor:humidity ?humidity ;
+          sensor:occupancy ?occupancy
+}"""
+    )
+    assert len(all_rooms) == 3
