@@ -160,8 +160,8 @@ class SparqlEngine:
         import re as _re
 
         from kolibrie_spark.reasoner.hybrid import parse_prob_annotation
-        from kolibrie_spark.reasoner.n3_parser import _parse_patterns, _FILTER_RE
-        from kolibrie_spark.reasoner.rule import FilterCondition, Rule, check_rule_safety
+        from kolibrie_spark.reasoner.n3_parser import _parse_patterns, parse_filter_clauses
+        from kolibrie_spark.reasoner.rule import Rule, check_rule_safety
 
         head = _re.search(r"RULE\s+\S+\s*", text, _re.I)
         if head is None:
@@ -201,11 +201,7 @@ class SparqlEngine:
         if m is None:
             raise ValueError("expected RULE :Name [PROB(...)] :- CONSTRUCT { ... } WHERE { ... }")
         concl_src, where_src = m.group(1), m.group(2)
-        filters = [
-            FilterCondition(fm.group(1), fm.group(2), fm.group(3).strip().strip('"'))
-            for fm in _FILTER_RE.finditer(where_src)
-        ]
-        where_src = _FILTER_RE.sub(" ", where_src)
+        filters, where_src = parse_filter_clauses(where_src)
         rule = Rule(
             premise=_parse_patterns(where_src, prefixes),
             conclusion=_parse_patterns(concl_src, prefixes),
@@ -217,10 +213,82 @@ class SparqlEngine:
             return self._process_hybrid_rule(rule, ann.hybrid_config)
         if ann is not None:
             return self._process_provenance_rule([rule], ann)
-        self.rules.append(rule)
         if ml_text is not None:
+            from kolibrie_spark.ml.predict import parse_ml_predict
+            from kolibrie_spark.reasoner.rule import pattern_variables
+
+            spec = parse_ml_predict(ml_text)
+            concl_vars = {v for pat in rule.conclusion for v in pattern_variables(pat)}
+            if spec.output_var in concl_vars:
+                # change-conclusion form: the ML OUTPUT variable binds the
+                # CONSTRUCT template, one instantiation per prediction row
+                # (combination_ml_change_conclusion.rs:439-505)
+                return self._materialize_ml_rule(rule, ml_text, spec.output_var)
+            self.rules.append(rule)
             return self.ml_predict(ml_text)
+        self.rules.append(rule)
         return []
+
+    def _materialize_ml_rule(self, rule, ml_text: str, out_var: str) -> list:
+        """Instantiate a rule's CONSTRUCT template from its WHERE bindings
+        JOINED with the ML.PREDICT rows on their shared anchor variable —
+        the reference's create_ml_enhanced_triples
+        (combination_ml_change_conclusion.rs:439-505): predictions that do
+        not satisfy the WHERE filters are dropped by the join, the OUTPUT
+        variable supplies the predicted object value, constants pass
+        through.  Inserts the derived facts and returns them."""
+        from pyspark.sql import functions as F
+
+        from kolibrie_spark.reasoner.fixpoint import (
+            _apply_filters,
+            _join_premises,
+            _scan,
+            _term_value,
+        )
+        from kolibrie_spark.sparql.ast import Var
+
+        pred_df = self.ml_predict(ml_text)
+        facts = self.store.quads.filter(F.col("g").isNull()).select("s", "p", "o")
+        bind = _join_premises([_scan(facts, pat, tagged=False) for pat in rule.premise])
+        bind = _apply_filters(bind, rule.filters)
+        shared = [c for c in bind.columns if c in pred_df.columns and c != out_var]
+        if not shared:
+            raise ValueError(
+                "RULE + ML.PREDICT with an OUTPUT-bound conclusion needs a "
+                "shared anchor variable between WHERE and INPUT"
+            )
+        joined = bind.join(
+            pred_df.select(*shared, out_var).dropDuplicates(shared), on=shared
+        )
+        parts = []
+        for pat in rule.conclusion:
+            cols = []
+            for term in (pat.s, pat.p, pat.o):
+                if isinstance(term, Var):
+                    if term.name == out_var:
+                        cols.append(F.col(out_var).cast("string"))
+                    elif term.name in joined.columns:
+                        cols.append(F.col(term.name))
+                    else:
+                        raise ValueError(f"unbound conclusion variable ?{term.name}")
+                else:
+                    cols.append(F.lit(_term_value(term)))
+            parts.append(
+                joined.select(cols[0].alias("s"), cols[1].alias("p"), cols[2].alias("o"))
+            )
+        derived = parts[0]
+        for extra in parts[1:]:
+            derived = derived.unionByName(extra)
+        derived = (
+            derived.dropDuplicates()
+            .join(facts, on=["s", "p", "o"], how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        self.store.insert(
+            derived.select("s", "p", "o", F.lit(None).cast("string").alias("g")),
+            graphs=[],
+        )
+        return [(r.s, r.p, r.o) for r in derived.collect()]
 
     def register_rule_batch(self, texts: list[str]) -> list:
         """Shared-lineage batch registration of PROB rules — the reference's
@@ -233,8 +301,8 @@ class SparqlEngine:
         import re as _re
 
         from kolibrie_spark.reasoner.hybrid import parse_prob_annotation
-        from kolibrie_spark.reasoner.n3_parser import _parse_patterns, _FILTER_RE
-        from kolibrie_spark.reasoner.rule import FilterCondition, Rule, check_rule_safety
+        from kolibrie_spark.reasoner.n3_parser import _parse_patterns, parse_filter_clauses
+        from kolibrie_spark.reasoner.rule import Rule, check_rule_safety
 
         rules, anns = [], []
         for text in texts:
@@ -257,11 +325,7 @@ class SparqlEngine:
             if m is None:
                 raise ValueError("expected RULE :Name PROB(...) :- CONSTRUCT { ... } WHERE { ... }")
             concl_src, where_src = m.group(1), m.group(2)
-            filters = [
-                FilterCondition(fm.group(1), fm.group(2), fm.group(3).strip().strip('"'))
-                for fm in _FILTER_RE.finditer(where_src)
-            ]
-            where_src = _FILTER_RE.sub(" ", where_src)
+            filters, where_src = parse_filter_clauses(where_src)
             rule = Rule(
                 premise=_parse_patterns(where_src, prefixes),
                 conclusion=_parse_patterns(concl_src, prefixes),

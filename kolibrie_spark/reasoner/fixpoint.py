@@ -101,11 +101,25 @@ def _join_premises(scans: list[DataFrame]) -> DataFrame:
 
 
 def _apply_filters(df: DataFrame, filters: list[FilterCondition]) -> DataFrame:
+    """Conjunction of conditions; conditions sharing an or_group id came
+    from one ``FILTER (a || b)`` and OR together (SPARQL semantics — the
+    reference's datalog evaluator drops OR'ed rule filters entirely,
+    rules.rs:133-163, which we deliberately do not mirror)."""
+
+    def cond(f: FilterCondition):
+        if f.variable not in df.columns:
+            return F.lit(False)
+        return compare.compare(F.col(f.variable), f.operator, F.lit(f.value))
+
+    groups: dict[int, object] = {}
     for f in filters:
-        if f.variable in df.columns:
-            df = df.filter(compare.compare(F.col(f.variable), f.operator, F.lit(f.value)))
+        if f.or_group is None:
+            df = df.filter(cond(f))
         else:
-            df = df.filter(F.lit(False))
+            c = cond(f)
+            groups[f.or_group] = c if f.or_group not in groups else (groups[f.or_group] | c)
+    for c in groups.values():
+        df = df.filter(c)
     return df
 
 

@@ -22,6 +22,50 @@ _PREFIX_RE = re.compile(
 _RULE_RE = re.compile(r"\{(.*?)\}\s*=>\s*\{(.*?)\}\s*\.", re.S)
 _NOT_RE = re.compile(r"NOT\s*\{(.*?)\}", re.S)
 _FILTER_RE = re.compile(r"FILTER\s*\(\s*\?(\w+)\s*(=|!=|<=|>=|<|>)\s*([^)]+?)\s*\)")
+# whole FILTER(...) clause (no nested parens) and one comparison inside it
+_FILTER_CLAUSE_RE = re.compile(r"FILTER\s*\(([^()]*)\)", re.I)
+_CMP_RE = re.compile(r"\?(\w+)\s*(!=|<=|>=|=|<|>)\s*(.+?)\s*$")
+
+
+def parse_filter_clauses(src: str):
+    """Extract every ``FILTER (...)`` clause from a rule body, supporting
+    the reference grammar's ``&&`` (separate conjunctive conditions) and
+    ``||`` (one disjunction group, FilterCondition.or_group) combinators
+    — parser.rs:3430-3480 lowers the same shapes.  Mixing && and || inside
+    one FILTER raises (the reference's lowering silently drops such
+    filters; rejecting loudly is safer).  Returns (filters, body-without-
+    filter-clauses)."""
+    from kolibrie_spark.reasoner.rule import FilterCondition
+
+    filters: list[FilterCondition] = []
+    group = 0
+
+    def one(body: str, or_group: int | None) -> None:
+        m = _CMP_RE.match(body.strip())
+        if m is None:
+            raise ValueError(f"unsupported FILTER condition: {body!r}")
+        filters.append(
+            FilterCondition(
+                m.group(1), m.group(2), m.group(3).strip().strip('"'), or_group
+            )
+        )
+
+    def grab(m: "re.Match") -> str:
+        nonlocal group
+        body = m.group(1)
+        if "||" in body and "&&" in body:
+            raise ValueError(f"mixed &&/|| in one FILTER is not supported: {body!r}")
+        if "||" in body:
+            group += 1
+            for part in body.split("||"):
+                one(part, group)
+        else:
+            for part in body.split("&&"):
+                one(part, None)
+        return " "
+
+    stripped = _FILTER_CLAUSE_RE.sub(grab, src)
+    return filters, stripped
 # Term tokens plus a '.' statement terminator. PNAME locals and bare names
 # may contain *internal* dots (the normal RDF case, e.g. <http://ex.org/p>
 # or ex:v1.2) but never end with one, so a trailing '.' always lexes as the
@@ -109,11 +153,7 @@ def parse_n3_rules(text: str) -> list[Rule]:
             return " "
 
         premise_src = _NOT_RE.sub(grab_not, premise_src)
-        filters = [
-            FilterCondition(fm.group(1), fm.group(2), fm.group(3).strip().strip('"'))
-            for fm in _FILTER_RE.finditer(premise_src)
-        ]
-        premise_src = _FILTER_RE.sub(" ", premise_src)
+        filters, premise_src = parse_filter_clauses(premise_src)
         rules.append(
             Rule(
                 premise=_parse_patterns(premise_src, prefixes),

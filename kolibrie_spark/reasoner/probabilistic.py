@@ -191,6 +191,31 @@ def union_probability_enumerated(
     return total
 
 
+def _cmp_values(lhs: str, op: str, rhs: str) -> bool:
+    """Numeric-else-lexical comparison, matching compare.compare."""
+    try:
+        a, b = float(lhs), float(rhs)
+    except (TypeError, ValueError):
+        a, b = lhs, rhs
+    return {
+        "=": a == b, "!=": a != b, "<": a < b,
+        "<=": a <= b, ">": a > b, ">=": a >= b,
+    }[op]
+
+
+def _passes_filters(binding: dict, filters) -> bool:
+    """Conjunction of plain conditions; same-or_group conditions OR."""
+    groups: dict[int, bool] = {}
+    for f in filters:
+        ok = f.variable in binding and _cmp_values(binding[f.variable], f.operator, f.value)
+        if f.or_group is None:
+            if not ok:
+                return False
+        else:
+            groups[f.or_group] = groups.get(f.or_group, False) or ok
+    return all(groups.values())
+
+
 class HybridEvaluator:
     """Forward chaining with lineage over probabilistic seeds."""
 
@@ -273,6 +298,14 @@ class HybridEvaluator:
             results = nxt
             if not results:
                 return []
+        # FILTER conditions prune bindings with the numeric-else-lexical
+        # comparison the SPARQL layer uses (the reference's datalog
+        # evaluator coerces non-numeric operands to 0.0 and skips OR'ed
+        # conditions, rules.rs:133-163 — not mirrored)
+        if rule.filters:
+            results = [
+                (b, used) for b, used in results if _passes_filters(b, rule.filters)
+            ]
         # negation-as-failure: a negated match on a CERTAIN fact kills the
         # binding (reference deterministic view); a match on a
         # PROBABILISTIC fact contributes a Not(lineage) part instead — the

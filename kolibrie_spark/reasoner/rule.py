@@ -18,6 +18,13 @@ class FilterCondition:
     variable: str
     operator: str  # = != < <= > >=
     value: str
+    # Disjunction-group id: conditions sharing a non-None or_group came from
+    # one ``FILTER (a || b || ...)`` and are OR'ed together; None means a
+    # plain conjunct.  The reference lowers OR branches to "OR:"-prefixed
+    # operators (parser.rs:3444-3476) that its datalog evaluator then skips
+    # entirely (rules.rs:133-163, no OR: arm) — we evaluate the disjunction
+    # with the SPARQL numeric-else-lexical semantics instead.
+    or_group: int | None = None
 
 
 @dataclass

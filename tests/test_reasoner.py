@@ -509,3 +509,42 @@ def test_premise_edge_cases_const_varpred_repeated(reasoner):
         ("a", "relatedTo", "b")  # via knows AND likes: one fact
     }
     assert {(s, p, o) for (s, p, o) in got if p == "selfKnown"} == {("b", "selfKnown", "b")}
+
+
+def test_rule_filter_conjunction_and_disjunction(spark):
+    """FILTER (a && b) = separate conjuncts; FILTER (a || b) = one
+    disjunction group — SPARQL semantics (the reference lowers OR to
+    'OR:'-prefixed conditions its datalog evaluator then skips,
+    parser.rs:3444-3476 / rules.rs:133-163; we evaluate them)."""
+    rules = parse_n3_rules(
+        """
+        { ?x ex:speed ?s . ?x ex:count ?c . FILTER(?s < 20 && ?c > 100) }
+          => { ?x ex:congested "yes" . } .
+        { ?x ex:weather ?w . FILTER(?w = "rain" || ?w = "fog") }
+          => { ?x ex:badWeather "yes" . } .
+        """
+    )
+    assert [f.or_group for f in rules[0].filters] == [None, None]
+    g = rules[1].filters[0].or_group
+    assert g is not None and [f.or_group for f in rules[1].filters] == [g, g]
+
+    r = Reasoner(spark)
+    r.add_triples(
+        [
+            ("roadA", "ex:speed", "15"), ("roadA", "ex:count", "200"),
+            ("roadB", "ex:speed", "15"), ("roadB", "ex:count", "50"),
+            ("roadC", "ex:speed", "45"), ("roadC", "ex:count", "200"),
+            ("roadA", "ex:weather", "rain"),
+            ("roadB", "ex:weather", "clear"),
+            ("roadC", "ex:weather", "fog"),
+        ]
+    )
+    for rule in rules:
+        r.add_rule(rule)
+    r.materialize()
+    assert r.infer("roadA", "ex:congested", "yes")
+    assert not r.infer("roadB", "ex:congested", "yes")  # count fails
+    assert not r.infer("roadC", "ex:congested", "yes")  # speed fails
+    assert r.infer("roadA", "ex:badWeather", "yes")
+    assert not r.infer("roadB", "ex:badWeather", "yes")
+    assert r.infer("roadC", "ex:badWeather", "yes")
