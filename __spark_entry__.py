@@ -1335,7 +1335,17 @@ def _q_closure_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dst").isNotNull())
         .select(F.col("p_partkey").alias("src"), "dst")
     )
-    closure = transitive_closure(edges, src="src", dst="dst", max_iter=12)
+    # chain depth is bounded by the largest group, known from one cheap
+    # aggregate — exact ⌈log₂ d⌉ rounds, no per-round convergence counts
+    depth = (
+        part.groupBy((F.col("p_partkey") % 64).alias("g"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    closure = transitive_closure(
+        edges, src="src", dst="dst", known_diameter=int(depth)
+    )
     return (
         closure.groupBy((F.col("src") % 64).alias("grp"))
         .agg(F.count(F.lit(1)).alias("pairs"))

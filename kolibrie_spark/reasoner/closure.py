@@ -50,6 +50,7 @@ def transitive_closure(
     dst: str = "dst",
     max_iter: int = 25,
     keep_distance: bool = False,
+    known_diameter: int | None = None,
 ) -> DataFrame:
     """All pairs (src, dst) with dst reachable from src via ≥1 edge.
     Converges in ⌈log₂ diameter⌉ rounds (distance-tracked doubling).
@@ -58,6 +59,11 @@ def transitive_closure(
     diameter of 2**25 ≈ 33M, far past any real hierarchy.  Raises if not
     converged by then.  With `keep_distance` the result carries a `dist`
     column = shortest hop count.
+
+    `known_diameter` skips the per-round convergence count: when the
+    caller can bound the longest shortest-path (e.g. chains bounded by
+    group size), exactly ⌈log₂ d⌉ doubling rounds run with no counting
+    actions — one job per checkpoint instead of two.
     """
     reach = (
         edges.select(F.col(src), F.col(dst))
@@ -65,6 +71,27 @@ def transitive_closure(
         .withColumn("dist", F.lit(1).cast("long"))
         .localCheckpoint(eager=True)
     )
+    if known_diameter is not None:
+        if known_diameter < 1:
+            raise ValueError("known_diameter must be >= 1")
+        rounds = max(0, (known_diameter - 1).bit_length())  # ceil(log2(d))
+        hop = 1
+        for _ in range(rounds):
+            a = reach.alias("a")
+            b = reach.filter(F.col("dist") == hop).alias("b")
+            stepped = a.join(b, F.col(f"a.{dst}") == F.col(f"b.{src}")).select(
+                F.col(f"a.{src}").alias(src),
+                F.col(f"b.{dst}").alias(dst),
+                (F.col("a.dist") + F.col("b.dist")).alias("dist"),
+            )
+            reach = (
+                reach.unionByName(stepped)
+                .groupBy(src, dst)
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            hop *= 2
+        return reach if keep_distance else reach.select(src, dst)
     n = reach.count()
     hop = 1  # H_k = pairs at shortest distance exactly 2^k
     for _ in range(max_iter):

@@ -117,3 +117,21 @@ def test_doubling_raises_on_max_iter_exhausted(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         transitive_closure(edges, max_iter=2)  # diameter 40 needs ~6
+
+
+def test_known_diameter_path_skips_counts_and_agrees(spark):
+    """known_diameter runs exactly ceil(log2(d)) rounds with no
+    convergence actions and must produce the identical closure."""
+    depth = 37
+    facts = spark.createDataFrame(_taxonomy_triples(depth), ["s", "p", "o"])
+    edges = facts.filter(F.col("p") == SUBCLASS).select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+    probed = transitive_closure(edges)
+    bounded = transitive_closure(edges, known_diameter=depth)
+    got_a = {(r.src, r.dst) for r in probed.collect()}
+    got_b = {(r.src, r.dst) for r in bounded.collect()}
+    assert got_a == got_b and len(got_a) == (depth + 1) * depth // 2
+    # an over-estimate of the diameter is harmless (extra no-op round)
+    over = transitive_closure(edges, known_diameter=depth * 2)
+    assert {(r.src, r.dst) for r in over.collect()} == got_a
