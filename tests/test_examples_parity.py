@@ -1010,3 +1010,63 @@ WHERE {
 }"""
     )
     assert len(all_rooms) == 3
+
+
+def test_simple_volcano_example(spark):
+    """examples/simple_volcano.rs: the three logical plans the example
+    hands to the Streamertail optimizer — a name scan, a name⋈age join
+    on ?person, and a name scan filtered to "Alice" — declared as SPARQL
+    over the example's 8-triple alice/bob/charlie dataset; Catalyst
+    picks the physical plan the reference's find_best_plan searches for."""
+    store = QuadStore(spark)
+    ex = "http://example.org/"
+    store.add_quads(
+        [
+            (f"{ex}alice", f"{ex}name", "Alice", None),
+            (f"{ex}bob", f"{ex}name", "Bob", None),
+            (f"{ex}charlie", f"{ex}name", "Charlie", None),
+            (f"{ex}alice", f"{ex}age", "25", None),
+            (f"{ex}bob", f"{ex}age", "30", None),
+            (f"{ex}charlie", f"{ex}age", "35", None),
+            (f"{ex}alice", f"{ex}worksAt", f"{ex}company", None),
+            (f"{ex}bob", f"{ex}worksAt", f"{ex}company", None),
+        ]
+    )
+    e = SparqlEngine(spark, store)
+
+    # Example 1: simple scan (?person ex:name ?name)
+    scan = sorted(
+        tuple(r)
+        for r in e.execute(
+            f"SELECT ?person ?name WHERE {{ ?person <{ex}name> ?name }}"
+        )
+    )
+    assert scan == [
+        (f"{ex}alice", "Alice"),
+        (f"{ex}bob", "Bob"),
+        (f"{ex}charlie", "Charlie"),
+    ]
+
+    # Example 2: join of the name and age scans on ?person
+    joined = sorted(
+        tuple(r)
+        for r in e.execute(
+            f"SELECT ?person ?name ?age WHERE {{ "
+            f"?person <{ex}name> ?name . ?person <{ex}age> ?age }}"
+        )
+    )
+    assert joined == [
+        (f"{ex}alice", "Alice", "25"),
+        (f"{ex}bob", "Bob", "30"),
+        (f"{ex}charlie", "Charlie", "35"),
+    ]
+
+    # Example 3: selection σ(name = "Alice") over the scan
+    filtered = [
+        tuple(r)
+        for r in e.execute(
+            f'SELECT ?person ?name WHERE {{ ?person <{ex}name> ?name . '
+            f'FILTER(?name = "Alice") }}'
+        )
+    ]
+    assert filtered == [(f"{ex}alice", "Alice")]
