@@ -3692,6 +3692,153 @@ def _ml_group_ols_oracle() -> str:
     )
 
 
+def _q_mlschema_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model metadata as RDF (ml.mlschema.MLSchema; reference
+    ml/src/mlschema.py + ml/examples/saving_predictor.py:75-103): fit
+    extendedprice ~ quantity OLS from DISTRIBUTED integer sufficient
+    statistics (one aggregate — the driver sees six exact longs, never
+    rows), describe the fitted model as a W3C-MLS graph, and return the
+    graph's numeric facts (coefficient, intercept, mse, r2, parameter
+    and instance counts).  All float math mirrors the oracle's textual
+    expression order over the same exact integers, so every value is
+    bit-identical to DuckDB's."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.ml.mlschema import MLSchema, RDFS_LABEL
+    from kolibrie_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # explicit ROUND on both sides: Spark's cast-to-long truncates while
+    # DuckDB's CAST rounds; price in integer cents keeps the sums exact
+    x = F.round(F.col("l_quantity")).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    row = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    ).first()
+    n, sx, sy = int(row["n"]), int(row["sx"]), int(row["sy"])
+    sxx, sxy, syy = int(row["sxx"]), int(row["sxy"]), int(row["syy"])
+    # float() each exact-integer operand BEFORE the op, mirroring the
+    # oracle's CAST(... AS DOUBLE) placement, then identical op order
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    intercept = (float(sy) - slope * float(sx)) / float(n)
+
+    class _Fitted:
+        __module__ = "kolibrie_spark"
+
+        def get_params(self):
+            return {"fit_intercept": True}
+
+    model = _Fitted()
+    model.coef_ = [slope]
+    model.intercept_ = intercept
+
+    class _NShape:  # convert_model only reads .shape off the datasets
+        def __init__(self, rows: int):
+            self.shape = (rows, 1)
+
+    def _eval(_model, _X, _y):
+        ss_res = (
+            float(syy)
+            - 2.0 * slope * float(sxy)
+            - 2.0 * intercept * float(sy)
+            + slope * slope * float(sxx)
+            + 2.0 * slope * intercept * float(sx)
+            + float(n) * intercept * intercept
+        )
+        ss_tot = float(syy) - float(sy) * float(sy) / float(n)
+        return {"mse": ss_res / float(n), "r2": 1.0 - ss_res / ss_tot}
+
+    schema = MLSchema()
+    schema.convert_model(
+        model,
+        _NShape(n),
+        None,
+        _NShape(n),
+        None,
+        feature_names=["l_quantity"],
+        evaluation_function=_eval,
+    )
+    mls = MLSchema.MLS
+    g = spark.createDataFrame(schema.triples, "s string, p string, o string")
+    wanted = [
+        "Coefficient for class Class 0, feature l_quantity",
+        "Intercept for class Class 0",
+        "mse",
+        "r2",
+        "Number of Parameters",
+        "Number of Instances",
+    ]
+    lab = g.filter(F.col("p") == RDFS_LABEL).select(
+        "s", F.col("o").alias("label")
+    )
+    val = g.filter(F.col("p") == f"{mls}hasValue").select(
+        F.col("s").alias("vs"), F.col("o").alias("lex")
+    )
+    # characteristics: label and hasValue share a subject
+    direct = lab.join(val, lab.s == val.vs).select("label", "lex")
+    # evaluations: ModelEvaluation --specifiedBy--> labeled measure
+    spec = g.filter(F.col("p") == f"{mls}specifiedBy").select(
+        F.col("s").alias("ev"), F.col("o").alias("measure")
+    )
+    via = (
+        spec.join(lab, spec.measure == lab.s)
+        .join(val, spec.ev == val.vs)
+        .select("label", "lex")
+    )
+    return (
+        direct.unionByName(via)
+        .filter(F.col("label").isin(wanted))
+        .select("label", F.col("lex").cast("double").alias("value"))
+    )
+
+
+def _mlschema_graph_oracle() -> str:
+    return """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem)
+), fit AS (
+  SELECT *,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+  FROM s
+), fit2 AS (
+  SELECT *,
+         (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept
+  FROM fit
+), res AS (
+  SELECT *,
+         CAST(syy AS DOUBLE)
+           - 2.0 * slope * CAST(sxy AS DOUBLE)
+           - 2.0 * intercept * CAST(sy AS DOUBLE)
+           + slope * slope * CAST(sxx AS DOUBLE)
+           + 2.0 * slope * intercept * CAST(sx AS DOUBLE)
+           + CAST(n AS DOUBLE) * intercept * intercept AS ss_res,
+         CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ss_tot
+  FROM fit2
+)
+SELECT 'Coefficient for class Class 0, feature l_quantity' AS label,
+       slope AS value FROM res
+UNION ALL SELECT 'Intercept for class Class 0', intercept FROM res
+UNION ALL SELECT 'mse', ss_res / CAST(n AS DOUBLE) FROM res
+UNION ALL SELECT 'r2', 1.0 - ss_res / ss_tot FROM res
+UNION ALL SELECT 'Number of Parameters', CAST(2 AS DOUBLE) FROM res
+UNION ALL SELECT 'Number of Instances', CAST(n AS DOUBLE) FROM res
+UNION ALL SELECT 'Number of Instances', CAST(n AS DOUBLE) FROM res
+"""
+
+
 def _q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution (analytics.last_touch_attribution): for each
     purchase, the latest preceding non-purchase touch per user — one
@@ -3935,6 +4082,7 @@ _DRIVER_FIRST = [
     "export_manifest",
     "reasoner_hierarchy",
     "closure_doubling",
+    "mlschema_graph",
     # -- the 12 r5-touched gates still carrying pre-r5 driver rows
     "multimodal_features",
     "multimodal_frames",
@@ -4241,6 +4389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_equidepth": _q_profile_equidepth,
         "profile_corr": _q_profile_corr,
         "ml_group_ols": _q_ml_group_ols,
+        "mlschema_graph": _q_mlschema_graph,
         "events_attribution": _q_events_attribution,
         "having_count": _q_having_count,
         "group_concat_names": _q_group_concat,
@@ -4792,6 +4941,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_equidepth": _profile_equidepth_oracle(),
         "profile_corr": _profile_corr_oracle(),
         "ml_group_ols": _ml_group_ols_oracle(),
+        "mlschema_graph": _mlschema_graph_oracle(),
         "events_attribution": _events_attribution_oracle(),
         "having_count": (
             "SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS cnt "
