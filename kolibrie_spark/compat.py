@@ -131,6 +131,11 @@ class SparqlDatabase:
     def update(self, update: str) -> None:
         self.engine.update(update)
 
+    def handle_update(self, update: str) -> str:
+        """Legacy status-string contract (sparql_database.rs:2047-2063),
+        including the standalone ``INSERT { s p o }`` data alias."""
+        return self.engine.handle_update(update)
+
     def query(self):
         from kolibrie_spark.builder import QueryBuilder
 

@@ -119,6 +119,96 @@ class SparqlEngine:
             raise CompileError("not an update — use query()")
         execute_update(self.store, q.update)
 
+    def handle_update(self, text: str) -> str:
+        """Legacy HTTP update contract (SparqlDatabase::handle_update,
+        sparql_database.rs:2047-2063): standard forms report changed-quad
+        counts; the historical standalone ``INSERT { ... }`` /
+        ``DELETE { ... }`` data aliases (parser.rs:1864-1915, lenient
+        bare-token terms) answer the short success text callers compare
+        exactly; anything else is 'Update Failed'."""
+        from kolibrie_spark.sparql.parser import ParseError
+
+        try:
+            q = parse_query(text)
+        except ParseError:
+            q = None
+        if q is not None and q.update is not None:
+            try:
+                s = execute_update(self.store, q.update, with_summary=True)
+            except CompileError:
+                return "Update Failed"
+            return (
+                f"Update Successful (inserted {s.inserted_quads}, "
+                f"deleted {s.deleted_quads})"
+            )
+        if self._update_data_alias(text):
+            return "Update Successful"
+        return "Update Failed"
+
+    def _update_data_alias(self, text: str) -> bool:
+        """Standalone ``INSERT {quads}`` / ``DELETE {quads}`` with nothing
+        after the block = INSERT DATA / DELETE DATA (reference
+        parser.rs:1864-1872, 1909-1917).  Terms may be bare tokens — the
+        reference's lexical term grammar admits any dictionary token, so
+        ``INSERT { s p o }`` stores the triple (s, p, o) verbatim
+        (examples/http_test/http_check.rs)."""
+        import re
+
+        from kolibrie_spark.sparql.parser import ParseError
+
+        m = re.match(r"^\s*(INSERT|DELETE)\s*\{(.*)\}\s*$", text, re.S | re.I)
+        if not m:
+            return False
+        kind, body = m.group(1).upper(), m.group(2)
+        try:
+            q = parse_query(f"{kind} DATA {{{body}}}")
+            if q.update is not None:
+                execute_update(self.store, q.update)
+                return True
+        except (ParseError, CompileError):
+            pass
+        # lenient bare-token terms: IRIs, quoted literals (optional lang
+        # tag) or whitespace runs, '.' separating statements
+        tokens = re.findall(
+            r'"(?:[^"\\]|\\.)*"(?:@[\w-]+)?|<[^>]*>|[^\s.]+|\.', body
+        )
+
+        def _untok(tok: str) -> str:
+            if tok.startswith("<") and tok.endswith(">"):
+                return tok[1:-1]
+            lit = re.match(r'^"((?:[^"\\]|\\.)*)"(?:@([\w-]+))?$', tok)
+            if lit:
+                val = lit.group(1).replace('\\"', '"').replace("\\\\", "\\")
+                return f"{val}@{lit.group(2)}" if lit.group(2) else val
+            return tok
+
+        triples: list[tuple[str, str, str, None]] = []
+        stmt: list[str] = []
+        for tok in tokens + ["."]:
+            if tok == ".":
+                if not stmt:
+                    continue
+                if len(stmt) != 3:
+                    return False
+                triples.append((*(_untok(t) for t in stmt), None))
+                stmt = []
+            else:
+                if tok.startswith(("?", "$")):
+                    return False  # parser.rs rejects variables in data
+                if kind == "DELETE" and tok.startswith("_:"):
+                    return False  # and blank nodes in DELETE DATA
+                stmt.append(tok)
+        if not triples:
+            return False
+        if kind == "INSERT":
+            self.store.add_quads(triples)
+        else:
+            df = self.store.spark.createDataFrame(
+                triples, self.store.quads.schema
+            )
+            self.store.delete(df)
+        return True
+
     def execute(self, text: str) -> list[list[str]]:
         """Parse + run; SELECT returns rows of strings (reference
         exec_query shape, python/src/py_query_builder.rs:59-136)."""

@@ -4,7 +4,16 @@ Mirrors the reference server's routes (kolibrie-http-server/src/main.rs:
 598-623 request router, 649-773 rsp_register, 775-826 rsp_push, 828-878
 SSE handler, 896-1127 /query with RDF context + rules):
 
-- ``GET  /``                 playground placeholder
+- ``GET  /``                 playground placeholder; with ``?query=`` the
+                             legacy SPARQL-protocol endpoint (utils.rs:42,
+                             sparql_database.rs:2065-2113): plain-text
+                             tab/newline-joined rows
+- ``POST /``                 legacy protocol by content type:
+                             application/sparql-query (body = query),
+                             application/sparql-update (body = update,
+                             incl. the ``INSERT { s p o }`` alias),
+                             application/x-www-form-urlencoded
+                             (query= / update=); else ``Bad Request``
 - ``POST /query``            {sparql | queries[], rdf?, format?, n3logic?,
                               rule? | rules[]} → {"results": [...]}
 - ``POST /update``           {sparql} SPARQL Update against the app store
@@ -65,9 +74,48 @@ def create_app(spark, store=None):
     session_counter = itertools.count()
 
     # ------------------------------------------------------------------ UI
+    # plus the legacy SPARQL-protocol endpoint the reference's first
+    # server exposed (utils.rs:42-66 run_server → SparqlDatabase::
+    # handle_http_request, sparql_database.rs:2065-2113;
+    # examples/http_test/http_check.rs): GET ?query=, POST bodies by
+    # content type, tab/newline-joined plain-text rows, and the exact
+    # legacy status strings.
+    def _legacy_query(text: str) -> Response:
+        engine = app.config["ENGINE"]
+        try:
+            rows = engine.execute(text)
+        except Exception as e:  # parity: any failure → "Query Failed: …"
+            return Response(f"Query Failed: {e}", mimetype="text/plain")
+        return Response(
+            "\n".join("\t".join(row) for row in rows), mimetype="text/plain"
+        )
+
     @app.get("/")
     def playground():
+        q = request.args.get("query")
+        if q is not None:
+            return _legacy_query(q)
         return Response(_PLAYGROUND, mimetype="text/html")
+
+    @app.post("/")
+    def legacy_post():
+        engine = app.config["ENGINE"]
+        ctype = (request.content_type or "").split(";")[0].strip()
+        body = request.get_data(as_text=True)
+        if ctype == "application/sparql-query":
+            return _legacy_query(body)
+        if ctype == "application/x-www-form-urlencoded":
+            if "query" in request.form:
+                return _legacy_query(request.form["query"])
+            if "update" in request.form:
+                return Response(
+                    engine.handle_update(request.form["update"]),
+                    mimetype="text/plain",
+                )
+        if ctype == "application/sparql-update":
+            return Response(engine.handle_update(body), mimetype="text/plain")
+        # reference returns 200 with a literal Bad Request body
+        return Response("Bad Request", mimetype="text/plain")
 
     # --------------------------------------------------------------- query
     def _load_context_engine(req: dict) -> SparqlEngine:

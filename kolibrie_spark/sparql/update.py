@@ -16,6 +16,8 @@ updates do not stack plans.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -46,9 +48,24 @@ def _register_ground_quoted(compiler: Compiler, terms) -> None:
         rdfstar.register_quoted(compiler.store, rows)
 
 
-def execute_update(store, op: ast.UpdateOp) -> None:
+@dataclass
+class UpdateSummary:
+    """Actually-changed quad counts (reference execute_query.rs:41-43,
+    868-884 — inserts that were new, deletes that existed)."""
+
+    inserted_quads: int = 0
+    deleted_quads: int = 0
+
+
+def execute_update(
+    store, op: ast.UpdateOp, with_summary: bool = False
+) -> UpdateSummary | None:
+    """Apply ``op``.  With ``with_summary`` the store is counted around
+    each mutation (set semantics make the count delta exactly the
+    reference's changed-quad tally); the default skips those jobs."""
     compiler = Compiler(store)
     spark = store.spark
+    before = store.triple_count() if with_summary else 0
 
     if isinstance(op, (ast.InsertData, ast.DeleteData)):
         terms = [t for (s, p, o, _g) in op.quads for t in (s, p, o)]
@@ -65,9 +82,13 @@ def execute_update(store, op: ast.UpdateOp) -> None:
         df = spark.createDataFrame(rows, QUADS_SCHEMA)
         if isinstance(op, ast.InsertData):
             store.insert(df)
+            if with_summary:
+                return UpdateSummary(inserted_quads=store.triple_count() - before)
         else:
             store.delete(df)
-        return
+            if with_summary:
+                return UpdateSummary(deleted_quads=before - store.triple_count())
+        return None
 
     if isinstance(op, ast.Modify):
         view = DatasetView(store, [], [])
@@ -84,11 +105,17 @@ def execute_update(store, op: ast.UpdateOp) -> None:
         )
         if delete_df is not None:
             store.delete(delete_df)
+        after_delete = store.triple_count() if with_summary else 0
         if ins_quoted is not None:
             store.insert_quoted(ins_quoted)
         if insert_df is not None:
             store.insert(insert_df)
-        return
+        if with_summary:
+            return UpdateSummary(
+                inserted_quads=store.triple_count() - after_delete,
+                deleted_quads=before - after_delete,
+            )
+        return None
 
     raise CompileError(f"unsupported update {op!r}")
 

@@ -197,3 +197,111 @@ def test_query_ask_and_construct_forms(client):
     assert r.get_json()["results"][0]["data"] == [
         ["http://ex/a", "http://ex/known", "alice", ""]
     ]
+
+
+def test_legacy_protocol_endpoint(client):
+    """examples/http_test/http_check.rs + sparql_database.rs:2065-2113:
+    the first-generation SPARQL-protocol endpoint on '/' — POST update
+    bodies by content type (including the bare-token 'INSERT { s p o }'
+    alias and its exact legacy status strings), GET ?query= returning
+    tab/newline-joined plain-text rows."""
+    # the http_check example's own curl: bare-token data alias
+    r = client.post(
+        "/", data="INSERT { s p o }",
+        content_type="application/sparql-update",
+    )
+    assert r.get_data(as_text=True) == "Update Successful"
+
+    # standard form reports changed-quad counts
+    r = client.post(
+        "/",
+        data="INSERT DATA { <urn:alice> <urn:name> \"Alice\" . "
+        "<urn:bob> <urn:name> \"Bob\" }",
+        content_type="application/sparql-update",
+    )
+    assert r.get_data(as_text=True) == "Update Successful (inserted 2, deleted 0)"
+
+    # GET ?query= → tab-joined rows, newline-separated
+    r = client.get("/?query=SELECT ?s ?n WHERE { ?s <urn:name> ?n }")
+    rows = sorted(r.get_data(as_text=True).split("\n"))
+    assert rows == ["urn:alice\tAlice", "urn:bob\tBob"]
+    assert r.mimetype == "text/plain"
+
+    # POST application/sparql-query body
+    r = client.post(
+        "/", data="SELECT ?n WHERE { <urn:alice> <urn:name> ?n }",
+        content_type="application/sparql-query",
+    )
+    assert r.get_data(as_text=True) == "Alice"
+
+    # form-urlencoded query= and update=
+    r = client.post("/", data={"query": "SELECT ?o WHERE { s p ?o }"},
+                    content_type="application/x-www-form-urlencoded")
+    assert "Query Failed" in r.get_data(as_text=True)  # bare pattern ≠ SPARQL
+    r = client.post(
+        "/",
+        data={"update": "DELETE DATA { <urn:bob> <urn:name> \"Bob\" }"},
+        content_type="application/x-www-form-urlencoded",
+    )
+    assert r.get_data(as_text=True) == "Update Successful (inserted 0, deleted 1)"
+
+    # parse failures → legacy error strings, never exceptions
+    r = client.get("/?query=NOT SPARQL AT ALL")
+    assert r.get_data(as_text=True).startswith("Query Failed:")
+    r = client.post("/", data="GIBBERISH", content_type="application/sparql-update")
+    assert r.get_data(as_text=True) == "Update Failed"
+    r = client.post("/", data="x", content_type="text/weird")
+    assert r.get_data(as_text=True) == "Bad Request"
+
+    # the bare-token alias really stored (s, p, o) verbatim
+    r = client.get("/?query=SELECT ?o WHERE { <s> <p> ?o }")
+    assert r.get_data(as_text=True) == "o"
+
+    # plain GET / still serves the playground
+    r = client.get("/")
+    assert r.mimetype == "text/html"
+
+
+def test_legacy_update_alias_variants(client):
+    """parser.rs:1864-1917 alias rules: IRIs and quoted literals in the
+    alias, DELETE alias, variable/blank rejection."""
+    assert (
+        client.post(
+            "/",
+            data='INSERT { <urn:x> <urn:tag> "hello world" . <urn:x> <urn:n> 1 }',
+            content_type="application/sparql-update",
+        ).get_data(as_text=True)
+        == "Update Successful"
+    )
+    r = client.get('/?query=SELECT ?t WHERE { <urn:x> <urn:tag> ?t }')
+    assert r.get_data(as_text=True) == "hello world"
+
+    # DELETE alias removes it again
+    assert (
+        client.post(
+            "/",
+            data='DELETE { <urn:x> <urn:tag> "hello world" }',
+            content_type="application/sparql-update",
+        ).get_data(as_text=True)
+        == "Update Successful"
+    )
+    assert client.get(
+        '/?query=SELECT ?t WHERE { <urn:x> <urn:tag> ?t }'
+    ).get_data(as_text=True) == ""
+
+    # variables are illegal in data blocks (parser.rs verify errors)
+    assert (
+        client.post(
+            "/", data="INSERT { ?s p o }",
+            content_type="application/sparql-update",
+        ).get_data(as_text=True)
+        == "Update Failed"
+    )
+    # blank nodes are illegal in DELETE DATA
+    assert (
+        client.post(
+            "/", data="DELETE { _:b p o }",
+            content_type="application/sparql-update",
+        ).get_data(as_text=True)
+        == "Update Failed"
+    )
