@@ -1318,31 +1318,33 @@ def _q_closure_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deep-chain transitive closure by path doubling (§2.10; the Spark-first
     answer to the reference's deep-taxonomy workload,
     kolibrie/examples/sparql_syntax/knowledge_graph/deep_taxonomy.rs:71-95):
-    parts chained by successive p_partkey within p_partkey % 64 groups form
-    64 disjoint deep chains; the closure converges in ⌈log₂ depth⌉ doubling
-    joins instead of depth semi-naive rounds.  Output: per-group ancestor-
-    pair counts (closure of a depth-d chain has d·(d+1)/2 pairs)."""
+    parts chained by successive p_partkey within p_partkey % (n/48) groups
+    form ~n/48 disjoint 48-deep chains; the closure converges in
+    ⌈log₂ depth⌉ = 6 doubling joins instead of depth semi-naive rounds.
+    Output: pair counts per src % 64 bucket (closure of a depth-d chain
+    has d·(d+1)/2 pairs, so the result is LINEAR in |part| at every SF)."""
     from pyspark.sql import Window, functions as F
 
     from kolibrie_spark.reasoner import transitive_closure
     from kolibrie_spark.tables import load_table
 
     part = load_table(spark, sf_dir, "part")
-    w = Window.partitionBy(F.col("p_partkey") % 64).orderBy("p_partkey")
+    # constant chain DEPTH (~48), chain COUNT grows with the data: the
+    # closure output stays linear in |part| (a depth-d chain contributes
+    # d·(d+1)/2 pairs, so depth ∝ n would make the result quadratic and
+    # the gate a scale-killer by construction), and the doubling runs a
+    # fixed ⌈log₂ 48⌉ = 6 rounds at every SF with no convergence counts —
+    # the diameter is known from one row count.
+    n = part.count()
+    m = max(1, n // 48)
+    w = Window.partitionBy(F.col("p_partkey") % m).orderBy("p_partkey")
     edges = (
         part.select("p_partkey")
         .withColumn("dst", F.lead("p_partkey").over(w))
         .filter(F.col("dst").isNotNull())
         .select(F.col("p_partkey").alias("src"), "dst")
     )
-    # chain depth is bounded by the largest group, known from one cheap
-    # aggregate — exact ⌈log₂ d⌉ rounds, no per-round convergence counts
-    depth = (
-        part.groupBy((F.col("p_partkey") % 64).alias("g"))
-        .count()
-        .agg(F.max("count"))
-        .first()[0]
-    )
+    depth = -(-n // m)  # ceil: the longest chain
     closure = transitive_closure(
         edges, src="src", dst="dst", known_diameter=int(depth)
     )
@@ -3709,16 +3711,20 @@ def _q_mlschema_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     # explicit ROUND on both sides: Spark's cast-to-long truncates while
-    # DuckDB's CAST rounds; price in integer cents keeps the sums exact
+    # DuckDB's CAST rounds; price in integer cents keeps the sums exact.
+    # The squared-cents sums leave int64 around sf0.1, so they accumulate
+    # in decimal(38,0) — still exact integers (DuckDB's SUM(BIGINT)
+    # promotes to HUGEINT the same way).
     x = F.round(F.col("l_quantity")).cast("long")
     y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = "decimal(38,0)"
     row = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(y * y).alias("syy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum((x.cast(dec) * y.cast(dec))).alias("sxy"),
+        F.sum((y.cast(dec) * y.cast(dec))).alias("syy"),
     ).first()
     n, sx, sy = int(row["n"]), int(row["sx"]), int(row["sy"])
     sxx, sxy, syy = int(row["sxx"]), int(row["sxy"]), int(row["syy"])
@@ -4813,11 +4819,15 @@ def oracle_sql() -> dict[str, str]:
             ") SELECT x AS s, y AS o FROM closure"
         ),
         "closure_doubling": (
-            "WITH RECURSIVE edges AS ("
+            "WITH RECURSIVE buckets AS ("
+            "  SELECT GREATEST(CAST(FLOOR(count(*) / 48) AS BIGINT), 1) AS m"
+            "  FROM part"
+            "), edges AS ("
             "  SELECT src, dst FROM ("
             "    SELECT p_partkey AS src, "
-            "           lead(p_partkey) OVER (PARTITION BY p_partkey % 64 "
-            "                                 ORDER BY p_partkey) AS dst"
+            "           lead(p_partkey) OVER ("
+            "             PARTITION BY p_partkey % (SELECT m FROM buckets) "
+            "             ORDER BY p_partkey) AS dst"
             "    FROM part)"
             "  WHERE dst IS NOT NULL"
             "), reach AS ("
