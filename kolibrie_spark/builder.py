@@ -28,6 +28,7 @@ class QueryBuilder:
         self._ops: list[Callable[[DataFrame], DataFrame]] = []
         self._distinct = False
         self._order: list[tuple[str, bool]] = []
+        self._direction: bool | None = None  # asc()/desc() override
         self._limit: int | None = None
         self._offset: int | None = None
         self._window: tuple[int, int] | None = None
@@ -104,6 +105,18 @@ class QueryBuilder:
         self._order.append((column, ascending))
         return self
 
+    def asc(self) -> "QueryBuilder":
+        """Builder-wide ascending direction (query_builder.rs:316-319,
+        py_query_builder.rs:578-583): applies to every recorded sort key
+        at execution, like the reference's single sort_direction."""
+        self._direction = True
+        return self
+
+    def desc(self) -> "QueryBuilder":
+        """Builder-wide descending direction (query_builder.rs:310-313)."""
+        self._direction = False
+        return self
+
     def limit(self, n: int) -> "QueryBuilder":
         self._limit = n
         return self
@@ -127,6 +140,8 @@ class QueryBuilder:
         if self._order:
             keys = []
             for col, asc in self._order:
+                if self._direction is not None:
+                    asc = self._direction
                 keys.extend(compare.order_keys(F.col(col), asc))
             df = df.orderBy(*keys)
         if self._offset:
@@ -185,6 +200,11 @@ class QueryBuilder:
         else:
             self._report.append(ReportStrategy(strategy))
         return self
+
+    def with_periodic_report(self, period: int) -> "QueryBuilder":
+        """Periodic report strategy with its period
+        (py_query_builder.rs:606-611)."""
+        return self.with_report_strategy("periodic", period)
 
     def with_stream_operator(self, op: str) -> "QueryBuilder":
         self._stream_op = op.upper()

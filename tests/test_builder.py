@@ -87,3 +87,35 @@ def test_streaming_builder_istream(engine):
     # ISTREAM: each triple emitted exactly once across firings
     flat = [t for batch in fires for t in batch]
     assert len(flat) == len(set(flat))
+
+
+def test_asc_desc_direction_and_periodic_report(spark):
+    from kolibrie_spark.builder import QueryBuilder
+    from kolibrie_spark.store import QuadStore
+
+    """py_query_builder.rs:578-611: asc()/desc() set a builder-wide sort
+    direction applied to the recorded sort key at execution;
+    with_periodic_report(n) is the periodic strategy plus its period."""
+    store = QuadStore(spark)
+    store.add_quads(
+        [
+            ("a", "p", "1", None),
+            ("b", "p", "10", None),
+            ("c", "p", "2", None),
+        ]
+    )
+    qb = QueryBuilder(store).with_predicate("p").order_by("o")
+    assert [t[2] for t in qb.get_results()] == ["1", "2", "10"]
+    # desc() flips the same recorded key; numeric-else-lexical order holds
+    assert [t[2] for t in qb.desc().get_results()] == ["10", "2", "1"]
+    assert [t[2] for t in qb.asc().get_results()] == ["1", "2", "10"]
+
+    sq = (
+        QueryBuilder(store)
+        .with_predicate("p")
+        .window(10, 5)
+        .with_periodic_report(3)
+        .as_stream()
+    )
+    assert "periodic" in [s.lower() for s in sq.get_report_strategies()]
+    assert sq.get_periodic_periods() == [3]
