@@ -78,6 +78,17 @@ Tick.TimeDriven = Tick.TIME_DRIVEN
 Tick.TupleDriven = Tick.TUPLE_DRIVEN
 Tick.BatchDriven = Tick.BATCH_DRIVEN
 
+# PeriodicReportStrategy(period).period (py_query_builder.rs:192-209) —
+# same object the engine's S2R layer consumes
+from kolibrie_spark.streaming.s2r import Periodic as PeriodicReportStrategy  # noqa: E402
+
+
+class SortDirection:
+    """py_query_builder.rs:180-190 enum."""
+
+    Ascending = "Ascending"
+    Descending = "Descending"
+
 
 def _session() -> SparkSession:
     return (
