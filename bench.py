@@ -226,6 +226,12 @@ def main() -> None:
         # compilation on every run (measured: dedup_minhash_lsh 7.4s with
         # eviction vs 2.5s steady-state)
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # ContextCleaner reclaims dead broadcasts/shuffles/RDDs only when
+        # a JVM GC drops their references; a 24g heap can go the whole
+        # suite without one, so thousands of shuffle files and broadcast
+        # blocks pile up and late gates pay for it (default interval 30min
+        # outlives the suite)
+        .config("spark.cleaner.periodicGC.interval", "45s")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -240,6 +246,13 @@ def main() -> None:
     t0 = time.time()
     entry_mod._base_store(spark, sf_dir)  # materialize the triplified quads
     setup = time.time() - t0
+    # persistent blocks alive after setup (the shared base store, if any)
+    # must survive the per-gate cleanup below — unpersisting a
+    # localCheckpointed RDD destroys it unrecoverably
+    try:
+        _setup_rdd_ids = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    except Exception:
+        _setup_rdd_ids = set()
 
     # two timed runs per query, keep the min — criterion-style steady-state
     # timing that shakes out GC pauses and first-touch JIT noise. Each run
@@ -257,6 +270,23 @@ def main() -> None:
             best = min(best, time.time() - t1)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # gates that iterate (closure, propagation, fixpoints) leave
+        # eagerly-persisted localCheckpoint blocks behind; their refs die
+        # with the gate but the JVM only frees the storage on a GC the
+        # suite may never trigger — by the media/Arrow gates the executor
+        # storage is full of dead blocks and they thrash (measured: the
+        # SAME media_near_dup 1.2s early-suite / 3.1s fresh-JVM vs 32.5s
+        # late-suite). Drop leftovers between gates so each gate is timed
+        # against a clean store, as the driver's fresh run would.
+        try:
+            for rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+                if rid not in _setup_rdd_ids:
+                    rdd.unpersist()
+            # nudge the ContextCleaner: dead gate references become
+            # collectable now, not whenever the heap happens to fill
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     try:
         xw = _bench_cross_window(spark)
