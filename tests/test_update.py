@@ -66,3 +66,35 @@ def test_blank_node_allocation_per_solution(engine):
     # two distinct blank nodes exist
     bns = engine.execute("SELECT DISTINCT ?bn WHERE { ?s <ex:linked> ?bn }")
     assert len(bns) == 2
+
+
+def test_update_summary_counts_actual_changes(engine):
+    """execute_query.rs:868-884: the summary counts quads that actually
+    changed — re-inserting an existing quad or deleting a missing one
+    counts zero; DELETE/INSERT WHERE counts both sides."""
+    from kolibrie_spark.sparql.parser import parse_query
+    from kolibrie_spark.sparql.update import execute_update
+
+    store = engine.store
+
+    def run(text):
+        return execute_update(store, parse_query(text).update, with_summary=True)
+
+    s = run('INSERT DATA { <ex:a> <ex:n> "1" . <ex:b> <ex:n> "2" }')
+    assert (s.inserted_quads, s.deleted_quads) == (2, 0)
+    # duplicate within the block and vs the store: set semantics
+    s = run('INSERT DATA { <ex:a> <ex:n> "1" . <ex:a> <ex:n> "1" }')
+    assert (s.inserted_quads, s.deleted_quads) == (0, 0)
+    s = run('DELETE DATA { <ex:a> <ex:n> "1" . <ex:zz> <ex:n> "9" }')
+    assert (s.inserted_quads, s.deleted_quads) == (0, 1)
+    s = run(
+        'DELETE { ?s <ex:n> ?o } INSERT { ?s <ex:renamed> ?o } '
+        "WHERE { ?s <ex:n> ?o }"
+    )
+    assert (s.inserted_quads, s.deleted_quads) == (1, 1)
+    # engine.handle_update formats the same numbers
+    assert (
+        engine.handle_update('DELETE DATA { <ex:b> <ex:renamed> "2" }')
+        == "Update Successful (inserted 0, deleted 1)"
+    )
+    assert engine.handle_update("NOT AN UPDATE") == "Update Failed"
