@@ -3785,11 +3785,16 @@ def _q_mlschema_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     val = g.filter(F.col("p") == f"{mls}hasValue").select(
         F.col("s").alias("vs"), F.col("o").alias("lex")
     )
-    # characteristics: label and hasValue share a subject
+    # characteristics: label and hasValue share a subject.  The graph is
+    # ~90 driver-built rows of model METADATA (never data-sized), so the
+    # joins are hinted broadcast — without stats Spark picks sort-merge
+    lab, val = F.broadcast(lab), F.broadcast(val)
     direct = lab.join(val, lab.s == val.vs).select("label", "lex")
     # evaluations: ModelEvaluation --specifiedBy--> labeled measure
-    spec = g.filter(F.col("p") == f"{mls}specifiedBy").select(
-        F.col("s").alias("ev"), F.col("o").alias("measure")
+    spec = F.broadcast(
+        g.filter(F.col("p") == f"{mls}specifiedBy").select(
+            F.col("s").alias("ev"), F.col("o").alias("measure")
+        )
     )
     via = (
         spec.join(lab, spec.measure == lab.s)
