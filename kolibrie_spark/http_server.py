@@ -45,10 +45,63 @@ except ImportError as _e:  # pragma: no cover — container ships flask
     Flask = None
     _flask_error = _e
 
+# An original, minimal take on the reference's playground page
+# (main.rs:599,882-894 serves web/playground.html): query + RDF context
+# + rules against POST /query, updates against POST /update. The layout
+# and code are ours; only the exercised ROUTES match the reference.
 _PLAYGROUND = """<!doctype html>
-<html><head><title>kolibrie_spark playground</title></head>
-<body><h1>kolibrie_spark</h1>
-<p>POST /query | /update | /rsp/register | /rsp/push; GET /rsp/events/&lt;id&gt;</p>
+<html><head><meta charset="utf-8"><title>kolibrie_spark playground</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:2rem;max-width:60rem}
+ textarea{width:100%;font-family:monospace;font-size:.9rem}
+ table{border-collapse:collapse;margin-top:1rem}
+ td,th{border:1px solid #999;padding:.25rem .5rem;font-family:monospace}
+ button{margin:.5rem .5rem 0 0;padding:.4rem 1rem}
+ .err{color:#b00}
+ label{display:block;margin-top:.75rem;font-weight:600}
+</style></head>
+<body>
+<h1>kolibrie_spark</h1>
+<p>SPARQL over Spark. POST /query | /update | /rsp/register | /rsp/push;
+GET /rsp/events/&lt;id&gt;; legacy protocol on /.</p>
+<label>Query (SELECT / CONSTRUCT / ASK / DESCRIBE, RULE :- ..., ML.PREDICT)</label>
+<textarea id="q" rows="6">SELECT ?s ?p ?o WHERE { ?s ?p ?o } LIMIT 10</textarea>
+<label>RDF context (optional)</label>
+<textarea id="rdf" rows="4"></textarea>
+<select id="fmt"><option>turtle</option><option>ntriples</option>
+<option selected>rdfxml</option></select>
+<br>
+<button onclick="run()">Run query</button>
+<button onclick="upd()">Run as update</button>
+<div id="out"></div>
+<script>
+function show(html){document.getElementById('out').innerHTML=html;}
+function table(rows){
+ if(!rows||!rows.length)return '<p>(no rows)</p>';
+ let h='<table>';
+ for(const r of rows){h+='<tr>'+r.map(c=>'<td>'+String(c)
+   .replace(/&/g,'&amp;').replace(/</g,'&lt;')+'</td>').join('')+'</tr>';}
+ return h+'</table>';
+}
+async function run(){
+ const body={sparql:document.getElementById('q').value};
+ const rdf=document.getElementById('rdf').value.trim();
+ if(rdf){body.rdf=rdf;body.format=document.getElementById('fmt').value;}
+ const r=await fetch('/query',{method:'POST',
+   headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
+ const j=await r.json();
+ if(j.error){show('<p class="err">'+j.error+'</p>');return;}
+ // results: one {data, query, execution_time_ms} object per query
+ show((j.results||[]).map(x=>table(x.data)).join(''));
+}
+async function upd(){
+ const r=await fetch('/update',{method:'POST',
+   headers:{'Content-Type':'application/json'},
+   body:JSON.stringify({sparql:document.getElementById('q').value})});
+ const j=await r.json();
+ show(j.error?'<p class="err">'+j.error+'</p>':'<p>'+JSON.stringify(j)+'</p>');
+}
+</script>
 </body></html>"""
 
 
