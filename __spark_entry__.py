@@ -4109,13 +4109,16 @@ _DRIVER_FIRST = [
     "sim_topk_pq",
     # -- oldest remaining driver rows (r3), prioritized per VERDICT r6:
     # prob/ml/analytics/sketches first, then text pack, dedup, sampling,
-    # profiling, events. 19 + 31 = 50 exactly (search_hybrid_rrf,
+    # profiling, events. 20 + 30 = 50 (search_hybrid_rrf,
     # path_negated_set, dedup_containment, export_manifest,
-    # closure_doubling are new in r7 and lead with the other r7-touched
-    # gates); the nine r3 gates that do not fit (events_funnel,
-    # asof_join_events_orders, telemetry_resample, embed_hard_negatives,
-    # events_path_trigrams, events_ewma, events_anomaly_mad,
-    # events_interval_merge, events_retention) lead r8 with the r4 set.
+    # closure_doubling, mlschema_graph are new in r7 and lead with the
+    # other r7-touched gates; mlschema_graph's insertion pushes
+    # events_json_agg and events_rolling past the 50-gate window); the
+    # r3 gates that do not fit (events_json_agg, events_rolling,
+    # events_funnel, asof_join_events_orders,
+    # telemetry_resample, embed_hard_negatives, events_path_trigrams,
+    # events_ewma, events_anomaly_mad, events_interval_merge,
+    # events_retention) lead r8 with the r4 set.
     "prob_hybrid",
     "ml_predict",
     "analytics_q3",
