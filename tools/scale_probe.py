@@ -184,6 +184,10 @@ def main() -> None:
     out = {}
     for sf_dir, tag in ((SRC, "sf0.1"), (DST, "sf1")):
         entry_mod._base_store(spark, sf_dir)
+        try:
+            base_ids = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+        except Exception:
+            base_ids = set()
         for name in names:
             best = float("inf")
             for _ in range(2):
@@ -192,6 +196,15 @@ def main() -> None:
                 best = min(best, time.time() - t1)
             out.setdefault(name, {})[tag] = round(best, 3)
             print(f"# {tag} {name}: {best:.3f}s", file=sys.stderr)
+            # same per-gate isolation as bench.py: iterative gates leave
+            # dead localCheckpoint blocks that skew every later gate
+            try:
+                for rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+                    if rid not in base_ids:
+                        rdd.unpersist()
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
 
     import math
 
