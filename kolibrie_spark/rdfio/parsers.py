@@ -153,7 +153,7 @@ class _TermReader:
 def parse_ntriples(text: str):
     """→ ([(s,p,o)], [(qid,qs,qp,qo)])"""
     triples, quoted = [], []
-    for raw in text.splitlines():
+    for raw in re.split(r"[\r\n]+", text):
         line = raw.strip()
         if not line or line.startswith("#"):
             continue
@@ -171,7 +171,7 @@ def parse_ntriples(text: str):
 def parse_nquads(text: str):
     """→ ([(s,p,o,g|None)], [(qid,qs,qp,qo)])"""
     quads, quoted = [], []
-    for raw in text.splitlines():
+    for raw in re.split(r"[\r\n]+", text):
         line = raw.strip()
         if not line or line.startswith("#"):
             continue
@@ -203,7 +203,7 @@ def parse_turtle(text: str, prefixes: dict[str, str] | None = None):
     after any object (emits ``<< s p o >> p2 o2``)."""
     prefixes = dict(prefixes or {})
     body_lines = []
-    for raw in text.splitlines():
+    for raw in re.split(r"[\r\n]+", text):
         line = raw.strip()
         if not line or line.startswith("#"):
             continue

@@ -25,10 +25,17 @@ def _is_iri(term: str) -> bool:
     return bool(_IRI_RE.match(term)) and " " not in term
 
 
+# raw control chars and the exotic line separators (\x1c-\x1e, NEL,
+# U+2028/29) are LEGAL inside N-Triples literals, but Python's
+# str.splitlines() — and many line-oriented consumers — split on them;
+# emit them as \uXXXX so serialized output survives any line-based reader
+_CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x85\u2028\u2029]")
+
+
 def _escape_literal(value: str) -> str:
     out = value.replace("\\", "\\\\").replace('"', '\\"')
     out = out.replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
-    return out
+    return _CTRL_RE.sub(lambda m: f"\\u{ord(m.group()):04X}", out)
 
 
 _LANG_RE = re.compile(r"^(.*)@([A-Za-z][A-Za-z0-9\-]*)$", re.S)

@@ -1,0 +1,82 @@
+"""Property-based serializer↔parser round-trips (pure Python, no Spark).
+
+The reference round-trips its stores through generate_ntriples /
+generate_turtle (changes.txt 0.2.0 item 15; serializer.rs); these
+properties pin that OUR serializers' escaping and the parsers' unescaping
+are exact inverses for arbitrary terms — quotes, backslashes, newlines,
+tabs, unicode, language tags, blank nodes — across N-Triples, N-Quads and
+Turtle. MLSchema.serialize and the HTTP /query rdf context both lean on
+these paths.
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from kolibrie_spark.rdfio.parsers import parse_nquads, parse_ntriples, parse_turtle
+from kolibrie_spark.rdfio.serializers import (
+    serialize_nquads,
+    serialize_ntriples,
+    serialize_turtle,
+)
+
+# lexical store terms: IRIs stay plain, blank nodes _:label, everything
+# else is a literal value (optionally value@lang)
+_iris = st.from_regex(r"https?://ex\.org/[A-Za-z0-9_./#-]{1,20}", fullmatch=True)
+_bnodes = st.from_regex(r"_:[A-Za-z][A-Za-z0-9]{0,10}", fullmatch=True)
+# any printable junk incl. quotes/backslashes/control chars the escaper
+# must handle; exclude lone surrogates (not representable in files)
+_literal_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=25
+)
+
+
+def _lang_tagged(value: str, lang: str) -> str:
+    return f"{value}@{lang}"
+
+
+_literals = st.one_of(
+    _literal_text,
+    st.builds(
+        _lang_tagged,
+        st.text(
+            # the value part of value@lang must not itself look like it
+            # ends in another tag, and backslash-final values escape the
+            # closing quote — the serializer handles both; keep the
+            # generator unrestricted and let the property find issues
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            min_size=1,
+            max_size=15,
+        ),
+        st.from_regex(r"[a-zA-Z]{2}(-[a-zA-Z0-9]{1,4})?", fullmatch=True),
+    ),
+)
+
+_subjects = st.one_of(_iris, _bnodes)
+_objects = st.one_of(_iris, _bnodes, _literals)
+_triples = st.lists(
+    st.tuples(_subjects, _iris, _objects), min_size=0, max_size=8
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_triples)
+def test_ntriples_roundtrip_exact(triples):
+    text = serialize_ntriples(triples)
+    got, quoted = parse_ntriples(text)
+    assert not quoted and sorted(got) == sorted(triples)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_triples)
+def test_turtle_roundtrip_exact(triples):
+    text = serialize_turtle(triples)
+    got, quoted, _prefixes = parse_turtle(text)
+    assert not quoted and sorted(got) == sorted(triples)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_triples, st.one_of(st.none(), _iris))
+def test_nquads_roundtrip_exact(triples, graph):
+    quads = [(s, p, o, graph) for (s, p, o) in triples]
+    text = serialize_nquads(quads)
+    got, quoted = parse_nquads(text)
+    assert not quoted and sorted(got, key=str) == sorted(quads, key=str)
