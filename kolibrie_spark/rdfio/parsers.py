@@ -334,7 +334,9 @@ def parse_rdfxml(
             elif nested:
                 obj = node_element(nested[0])
             else:
-                obj = (child.text or "").strip()
+                # literal text is VERBATIM per rdf-syntax §7.2.16 — no
+                # stripping: ' '/nbsp-only and padded literals survive
+                obj = child.text or ""
             triples.append((s, pred, obj))
         return s
 

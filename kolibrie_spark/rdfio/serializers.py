@@ -105,6 +105,28 @@ def serialize_turtle(triples, quoted_rows=(), prefixes: dict[str, str] | None = 
     return "\n".join(out) + ("\n" if out else "")
 
 
+# longest IRI suffix that is a valid XML NCName (letter/underscore start,
+# then word chars plus '.' and '-') — the property ELEMENT name
+_NCNAME_SUFFIX = re.compile(r"[^\W\d][\w.\-]*\Z")
+
+
+def _split_predicate(p: str) -> tuple[str, str]:
+    """(namespace, local) for a predicate IRI.  A '#'/'/' split alone can
+    yield a digit-leading local name ('…/0'), which is not a legal XML
+    element name — the emitted document would be malformed.  RDF/XML
+    simply cannot express such predicates (a real writer like rdflib
+    raises too), so raise a clear error instead of writing invalid XML."""
+    m = _NCNAME_SUFFIX.search(p)
+    if m and m.start() > 0:
+        return p[: m.start()], m.group()
+    if m:  # the whole term is a bare name — give it a synthetic namespace
+        return "urn:p:", p
+    raise ValueError(
+        f"predicate {p!r} has no XML-NCName suffix and cannot be "
+        "serialized as RDF/XML; use ntriples/turtle for this graph"
+    )
+
+
 def serialize_rdfxml(triples, quoted_rows=()) -> str:
     """rdf:Description subset (IRI objects → rdf:resource, literals → text).
     Quoted-triple terms are not representable in this subset and are
@@ -124,9 +146,7 @@ def serialize_rdfxml(triples, quoted_rows=()) -> str:
     for s in order:
         lines.append(f'  <rdf:Description rdf:about="{xml_escape(s, {chr(34): "&quot;"})}">')
         for i, (p, o) in enumerate(by_subject[s]):
-            # split predicate IRI into namespace + local name
-            cut = max(p.rfind("#"), p.rfind("/"))
-            ns, local = (p[: cut + 1], p[cut + 1 :]) if cut > 0 else ("urn:p:", p)
+            ns, local = _split_predicate(p)
             if _is_iri(o):
                 lines.append(
                     f'    <x{i}:{local} xmlns:x{i}="{xml_escape(ns, {chr(34): "&quot;"})}" '
@@ -135,7 +155,9 @@ def serialize_rdfxml(triples, quoted_rows=()) -> str:
             else:
                 lines.append(
                     f'    <x{i}:{local} xmlns:x{i}="{xml_escape(ns, {chr(34): "&quot;"})}">'
-                    f"{xml_escape(o)}</x{i}:{local}>"
+                    # &#13;: XML line-end normalization folds a raw \r
+                    # to \n on parse (XML 1.0 §2.11)
+                    f'{xml_escape(o, {chr(13): "&#13;"})}</x{i}:{local}>'
                 )
         lines.append("  </rdf:Description>")
     lines.append("</rdf:RDF>")
