@@ -127,3 +127,31 @@ def test_rdfxml_rejects_non_ncname_predicate():
 
     with pytest.raises(ValueError, match="NCName"):
         serialize_rdfxml([("http://ex.org/s", "http://ex.org/0", "x")])
+
+
+# RDF-star: annotation triples with quoted-triple subjects must survive
+# the << >> serialization round trip, id-exact (ids are content hashes)
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_subjects, _iris, _objects, _iris, _literal_text),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_turtle_star_roundtrip_exact(rows):
+    from kolibrie_spark.rdfstar import qt_id
+
+    triples, quoted = [], []
+    for (s, p, o, ap, av) in rows:
+        qid = qt_id(s, p, o)
+        quoted.append((qid, s, p, o))
+        triples.append((qid, ap, av))
+    ttl = serialize_turtle(triples, quoted_rows=quoted)
+    got_t, got_q, _ = parse_turtle(ttl)
+    assert sorted(got_t) == sorted(triples)
+    assert sorted(set(got_q)) == sorted(set(quoted))
+    nt = serialize_ntriples(triples, quoted_rows=quoted)
+    got_t2, got_q2 = parse_ntriples(nt)
+    assert sorted(got_t2) == sorted(triples)
+    assert sorted(set(got_q2)) == sorted(set(quoted))
