@@ -557,6 +557,58 @@ class HybridResult:
         return self.lower or 0.0
 
 
+def wmc_gradient(
+    paths: list[frozenset],
+    seeds: dict,
+    groups: dict | None = None,
+    deadline: float | None = None,
+    node_budget: int | None = None,
+    clock=time.monotonic,
+) -> dict:
+    """∂ exact_wmc / ∂ p_seed for every seed the lineage references —
+    the differentiable-WMC primitive behind neural fact seeding
+    (reference shared/src/diff_sdd.rs:15-46 wmc_gradient; changes.txt
+    0.2.0 items 36/42/91).
+
+    exact_wmc is MULTILINEAR in each independent seed's probability, so
+    the derivative is exact from two conditioned evaluations:
+    ``WMC(p_v=1) − WMC(p_v=0)`` (the reference's VarKind::Independent
+    arm).  For an exclusive-group member the annotated disjunction gives
+    ``WMC = Σ_m p_m·P(φ|m) + (1−Σp)·P(φ|none)``, hence
+    ``∂/∂p_v = P(φ|v) − P(φ|none)`` — conditioned by steering the group
+    weights (v=1/others=0, then all=0 for the residual branch).  The
+    reference's ExclusiveGroup arm returns only the A_v term because its
+    SDD encoding has an explicit exactly-one selector with no residual
+    mass; ours carries the none-branch, so the exact derivative keeps
+    both terms.  Gradients below 1e-15 are dropped, as there
+    (diff_sdd.rs:42-44)."""
+    referenced = {_norm_lit(l)[0] for p in paths for l in p}
+    kw = dict(deadline=deadline, node_budget=node_budget, clock=clock, groups=groups)
+    grads: dict = {}
+    for v in referenced:
+        if groups and v in groups:
+            gid = groups[v]
+            members = [m for m, g in groups.items() if g == gid]
+            chosen = dict(seeds)
+            for m in members:
+                chosen[m] = 0.0
+            chosen[v] = 1.0
+            a_v = exact_wmc(paths, chosen, **kw)
+            none = dict(seeds)
+            for m in members:
+                none[m] = 0.0
+            grad = a_v - exact_wmc(paths, none, **kw)
+        else:
+            hi = dict(seeds)
+            hi[v] = 1.0
+            lo = dict(seeds)
+            lo[v] = 0.0
+            grad = exact_wmc(paths, hi, **kw) - exact_wmc(paths, lo, **kw)
+        if abs(grad) > 1e-15:
+            grads[v] = grad
+    return grads
+
+
 def _decide(p: float, threshold: float) -> str:
     return "Alert" if p >= threshold else "NoAlert"
 

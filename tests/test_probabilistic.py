@@ -773,3 +773,43 @@ def test_prob_rule_distributed_return_is_lazy(engine, monkeypatch):
     assert derived == [("A", "rel2", "C")]
     assert ("A", "rel2", "C") in derived and len(derived) == 1
     assert calls == [1]
+
+
+def test_wmc_gradient_matches_finite_difference():
+    """shared/src/diff_sdd.rs:48-113 parity: exact WMC gradients equal a
+    central finite difference, for independent seeds (with shared
+    variables and a negation) and for exclusive-group members (where the
+    exact derivative is P(φ|v) − P(φ|none))."""
+    from kolibrie_spark.reasoner.hybrid import exact_wmc, wmc_gradient
+
+    # correlated DNF over independent seeds, with a negated literal:
+    # (a ∧ b) ∨ (a ∧ ¬c) ∨ (b ∧ c)
+    paths = [
+        frozenset({"a", "b"}),
+        frozenset({"a", ("c", False)}),
+        frozenset({"b", "c"}),
+    ]
+    seeds = {"a": 0.7, "b": 0.2, "c": 0.4}
+    grads = wmc_gradient(paths, seeds)
+    eps = 1e-6
+    for v in ("a", "b", "c"):
+        hi = dict(seeds); hi[v] = seeds[v] + eps
+        lo = dict(seeds); lo[v] = seeds[v] - eps
+        fd = (exact_wmc(paths, hi) - exact_wmc(paths, lo)) / (2 * eps)
+        assert abs(grads.get(v, 0.0) - fd) < 1e-6, (v, grads.get(v), fd)
+    # an unreferenced seed gets no gradient entry
+    assert "zzz" not in grads
+
+    # exclusive group: φ = x ∨ (y ∧ b), x/y mutually exclusive
+    paths2 = [frozenset({"x"}), frozenset({"y", "b"})]
+    seeds2 = {"x": 0.7, "y": 0.2, "b": 0.5}
+    groups = {"x": 0, "y": 0}
+    grads2 = wmc_gradient(paths2, seeds2, groups=groups)
+    for v in ("x", "y", "b"):
+        hi = dict(seeds2); hi[v] = seeds2[v] + eps
+        lo = dict(seeds2); lo[v] = seeds2[v] - eps
+        fd = (
+            exact_wmc(paths2, hi, groups=groups)
+            - exact_wmc(paths2, lo, groups=groups)
+        ) / (2 * eps)
+        assert abs(grads2.get(v, 0.0) - fd) < 1e-6, (v, grads2.get(v), fd)
