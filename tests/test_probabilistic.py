@@ -813,3 +813,32 @@ def test_wmc_gradient_matches_finite_difference():
             - exact_wmc(paths2, lo, groups=groups)
         ) / (2 * eps)
         assert abs(grads2.get(v, 0.0) - fd) < 1e-6, (v, grads2.get(v), fd)
+
+
+def test_gradient_ascent_through_lineage_raises_target_probability():
+    """End-to-end backprop-through-lineage at the primitive level
+    (changes.txt item 42/91: training with exact WMC gradients): seeds
+    are sigmoid(logit) of learnable parameters; ascending
+    ∂WMC/∂p · ∂p/∂logit must monotonically raise the derived fact's
+    exact probability."""
+    import math
+
+    from kolibrie_spark.reasoner.hybrid import exact_wmc, wmc_gradient
+
+    paths = [frozenset({"a", "b"}), frozenset({"c"})]
+    logits = {"a": -1.0, "b": 0.5, "c": -2.0}
+
+    def sigmoid(x):
+        return 1.0 / (1.0 + math.exp(-x))
+
+    history = []
+    for _ in range(25):
+        seeds = {k: sigmoid(v) for k, v in logits.items()}
+        history.append(exact_wmc(paths, seeds))
+        grads = wmc_gradient(paths, seeds)
+        for k, g in grads.items():
+            p = seeds[k]
+            logits[k] += 0.8 * g * p * (1.0 - p)  # chain rule through sigmoid
+    final = exact_wmc(paths, {k: sigmoid(v) for k, v in logits.items()})
+    assert all(b >= a - 1e-12 for a, b in zip(history, history[1:]))
+    assert final > history[0] + 0.3  # the target genuinely moved
