@@ -74,6 +74,48 @@ GET /rsp/events/&lt;id&gt;; legacy protocol on /.</p>
 <button onclick="run()">Run query</button>
 <button onclick="upd()">Run as update</button>
 <div id="out"></div>
+<h2>Stream ingestion (RSP)</h2>
+<label>RSP-QL query (REGISTER ... AS SELECT ...)</label>
+<textarea id="rspq" rows="4"></textarea>
+<label>Push: stream IRI, timestamp, N-Triples payload</label>
+<input id="stream" size="40" placeholder="http://ex/stream">
+<input id="ts" size="10" value="0" placeholder="timestamp">
+<textarea id="nt" rows="3" placeholder="&lt;s&gt; &lt;p&gt; &lt;o&gt; ."></textarea>
+<br>
+<button onclick="reg()">Register</button>
+<button onclick="push()">Push events</button>
+<button onclick="listen()">Listen (SSE)</button>
+<div id="rspout"></div>
+<script>
+let sid=null;
+function rshow(html){document.getElementById('rspout').innerHTML=html;}
+async function reg(){
+ const r=await fetch('/rsp/register',{method:'POST',
+   headers:{'Content-Type':'application/json'},
+   body:JSON.stringify({query:document.getElementById('rspq').value})});
+ const j=await r.json();
+ sid=j.session_id||null;
+ rshow(j.error?'<p class="err">'+j.error+'</p>':'<p>session '+sid+'</p>');
+}
+async function push(){
+ if(!sid){rshow('<p class="err">register first</p>');return;}
+ const r=await fetch('/rsp/push',{method:'POST',
+   headers:{'Content-Type':'application/json'},
+   body:JSON.stringify({session_id:sid,
+     stream:document.getElementById('stream').value,
+     timestamp:Number(document.getElementById('ts').value),
+     ntriples:document.getElementById('nt').value})});
+ const j=await r.json();
+ rshow(j.error?'<p class="err">'+j.error+'</p>':'<p>pushed</p>');
+}
+function listen(){
+ if(!sid){rshow('<p class="err">register first</p>');return;}
+ const es=new EventSource('/rsp/events/'+sid);
+ let buf=[];
+ es.onmessage=e=>{buf.push(e.data);rshow('<pre>'+buf.join('\\n')+'</pre>');};
+ es.onerror=()=>es.close();
+}
+</script>
 <script>
 function show(html){document.getElementById('out').innerHTML=html;}
 function table(rows){
