@@ -1757,6 +1757,30 @@ def _write_stream_chunks(trip, win_col: str, base: str) -> str:
     return src
 
 
+def _drain_live(sq, src: str) -> None:
+    """Drain a live gate's stream and PIN its trigger cadence: with
+    maxFilesPerTrigger=1 the number of micro-batches must equal the
+    number of source files (+ at most one empty trailing batch).  The
+    live gates are excluded from bench.py's regression tripwire
+    (micro-batch machinery, 2x run-to-run swing — BASELINE.md r8
+    adjudication); this assert is what catches a real behavior change
+    instead: a cadence drift alters the firing trace and fails here."""
+    import glob
+    import os
+
+    try:
+        sq.processAllAvailable()
+        n_files = len(glob.glob(os.path.join(src, "*.json")))
+        last = sq.lastProgress
+        batches = (last["batchId"] + 1) if last else 0
+        assert n_files <= batches <= n_files + 1, (
+            f"live-gate trigger cadence drifted: {batches} micro-batches "
+            f"for {n_files} source files (expected 1 file per trigger)"
+        )
+    finally:
+        sq.stop()
+
+
 def _run_live_gate(spark: SparkSession, sf_dir: str, form: str) -> DataFrame:
     import glob
     import os
@@ -1822,10 +1846,7 @@ def _run_live_gate(spark: SparkSession, sf_dir: str, form: str) -> DataFrame:
         .json(src)
     )
     sq = q.start(stream, os.path.join(base, "ckpt"))
-    try:
-        sq.processAllAvailable()
-    finally:
-        sq.stop()
+    _drain_live(sq, src)
     shutil.rmtree(src, ignore_errors=True)  # results/ must outlive the return
     return spark.read.parquet(results).select(
         "window_open", F.col("u").cast("long").alias("u"), "t"
@@ -1904,10 +1925,7 @@ def _q_streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(src)
     )
     sq = q.start(stream, os.path.join(base, "ckpt"))
-    try:
-        sq.processAllAvailable()
-    finally:
-        sq.stop()
+    _drain_live(sq, src)
     shutil.rmtree(src, ignore_errors=True)
     return spark.read.parquet(results).select(
         "window_open", F.col("u").cast("long").alias("u"), "t"
@@ -2011,10 +2029,7 @@ def _q_streaming_sync_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(src)
     )
     sq = q.start(stream, os.path.join(base, "ckpt"))
-    try:
-        sq.processAllAvailable()
-    finally:
-        sq.stop()
+    _drain_live(sq, src)
     shutil.rmtree(src, ignore_errors=True)  # results/ must outlive the return
     return spark.read.parquet(results).select(
         "emission", F.col("u").cast("long").alias("u"), "t"

@@ -146,15 +146,69 @@ def _find_regressions(
     timings: dict[str, float], prev: dict[str, float]
 ) -> dict[str, dict[str, float]]:
     """Queries >1.5x slower than the previous round AND >0.3s absolute —
-    the absolute floor keeps sub-100ms scheduling jitter from tripping."""
+    the absolute floor keeps sub-100ms scheduling jitter from tripping.
+    Live streaming gates are excluded: they time readStream micro-batch
+    machinery with a measured 2x run-to-run swing (BASELINE.md r8
+    adjudication), so they are reported under "live_gates" instead and
+    their micro-batch counts are asserted inside the gates."""
     out: dict[str, dict[str, float]] = {}
     for name, now in timings.items():
+        if name.endswith("_live"):
+            continue
         old = prev.get(name)
         if old is None or old <= 0:
             continue
         if now > 1.5 * old and now - old > 0.3:
             out[name] = {"prev": old, "now": now, "ratio": round(now / old, 2)}
     return out
+
+
+def _confirm_regressions_fresh_jvm(
+    regressions: dict[str, dict[str, float]], sf_dir: str
+) -> tuple[dict[str, dict[str, float]], dict[str, dict[str, float]]]:
+    """Stage 2 of the tripwire (BASELINE.md r8 adjudication: all 5 of r7's
+    suite flags were noise — in-suite numbers have a ±1.5-2.5x noise
+    floor).  Re-measure every suite-flagged gate in ONE fresh-JVM
+    `tools/bench_one.py` subprocess (min-of-2, idle parent JVM) and keep
+    the flag only if the isolated number still trips the same threshold
+    vs the previous round.  Returns (confirmed, cleared)."""
+    import subprocess
+
+    if not regressions:
+        return {}, {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    cmd = [
+        sys.executable,
+        os.path.join(here, "tools", "bench_one.py"),
+        "--sf-dir",
+        sf_dir,
+        "--runs",
+        "2",
+        *regressions,
+    ]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=1800, cwd=here
+        )
+        fresh = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as exc:  # confirm stage must not kill the bench
+        print(f"# fresh-JVM confirm stage failed ({exc}); keeping suite flags",
+              file=sys.stderr)
+        for info in regressions.values():
+            info["fresh_jvm"] = None
+        return regressions, {}
+    confirmed: dict[str, dict[str, float]] = {}
+    cleared: dict[str, dict[str, float]] = {}
+    for name, info in regressions.items():
+        f = fresh.get(name)
+        info = dict(info, fresh_jvm=f)
+        if f is not None and not (
+            f > 1.5 * info["prev"] and f - info["prev"] > 0.3
+        ):
+            cleared[name] = info
+        else:
+            confirmed[name] = info
+    return confirmed, cleared
 
 
 def _bench_cross_window(spark) -> dict[str, float]:
@@ -336,10 +390,22 @@ def main() -> None:
     for name in regressions:
         if name in notes:
             regressions[name]["note"] = notes[name]
+    # stage 2: a suite flag only enters the official record if a fresh-JVM
+    # isolated re-measurement confirms it (r7 shipped 5 flags, all of
+    # which adjudicated as noise — BASELINE.md r8 adjudication)
+    regressions, cleared = _confirm_regressions_fresh_jvm(regressions, sf_dir)
     for name, info in regressions.items():
         print(
-            f"# REGRESSION {name}: {info['prev']:.3f}s -> {info['now']:.3f}s "
-            f"({info['ratio']}x vs {prev_file})",
+            f"# REGRESSION (fresh-JVM-confirmed) {name}: "
+            f"{info['prev']:.3f}s -> {info['now']:.3f}s suite / "
+            f"{info['fresh_jvm']}s isolated ({info['ratio']}x vs {prev_file})",
+            file=sys.stderr,
+        )
+    for name, info in cleared.items():
+        print(
+            f"# suite flag cleared by fresh JVM: {name} "
+            f"{info['prev']:.3f}s -> {info['now']:.3f}s suite but "
+            f"{info['fresh_jvm']}s isolated",
             file=sys.stderr,
         )
 
@@ -353,6 +419,10 @@ def main() -> None:
         "setup_sec": round(setup, 3),
         "cpus": int(cpus),
         "regressions": regressions,
+        "suite_flags_cleared": cleared,
+        "live_gates": {
+            n: t for n, t in timings.items() if n.endswith("_live")
+        },
         "regressions_vs": prev_file,
         "timing": "noop-sink materialization of all output columns"
         " (r3 change: count() let Catalyst prune computed"

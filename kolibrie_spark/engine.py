@@ -135,7 +135,11 @@ class SparqlEngine:
         if q is not None and q.update is not None:
             try:
                 s = execute_update(self.store, q.update, with_summary=True)
-            except CompileError:
+            except Exception:
+                # the reference answers 'Update Failed' for ANY failed
+                # update (sparql_database.rs:2047-2063) — runtime Spark
+                # errors (AnalysisException, Py4J) keep the plain-text
+                # contract too, not just compile errors
                 return "Update Failed"
             return (
                 f"Update Successful (inserted {s.inserted_quads}, "

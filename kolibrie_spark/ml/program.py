@@ -159,18 +159,16 @@ def _parse_model_decl(text: str) -> tuple[ModelDecl, str]:
     # comma-separated label list: quoted strings, <IRI>s (angle brackets
     # stripped to the store's bracket-free lexical form), or bare tokens —
     # the reference keeps unquoted values verbatim (parser.rs:2178-2195)
+    # single alternation pass (quoted | <IRI> | bare) instead of a ','
+    # pre-split, so commas inside quoted labels ('"a,b"') stay intact
     values = []
-    for part in labels_body.split(","):
-        part = part.strip()
-        if not part:
-            continue
-        qm = _QUOTED_RE.match(part)
-        if qm:
-            values.append(qm.group(1))
-        elif part.startswith("<") and part.endswith(">"):
-            values.append(part[1:-1])
+    for lm in re.finditer(r'"((?:[^"\\]|\\.)*)"|<([^>]*)>|([^\s,"<]+)', labels_body):
+        if lm.group(1) is not None:
+            values.append(lm.group(1))
+        elif lm.group(2) is not None:
+            values.append(lm.group(2))
         else:
-            values.append(part)
+            values.append(lm.group(3))
     if om.group(1) == "EXCLUSIVE":
         decl = ModelDecl(name, hidden, "exclusive", labels=values)
     else:

@@ -127,6 +127,25 @@ def _split_predicate(p: str) -> tuple[str, str]:
     )
 
 
+# XML 1.0 Char excludes C0 controls other than TAB/LF/CR — a document
+# containing them raw OR as charrefs is malformed, so there is no legal
+# way to round-trip such a literal through RDF/XML at all
+_XML_ILLEGAL = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")
+
+
+def _xml_text(value: str) -> str:
+    m = _XML_ILLEGAL.search(value)
+    if m:
+        raise ValueError(
+            f"literal contains XML-1.0-illegal control character "
+            f"{m.group()!r} and cannot be serialized as RDF/XML; "
+            "use ntriples/turtle for this graph"
+        )
+    # &#13;: XML line-end normalization folds a raw \r to \n on parse
+    # (XML 1.0 §2.11)
+    return xml_escape(value, {chr(13): "&#13;"})
+
+
 def serialize_rdfxml(triples, quoted_rows=()) -> str:
     """rdf:Description subset (IRI objects → rdf:resource, literals → text).
     Quoted-triple terms are not representable in this subset and are
@@ -155,9 +174,7 @@ def serialize_rdfxml(triples, quoted_rows=()) -> str:
             else:
                 lines.append(
                     f'    <x{i}:{local} xmlns:x{i}="{xml_escape(ns, {chr(34): "&quot;"})}">'
-                    # &#13;: XML line-end normalization folds a raw \r
-                    # to \n on parse (XML 1.0 §2.11)
-                    f'{xml_escape(o, {chr(13): "&#13;"})}</x{i}:{local}>'
+                    f'{_xml_text(o)}</x{i}:{local}>'
                 )
         lines.append("  </rdf:Description>")
     lines.append("</rdf:RDF>")

@@ -37,6 +37,21 @@ output — a K-vertex chain yields K²/2 pairs.  Use this when ancestor sets
 are the requested result or the diameter is large; for shallow hierarchies
 the Reasoner's semi-naive fixpoint (reasoner/fixpoint.py:241) touches
 fewer total tuples.
+
+Delta-only checkpointing was tried and measured SLOWER here (r8, VERDICT
+r7 task #4; numbers in BASELINE.md): two formulations — (a) per-round
+anti-join isolating the new pairs, (b) the cheaper min-merge + `dist >
+hop` filter, which needs no anti-join because known pairs always carry
+dist <= hop while candidates carry > hop — with delta blocks written to a
+scratch parquet dir (union-of-localCheckpoint blocks is not an option:
+>2 references to the growing union trip a Catalyst relation-dedup bug,
+`key not found: src#N`).  Both lost ~20-45% at sf0.1 and sf1 because
+`localCheckpoint` persists to DESERIALIZED EXECUTOR MEMORY: writing the
+full closure is nearly free on local[*], while the parquet round-trips
+add real encode/decode and job overhead.  On a cluster whose checkpoint
+store is remote (S3/HDFS reliable checkpointing), formulation (b) is the
+one to revive — same single shuffle per round as this code, |delta|
+instead of |closure| written.
 """
 
 from __future__ import annotations

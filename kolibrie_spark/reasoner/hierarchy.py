@@ -86,8 +86,13 @@ def _term_lit(term) -> str | None:
 
 
 def _match_premise(facts: DataFrame, pat: TriplePattern, idx: int) -> DataFrame:
-    """Rows matching one premise; carries the source triple as struct
-    ``__f{idx}`` so the distinct-fact guard can compare origins."""
+    """Rows matching one premise; carries the source fact as struct
+    ``__f{idx}`` so the distinct-fact guard can compare origins.  When the
+    fact set carries a ``__lvl`` tag (union of dependency levels), the
+    struct includes it: the reference concatenates per-level fact lists,
+    so the same triple held at two levels occupies two indices and CAN
+    bind both premises of a 2-premise rule (``i == j`` compares indices,
+    not content — reasoning_experimental.rs:185)."""
     df = facts
     cols, seen = [], {}
     for pos, term in (("s", pat.s), ("p", pat.p), ("o", pat.o)):
@@ -99,7 +104,8 @@ def _match_premise(facts: DataFrame, pat: TriplePattern, idx: int) -> DataFrame:
                 cols.append(F.col(pos).alias(term.name))
         else:
             df = df.filter(F.col(pos) == F.lit(_term_lit(term)))
-    cols.append(F.struct("s", "p", "o").alias(f"__f{idx}"))
+    ident = ["__lvl", "s", "p", "o"] if "__lvl" in df.columns else ["s", "p", "o"]
+    cols.append(F.struct(*ident).alias(f"__f{idx}"))
     return df.select(*cols)
 
 
@@ -175,10 +181,21 @@ class ReasoningHierarchy:
 
     # --------------------------------------------------------- inference
     def _dependency_facts(self, deps: list[ReasoningLevel]) -> DataFrame:
-        out = self.spark.createDataFrame([], FACTS_SCHEMA)
+        """Union of the dependency levels' facts, each row tagged with its
+        level.  Per-level dedup only — a triple held at two levels stays
+        two rows, matching the reference's concatenated per-level lists
+        (a 2-premise rule may bind the same triple from two levels; the
+        distinct-fact guard compares (level, s, p, o))."""
+        out = self.spark.createDataFrame([], FACTS_SCHEMA).withColumn(
+            "__lvl", F.lit(-1)
+        )
         for lvl in deps:
-            out = out.unionByName(self.levels[lvl].facts)
-        return out.dropDuplicates()
+            out = out.unionByName(
+                self.levels[lvl]
+                .facts.dropDuplicates()
+                .withColumn("__lvl", F.lit(int(lvl)))
+            )
+        return out
 
     def hierarchical_inference(self) -> dict[ReasoningLevel, DataFrame]:
         """Processes levels in order; per level: in-level semi-naive

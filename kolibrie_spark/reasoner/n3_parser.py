@@ -113,16 +113,28 @@ def _parse_patterns(body: str, prefixes: dict[str, str]) -> list[TriplePattern]:
     ';' keeps the subject, ',' keeps subject and predicate."""
     pats: list[TriplePattern] = []
     terms: list = []
+    kept = 0  # how many of the current terms came from a ';'/',' keep
 
     def flush(keep: int) -> None:
+        nonlocal kept
         if not terms and keep == 0:
             return  # stray terminator (e.g. trailing '.' after a ';' list)
+        if len(terms) == kept == 1:
+            # nothing added since a ';' keep: trailing ';' before '.'
+            # ('ex:s ex:p ex:o ; .') and doubled ';;' are legal Turtle —
+            # the lone kept-subject is a leftover of the predicate-list
+            # keep, not a malformed statement
+            if keep == 0:
+                del terms[:]
+                kept = 0
+            return
         if len(terms) != 3:
             raise ValueError(
                 f"bad N3 statement (need 3 terms, got {len(terms)}): {body!r}"
             )
         pats.append(TriplePattern(*terms))
         del terms[keep:]
+        kept = keep
 
     for m in _TERM_RE.finditer(body):
         if m.group("dot") is not None:
@@ -133,10 +145,10 @@ def _parse_patterns(body: str, prefixes: dict[str, str]) -> list[TriplePattern]:
             flush(2)  # next: object
         else:
             terms.append(_term_of(m, prefixes))
-    if len(terms) > 1:  # a lone kept-subject after '; .' is not a statement
+    if len(terms) > 1 or (terms and kept == 0):
         flush(0)
-    elif len(terms) == 1:
-        raise ValueError(f"bad N3 statement (need 3 terms, got 1): {body!r}")
+    elif len(terms) == 1:  # lone kept-subject after '... ;' at end-of-body
+        del terms[:]
     return pats
 
 

@@ -133,3 +133,54 @@ def test_regressions_section_in_tail_not_mistaken_for_timings():
     )
     got = bench._timings_from_tail(tail)
     assert got == {"groupby_agg": 1.0}
+
+
+def test_live_gates_excluded_from_tripwire():
+    """BASELINE.md r8 adjudication: *_live gates time readStream
+    micro-batch machinery (2x run-to-run swing) and must never produce
+    tripwire entries; they are reported under live_gates instead."""
+    prev = {"streaming_istream_live": 4.0, "groupby_agg": 1.0}
+    now = {"streaming_istream_live": 9.0, "groupby_agg": 2.1}
+    regs = bench._find_regressions(now, prev)
+    assert "streaming_istream_live" not in regs
+    assert "groupby_agg" in regs
+
+
+def test_fresh_jvm_confirm_stage_clears_and_confirms(monkeypatch):
+    """Two-stage tripwire: a suite flag survives only if the fresh-JVM
+    bench_one subprocess re-measurement still trips the same threshold."""
+    flags = {
+        "gate_noise": {"prev": 1.0, "now": 2.5, "ratio": 2.5},
+        "gate_real": {"prev": 1.0, "now": 2.5, "ratio": 2.5},
+    }
+
+    class _Proc:
+        stdout = json.dumps({"gate_noise": 1.05, "gate_real": 2.4}) + "\n"
+
+    import subprocess
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Proc())
+    confirmed, cleared = bench._confirm_regressions_fresh_jvm(flags, "/x")
+    assert list(confirmed) == ["gate_real"]
+    assert confirmed["gate_real"]["fresh_jvm"] == 2.4
+    assert list(cleared) == ["gate_noise"]
+    assert cleared["gate_noise"]["fresh_jvm"] == 1.05
+
+
+def test_fresh_jvm_confirm_stage_failure_keeps_flags(monkeypatch):
+    """If the subprocess dies, the suite flags stand (fail-closed: a
+    broken confirm stage must not silently hide a real regression)."""
+    import subprocess
+
+    def _boom(*a, **k):
+        raise OSError("no jvm")
+
+    monkeypatch.setattr(subprocess, "run", _boom)
+    flags = {"g": {"prev": 1.0, "now": 2.5, "ratio": 2.5}}
+    confirmed, cleared = bench._confirm_regressions_fresh_jvm(flags, "/x")
+    assert list(confirmed) == ["g"] and confirmed["g"]["fresh_jvm"] is None
+    assert cleared == {}
+
+
+def test_fresh_jvm_confirm_stage_noop_on_empty():
+    assert bench._confirm_regressions_fresh_jvm({}, "/x") == ({}, {})

@@ -264,3 +264,42 @@ def test_to_dot_renders_nodes_rules_edges(spark):
     assert 'Rule0_premise [label="(X, parent, Y)\n(Y, parent, Z)", shape=box]' in dot
     assert 'Rule0_conclusion [label="(X, grandparent, Z)", shape=box]' in dot
     assert "Rule0_premise -> Rule0_conclusion" in dot
+
+
+def test_same_triple_at_two_levels_binds_both_premises(spark):
+    """ADVICE r7: the reference concatenates per-level fact lists, so the
+    SAME triple held at two dependency levels occupies two indices and
+    the i != j guard lets a 2-premise rule bind it twice.  The level-
+    tagged union reproduces that: knows(a,a) present at Base AND
+    Deductive fires knows(x,y) ∧ knows(y,x) → mutual, while the same
+    triple at one level alone still must not."""
+    h = ReasoningHierarchy(spark)
+    h.add_fact_at_level(ReasoningLevel.BASE, "a", "knows", "a")
+    h.add_fact_at_level(ReasoningLevel.DEDUCTIVE, "a", "knows", "a")
+    h.add_cross_level_rule(
+        HierarchicalRule(
+            rule=rule(
+                [tp(v("x"), c("knows"), v("y")), tp(v("y"), c("knows"), v("x"))],
+                [tp(v("x"), c("mutual"), v("y"))],
+            ),
+            level=ReasoningLevel.META_REASONING,
+            dependencies=[ReasoningLevel.BASE, ReasoningLevel.DEDUCTIVE],
+        )
+    )
+    inferred = h.infer_collected()
+    assert inferred[ReasoningLevel.META_REASONING] == [("a", "mutual", "a")]
+
+    # control: one level only -> single index, the guard blocks the bind
+    h2 = ReasoningHierarchy(spark)
+    h2.add_fact_at_level(ReasoningLevel.BASE, "a", "knows", "a")
+    h2.add_cross_level_rule(
+        HierarchicalRule(
+            rule=rule(
+                [tp(v("x"), c("knows"), v("y")), tp(v("y"), c("knows"), v("x"))],
+                [tp(v("x"), c("mutual"), v("y"))],
+            ),
+            level=ReasoningLevel.META_REASONING,
+            dependencies=[ReasoningLevel.BASE, ReasoningLevel.DEDUCTIVE],
+        )
+    )
+    assert h2.infer_collected()[ReasoningLevel.META_REASONING] == []

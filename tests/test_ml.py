@@ -252,3 +252,15 @@ def test_neural_program_rejects_garbage_tail():
         parse_neural_program(
             'MODEL "m" { ARCH MLP { HIDDEN [4] } OUTPUT BINARY { "x" } } SELECT ?s'
         )
+
+
+def test_output_labels_tokenized_not_comma_split():
+    """ADVICE r7: a quoted label containing a comma ('"a,b"') must stay
+    one label; <IRI> and bare tokens mix freely in the same list."""
+    from kolibrie_spark.ml.program import _parse_model_decl
+
+    decl, _ = _parse_model_decl(
+        'MODEL "m" { ARCH MLP { HIDDEN [4] } '
+        'OUTPUT EXCLUSIVE { "a,b", <http://ex.org/c>, bare } }'
+    )
+    assert decl.labels == ["a,b", "http://ex.org/c", "bare"]

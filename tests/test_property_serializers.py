@@ -155,3 +155,18 @@ def test_turtle_star_roundtrip_exact(rows):
     got_t2, got_q2 = parse_ntriples(nt)
     assert sorted(got_t2) == sorted(triples)
     assert sorted(set(got_q2)) == sorted(set(quoted))
+
+
+def test_rdfxml_rejects_xml_illegal_control_char():
+    """ADVICE r7: XML 1.0 cannot carry C0 controls (other than
+    TAB/LF/CR) raw OR as charrefs — raise like the NCName check instead
+    of silently emitting a malformed document."""
+    import pytest
+
+    from kolibrie_spark.rdfio.serializers import serialize_rdfxml
+
+    with pytest.raises(ValueError, match="control"):
+        serialize_rdfxml([("http://ex.org/s", "http://ex.org/p", "a\x00b")])
+    # TAB/LF/CR stay serializable (CR as a charref per XML 1.0 §2.11)
+    out = serialize_rdfxml([("http://ex.org/s", "http://ex.org/p", "a\tb\nc\rd")])
+    assert "&#13;" in out

@@ -548,3 +548,33 @@ def test_rule_filter_conjunction_and_disjunction(spark):
     assert r.infer("roadA", "ex:badWeather", "yes")
     assert not r.infer("roadB", "ex:badWeather", "yes")
     assert r.infer("roadC", "ex:badWeather", "yes")
+
+
+def test_n3_trailing_semicolon_before_dot():
+    """ADVICE r7: 'ex:s ex:p ex:o ; .' is legal Turtle — the lone
+    kept-subject left by the trailing ';' is dropped, not an error;
+    doubled ';;' likewise. Both mid-body and at end-of-body."""
+    rules = parse_n3_rules(
+        "@prefix ex: <http://ex.org/> .\n"
+        "{ ?x ex:p ?y ; . ?y ex:q ?z ;; ex:r ?w ; } => { ?x ex:s ?z ; . } ."
+    )
+    assert len(rules) == 1
+    pats = rules[0].premise
+    assert [p.p.value for p in pats] == [
+        "http://ex.org/p",
+        "http://ex.org/q",
+        "http://ex.org/r",
+    ]
+    assert len(rules[0].conclusion) == 1
+
+
+def test_n3_lone_term_still_rejected():
+    """A genuinely malformed single-term statement (no ';' keep) still
+    raises."""
+    import pytest
+
+    with pytest.raises(ValueError, match="need 3 terms"):
+        parse_n3_rules(
+            "@prefix ex: <http://ex.org/> .\n"
+            "{ ex:orphan . ?x ex:p ?y } => { ?x ex:q ?y } ."
+        )

@@ -98,3 +98,19 @@ def test_update_summary_counts_actual_changes(engine):
         == "Update Successful (inserted 0, deleted 1)"
     )
     assert engine.handle_update("NOT AN UPDATE") == "Update Failed"
+
+
+def test_handle_update_runtime_failure_keeps_plaintext_contract(engine, monkeypatch):
+    """ADVICE r7: the reference answers 'Update Failed' for ANY failed
+    update (sparql_database.rs:2047-2063) — a runtime Spark error during
+    execution must not escape as an exception from handle_update."""
+    import kolibrie_spark.engine as engine_mod
+
+    def _boom(*a, **k):
+        raise RuntimeError("executor lost")  # stand-in for Py4JJavaError
+
+    monkeypatch.setattr(engine_mod, "execute_update", _boom)
+    assert (
+        engine.handle_update('INSERT DATA { <ex:s> <ex:p> "1" }')
+        == "Update Failed"
+    )

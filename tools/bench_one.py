@@ -53,6 +53,19 @@ def main() -> None:
 
     out: dict[str, float] = {}
     for name in names:
+        if name.startswith("xw_"):
+            # cross-window pseudo-gates live in bench.py, not queries();
+            # the xw bench times both paths in one call — min over runs,
+            # keep only the requested name
+            import bench as bench_mod
+
+            best: dict[str, float] = {}
+            for _ in range(runs):
+                for k, v in bench_mod._bench_cross_window(spark).items():
+                    best[k] = min(best.get(k, float("inf")), v)
+            out[name] = best[name]
+            print(f"# {name}: {out[name]:.3f}s", file=sys.stderr)
+            continue
         best = float("inf")
         for _ in range(runs):
             t1 = time.time()
