@@ -4090,81 +4090,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # STANDING policy since r5: oldest driver row leads.  Names not in
 # queries() are skipped by _driver_order, so listing planned gates is safe.
 #
-# ROUND-7 ROTATION (executed per VERDICT r6 item #1 — the r6 list was
-# accidentally left byte-identical to r5's, so r6's window duplicated
-# r5's).  Head: split_leakage_safe (only gate never driver-checked),
-# sample_token_budget (implementation replaced this round: bucket-based
-# budget cut), the 12 r5-touched gates whose driver rows predate their
-# current code, then the 36 oldest (r3-rowed) gates that fit.
+# ROUND-8 ROTATION (VERDICT r7 item #2): 54 gates still carry r3/r4
+# driver rows; the window is 50.  Head: text_common_spans (plan changed
+# this round — salted two-level doc-frequency count replaces the
+# span-window, VERDICT r7 item #3), then the 11 r3-rowed gates in the
+# queued order, then the r4 set, ending with the SPARQL heads whose
+# compiler changed in r7.  The 5 that do not fit (text_bm25_topk and
+# sample_dsir — both judge-re-checked green at r7 — plus bpe_train_merges,
+# layout_zorder and graph_pagerank, code untouched since r4) lead r9 with
+# the r6 tail.
 _DRIVER_FIRST = [
-    # -- never driver-checked in 6 rounds (VERDICT r6 item #1)
-    "split_leakage_safe",
-    # -- r7 code changes: bucket-based token budget; new RRF + NPS +
-    #    doubling-closure gates
-    "sample_token_budget",
-    "search_hybrid_rrf",
-    "path_negated_set",
-    "dedup_containment",
-    "export_manifest",
-    "reasoner_hierarchy",
-    "closure_doubling",
-    "mlschema_graph",
-    # -- the 12 r5-touched gates still carrying pre-r5 driver rows
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_frame_content",
-    "multimodal_resize",
-    "streaming_istream_live",
-    "streaming_dstream_live",
-    "streaming_sync_live",
-    "builder_chain",
-    "dedup_prefix_jaccard",
-    "dedup_incremental_near",
-    "dedup_semantic",
-    "sim_topk_pq",
-    # -- oldest remaining driver rows (r3), prioritized per VERDICT r6:
-    # prob/ml/analytics/sketches first, then text pack, dedup, sampling,
-    # profiling, events. 20 + 30 = 50 (search_hybrid_rrf,
-    # path_negated_set, dedup_containment, export_manifest,
-    # closure_doubling, mlschema_graph are new in r7 and lead with the
-    # other r7-touched gates; mlschema_graph's insertion pushes
-    # events_json_agg and events_rolling past the 50-gate window); the
-    # r3 gates that do not fit (events_json_agg, events_rolling,
-    # events_funnel, asof_join_events_orders,
-    # telemetry_resample, embed_hard_negatives, events_path_trigrams,
-    # events_ewma, events_anomaly_mad, events_interval_merge,
-    # events_retention) lead r8 with the r4 set.
-    "prob_hybrid",
-    "ml_predict",
-    "analytics_q3",
-    "analytics_q5",
-    "analytics_q10",
-    "streaming_istream_replay",
-    "sketch_kmv_distinct",
-    "sketch_hll_distinct",
-    "graph_triangles",
+    # -- r8 code change: salted doc-frequency plan
     "text_common_spans",
-    "text_quality_gopher",
-    "text_strip_html",
-    "text_normalize",
-    "dedup_incremental",
-    "dedup_substring",
-    "dedup_paragraphs",
-    "fuzzy_vocab_pairs",
-    "embed_contamination",
-    "sample_weighted",
-    "sample_domain_cap",
-    "profile_rollup",
-    "profile_token_budget",
-    "profile_pivot",
-    "profile_ks_drift",
-    "profile_winsorize",
-    "audit_quality",
-    "audit_snapshot_diff",
-    "scd2_orders",
-    "events_downsample",
+    # -- the 11 gates whose latest driver row is r3
     "events_json_agg",
     "events_rolling",
+    "events_funnel",
+    "asof_join_events_orders",
+    "telemetry_resample",
+    "embed_hard_negatives",
+    "events_path_trigrams",
+    "events_ewma",
+    "events_anomaly_mad",
+    "events_interval_merge",
+    "events_retention",
+    # -- the r4 set (non-SPARQL first)
+    "embed_centroids",
+    "events_attribution",
+    "ml_group_ols",
+    "pack_sequences",
+    "pipeline_curate",
+    "profile_corr",
+    "profile_equidepth",
+    "profile_histogram",
+    "profile_quantiles",
+    "profile_stats",
+    "range_join_binned",
+    "sample_domain_mix",
+    "sample_group_split",
+    "streaming_dstream_replay",
+    "text_chunk",
+    "text_contamination",
+    "text_lm_score",
+    "text_quality_model",
+    "text_repetition",
+    "text_scrub_pii",
+    "text_tokenize_ids",
+    "text_top_terms",
+    "top_docs_per_source",
+    # -- SPARQL heads whose compiler changed in r7 (judge re-checked 8 of
+    #    these at r7; official rows refreshed here anyway)
+    "scan_project",
+    "select_expr_proj",
+    "filter_logical",
+    "filter_arithmetic",
+    "filter_numeric_gt",
+    "filter_datetime",
+    "filter_regex_sample",
+    "join_fk",
+    "star_join",
+    "having_count",
+    "group_concat_names",
+    "bind_string_funcs",
+    "construct_graph",
+    "ask_exists",
+    "describe_subject",
 ]
 
 

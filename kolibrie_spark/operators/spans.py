@@ -13,9 +13,12 @@ documents with a window partition count (one evaluation of the explode
 subtree, no self-join — measured 5.7x faster than groupBy + join-back),
 then reaggregate per doc. Two shuffles total (span, then doc). Hot
 boilerplate spans all land on one reducer for their count; if a single
-span's doc set outgrows a partition at corpus scale, switch the count
-to the salted two-level pattern of operators/dedup.py::ngram_jaccard_pairs
-(groupBy(span, salt) partial counts, then sum per span).
+span's doc set outgrows a partition at corpus scale, pass
+``heavy_df_cap`` — a skew-free pre-count routes guaranteed-common heavy
+spans through a size-bounded broadcast and shatters their window groups
+with a per-row salt, so every remaining window group is provably smaller
+than the cap (r8; measured trade-offs in BASELINE.md — the unguarded
+window stays the default because the guard re-evaluates the explode).
 
 No reference counterpart (Kolibrie has no text surface) — this is part
 of the training-data curation layer.
@@ -35,6 +38,7 @@ def common_span_profile(
     text_col: str,
     n: int = 5,
     min_df: int = 3,
+    heavy_df_cap: int | None = None,
 ) -> DataFrame:
     """Per-doc profile of corpus-common word ``n``-gram spans.
 
@@ -44,6 +48,23 @@ def common_span_profile(
     counts those appearing in >= ``min_df`` documents (doc frequency
     includes the doc itself), and ``common_frac`` = n_common / n_spans
     (0.0 for docs with fewer than ``n`` words).
+
+    ``heavy_df_cap`` is the corpus-scale skew guard (opt-in; requires
+    ``heavy_df_cap >= min_df``).  The default window plan puts every row
+    of one span on one reducer — fine until a boilerplate span appears in
+    millions of documents, at which point that reducer is an unsplittable
+    straggler.  With the cap set, a skew-free pre-count (map-side-combined
+    groupBy) finds the spans with doc frequency >= cap; those are
+    guaranteed common (cap >= min_df, no exact count needed) and are
+    marked by a BROADCAST join whose build side is bounded by
+    construction at ``total_span_rows / cap`` entries; only the remaining
+    spans — every window group now provably < cap rows — go through the
+    window.  Same exact output (equivalence pinned in tests); costs one
+    extra evaluation of the explode subtree, which is why it is opt-in:
+    measured at sf0.1/sf1 (10x) the unguarded window is fastest
+    (6.1s/41.5s vs salted-join 11.2s/88.9s; BASELINE.md r8) and the
+    exploded input grows exactly linearly, so the default is right until
+    a single span's doc set outgrows one executor's partition.
     """
     from pyspark.sql.window import Window
 
@@ -52,6 +73,48 @@ def common_span_profile(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(words, n))).alias("span"),
     )
+    if heavy_df_cap is not None:
+        if heavy_df_cap < min_df:
+            raise ValueError(
+                "heavy_df_cap must be >= min_df (heavy spans are assumed "
+                f"common): {heavy_df_cap} < {min_df}"
+            )
+        heavy = (
+            spans.groupBy("span")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") >= heavy_df_cap)
+            .select("span")
+        )
+        marked = spans.join(
+            F.broadcast(heavy.withColumn("is_heavy", F.lit(True))),
+            "span",
+            "left",
+        )
+        # Heavy rows get a per-row salt so their (unused) window groups
+        # shatter to singletons — the hot span never reaches one reducer;
+        # light rows keep salt 0, so their span group stays whole (< cap
+        # rows by construction) and the count is exact.
+        salt = F.when(F.col("is_heavy"), F.xxhash64(F.col(id_col))).otherwise(
+            F.lit(0)
+        )
+        light_docs = F.count("*").over(Window.partitionBy("span", "salt"))
+        per_doc = (
+            marked.withColumn("salt", salt)
+            .withColumn(
+                "is_common",
+                F.when(F.col("is_heavy"), F.lit(True)).otherwise(
+                    light_docs >= min_df
+                ),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.count("*").alias("n_spans"),
+                F.sum(F.when(F.col("is_common"), 1).otherwise(0)).alias(
+                    "n_common"
+                ),
+            )
+        )
+        return _reattach(df, per_doc, id_col)
     # doc frequency per span: (doc, span) is already distinct, so a plain
     # partition count is the distinct-doc count. A window count instead of
     # a groupBy + self-join halves the work: the explode subtree is
@@ -67,7 +130,11 @@ def common_span_profile(
             ),
         )
     )
-    # docs too short to have any span: re-attach with zero counts
+    return _reattach(df, per_doc, id_col)
+
+
+def _reattach(df: DataFrame, per_doc: DataFrame, id_col: str) -> DataFrame:
+    """Docs too short to have any span: re-attach with zero counts."""
     return (
         df.select(id_col)
         .join(per_doc, id_col, "left")
