@@ -1773,10 +1773,14 @@ def _drain_live(sq, src: str) -> None:
         n_files = len(glob.glob(os.path.join(src, "*.json")))
         last = sq.lastProgress
         batches = (last["batchId"] + 1) if last else 0
-        assert n_files <= batches <= n_files + 1, (
-            f"live-gate trigger cadence drifted: {batches} micro-batches "
-            f"for {n_files} source files (expected 1 file per trigger)"
-        )
+        # explicit raise, not a bare `assert` — this is the ONLY behavior
+        # check for live gates (they are tripwire-excluded) and must not
+        # vanish under `python -O` (ADVICE r8)
+        if not (n_files <= batches <= n_files + 1):
+            raise AssertionError(
+                f"live-gate trigger cadence drifted: {batches} micro-batches "
+                f"for {n_files} source files (expected 1 file per trigger)"
+            )
     finally:
         sq.stop()
 

@@ -11,6 +11,8 @@ Usage::
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
@@ -20,6 +22,8 @@ from kolibrie_spark.sparql.compiler import Compiler, CompileError
 from kolibrie_spark.sparql.parser import parse_query
 from kolibrie_spark.sparql.update import execute_update
 from kolibrie_spark.store import QuadStore
+
+_log = logging.getLogger(__name__)
 
 
 class DerivedFacts:
@@ -139,14 +143,28 @@ class SparqlEngine:
                 # the reference answers 'Update Failed' for ANY failed
                 # update (sparql_database.rs:2047-2063) — runtime Spark
                 # errors (AnalysisException, Py4J) keep the plain-text
-                # contract too, not just compile errors
-                return "Update Failed"
-            return (
-                f"Update Successful (inserted {s.inserted_quads}, "
-                f"deleted {s.deleted_quads})"
-            )
-        if self._update_data_alias(text):
-            return "Update Successful"
+                # contract too, not just compile errors.  Log the real
+                # exception first so internal bugs (AttributeError in the
+                # compiler, …) are not swallowed invisibly (ADVICE r8),
+                # then fall through to the compat-alias executor exactly
+                # like the reference does after a failed standard update
+                # (sparql_database.rs:2059-2062).
+                _log.debug(
+                    "standard-form update failed; trying data alias",
+                    exc_info=True,
+                )
+            else:
+                return (
+                    f"Update Successful (inserted {s.inserted_quads}, "
+                    f"deleted {s.deleted_quads})"
+                )
+        try:
+            if self._update_data_alias(text):
+                return "Update Successful"
+        except Exception:
+            # the alias executor can hit the same runtime errors; the
+            # plain-text contract holds for it too
+            _log.debug("data-alias update failed", exc_info=True)
         return "Update Failed"
 
     def _update_data_alias(self, text: str) -> bool:

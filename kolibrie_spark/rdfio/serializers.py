@@ -127,23 +127,41 @@ def _split_predicate(p: str) -> tuple[str, str]:
     )
 
 
-# XML 1.0 Char excludes C0 controls other than TAB/LF/CR — a document
-# containing them raw OR as charrefs is malformed, so there is no legal
-# way to round-trip such a literal through RDF/XML at all
-_XML_ILLEGAL = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")
+# XML 1.0 Char excludes C0 controls other than TAB/LF/CR, the
+# noncharacters U+FFFE/U+FFFF, and surrogate code points (which only occur
+# unpaired in Python str) — a document containing any of them raw OR as
+# charrefs is malformed, so there is no legal way to round-trip such a
+# term through RDF/XML at all (ADVICE r8: the C0-only pattern let
+# ￾/￿/surrogates through)
+_XML_ILLEGAL = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff\ufffe\uffff]"
+)
 
 
-def _xml_text(value: str) -> str:
+def _check_xml_chars(value: str, what: str) -> str:
     m = _XML_ILLEGAL.search(value)
     if m:
         raise ValueError(
-            f"literal contains XML-1.0-illegal control character "
+            f"{what} contains XML-1.0-illegal character "
             f"{m.group()!r} and cannot be serialized as RDF/XML; "
             "use ntriples/turtle for this graph"
         )
+    return value
+
+
+def _xml_text(value: str) -> str:
+    _check_xml_chars(value, "literal")
     # &#13;: XML line-end normalization folds a raw \r to \n on parse
     # (XML 1.0 §2.11)
     return xml_escape(value, {chr(13): "&#13;"})
+
+
+def _xml_attr(value: str, what: str) -> str:
+    """Attribute values (rdf:about/rdf:resource IRIs, xmlns namespaces) go
+    through the same XML-1.0 character screen as element text (ADVICE r8:
+    they previously serialized illegal characters silently)."""
+    _check_xml_chars(value, what)
+    return xml_escape(value, {chr(34): "&quot;"})
 
 
 def serialize_rdfxml(triples, quoted_rows=()) -> str:
@@ -163,17 +181,17 @@ def serialize_rdfxml(triples, quoted_rows=()) -> str:
         '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">',
     ]
     for s in order:
-        lines.append(f'  <rdf:Description rdf:about="{xml_escape(s, {chr(34): "&quot;"})}">')
+        lines.append(f'  <rdf:Description rdf:about="{_xml_attr(s, "subject IRI")}">')
         for i, (p, o) in enumerate(by_subject[s]):
             ns, local = _split_predicate(p)
             if _is_iri(o):
                 lines.append(
-                    f'    <x{i}:{local} xmlns:x{i}="{xml_escape(ns, {chr(34): "&quot;"})}" '
-                    f'rdf:resource="{xml_escape(o, {chr(34): "&quot;"})}"/>'
+                    f'    <x{i}:{local} xmlns:x{i}="{_xml_attr(ns, "predicate namespace")}" '
+                    f'rdf:resource="{_xml_attr(o, "object IRI")}"/>'
                 )
             else:
                 lines.append(
-                    f'    <x{i}:{local} xmlns:x{i}="{xml_escape(ns, {chr(34): "&quot;"})}">'
+                    f'    <x{i}:{local} xmlns:x{i}="{_xml_attr(ns, "predicate namespace")}">'
                     f'{_xml_text(o)}</x{i}:{local}>'
                 )
         lines.append("  </rdf:Description>")

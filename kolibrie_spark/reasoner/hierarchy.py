@@ -235,7 +235,10 @@ class ReasoningHierarchy:
 
     def infer_collected(self) -> dict[ReasoningLevel, list[tuple[str, str, str]]]:
         """hierarchical_inference with the reference's concrete-triples
-        return shape (reasoning_experimental.rs:86 returns Vec<Triple>)."""
+        return shape (reasoning_experimental.rs:86 returns Vec<Triple>).
+        Collects every inferred triple to the driver — for non-toy levels
+        use :meth:`hierarchical_inference`, which returns the per-level
+        DataFrames without materializing them driver-side."""
         return {
             lvl: sorted(tuple(r) for r in df.collect())
             for lvl, df in self.hierarchical_inference().items()

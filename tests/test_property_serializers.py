@@ -91,7 +91,7 @@ _xml_text = st.text(
         blacklist_characters="".join(
             chr(c) for c in range(0x20) if c not in (0x09, 0x0A, 0x0D)
         )
-        + "\x7f",
+        + "\x7f￾￿",
     ),
     min_size=0,
     max_size=25,
@@ -165,8 +165,42 @@ def test_rdfxml_rejects_xml_illegal_control_char():
 
     from kolibrie_spark.rdfio.serializers import serialize_rdfxml
 
-    with pytest.raises(ValueError, match="control"):
+    with pytest.raises(ValueError, match="illegal"):
         serialize_rdfxml([("http://ex.org/s", "http://ex.org/p", "a\x00b")])
     # TAB/LF/CR stay serializable (CR as a charref per XML 1.0 §2.11)
     out = serialize_rdfxml([("http://ex.org/s", "http://ex.org/p", "a\tb\nc\rd")])
     assert "&#13;" in out
+
+
+def test_rdfxml_rejects_noncharacters_and_surrogates():
+    """ADVICE r8: XML 1.0 also forbids U+FFFE/U+FFFF and (unpaired)
+    surrogates — the C0-only screen let them serialize malformed."""
+    import pytest
+
+    from kolibrie_spark.rdfio.serializers import serialize_rdfxml
+
+    for bad in ("a￾b", "a￿b", "a\ud800b"):
+        with pytest.raises(ValueError, match="illegal"):
+            serialize_rdfxml([("http://ex.org/s", "http://ex.org/p", bad)])
+
+
+def test_rdfxml_screens_attribute_values_too():
+    """ADVICE r8: rdf:about / rdf:resource / xmlns values were not
+    screened — a store IRI carrying an illegal char serialized a
+    malformed document silently."""
+    import pytest
+
+    from kolibrie_spark.rdfio.serializers import serialize_rdfxml
+
+    # subject IRI (rdf:about)
+    with pytest.raises(ValueError, match="illegal"):
+        serialize_rdfxml([("http://ex.org/s\x01", "http://ex.org/p", "v")])
+    # object IRI (rdf:resource)
+    with pytest.raises(ValueError, match="illegal"):
+        serialize_rdfxml(
+            [("http://ex.org/s", "http://ex.org/p", "http://ex.org/o￾")]
+        )
+    # predicate namespace (xmlns:xN) — craft a namespace that keeps a
+    # legal NCName local part but carries an illegal char before it
+    with pytest.raises(ValueError, match="illegal"):
+        serialize_rdfxml([("http://ex.org/s", "http://ex.org/\x02/p", "v")])

@@ -114,3 +114,37 @@ def test_handle_update_runtime_failure_keeps_plaintext_contract(engine, monkeypa
         engine.handle_update('INSERT DATA { <ex:s> <ex:p> "1" }')
         == "Update Failed"
     )
+
+
+def test_handle_update_falls_through_to_alias_after_runtime_failure(
+    engine, monkeypatch
+):
+    """ADVICE r8: the reference tries the compat-alias executor after a
+    FAILED standard update (sparql_database.rs:2059-2062) — handle_update
+    must not return 'Update Failed' before giving the alias a shot."""
+    import kolibrie_spark.engine as engine_mod
+
+    def _boom(*a, **k):
+        raise RuntimeError("executor lost")
+
+    monkeypatch.setattr(engine_mod, "execute_update", _boom)
+    called = []
+    monkeypatch.setattr(
+        type(engine), "_update_data_alias", lambda self, t: called.append(t) or True
+    )
+    assert (
+        engine.handle_update('INSERT DATA { <ex:s> <ex:p> "1" }')
+        == "Update Successful"
+    )
+    assert called  # the alias executor was reached after the failure
+
+
+def test_handle_update_alias_runtime_failure_keeps_contract(engine, monkeypatch):
+    """A runtime error inside the alias executor itself must keep the
+    plain-text contract, not escape as an exception."""
+
+    def _boom(self, t):
+        raise RuntimeError("executor lost")
+
+    monkeypatch.setattr(type(engine), "_update_data_alias", _boom)
+    assert engine.handle_update("NOT AN UPDATE") == "Update Failed"
