@@ -1687,17 +1687,61 @@ FROM s
 """
 
 
+def _pin_replay_firings(
+    out: DataFrame, events: DataFrame, time_col: str, width: int, kind: str
+) -> None:
+    """Firing-trace pin for the batch R2S replay gates (VERDICT r8 #6) —
+    the replay twin of ``_drain_live``'s micro-batch-count assert.  The
+    output's distinct ``window_open`` values ARE its firing trace;
+    re-derive the legal firing set from the raw events with independent
+    column math and check containment plus the boundary firings that are
+    data-independent: the FIRST observed window always fires ISTREAM
+    (every key is new — ``lag`` is null) and never fires DSTREAM (no
+    predecessor window exists to delete from).  A cadence drift in
+    replay.py (misaligned modulo, dropped observed-window semi-join,
+    inverted lag/lead filter) breaks one of these and fails loudly
+    instead of passing on final-output luck.  Explicit raise, not a bare
+    ``assert`` (stripped under ``python -O``)."""
+    from pyspark.sql import functions as F
+
+    w = (F.col(time_col) - F.col(time_col) % F.lit(width)).cast("long")
+    in_wins = {r[0] for r in events.select(w.alias("w")).distinct().collect()}
+    out_wins = {r[0] for r in out.select("window_open").distinct().collect()}
+    first = min(in_wins)
+    if not out_wins <= in_wins:
+        raise AssertionError(
+            f"{kind} replay fired at windows never observed in the input: "
+            f"{sorted(out_wins - in_wins)[:5]}"
+        )
+    if kind == "istream" and first not in out_wins:
+        raise AssertionError(
+            "istream replay did not fire at the first observed window "
+            f"({first}) where every key is new"
+        )
+    if kind == "dstream" and first in out_wins:
+        raise AssertionError(
+            f"dstream replay fired at the first observed window ({first}), "
+            "which has no predecessor to delete from"
+        )
+
+
 def _q_streaming_istream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch replay of ISTREAM over hourly tumbling windows (§2.9 R2S)."""
     from kolibrie_spark.streaming.replay import istream_replay
 
-    return istream_replay(_events_stream_df(spark, sf_dir), "event_time", 3600, ["u", "t"])
+    events = _events_stream_df(spark, sf_dir)
+    out = istream_replay(events, "event_time", 3600, ["u", "t"])
+    _pin_replay_firings(out, events, "event_time", 3600, "istream")
+    return out
 
 
 def _q_streaming_dstream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kolibrie_spark.streaming.replay import dstream_replay
 
-    return dstream_replay(_events_stream_df(spark, sf_dir), "event_time", 3600, ["u", "t"])
+    events = _events_stream_df(spark, sf_dir)
+    out = dstream_replay(events, "event_time", 3600, ["u", "t"])
+    _pin_replay_firings(out, events, "event_time", 3600, "dstream")
+    return out
 
 
 def _q_streaming_istream_live(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,3 +33,37 @@ def test_bench_covers_every_query():
     import bench  # noqa: F401
 
     assert len(entry_mod.queries()) >= 51
+
+
+def test_replay_firing_pin_catches_cadence_drift(spark):
+    """The batch R2S replay gates pin their firing trace (VERDICT r8 #6):
+    misaligned windows, a dropped observed-window semi-join, or an
+    inverted lag/lead filter must raise, not pass on final-output luck."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    events = spark.createDataFrame(
+        [(u, t) for u in ("a", "b") for t in (0, 3600, 7200)], "u string, event_time long"
+    )
+    ok = entry_mod._q_streaming_istream_replay  # noqa: F841  (gate pins itself)
+
+    # misaligned firing (window_open not on a width boundary of the input)
+    bad = events.select(
+        (F.col("event_time") + 7).alias("window_open"), "u", F.lit("x").alias("t")
+    )
+    with pytest.raises(AssertionError, match="never observed"):
+        entry_mod._pin_replay_firings(bad, events.withColumn("t", F.lit("x")), "event_time", 3600, "istream")
+
+    # istream missing the all-new first window
+    ev = events.withColumn("t", F.lit("x"))
+    no_first = ev.select(
+        (F.col("event_time") - F.col("event_time") % 3600).cast("long").alias("window_open"),
+        "u", "t",
+    ).filter(F.col("window_open") != 0)
+    with pytest.raises(AssertionError, match="first observed window"):
+        entry_mod._pin_replay_firings(no_first, ev, "event_time", 3600, "istream")
+
+    # dstream firing at the first window (no predecessor exists)
+    with_first = ev.select(F.lit(0).cast("long").alias("window_open"), "u", "t")
+    with pytest.raises(AssertionError, match="no predecessor"):
+        entry_mod._pin_replay_firings(with_first, ev, "event_time", 3600, "dstream")
