@@ -865,9 +865,14 @@ def _top_docs_per_source_oracle() -> str:
 
 def _q_text_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style cross-doc boilerplate profile: fraction of each doc's word
-    5-gram spans that occur in >= 3 documents. Two partial-agg shuffles
-    (span doc-frequency + doc reaggregation); hot spans join a unique-key
-    dimension so corpus-scale boilerplate cannot skew-multiply."""
+    5-gram spans that occur in >= 3 documents. Default window plan: two
+    shuffles (span doc-frequency count + doc reaggregation), one
+    evaluation of the explode subtree. The opt-in ``heavy_df_cap`` guard
+    (broadcast heavy-span dimension + salted window groups) exists for
+    corpora where one boilerplate span's doc set outgrows a partition;
+    it is NOT used here — measured fresh-JVM, the default is flat at 10x
+    (1.30s sf0.01 / 1.02s sf0.1) while the guard pays ~2x for the extra
+    explode evaluation (BASELINE.md r9)."""
     from kolibrie_spark.operators.spans import common_span_profile
     from kolibrie_spark.tables import load_table
 
@@ -4138,71 +4143,73 @@ def entry(spark: SparkSession) -> DataFrame:
 # STANDING policy since r5: oldest driver row leads.  Names not in
 # queries() are skipped by _driver_order, so listing planned gates is safe.
 #
-# ROUND-8 ROTATION (VERDICT r7 item #2): 54 gates still carry r3/r4
-# driver rows; the window is 50.  Head: text_common_spans (plan changed
-# this round — salted two-level doc-frequency count replaces the
-# span-window, VERDICT r7 item #3), then the 11 r3-rowed gates in the
-# queued order, then the r4 set, ending with the SPARQL heads whose
-# compiler changed in r7.  The 5 that do not fit (text_bm25_topk and
-# sample_dsir — both judge-re-checked green at r7 — plus bpe_train_merges,
-# layout_zorder and graph_pagerank, code untouched since r4) lead r9 with
-# the r6 tail.
+# ROUND-9 ROTATION (VERDICT r8 item #4): after r8, 5 gates still carry r4
+# driver rows and 49 carry r6; the window is 50.  Head: the 5 r4-rowed
+# gates (judge-re-checked green in the r8 session but still owed an
+# official row), then the 49 r6-rowed gates in queries() order — the last
+# ~4 overflow to r10, which then takes the r7 set (including the two
+# *_replay gates whose firing-trace pins were added this round; both were
+# re-oracle-checked at sf0.01 when the pins landed).  NOTE for the
+# record: r8's rotation comment said the text_common_spans plan changed
+# in r8 — it did not; the salted plan is the OPT-IN heavy_df_cap guard
+# and the default window plan is unchanged since r7 (VERDICT r8 #3).
 _DRIVER_FIRST = [
-    # -- r8 code change: salted doc-frequency plan
-    "text_common_spans",
-    # -- the 11 gates whose latest driver row is r3
-    "events_json_agg",
-    "events_rolling",
-    "events_funnel",
-    "asof_join_events_orders",
-    "telemetry_resample",
-    "embed_hard_negatives",
-    "events_path_trigrams",
-    "events_ewma",
-    "events_anomaly_mad",
-    "events_interval_merge",
-    "events_retention",
-    # -- the r4 set (non-SPARQL first)
-    "embed_centroids",
-    "events_attribution",
-    "ml_group_ols",
-    "pack_sequences",
-    "pipeline_curate",
-    "profile_corr",
-    "profile_equidepth",
-    "profile_histogram",
-    "profile_quantiles",
-    "profile_stats",
-    "range_join_binned",
-    "sample_domain_mix",
-    "sample_group_split",
-    "streaming_dstream_replay",
-    "text_chunk",
-    "text_contamination",
-    "text_lm_score",
-    "text_quality_model",
-    "text_repetition",
-    "text_scrub_pii",
-    "text_tokenize_ids",
-    "text_top_terms",
-    "top_docs_per_source",
-    # -- SPARQL heads whose compiler changed in r7 (judge re-checked 8 of
-    #    these at r7; official rows refreshed here anyway)
-    "scan_project",
-    "select_expr_proj",
-    "filter_logical",
-    "filter_arithmetic",
-    "filter_numeric_gt",
-    "filter_datetime",
-    "filter_regex_sample",
-    "join_fk",
-    "star_join",
-    "having_count",
-    "group_concat_names",
-    "bind_string_funcs",
-    "construct_graph",
-    "ask_exists",
-    "describe_subject",
+    # -- the 5 gates whose latest driver row is r4
+    "text_bm25_topk",
+    "layout_zorder",
+    "graph_pagerank",
+    "sample_dsir",
+    "bpe_train_merges",
+    # -- the 49 gates whose latest driver row is r6, in queries() order
+    "optional_left_join",
+    "minus_anti",
+    "filter_exists",
+    "path_seq_fk",
+    "path_plus_reach",
+    "path_star_reach",
+    "path_opt_direct",
+    "groupby_agg",
+    "agg_count",
+    "distinct_segments",
+    "order_by_desc_limit",
+    "order_numeric_lexical",
+    "offset_pagination",
+    "union_multiset",
+    "union_three_branches",
+    "bind_arithmetic",
+    "graph_default_named_join",
+    "bind_concat",
+    "values_undef",
+    "graph_fixed",
+    "graph_var",
+    "from_merge_dedup",
+    "subquery_count_join",
+    "udf_bind",
+    "update_insert_where",
+    "update_delete_where",
+    "update_insert_delete_data",
+    "rdf_star_annotate",
+    "rdf_star_builtins",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_cluster",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_topk_cosine",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "sim_topk_quantized",
+    "text_analyze",
+    "events_window_agg",
+    "events_sessionize",
+    "sample_stratified",
+    "url_canonicalize",
+    "reasoner_transitive_closure",
+    "streaming_sliding_live",
+    "media_near_dup",
+    "media_phash_pairs",
+    "media_audio_fp",
 ]
 
 

@@ -17,7 +17,7 @@ span's doc set outgrows a partition at corpus scale, pass
 ``heavy_df_cap`` — a skew-free pre-count routes guaranteed-common heavy
 spans through a size-bounded broadcast and shatters their window groups
 with a per-row salt, so every remaining window group is provably smaller
-than the cap (r8; measured trade-offs in BASELINE.md — the unguarded
+than the cap (r8; measured trade-offs in BASELINE.md r9 — the unguarded
 window stays the default because the guard re-evaluates the explode).
 
 No reference counterpart (Kolibrie has no text surface) — this is part
@@ -59,12 +59,14 @@ def common_span_profile(
     marked by a BROADCAST join whose build side is bounded by
     construction at ``total_span_rows / cap`` entries; only the remaining
     spans — every window group now provably < cap rows — go through the
-    window.  Same exact output (equivalence pinned in tests); costs one
-    extra evaluation of the explode subtree, which is why it is opt-in:
-    measured at sf0.1/sf1 (10x) the unguarded window is fastest
-    (6.1s/41.5s vs salted-join 11.2s/88.9s; BASELINE.md r8) and the
-    exploded input grows exactly linearly, so the default is right until
-    a single span's doc set outgrows one executor's partition.
+    window.  Same exact output (equivalence pinned in
+    tests/test_curation2.py::test_common_span_profile_heavy_df_cap_equivalence);
+    costs one extra evaluation of the explode subtree, which is why it is
+    opt-in: measured fresh-JVM at sf0.01/sf0.1 (10x) the unguarded window
+    is fastest (1.30s/1.02s vs guard 1.61s/1.94s; BASELINE.md r9) and the
+    exploded input grows exactly linearly (25,165 -> 250,704 distinct
+    (doc, span) rows, 9.96x), so the default is right until a single
+    span's doc set outgrows one executor's partition.
     """
     from pyspark.sql.window import Window
 

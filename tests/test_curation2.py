@@ -74,6 +74,41 @@ def test_common_span_profile_duckdb_twin(spark, docs):
     assert mine == ref
 
 
+def test_common_span_profile_heavy_df_cap_equivalence(spark, docs):
+    """The opt-in heavy_df_cap skew guard must produce the EXACT same
+    output as the default window plan (VERDICT r8 #3: the guard shipped
+    with the equivalence claimed in the docstring but pinned nowhere).
+    Caps exercised: == min_df (every common span routed through the
+    broadcast), between (mixed heavy/light), and far above any df (heavy
+    set empty — pure window path on guarded code)."""
+    from kolibrie_spark.operators.spans import common_span_profile
+
+    for n, min_df in ((5, 3), (3, 2)):
+        base = sorted(
+            tuple(r)
+            for r in common_span_profile(
+                docs, "doc_id", "text", n=n, min_df=min_df
+            ).collect()
+        )
+        for cap in (min_df, min_df + 1, 100):
+            guarded = sorted(
+                tuple(r)
+                for r in common_span_profile(
+                    docs, "doc_id", "text", n=n, min_df=min_df, heavy_df_cap=cap
+                ).collect()
+            )
+            assert guarded == base, (n, min_df, cap)
+
+
+def test_common_span_profile_heavy_df_cap_below_min_df_raises(spark, docs):
+    from kolibrie_spark.operators.spans import common_span_profile
+
+    with pytest.raises(ValueError, match="heavy_df_cap must be >= min_df"):
+        common_span_profile(
+            docs, "doc_id", "text", n=5, min_df=3, heavy_df_cap=2
+        )
+
+
 def test_gopher_rules_flags(spark):
     from kolibrie_spark.operators.textanalysis import gopher_rules
 
