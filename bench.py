@@ -163,20 +163,56 @@ def _find_regressions(
     return out
 
 
+def _previous_fresh_timings(here: str) -> dict[str, float]:
+    """Fresh-JVM measurements persisted by the PREVIOUS round's confirm
+    stage (BENCH_FRESH_r{N-1}.json) — the like-with-like baseline for
+    stage 2 (VERDICT r8 task #1 / ADVICE r8: comparing a cold fresh-JVM
+    number against a warm in-suite prior is biased in BOTH directions:
+    the ~1.3-1.4x cold offset auto-confirms fast gates, while suite
+    inflation on the prior can auto-clear a real regression).  Keys
+    starting with '_' are provenance metadata, not gates."""
+    prev_round = _current_round(here) - 1
+    for name in (
+        f"BENCH_FRESH_r{prev_round}.json",
+        f"BENCH_FRESH_r{prev_round:02d}.json",
+    ):
+        path = os.path.join(here, name)
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+            return {
+                k: float(v)
+                for k, v in data.items()
+                if not k.startswith("_") and isinstance(v, (int, float))
+            }
+        except Exception:
+            continue
+    return {}
+
+
 def _confirm_regressions_fresh_jvm(
-    regressions: dict[str, dict[str, float]], sf_dir: str
+    regressions: dict[str, dict[str, float]], sf_dir: str, persist: bool = False
 ) -> tuple[dict[str, dict[str, float]], dict[str, dict[str, float]]]:
     """Stage 2 of the tripwire (BASELINE.md r8 adjudication: all 5 of r7's
     suite flags were noise — in-suite numbers have a ±1.5-2.5x noise
     floor).  Re-measure every suite-flagged gate in ONE fresh-JVM
-    `tools/bench_one.py` subprocess (min-of-2, idle parent JVM) and keep
-    the flag only if the isolated number still trips the same threshold
-    vs the previous round.  Returns (confirmed, cleared)."""
+    `tools/bench_one.py` subprocess (min-of-2; main() stops the parent
+    SparkSession first so the subprocess runs on an idle box — the r8
+    confirm numbers were inflated by the resident 24g/32-thread parent,
+    BASELINE.md r9 adjudication) and keep the flag only if the isolated
+    number still trips the same threshold against a LIKE-WITH-LIKE
+    baseline: the previous round's fresh-JVM measurement of the same gate
+    when one was persisted (`BENCH_FRESH_r{N-1}.json`), else the previous
+    round's suite number tagged ``baseline: "suite-prev"`` so readers can
+    discount the cold-vs-warm offset.  With ``persist=True`` this round's
+    fresh measurements are written to ``BENCH_FRESH_r{N}.json`` to become
+    the next round's baseline.  Returns (confirmed, cleared)."""
     import subprocess
 
     if not regressions:
         return {}, {}
     here = os.path.dirname(os.path.abspath(__file__))
+    prev_fresh = _previous_fresh_timings(here)
     cmd = [
         sys.executable,
         os.path.join(here, "tools", "bench_one.py"),
@@ -197,14 +233,37 @@ def _confirm_regressions_fresh_jvm(
         for info in regressions.values():
             info["fresh_jvm"] = None
         return regressions, {}
+    if persist and fresh:
+        fresh_path = os.path.join(
+            here, f"BENCH_FRESH_r{_current_round(here)}.json"
+        )
+        record = dict(fresh)
+        record["_method"] = (
+            "tools/bench_one.py --runs 2, parent SparkSession stopped, "
+            f"sf_dir={sf_dir}"
+        )
+        try:
+            with open(fresh_path, "w") as fh:
+                json.dump(record, fh)
+            print(
+                f"# fresh-JVM confirm numbers -> {os.path.basename(fresh_path)}",
+                file=sys.stderr,
+            )
+        except OSError as exc:
+            print(f"# could not persist fresh numbers ({exc})", file=sys.stderr)
     confirmed: dict[str, dict[str, float]] = {}
     cleared: dict[str, dict[str, float]] = {}
     for name, info in regressions.items():
         f = fresh.get(name)
-        info = dict(info, fresh_jvm=f)
-        if f is not None and not (
-            f > 1.5 * info["prev"] and f - info["prev"] > 0.3
-        ):
+        pf = prev_fresh.get(name)
+        base = pf if pf is not None else info["prev"]
+        info = dict(
+            info,
+            fresh_jvm=f,
+            baseline=("fresh-prev" if pf is not None else "suite-prev"),
+            fresh_prev=pf,
+        )
+        if f is not None and not (f > 1.5 * base and f - base > 0.3):
             cleared[name] = info
         else:
             confirmed[name] = info
@@ -392,8 +451,16 @@ def main() -> None:
             regressions[name]["note"] = notes[name]
     # stage 2: a suite flag only enters the official record if a fresh-JVM
     # isolated re-measurement confirms it (r7 shipped 5 flags, all of
-    # which adjudicated as noise — BASELINE.md r8 adjudication)
-    regressions, cleared = _confirm_regressions_fresh_jvm(regressions, sf_dir)
+    # which adjudicated as noise — BASELINE.md r8 adjudication).  Stop the
+    # parent session FIRST: r8's confirm subprocess ran beside the suite's
+    # resident 24g/32-thread JVM and both of its "confirmed" regressions
+    # were that contention, not code (BASELINE.md r9 adjudication).
+    is_headline = sf_dir.rstrip("/").endswith("sf0.1")
+    if regressions:
+        spark.stop()
+    regressions, cleared = _confirm_regressions_fresh_jvm(
+        regressions, sf_dir, persist=is_headline
+    )
     for name, info in regressions.items():
         print(
             f"# REGRESSION (fresh-JVM-confirmed) {name}: "

@@ -184,3 +184,78 @@ def test_fresh_jvm_confirm_stage_failure_keeps_flags(monkeypatch):
 
 def test_fresh_jvm_confirm_stage_noop_on_empty():
     assert bench._confirm_regressions_fresh_jvm({}, "/x") == ({}, {})
+
+
+def test_fresh_jvm_confirm_prefers_fresh_prev_baseline(tmp_path, monkeypatch):
+    """VERDICT r8 task #1: stage 2 must compare like with like — the
+    previous round's FRESH number when one was persisted, not the warm
+    in-suite prior.  A gate whose fresh reading sits at the known
+    cold-vs-warm offset (~1.3-1.4x of suite) clears against a fresh-prev
+    baseline even though it would trip against the suite prior."""
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "9")
+    (tmp_path / "BENCH_FRESH_r8.json").write_text(
+        json.dumps({"gate_offset": 1.3, "_method": "test"})
+    )
+
+    class _Proc:
+        stdout = json.dumps({"gate_offset": 1.45}) + "\n"
+
+    import subprocess
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Proc())
+    # suite prior 0.9 -> fresh 1.45 would trip (1.6x, +0.55s); fresh-prev
+    # 1.3 -> 1.45 is 1.12x: cleared
+    flags = {"gate_offset": {"prev": 0.9, "now": 1.5, "ratio": 1.67}}
+    confirmed, cleared = bench._confirm_regressions_fresh_jvm(flags, "/x")
+    assert confirmed == {}
+    assert cleared["gate_offset"]["baseline"] == "fresh-prev"
+    assert cleared["gate_offset"]["fresh_prev"] == 1.3
+
+    # and a REAL regression still trips against the fresh-prev baseline
+    class _Proc2:
+        stdout = json.dumps({"gate_offset": 2.4}) + "\n"
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Proc2())
+    confirmed2, _ = bench._confirm_regressions_fresh_jvm(flags, "/x")
+    assert list(confirmed2) == ["gate_offset"]
+    assert confirmed2["gate_offset"]["baseline"] == "fresh-prev"
+
+
+def test_fresh_jvm_confirm_persists_round_file(tmp_path, monkeypatch):
+    """persist=True writes BENCH_FRESH_r{N}.json so the NEXT round has a
+    fresh-vs-fresh baseline; metadata keys are ignored on read."""
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "9")
+
+    class _Proc:
+        stdout = json.dumps({"g": 2.4}) + "\n"
+
+    import subprocess
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Proc())
+    flags = {"g": {"prev": 1.0, "now": 2.5, "ratio": 2.5}}
+    bench._confirm_regressions_fresh_jvm(flags, "/x", persist=True)
+    written = json.loads((tmp_path / "BENCH_FRESH_r9.json").read_text())
+    assert written["g"] == 2.4 and written["_method"].startswith("tools/")
+    # next round reads it back, sans metadata
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "10")
+    assert bench._previous_fresh_timings(str(tmp_path)) == {"g": 2.4}
+
+
+def test_fresh_jvm_confirm_suite_fallback_is_tagged(tmp_path, monkeypatch):
+    """Without a fresh-prev number the confirm falls back to the suite
+    prior and says so, so readers can discount the cold-vs-warm offset."""
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "9")
+
+    class _Proc:
+        stdout = json.dumps({"g": 2.4}) + "\n"
+
+    import subprocess
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Proc())
+    flags = {"g": {"prev": 1.0, "now": 2.5, "ratio": 2.5}}
+    confirmed, _ = bench._confirm_regressions_fresh_jvm(flags, "/x")
+    assert confirmed["g"]["baseline"] == "suite-prev"
+    assert confirmed["g"]["fresh_prev"] is None
