@@ -322,7 +322,15 @@ def _bench_cross_window(spark) -> dict[str, float]:
     }
 
 
+_LOAD_AT_START: list | None = None
+
+
 def main() -> None:
+    global _LOAD_AT_START
+    try:
+        _LOAD_AT_START = [round(x, 1) for x in os.getloadavg()]
+    except OSError:
+        _LOAD_AT_START = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -438,6 +446,16 @@ def main() -> None:
             "quadratic-shuffle all-pairs blocks; ~2.0s vs 1.4s at sf0.1 "
             "is the price of the 100TB-viable plan (VERDICT r4 item #2)"
         ),
+        "streaming_istream_replay": (
+            "r9 added the firing-trace pin (VERDICT r8 #6): two small "
+            "distinct-window collects per gate construction — an "
+            "intentional ~0.6s behavior check, not a plan regression"
+        ),
+        "streaming_dstream_replay": (
+            "r9 added the firing-trace pin (VERDICT r8 #6): two small "
+            "distinct-window collects per gate construction — an "
+            "intentional ~1.1s behavior check, not a plan regression"
+        ),
     }
     # r4's 1.25-1.4x drift cluster (VERDICT r4 what's-wrong #3) was
     # re-measured in isolation (tools/bench_one.py, fresh JVM per run,
@@ -476,10 +494,21 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # ambient-load stamp: a contaminated run (other tenants on the box)
+    # inflates every number; recording 1/15-min load at both ends lets the
+    # next round discount such a record instead of chasing ghosts (the
+    # first r9 run carried 15-min load ~15 from an external job and read
+    # 35% slow across the board — BASELINE.md r9)
+    try:
+        load_end = os.getloadavg()
+    except OSError:
+        load_end = None
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "operator_suite_wall_seconds",
         "value": total,
+        "loadavg_start": _LOAD_AT_START,
+        "loadavg_end": [round(x, 1) for x in load_end] if load_end else None,
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
