@@ -350,20 +350,151 @@ def _close_tag_of(open_tag: str) -> str:
     return f"</{name}>"
 
 
+# bytes twin of _XML_TOKEN_RE (every metacharacter is ASCII; multi-byte
+# UTF-8 continuation bytes cannot collide) — keeps the offset scan in
+# byte space so parse tasks can do ranged reads
+_XML_TOKEN_RE_B = re.compile(_XML_TOKEN_RE.pattern.encode("ascii"), re.S)
+
+
+def _rdfxml_spans_bytes(
+    raw: bytes, elements_per_chunk: int = 500
+) -> tuple[str | None, list[tuple[int, int]]]:
+    """BYTE-offset version of the :func:`_rdfxml_chunks` scan: returns
+    ``(root_open_tag, [(start, end), ...])`` where each span is one
+    TOP-LEVEL node element of the document, or ``(None, [])`` when the
+    document cannot (or need not) be split — single/self-closing root,
+    root not found, or at most ``elements_per_chunk`` elements.  Spans
+    start/end at ASCII ``<``/``>`` bytes, so slicing never splits a
+    multi-byte UTF-8 character."""
+    depth = 0
+    root_open: bytes | None = None
+    spans: list[tuple[int, int]] = []
+    el_start = -1
+    for m in _XML_TOKEN_RE_B.finditer(raw):
+        tok = m.group(0)
+        if tok.startswith((b"<!--", b"<![", b"<?", b"<!")):
+            continue
+        if tok.startswith(b"</"):
+            depth -= 1
+            if depth == 1 and el_start >= 0:
+                spans.append((el_start, m.end()))
+                el_start = -1
+            elif depth == 0:
+                break
+            continue
+        selfclose = tok.endswith(b"/>")
+        if depth == 0:
+            if selfclose:  # <rdf:RDF/> — empty document
+                return None, []
+            root_open = tok
+            depth = 1
+            continue
+        if depth == 1:
+            if selfclose:
+                spans.append((m.start(), m.end()))
+            else:
+                el_start = m.start()
+                depth = 2
+        elif not selfclose:
+            depth += 1
+    if root_open is None or len(spans) <= elements_per_chunk:
+        return None, []
+    return root_open.decode("utf-8", "replace"), spans
+
+
 def read_rdfxml_df(spark, path: str, elements_per_chunk: int = 500):
     """Distributed RDF/XML ingestion, parallel both ACROSS files and
     WITHIN a file: each document is split at top-level node-element
-    boundaries into chunks carrying the root tag's xmlns/xml:base header
-    (:func:`_rdfxml_chunks`), the chunks are redistributed, and the
-    Python-rate DOM parse runs per chunk — so one 100 GB dump no longer
-    serializes onto a single task (VERDICT r6 item #8; reference
+    boundaries into chunks carrying the root tag's xmlns/xml:base header,
+    and the Python-rate DOM parse runs per chunk — so one 100 GB dump no
+    longer serializes onto a single task (VERDICT r6 item #8; reference
     equivalent: the chunked single-pass parse at sparql_database.rs:806).
+
+    For driver-listable local paths (r9, same design as the Turtle
+    reader): the scan emits (path, chunk_index, byte_start, byte_end,
+    root_tag) rows only (:func:`_rdfxml_spans_bytes`), parse tasks do
+    ranged reads and re-wrap their slice in the root tag, and triples
+    return Arrow-batched — no chunk text is shuffled.  Non-listable
+    paths keep the wholetext + text-shuffle fallback.
 
     Blank-node scoping (VERDICT r6 item #4): labels are DOCUMENT-scoped
     in RDF, so `rdf:nodeID` labels are salted per source file (two files
     both saying ``rdf:nodeID="b1"`` stay two nodes, while chunks of ONE
     file still unify), and anonymous ``_:genid`` counters — which restart
     per chunk — are salted per (file, chunk)."""
+    paths = _local_paths(path)
+    if paths is None:
+        return _read_rdfxml_shuffle_df(spark, path, elements_per_chunk)
+
+    from kolibrie_spark.schema import QUADS_SCHEMA
+
+    sc = spark.sparkContext
+    par = sc.defaultParallelism
+
+    def scan(it):
+        for fp in it:
+            with open(fp, "rb") as f:
+                raw = f.read()
+            root, spans = _rdfxml_spans_bytes(raw, elements_per_chunk)
+            if root is None:
+                # unsplittable or small document: one whole-file slice,
+                # parsed as-is (chunk index 0, like the old single chunk)
+                yield (fp, 0, 0, len(raw), None)
+                continue
+            for k, i in enumerate(range(0, len(spans), elements_per_chunk)):
+                group = spans[i : i + elements_per_chunk]
+                yield (fp, k, group[0][0], group[-1][1], root)
+
+    bounds = spark.createDataFrame(
+        sc.parallelize(paths, max(1, min(len(paths), par))).mapPartitions(scan),
+        "path string, ci long, start long, end long, root string",
+    ).repartition(par)
+
+    def parse_slices(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            S: list = []
+            P: list = []
+            O: list = []
+            for fp, ci, a, b, root in zip(
+                pdf["path"], pdf["ci"], pdf["start"], pdf["end"], pdf["root"]
+            ):
+                with open(fp, "rb") as f:
+                    f.seek(int(a))
+                    body = f.read(int(b) - int(a)).decode("utf-8", "replace")
+                doc = (root + body + _close_tag_of(root)) if root else body
+                # same salt formula as the shuffle path: file-scoped
+                # nodeIDs, (file, chunk)-scoped anonymous genid counters
+                salt = hashlib.sha1(
+                    _norm_src(fp).encode("utf-8")
+                ).hexdigest()[:8]
+                for s, p, o in parse_rdfxml(
+                    doc,
+                    bnode_prefix=f"f{salt}.",
+                    genid_prefix=f"f{salt}c{int(ci)}.",
+                ):
+                    S.append(s)
+                    P.append(p)
+                    O.append(o)
+            yield pd.DataFrame(
+                {
+                    "s": pd.Series(S, dtype=object),
+                    "p": pd.Series(P, dtype=object),
+                    "o": pd.Series(O, dtype=object),
+                    "g": pd.Series([None] * len(S), dtype=object),
+                }
+            )
+
+    return bounds.mapInPandas(parse_slices, QUADS_SCHEMA)
+
+
+def _read_rdfxml_shuffle_df(spark, path: str, elements_per_chunk: int = 500):
+    """Text-shuffle fallback for non-listable paths (the pre-r9 plan):
+    wholetext read, str-scan chunking (:func:`_rdfxml_chunks`), chunk
+    text repartitioned to the parse tasks."""
     import hashlib
 
     from pyspark.sql import functions as F

@@ -456,3 +456,34 @@ def test_offset_reader_handles_multibyte_utf8(spark, tmp_path):
         for r in read_turtle_df(spark, str(d), statements_per_chunk=7).collect()
     )
     assert got == expected and len(got) == 50
+
+
+def test_rdfxml_offset_reader_multibyte_split(spark, tmp_path):
+    """The r9 byte-offset RDF/XML reader slices raw bytes at top-level
+    element boundaries; multi-byte UTF-8 literals inside a FORCED split
+    (elements_per_chunk smaller than the element count) must survive
+    with exact values, matching the driver-side parse."""
+    from kolibrie_spark.rdfio import parse_rdfxml, read_rdfxml_df
+
+    items = "".join(
+        f'  <rdf:Description rdf:about="http://ex/s{i}">\n'
+        f"    <ex:name>café {i} 日本語 — ünïcode</ex:name>\n"
+        f'    <ex:link rdf:resource="http://ex/t{i}"/>\n'
+        f"  </rdf:Description>\n"
+        for i in range(30)
+    )
+    xml = (
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://ex/">\n' + items + "</rdf:RDF>"
+    )
+    f = tmp_path / "multibyte.rdf"
+    f.write_text(xml, encoding="utf-8")
+    expected = sorted(
+        (s, p, o, None) for (s, p, o) in parse_rdfxml(xml)
+    )
+    got = sorted(
+        tuple(r)
+        for r in read_rdfxml_df(spark, str(f), elements_per_chunk=7).collect()
+    )
+    assert got == expected and len(got) == 60
