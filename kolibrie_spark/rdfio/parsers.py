@@ -195,13 +195,84 @@ _PREFIX_RE = re.compile(
 )
 
 
+# One complete simple statement on one line — the overwhelming shape of a
+# bulk Turtle dump — matched by a single compiled regex instead of ~8
+# tokenizer matches plus reader dispatch (the per-statement constant the
+# r9 ingest work left: VERDICT r8 task #2 kept the parser as-is; this is
+# a FAST PATH inside it, not a semantics change).  Term alternatives
+# mirror _TOK exactly (IRI, STR with optional @lang/^^dt, BLANK, NUM,
+# PNAME, NAME); anything else — ';'/',' continuations, quoted triples,
+# annotations, inline comments, multi-statement lines, a '.' not
+# preceded by whitespace (where _TOK's maximal munch could disagree) —
+# declines to the full tokenizer+reader.  A legal mid-statement
+# continuation line can never look like this (continuations are (p, o)
+# pairs or object lists, never exactly three bare terms plus '.').
+_FAST_TERM = (
+    r"<[^<>\s]*>"
+    r'|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9\-]*'
+    r"|\^\^(?:<[^<>\s]*>|(?:[A-Za-z_][\w\-]*)?:(?:[\w.\-/%#~]*[\w\-/%#~])?))?"
+    r"|_:[A-Za-z0-9_.\-]+"
+    # _TOK tries PUNCT before NUM, so a BARE leading-dot number ('.5')
+    # lexes as '.' + '5' there (a parse error mid-statement) — the fast
+    # branch must not accept it either; signed '+.5' is fine in both
+    r"|(?:[+-](?:\d+\.\d*|\.\d+|\d+)|\d+\.\d*|\d+)(?:[eE][+-]?\d+)?"
+    r"|(?:[A-Za-z_][\w\-]*)?:(?:[\w.\-/%#~]*[\w\-/%#~])?"
+    r"|[A-Za-z_]\w*"
+)
+# trailing inline comment allowed: _TOK lexes '#...' to end-of-line as
+# whitespace, so '. # c' and '.' are token-identical
+_SIMPLE_LINE_RE = re.compile(
+    rf"({_FAST_TERM})\s+({_FAST_TERM})\s+({_FAST_TERM})\s+\.(?:\s*#.*)?"
+)
+_FAST_STR_RE = re.compile(
+    r'"((?:[^"\\]|\\.)*)"(@[A-Za-z][A-Za-z0-9\-]*)?(?:\^\^\S+)?'
+)
+
+
+def _fast_term(tok: str, prefixes: dict[str, str]) -> str:
+    """read_term()'s conversion for the fast-path token shapes — kept
+    rule-for-rule identical (BLANK before PNAME so a declared '_' prefix
+    never captures blank nodes; datatypes dropped; lang kept as
+    value@lang; 'a' → rdf:type; unknown prefixes left verbatim, empty
+    prefix falls back to the local part)."""
+    c0 = tok[0]
+    if c0 == "<":
+        return tok[1:-1]
+    if c0 == '"':
+        m = _FAST_STR_RE.fullmatch(tok)
+        val = _unescape(m.group(1))
+        return f"{val}{m.group(2)}" if m.group(2) else val
+    if tok.startswith("_:"):
+        return tok
+    if ":" in tok:
+        pfx, _, local = tok.partition(":")
+        if pfx in prefixes:
+            return prefixes[pfx] + local
+        return tok if pfx else local
+    if tok == "a":
+        return RDF_TYPE
+    return tok  # NUM and bare NAME pass through unchanged
+
+
 def parse_turtle(text: str, prefixes: dict[str, str] | None = None):
     """→ ([(s,p,o)], [(qid,qs,qp,qo)], prefixes)
 
     Statement grammar: subject predicate object (',' object)*
     (';' predicate object...)* '.' with optional ``{| p o |}`` annotations
-    after any object (emits ``<< s p o >> p2 o2``)."""
+    after any object (emits ``<< s p o >> p2 o2``).
+
+    Simple one-line statements take the `_SIMPLE_LINE_RE` fast path;
+    their term conversion is deferred until all ``@prefix`` lines are
+    collected so the prefix map stays file-global (last declaration
+    wins) exactly as the tokenizer path applies it.  Triple ORDER is the
+    fast-path statements in line order followed by the remaining
+    statements — the contract has never promised statement order and
+    every consumer treats the result as a set."""
     prefixes = dict(prefixes or {})
+    # long strings would be corrupted by per-line matching; the tokenizer
+    # path handles (the single-line subset of) them, so decline wholesale
+    fast_ok = '"""' not in text and "'''" not in text
+    fast_rows: list[tuple[str, str, str]] = []
     body_lines = []
     for raw in re.split(r"[\r\n]+", text):
         line = raw.strip()
@@ -211,9 +282,21 @@ def parse_turtle(text: str, prefixes: dict[str, str] | None = None):
         if m:
             prefixes[m.group(1) or ""] = m.group(2)
             continue
+        if fast_ok:
+            fm = _SIMPLE_LINE_RE.fullmatch(line)
+            if fm:
+                fast_rows.append(fm.group(1, 2, 3))
+                continue
         body_lines.append(line)
+    triples: list[tuple[str, str, str]] = [
+        (
+            _fast_term(s, prefixes),
+            _fast_term(p, prefixes),
+            _fast_term(o, prefixes),
+        )
+        for (s, p, o) in fast_rows
+    ]
     r = _TermReader(_tokenize("\n".join(body_lines)), prefixes)
-    triples: list[tuple[str, str, str]] = []
 
     def read_object(s: str, p: str) -> None:
         o = r.read_term()

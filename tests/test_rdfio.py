@@ -487,3 +487,64 @@ def test_rdfxml_offset_reader_multibyte_split(spark, tmp_path):
         for r in read_rdfxml_df(spark, str(f), elements_per_chunk=7).collect()
     )
     assert got == expected and len(got) == 60
+
+
+def test_turtle_fast_path_matches_tokenizer_path(monkeypatch):
+    """The simple-statement fast path (r9) must produce the same triple
+    SET as the tokenizer+reader path on the same input — including
+    escapes, lang tags, dropped datatypes, 'a', blank nodes, unknown and
+    empty prefixes, numbers, declaration-order quirks, and mixed
+    simple/complex statements."""
+    import re as _re
+
+    import kolibrie_spark.rdfio.parsers as P
+
+    cases = [
+        "@prefix ex: <http://e/> .\nex:a ex:b ex:c .",
+        'ex:a ex:name "N. \\"q\\" \\u0041"@en .',
+        'ex:a ex:n "typed"^^<http://www.w3.org/2001/XMLSchema#int> .',
+        'ex:a ex:n "typed"^^xsd:int .',
+        "_:b1 a ex:Thing .",
+        "unknown:x unknown:y unknown:z .",
+        "@prefix : <http://d/> .\n:a :b :c .",
+        "ex:a ex:n 2.5 .\nex:b ex:n -3 .\nex:c ex:n +.5 .\nex:d ex:n 1e4 .",
+        # mixed: fast lines interleaved with continuations and annotations
+        "@prefix ex: <http://e/> .\n"
+        "ex:s1 ex:p1 ex:o1 .\n"
+        "ex:s2 ex:p2 ex:o2 ;\n    ex:p3 ex:o3 , ex:o4 .\n"
+        'ex:s5 ex:p5 "v" {| ex:conf "0.9" |} .\n'
+        "ex:s6 ex:p6 ex:o6 .",
+        # prefix redeclared mid-file: BOTH paths apply the final map
+        "@prefix ex: <http://one/> .\nex:a ex:b ex:c .\n"
+        "@prefix ex: <http://two/> .\nex:d ex:e ex:f .",
+        # quoted-triple subject (slow only) next to fast lines
+        "<< ex:a ex:b ex:c >> ex:says ex:d .\nex:x ex:y ex:z .",
+        # no-space-before-dot styles decline to the tokenizer
+        "ex:a ex:b ex:c.\nex:d ex:e ex:f .",
+    ]
+    null_re = _re.compile(r"(?!x)x")  # never matches -> tokenizer path
+    for text in cases:
+        fast_t, fast_q, fast_px = P.parse_turtle(text)
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(P, "_SIMPLE_LINE_RE", null_re)
+            slow_t, slow_q, slow_px = P.parse_turtle(text)
+        assert sorted(fast_t) == sorted(slow_t), text
+        assert sorted(fast_q) == sorted(slow_q), text
+        assert fast_px == slow_px, text
+
+
+def test_turtle_bare_leading_dot_number_raises_on_both_paths():
+    """_TOK lexes '.5' as PUNCT '.' + NUM '5' (PUNCT precedes NUM), so a
+    bare leading-dot number is a parse error — the fast path must decline
+    rather than accept what the tokenizer rejects."""
+    import re as _re
+
+    import kolibrie_spark.rdfio.parsers as P
+
+    text = "<http://e/c> <http://e/n> .5 ."
+    with pytest.raises(P.RdfParseError):
+        P.parse_turtle(text)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(P, "_SIMPLE_LINE_RE", _re.compile(r"(?!x)x"))
+        with pytest.raises(P.RdfParseError):
+            P.parse_turtle(text)
