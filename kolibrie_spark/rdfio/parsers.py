@@ -150,12 +150,32 @@ class _TermReader:
 
 
 # ------------------------------------------------------------------ formats
+_EMPTY_PREFIXES: dict = {}
+
+
 def parse_ntriples(text: str):
-    """→ ([(s,p,o)], [(qid,qs,qp,qo)])"""
+    """→ ([(s,p,o)], [(qid,qs,qp,qo)])
+
+    Lines matching the simple-statement shape take the same fast path as
+    Turtle (see ``_SIMPLE_LINE_RE`` below) — N-Triples has no prefixes,
+    so conversion needs no deferral and statement order is preserved
+    exactly; quoted-triple lines (``<< … >>``) and anything unusual
+    decline to the tokenizer+reader per line."""
     triples, quoted = [], []
     for raw in re.split(r"[\r\n]+", text):
         line = raw.strip()
         if not line or line.startswith("#"):
+            continue
+        fm = _SIMPLE_LINE_RE.fullmatch(line)
+        if fm:
+            s, p, o = fm.group(1, 2, 3)
+            triples.append(
+                (
+                    _fast_term(s, _EMPTY_PREFIXES),
+                    _fast_term(p, _EMPTY_PREFIXES),
+                    _fast_term(o, _EMPTY_PREFIXES),
+                )
+            )
             continue
         r = _TermReader(_tokenize(line))
         s = r.read_term()
@@ -169,11 +189,36 @@ def parse_ntriples(text: str):
 
 
 def parse_nquads(text: str):
-    """→ ([(s,p,o,g|None)], [(qid,qs,qp,qo)])"""
+    """→ ([(s,p,o,g|None)], [(qid,qs,qp,qo)]); simple triple/quad lines
+    take the fast path, everything else the tokenizer+reader."""
     quads, quoted = [], []
     for raw in re.split(r"[\r\n]+", text):
         line = raw.strip()
         if not line or line.startswith("#"):
+            continue
+        fm = _SIMPLE_LINE_RE.fullmatch(line)
+        if fm:
+            s, p, o = fm.group(1, 2, 3)
+            quads.append(
+                (
+                    _fast_term(s, _EMPTY_PREFIXES),
+                    _fast_term(p, _EMPTY_PREFIXES),
+                    _fast_term(o, _EMPTY_PREFIXES),
+                    None,
+                )
+            )
+            continue
+        fm = _SIMPLE_QUAD_RE.fullmatch(line)
+        if fm:
+            s, p, o, g = fm.group(1, 2, 3, 4)
+            quads.append(
+                (
+                    _fast_term(s, _EMPTY_PREFIXES),
+                    _fast_term(p, _EMPTY_PREFIXES),
+                    _fast_term(o, _EMPTY_PREFIXES),
+                    _fast_term(g, _EMPTY_PREFIXES),
+                )
+            )
             continue
         r = _TermReader(_tokenize(line))
         s = r.read_term()
@@ -223,6 +268,11 @@ _FAST_TERM = (
 # whitespace, so '. # c' and '.' are token-identical
 _SIMPLE_LINE_RE = re.compile(
     rf"({_FAST_TERM})\s+({_FAST_TERM})\s+({_FAST_TERM})\s+\.(?:\s*#.*)?"
+)
+# N-Quads: the same shape with a graph term before the '.'
+_SIMPLE_QUAD_RE = re.compile(
+    rf"({_FAST_TERM})\s+({_FAST_TERM})\s+({_FAST_TERM})\s+({_FAST_TERM})"
+    rf"\s+\.(?:\s*#.*)?"
 )
 _FAST_STR_RE = re.compile(
     r'"((?:[^"\\]|\\.)*)"(@[A-Za-z][A-Za-z0-9\-]*)?(?:\^\^\S+)?'

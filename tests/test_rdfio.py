@@ -548,3 +548,35 @@ def test_turtle_bare_leading_dot_number_raises_on_both_paths():
         mp.setattr(P, "_SIMPLE_LINE_RE", _re.compile(r"(?!x)x"))
         with pytest.raises(P.RdfParseError):
             P.parse_turtle(text)
+
+
+def test_ntriples_nquads_fast_path_matches_tokenizer_path():
+    """Per-line fast path for the line-oriented formats must equal the
+    tokenizer path — including quoted-triple lines, lang/datatype
+    literals, blanks, and graph terms."""
+    import re as _re
+
+    import kolibrie_spark.rdfio.parsers as P
+
+    nt = (
+        '<http://e/a> <http://e/p> "v \\"q\\" \\u00e9"@en .\n'
+        '<http://e/a> <http://e/n> "5"^^<http://www.w3.org/2001/XMLSchema#int> .\n'
+        "_:b1 <http://e/p> _:b2 .\n"
+        '<< <http://e/a> <http://e/p> "v" >> <http://e/c> "0.9" .\n'
+        "<http://e/x> a <http://e/T> . # trailing comment\n"
+    )
+    nq = (
+        '<http://e/a> <http://e/p> "1" .\n'
+        '<http://e/a> <http://e/p> "2" <http://e/g1> .\n'
+        "_:b <http://e/q> <http://e/c> <http://e/g2> . # c\n"
+    )
+    null_re = _re.compile(r"(?!x)x")
+    fast_t = P.parse_ntriples(nt)
+    fast_q = P.parse_nquads(nq)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(P, "_SIMPLE_LINE_RE", null_re)
+        mp.setattr(P, "_SIMPLE_QUAD_RE", null_re)
+        slow_t = P.parse_ntriples(nt)
+        slow_q = P.parse_nquads(nq)
+    assert fast_t == slow_t  # per-line paths preserve exact order
+    assert fast_q == slow_q
