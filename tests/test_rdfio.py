@@ -580,3 +580,49 @@ def test_ntriples_nquads_fast_path_matches_tokenizer_path():
         slow_q = P.parse_nquads(nq)
     assert fast_t == slow_t  # per-line paths preserve exact order
     assert fast_q == slow_q
+
+
+def test_shuffle_fallback_readers_match_offset_readers(spark, tmp_path):
+    """Non-listable paths (hdfs://, s3://) take the text-shuffle fallback
+    readers; local tests always take the offsets path, so exercise the
+    fallbacks DIRECTLY against the same corpus to keep them from
+    rotting."""
+    from kolibrie_spark.rdfio import (
+        _read_rdfxml_shuffle_df,
+        _read_turtle_like_shuffle_df,
+        parse_turtle,
+        read_rdfxml_df,
+        read_turtle_df,
+    )
+
+    d = tmp_path / "ttl"
+    d.mkdir()
+    for f in range(2):
+        (d / f"f{f}.ttl").write_text(
+            f"@prefix ex: <http://d{f}/> .\n"
+            + "".join(f'ex:s{i} ex:p "v {i} é" .\n' for i in range(25))
+        )
+    main = sorted(tuple(r) for r in read_turtle_df(spark, str(d), statements_per_chunk=7).collect())
+    fb = sorted(
+        tuple(r)
+        for r in _read_turtle_like_shuffle_df(spark, str(d), 7, parse_turtle).collect()
+    )
+    assert main == fb and len(main) == 50
+
+    x = tmp_path / "xml"
+    x.mkdir()
+    items = "".join(
+        f'  <rdf:Description rdf:about="http://e/s{i}">'
+        f"<ex:name>n{i} é</ex:name></rdf:Description>\n"
+        for i in range(20)
+    )
+    (x / "a.rdf").write_text(
+        '<?xml version="1.0"?>\n<rdf:RDF '
+        'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://e/">\n' + items + "</rdf:RDF>"
+    )
+    main_x = sorted(tuple(r) for r in read_rdfxml_df(spark, str(x), elements_per_chunk=6).collect())
+    fb_x = sorted(
+        tuple(r) for r in _read_rdfxml_shuffle_df(spark, str(x), 6).collect()
+    )
+    assert main_x == fb_x and len(main_x) == 20
