@@ -455,6 +455,16 @@ def read_rdfxml_df(spark, path: str, elements_per_chunk: int = 500):
 
         import pandas as pd
 
+        def frame(S, P, O):
+            return pd.DataFrame(
+                {
+                    "s": pd.Series(S, dtype=object),
+                    "p": pd.Series(P, dtype=object),
+                    "o": pd.Series(O, dtype=object),
+                    "g": pd.Series([None] * len(S), dtype=object),
+                }
+            )
+
         for pdf in batches:
             S: list = []
             P: list = []
@@ -479,14 +489,13 @@ def read_rdfxml_df(spark, path: str, elements_per_chunk: int = 500):
                     S.append(s)
                     P.append(p)
                     O.append(o)
-            yield pd.DataFrame(
-                {
-                    "s": pd.Series(S, dtype=object),
-                    "p": pd.Series(P, dtype=object),
-                    "o": pd.Series(O, dtype=object),
-                    "g": pd.Series([None] * len(S), dtype=object),
-                }
-            )
+                # bounded output frames (see the Turtle reader: one input
+                # batch otherwise accumulates millions of strings)
+                if len(S) >= 100_000:
+                    yield frame(S, P, O)
+                    S, P, O = [], [], []
+            if S:
+                yield frame(S, P, O)
 
     return bounds.mapInPandas(parse_slices, QUADS_SCHEMA)
 
@@ -688,6 +697,17 @@ def _read_turtle_like_df(spark, path: str, statements_per_chunk: int, parser):
         import pandas as pd
 
         by_file = prefixes_by_file.value
+
+        def frame(S, P, O):
+            return pd.DataFrame(
+                {
+                    "s": pd.Series(S, dtype=object),
+                    "p": pd.Series(P, dtype=object),
+                    "o": pd.Series(O, dtype=object),
+                    "g": pd.Series([None] * len(S), dtype=object),
+                }
+            )
+
         for pdf in batches:
             S: list = []
             P: list = []
@@ -714,17 +734,20 @@ def _read_turtle_like_df(spark, path: str, statements_per_chunk: int, parser):
                         S.append(s)
                         P.append(p)
                         O.append(o)
+                    # flush bounded output frames: an Arrow INPUT batch
+                    # can carry ~10k boundary rows x per_chunk statements
+                    # — accumulating all of it (tens of millions of
+                    # strings) in one pandas frame measured SUPER-linear
+                    # at 60M triples (exponent 1.38 vs 10x input; the r9
+                    # 60M probe) from allocator/GC pressure alone
+                    if len(S) >= 100_000:
+                        yield frame(S, P, O)
+                        S, P, O = [], [], []
             finally:
                 if fh is not None:
                     fh.close()
-            yield pd.DataFrame(
-                {
-                    "s": pd.Series(S, dtype=object),
-                    "p": pd.Series(P, dtype=object),
-                    "o": pd.Series(O, dtype=object),
-                    "g": pd.Series([None] * len(S), dtype=object),
-                }
-            )
+            if S:
+                yield frame(S, P, O)
 
     return bounds.mapInPandas(parse_slices, QUADS_SCHEMA)
 
