@@ -375,6 +375,18 @@ def main() -> None:
     except Exception:
         _setup_rdd_ids = set()
 
+    # absorb one-time session costs (whole-stage-codegen compiler warmup,
+    # broadcast/exchange machinery init, Python worker pool spin-up) with
+    # ONE untimed run of the first gate — the r9 rotation moved fresh
+    # gates to the suite head and they read 1.5-2x high in-suite purely
+    # from being first (all cleared by the fresh-JVM confirm stage)
+    try:
+        qs[bench_queries[0]](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as exc:
+        print(f"# warmup run failed ({exc}); timings proceed cold", file=sys.stderr)
+
     # two timed runs per query, keep the min — criterion-style steady-state
     # timing that shakes out GC pauses and first-touch JIT noise. Each run
     # materializes EVERY output column through the noop sink: a count()
