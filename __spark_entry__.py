@@ -1712,6 +1712,13 @@ def _pin_replay_firings(
     w = (F.col(time_col) - F.col(time_col) % F.lit(width)).cast("long")
     in_wins = {r[0] for r in events.select(w.alias("w")).distinct().collect()}
     out_wins = {r[0] for r in out.select("window_open").distinct().collect()}
+    if not in_wins:
+        # empty events source: a bare min() would raise ValueError and
+        # mask the pin's intent (ADVICE r9) — say what actually happened
+        raise AssertionError(
+            f"{kind} replay pin: events source produced no windows "
+            "(empty input?) — cannot check the firing trace"
+        )
     first = min(in_wins)
     if not out_wins <= in_wins:
         raise AssertionError(

@@ -174,10 +174,14 @@ _TTL_STMT = (
 # @prefix / full-line-comment removal as one multiline C-speed sub —
 # the per-line Python filter cost ~0.4 s per 30 MB file on its own.
 # Mirrors parsers._PREFIX_RE applied to line.strip() (optional label,
-# IRI without whitespace, optional trailing '.').
+# IRI without whitespace, optional trailing '.').  The \r? before the
+# anchor keeps CRLF files on the same chunk boundaries as the slow
+# oracle (ADVICE r9: '\r' is not in [ \t\f\v] and $ only matches before
+# '\n', so CRLF directive lines survived the sub and their '.' skewed
+# statements_per_chunk counts).
 _TTL_DIRECTIVE_LINE_RE = re.compile(
     r"(?m)^[ \t\f\v]*(?:(?:@prefix|@?PREFIX)[ \t\f\v]+(?:[A-Za-z_][\w\-]*)?:"
-    r"[ \t\f\v]*<[^<>\s]*>[ \t\f\v]*\.?[ \t\f\v]*|#[^\n]*)$\n?",
+    r"[ \t\f\v]*<[^<>\s]*>[ \t\f\v]*\.?[ \t\f\v]*|#[^\n]*)\r?$\n?",
     re.IGNORECASE,
 )
 
@@ -421,8 +425,12 @@ def read_rdfxml_df(spark, path: str, elements_per_chunk: int = 500):
     in RDF, so `rdf:nodeID` labels are salted per source file (two files
     both saying ``rdf:nodeID="b1"`` stay two nodes, while chunks of ONE
     file still unify), and anonymous ``_:genid`` counters — which restart
-    per chunk — are salted per (file, chunk)."""
-    paths = _local_paths(path)
+    per chunk — are salted per (file, chunk).
+
+    Non-local masters take the shuffle fallback unless ``SHARED_FS`` is
+    set (the offsets plan needs executors to open() the driver's paths —
+    see the flag's comment)."""
+    paths = _local_paths(path) if _offsets_usable(spark) else None
     if paths is None:
         return _read_rdfxml_shuffle_df(spark, path, elements_per_chunk)
 
@@ -543,6 +551,22 @@ def read_n3_df(spark, path: str, statements_per_chunk: int = 2000):
     return _read_turtle_like_df(spark, path, statements_per_chunk, parse_n3)
 
 
+# The offset readers plan byte splits on the DRIVER and have executor
+# tasks open() the same absolute paths — correct under a local master
+# (driver == executors) or when every node mounts the corpus at the same
+# paths (NFS/Lustre/FUSE).  On a multi-node cluster WITHOUT a shared
+# mount the parse tasks would fail loudly at open() (ADVICE r9), so by
+# default the offsets plan engages only for local masters; a deployment
+# with a shared filesystem sets this flag to keep the no-shuffle plan.
+SHARED_FS = False
+
+
+def _offsets_usable(spark) -> bool:
+    if SHARED_FS:
+        return True
+    return (spark.sparkContext.master or "").startswith("local")
+
+
 def _local_paths(path: str) -> list[str] | None:
     """Driver-listable local files for ``path`` (a file, a directory, or
     a glob) as sorted absolute paths — or None when the path is not
@@ -659,9 +683,11 @@ def _read_turtle_like_df(spark, path: str, statements_per_chunk: int, parser):
     row-at-a-time.  This is the split-planning shape a 100 TB ingest
     wants (scan = split computation, parse = ranged reads, exactly how a
     FileScan distributes work); the r8 path shipped every chunk's text
-    through a full shuffle.  Non-listable paths (hdfs://, s3://) keep the
+    through a full shuffle.  Non-listable paths (hdfs://, s3://) — and
+    non-local masters without ``SHARED_FS`` (ADVICE r9: executor tasks
+    must be able to open() the driver-listed paths) — keep the
     text-shuffle fallback (:func:`_read_turtle_like_shuffle_df`)."""
-    paths = _local_paths(path)
+    paths = _local_paths(path) if _offsets_usable(spark) else None
     if paths is None:
         return _read_turtle_like_shuffle_df(
             spark, path, statements_per_chunk, parser

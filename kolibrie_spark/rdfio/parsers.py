@@ -162,6 +162,7 @@ def parse_ntriples(text: str):
     exactly; quoted-triple lines (``<< … >>``) and anything unusual
     decline to the tokenizer+reader per line."""
     triples, quoted = [], []
+    n_fast = n_slow = 0
     for raw in re.split(r"[\r\n]+", text):
         line = raw.strip()
         if not line or line.startswith("#"):
@@ -176,7 +177,9 @@ def parse_ntriples(text: str):
                     _fast_term(o, _EMPTY_PREFIXES),
                 )
             )
+            n_fast += 1
             continue
+        n_slow += 1
         r = _TermReader(_tokenize(line))
         s = r.read_term()
         p = r.read_term()
@@ -185,6 +188,8 @@ def parse_ntriples(text: str):
             raise RdfParseError(f"missing terminating '.' in {line!r}")
         triples.append((s, p, o))
         quoted.extend(r.quoted)
+    FAST_PATH_STATS["fast"] += n_fast
+    FAST_PATH_STATS["slow"] += n_slow
     return triples, quoted
 
 
@@ -192,12 +197,14 @@ def parse_nquads(text: str):
     """→ ([(s,p,o,g|None)], [(qid,qs,qp,qo)]); simple triple/quad lines
     take the fast path, everything else the tokenizer+reader."""
     quads, quoted = [], []
+    n_fast = n_slow = 0
     for raw in re.split(r"[\r\n]+", text):
         line = raw.strip()
         if not line or line.startswith("#"):
             continue
         fm = _SIMPLE_LINE_RE.fullmatch(line)
         if fm:
+            n_fast += 1
             s, p, o = fm.group(1, 2, 3)
             quads.append(
                 (
@@ -210,6 +217,7 @@ def parse_nquads(text: str):
             continue
         fm = _SIMPLE_QUAD_RE.fullmatch(line)
         if fm:
+            n_fast += 1
             s, p, o, g = fm.group(1, 2, 3, 4)
             quads.append(
                 (
@@ -220,6 +228,7 @@ def parse_nquads(text: str):
                 )
             )
             continue
+        n_slow += 1
         r = _TermReader(_tokenize(line))
         s = r.read_term()
         p = r.read_term()
@@ -231,6 +240,8 @@ def parse_nquads(text: str):
             raise RdfParseError(f"missing terminating '.' in {line!r}")
         quads.append((s, p, o, g))
         quoted.extend(r.quoted)
+    FAST_PATH_STATS["fast"] += n_fast
+    FAST_PATH_STATS["slow"] += n_slow
     return quads, quoted
 
 
@@ -278,6 +289,52 @@ _FAST_STR_RE = re.compile(
     r'"((?:[^"\\]|\\.)*)"(@[A-Za-z][A-Za-z0-9\-]*)?(?:\^\^\S+)?'
 )
 
+# Line-state scan for the fast path's raw-newline-short-string guard
+# (ADVICE r9): tokenize one line from NORMAL state at C speed — ordinary
+# runs, COMPLETE short strings (escape-aware), stray escape pairs, a
+# comment (ends the line), or a LONE opener quote/backslash.  The
+# complete-string branches are tried before the lone-opener branch, so a
+# lone match means precisely "no unescaped close quote follows on this
+# line" — the line ends inside an unterminated short string.
+_LINE_STATE_RE = re.compile(
+    r"[^\"'\\#]+"
+    r'|"(?:[^"\\]|\\.)*"'
+    r"|'(?:[^'\\]|\\.)*'"
+    r"|\\."
+    r"|#.*"
+    r"|[\"'\\]"
+)
+# Closer for a line ENTERED mid-string: everything up to the first
+# unescaped quote of the opening style.
+_CLOSE_RE = {
+    '"': re.compile(r'(?:[^"\\]|\\.)*"'),
+    "'": re.compile(r"(?:[^'\\]|\\.)*'"),
+}
+
+# Fast-path hit counters (VERDICT r9 task #6): cumulative statement-level
+# tallies so the differential tests (and BASELINE.md) can pin the actual
+# hit rate on bulk-dump-shaped corpora — a parser change that silently
+# degrades the rate shows up as a failed lower-bound assert, not a
+# quiet 2x ingest regression.  Per-process (executor-local) and test-only;
+# nothing in the parse hot path reads them per line.
+FAST_PATH_STATS = {"fast": 0, "slow": 0}
+
+
+def _line_open_quote(line: str) -> str | None:
+    """Quote char of the unterminated short string ``line`` ends inside
+    (scanned from NORMAL state), or None when the line ends outside all
+    strings.  Long strings are the caller's concern (``fast_ok`` declines
+    the whole text when ``\"\"\"``/``'''`` appear anywhere)."""
+    pos, n = 0, len(line)
+    while pos < n:
+        tok = _LINE_STATE_RE.match(line, pos).group(0)
+        if tok == '"' or tok == "'":
+            return tok
+        if tok[0] == "#":
+            return None
+        pos += len(tok)
+    return None
+
 
 def _fast_term(tok: str, prefixes: dict[str, str]) -> str:
     """read_term()'s conversion for the fast-path token shapes — kept
@@ -324,6 +381,7 @@ def parse_turtle(text: str, prefixes: dict[str, str] | None = None):
     fast_ok = '"""' not in text and "'''" not in text
     fast_rows: list[tuple[str, str, str]] = []
     body_lines = []
+    open_q: str | None = None  # unterminated raw-newline short string state
     for raw in re.split(r"[\r\n]+", text):
         line = raw.strip()
         if not line or line.startswith("#"):
@@ -332,12 +390,25 @@ def parse_turtle(text: str, prefixes: dict[str, str] | None = None):
         if m:
             prefixes[m.group(1) or ""] = m.group(2)
             continue
+        if open_q is not None:
+            # inside a short string opened on an earlier line (raw
+            # newline in the literal): this line is string CONTENT — the
+            # fast path must never extract a phantom triple from it
+            # (ADVICE r9).  Route it to the tokenizer exactly as the
+            # fast-disabled parse would, and update the string state.
+            body_lines.append(line)
+            cm = _CLOSE_RE[open_q].match(line)
+            open_q = _line_open_quote(line[cm.end() :]) if cm else open_q
+            continue
         if fast_ok:
             fm = _SIMPLE_LINE_RE.fullmatch(line)
             if fm:
                 fast_rows.append(fm.group(1, 2, 3))
                 continue
+            open_q = _line_open_quote(line)
         body_lines.append(line)
+    FAST_PATH_STATS["fast"] += len(fast_rows)
+    FAST_PATH_STATS["slow"] += len(body_lines)
     triples: list[tuple[str, str, str]] = [
         (
             _fast_term(s, prefixes),

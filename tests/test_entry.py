@@ -67,3 +67,14 @@ def test_replay_firing_pin_catches_cadence_drift(spark):
     with_first = ev.select(F.lit(0).cast("long").alias("window_open"), "u", "t")
     with pytest.raises(AssertionError, match="no predecessor"):
         entry_mod._pin_replay_firings(with_first, ev, "event_time", 3600, "dstream")
+
+
+def test_replay_firing_pin_empty_events_diagnostic(spark):
+    """ADVICE r9: an empty events source must raise the pin's own
+    diagnostic, not min()'s ValueError on an empty sequence."""
+    import pytest
+
+    empty = spark.createDataFrame([], "u string, t string, event_time long")
+    out = spark.createDataFrame([], "window_open long, u string, t string")
+    with pytest.raises(AssertionError, match="no windows"):
+        entry_mod._pin_replay_firings(out, empty, "event_time", 3600, "istream")

@@ -626,3 +626,139 @@ def test_shuffle_fallback_readers_match_offset_readers(spark, tmp_path):
         tuple(r) for r in _read_rdfxml_shuffle_df(spark, str(x), 6).collect()
     )
     assert main_x == fb_x and len(main_x) == 20
+
+
+def test_turtle_fast_path_raw_newline_short_string():
+    """ADVICE r9 (medium): a short string containing RAW newlines must not
+    be split by the fast path — the interior line must not be extracted
+    as a phantom triple, and the literal must survive intact, exactly as
+    the tokenizer-only path parses it."""
+    import re as _re
+
+    import kolibrie_spark.rdfio.parsers as P
+
+    cases = [
+        # the ADVICE example: interior line LOOKS like a simple statement
+        'ex:a ex:b "line1\nex:a ex:b ex:c .\nline3" .',
+        # close-and-reopen on the same line
+        'ex:a ex:b "one\ntwo" , "three\nfour" .',
+        # escaped quote keeps the string open across the newline
+        'ex:a ex:b "esc \\" still open\nex:x ex:y ex:z .\nclose" .',
+        # '#' inside the open string is content, not a comment
+        'ex:a ex:b "has # hash\nex:h ex:i ex:j .\nend" .',
+        # string closes, then a REAL simple statement follows
+        'ex:a ex:b "open\nmid" .\nex:d ex:e ex:f .',
+    ]
+    null_re = _re.compile(r"(?!x)x")  # never matches -> tokenizer path
+    for text in cases:
+        fast_t, fast_q, fast_px = P.parse_turtle(text)
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(P, "_SIMPLE_LINE_RE", null_re)
+            slow_t, slow_q, slow_px = P.parse_turtle(text)
+        assert sorted(fast_t) == sorted(slow_t), text
+        assert sorted(fast_q) == sorted(slow_q), text
+        assert fast_px == slow_px, text
+    # the ADVICE scenario explicitly: no phantom triple, full literal
+    t, _, _ = P.parse_turtle(cases[0])
+    assert t == [("ex:a", "ex:b", "line1\nex:a ex:b ex:c .\nline3")]
+    # single-quoted strings: _TOK has no single-quote STR branch, so BOTH
+    # paths must reject identically (the fast path must not accept what
+    # the tokenizer rejects)
+    sq = "ex:a ex:b 'sing\nex:p ex:q ex:r .\nle' ."
+    with pytest.raises(P.RdfParseError):
+        P.parse_turtle(sq)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(P, "_SIMPLE_LINE_RE", null_re)
+        with pytest.raises(P.RdfParseError):
+            P.parse_turtle(sq)
+
+
+def test_turtle_chunker_crlf_matches_slow_oracle():
+    """ADVICE r9: CRLF-terminated @prefix/comment lines must be removed by
+    the fast chunker's directive sub so chunk boundaries match the slow
+    per-line oracle on CRLF files."""
+    from kolibrie_spark.rdfio import (
+        _turtle_statement_chunks,
+        _turtle_statement_chunks_slow,
+    )
+
+    text = (
+        "@prefix ex: <http://e.org/> .\r\n"
+        "ex:a ex:b ex:c .\r\n"
+        "# full line comment .\r\n"
+        "ex:d ex:e ex:f .\r\n"
+        "@prefix oth: <http://o.org/> .\r\n"
+        "oth:g oth:h oth:i .\r\n"
+    )
+    norm = lambda cs: [" ".join(c.split()) for c in cs]  # noqa: E731
+    for per_chunk in (1, 2, 1000):
+        fast = norm(_turtle_statement_chunks(text, per_chunk))
+        slow = norm(_turtle_statement_chunks_slow(text, per_chunk))
+        assert fast == slow, (per_chunk, fast, slow)
+
+
+def test_offsets_gate_requires_local_master_or_shared_fs(spark, tmp_path, monkeypatch):
+    """ADVICE r9: the offset readers have executor tasks open() driver-
+    listed paths, so they engage only under a local master unless the
+    deployment declares a shared filesystem (SHARED_FS)."""
+    import kolibrie_spark.rdfio as R
+
+    class _Ctx:
+        def __init__(self, master):
+            self.master = master
+
+    class _FakeSpark:
+        def __init__(self, master):
+            self.sparkContext = _Ctx(master)
+
+    assert R._offsets_usable(_FakeSpark("local[32]"))
+    assert R._offsets_usable(_FakeSpark("local"))
+    assert not R._offsets_usable(_FakeSpark("spark://host:7077"))
+    assert not R._offsets_usable(_FakeSpark("yarn"))
+    monkeypatch.setattr(R, "SHARED_FS", True)
+    assert R._offsets_usable(_FakeSpark("spark://host:7077"))
+    monkeypatch.setattr(R, "SHARED_FS", False)
+
+    # wiring: with the gate forced off, the readers still produce the
+    # same triples through the shuffle fallback
+    d = tmp_path / "gate"
+    d.mkdir()
+    (d / "a.ttl").write_text(
+        "@prefix ex: <http://e/> .\n"
+        + "".join(f'ex:s{i} ex:p "v{i}" .\n' for i in range(10))
+    )
+    want = sorted(tuple(r) for r in R.read_turtle_df(spark, str(d)).collect())
+    monkeypatch.setattr(R, "_offsets_usable", lambda s: False)
+    got = sorted(tuple(r) for r in R.read_turtle_df(spark, str(d)).collect())
+    assert got == want and len(got) == 10
+
+
+def test_fast_path_hit_rate_on_bulk_dump_shape():
+    """VERDICT r9 task #6: pin the fast-path hit rate on a bulk-dump-
+    shaped corpus so a parser change that silently degrades it fails a
+    test instead of quietly doubling ingest cost.  The synthetic corpus
+    mirrors the scale-probe generator's statement shapes (IRI/pname
+    terms, plain/lang/typed literals, decimals)."""
+    import kolibrie_spark.rdfio.parsers as P
+
+    ttl = "@prefix ex: <http://example.org/> .\n" + "".join(
+        f'ex:s{i} ex:p{i % 7} "value {i} with words"@en .\n'
+        f"ex:s{i} ex:num {i}.5 .\n"
+        f"ex:s{i} ex:ref <http://example.org/o/{i}> .\n"
+        for i in range(500)
+    )
+    before = dict(P.FAST_PATH_STATS)
+    triples, _, _ = P.parse_turtle(ttl)
+    d_fast = P.FAST_PATH_STATS["fast"] - before["fast"]
+    d_slow = P.FAST_PATH_STATS["slow"] - before["slow"]
+    assert len(triples) == 1500
+    assert d_fast + d_slow == 1500
+    assert d_fast / (d_fast + d_slow) >= 0.99, (d_fast, d_slow)
+
+    nt = "".join(
+        f'<http://e/s{i}> <http://e/p> "v {i}" .\n' for i in range(200)
+    )
+    before = dict(P.FAST_PATH_STATS)
+    P.parse_ntriples(nt)
+    assert P.FAST_PATH_STATS["fast"] - before["fast"] == 200
+    assert P.FAST_PATH_STATS["slow"] - before["slow"] == 0
