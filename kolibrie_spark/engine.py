@@ -90,9 +90,19 @@ class SparqlEngine:
         """rows of (s,p,o) or (s,p,o,g)."""
         self.store.add_quads(rows)
 
-    def load_file(self, path: str, fmt: str | None = None) -> None:
+    def load_file(
+        self, path: str, fmt: str | None = None, distributed: bool = False
+    ) -> None:
+        """``distributed=True`` routes through the chunk-parallel bulk
+        readers (``QuadStore.load_distributed``) — the path for corpora
+        that must never be read on the driver; the default driver-side
+        parse matches the reference's synchronous ``load`` semantics for
+        small interactive files."""
         from kolibrie_spark import rdfio
 
+        if distributed:
+            self.store.load_distributed(path, fmt=fmt)
+            return
         rdfio.load_into(self.store, path, fmt=fmt)
 
     def parse_data(self, text: str, fmt: str = "turtle") -> None:

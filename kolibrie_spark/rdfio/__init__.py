@@ -144,6 +144,62 @@ def read_nquads_df(spark, path: str):
     return _read_lines_arrow_df(spark, path, parse_line)
 
 
+def _read_lines_tagged_df(spark, path: str, parse_line):
+    """TAGGED twin of :func:`_read_lines_arrow_df`: ``parse_line(value)
+    -> (quads, quoted)`` and the output stream carries kind='q' quad
+    rows plus kind='t' quoted-triple mapping rows (VERDICT r9 #1 — the
+    plain readers drop the mappings; a bulk load must not)."""
+    from kolibrie_spark.schema import TAGGED_RDF_SCHEMA
+
+    lines = spark.read.text(path)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            S: list = []
+            P: list = []
+            O: list = []
+            G: list = []
+            QT: list = []
+            for value in pdf["value"]:
+                quads, quoted = parse_line(value)
+                for s, p, o, g in quads:
+                    S.append(s)
+                    P.append(p)
+                    O.append(o)
+                    G.append(g)
+                QT.extend(quoted)
+            yield pd.DataFrame(
+                {
+                    "kind": pd.Series(
+                        ["q"] * len(S) + ["t"] * len(QT), dtype=object
+                    ),
+                    "t1": pd.Series(S + [q[0] for q in QT], dtype=object),
+                    "t2": pd.Series(P + [q[1] for q in QT], dtype=object),
+                    "t3": pd.Series(O + [q[2] for q in QT], dtype=object),
+                    "t4": pd.Series(G + [q[3] for q in QT], dtype=object),
+                }
+            )
+
+    return lines.mapInPandas(run, TAGGED_RDF_SCHEMA)
+
+
+def read_ntriples_tagged_df(spark, path: str):
+    def parse_line(value):
+        triples, quoted = parse_ntriples(value)
+        return [(s, p, o, None) for s, p, o in triples], quoted
+
+    return _read_lines_tagged_df(spark, path, parse_line)
+
+
+def read_nquads_tagged_df(spark, path: str):
+    def parse_line(value):
+        return parse_nquads(value)
+
+    return _read_lines_tagged_df(spark, path, parse_line)
+
+
 # One Turtle STATEMENT for the chunk splitter, as a fully possessive
 # (backtrack-free, Python 3.11+) regex: runs of ordinary characters, or a
 # token whose body may contain '.' ( <IRI>, long/short strings of either
@@ -661,7 +717,9 @@ def _collect_prefixes(spark, path: str, head_bytes: int = 1 << 16) -> dict:
     return by_file
 
 
-def _read_turtle_like_df(spark, path: str, statements_per_chunk: int, parser):
+def _read_turtle_like_df(
+    spark, path: str, statements_per_chunk: int, parser, tagged: bool = False
+):
     """Shared chunk-parallel reader for Turtle/N3 (reference
     sparql_database.rs:965-1141): one head-only pass collects each file's
     (tiny) @prefix header and broadcasts the PER-FILE maps
@@ -686,14 +744,20 @@ def _read_turtle_like_df(spark, path: str, statements_per_chunk: int, parser):
     through a full shuffle.  Non-listable paths (hdfs://, s3://) — and
     non-local masters without ``SHARED_FS`` (ADVICE r9: executor tasks
     must be able to open() the driver-listed paths) — keep the
-    text-shuffle fallback (:func:`_read_turtle_like_shuffle_df`)."""
+    text-shuffle fallback (:func:`_read_turtle_like_shuffle_df`).
+
+    ``tagged=True`` emits the TAGGED stream (kind='q' quads, kind='t'
+    quoted-triple qid<->(s,p,o) mappings) so a Turtle-star bulk load
+    keeps its annotations resolvable (VERDICT r9 #1) — the mapping rows
+    are emitted DISTRIBUTIVELY from the parse tasks (ids are content
+    hashes, rdfstar.qt_id, so no coordination), deduped downstream."""
     paths = _local_paths(path) if _offsets_usable(spark) else None
     if paths is None:
         return _read_turtle_like_shuffle_df(
-            spark, path, statements_per_chunk, parser
+            spark, path, statements_per_chunk, parser, tagged=tagged
         )
 
-    from kolibrie_spark.schema import QUADS_SCHEMA
+    from kolibrie_spark.schema import QUADS_SCHEMA, TAGGED_RDF_SCHEMA
 
     sc = spark.sparkContext
     prefixes_by_file = sc.broadcast(_collect_prefixes(spark, path))
@@ -724,13 +788,27 @@ def _read_turtle_like_df(spark, path: str, statements_per_chunk: int, parser):
 
         by_file = prefixes_by_file.value
 
-        def frame(S, P, O):
+        def frame(S, P, O, QT):
+            if not tagged:
+                return pd.DataFrame(
+                    {
+                        "s": pd.Series(S, dtype=object),
+                        "p": pd.Series(P, dtype=object),
+                        "o": pd.Series(O, dtype=object),
+                        "g": pd.Series([None] * len(S), dtype=object),
+                    }
+                )
             return pd.DataFrame(
                 {
-                    "s": pd.Series(S, dtype=object),
-                    "p": pd.Series(P, dtype=object),
-                    "o": pd.Series(O, dtype=object),
-                    "g": pd.Series([None] * len(S), dtype=object),
+                    "kind": pd.Series(
+                        ["q"] * len(S) + ["t"] * len(QT), dtype=object
+                    ),
+                    "t1": pd.Series(S + [q[0] for q in QT], dtype=object),
+                    "t2": pd.Series(P + [q[1] for q in QT], dtype=object),
+                    "t3": pd.Series(O + [q[2] for q in QT], dtype=object),
+                    "t4": pd.Series(
+                        [None] * len(S) + [q[3] for q in QT], dtype=object
+                    ),
                 }
             )
 
@@ -738,6 +816,7 @@ def _read_turtle_like_df(spark, path: str, statements_per_chunk: int, parser):
             S: list = []
             P: list = []
             O: list = []
+            QT: list = []
             fh, cur = None, None
             try:
                 for fp, a, b in sorted(
@@ -760,31 +839,38 @@ def _read_turtle_like_df(spark, path: str, statements_per_chunk: int, parser):
                         S.append(s)
                         P.append(p)
                         O.append(o)
+                    if tagged:
+                        QT.extend(_quoted)
                     # flush bounded output frames: an Arrow INPUT batch
                     # can carry ~10k boundary rows x per_chunk statements
                     # — accumulating all of it (tens of millions of
                     # strings) in one pandas frame measured SUPER-linear
                     # at 60M triples (exponent 1.38 vs 10x input; the r9
                     # 60M probe) from allocator/GC pressure alone
-                    if len(S) >= 100_000:
-                        yield frame(S, P, O)
-                        S, P, O = [], [], []
+                    if len(S) + len(QT) >= 100_000:
+                        yield frame(S, P, O, QT)
+                        S, P, O, QT = [], [], [], []
             finally:
                 if fh is not None:
                     fh.close()
-            if S:
-                yield frame(S, P, O)
+            if S or QT:
+                yield frame(S, P, O, QT)
 
-    return bounds.mapInPandas(parse_slices, QUADS_SCHEMA)
+    return bounds.mapInPandas(
+        parse_slices, TAGGED_RDF_SCHEMA if tagged else QUADS_SCHEMA
+    )
 
 
-def _read_turtle_like_shuffle_df(spark, path: str, statements_per_chunk: int, parser):
+def _read_turtle_like_shuffle_df(
+    spark, path: str, statements_per_chunk: int, parser, tagged: bool = False
+):
     """Text-shuffle fallback for non-listable paths: wholetext read,
     str-regex chunk scan (:func:`_turtle_statement_chunks`), chunk text
-    repartitioned to the parse tasks."""
+    repartitioned to the parse tasks.  ``tagged=True`` keeps the
+    quoted-triple mappings (kind='t' rows), like the offsets reader."""
     from pyspark.sql import functions as F
 
-    from kolibrie_spark.schema import QUADS_SCHEMA
+    from kolibrie_spark.schema import QUADS_SCHEMA, TAGGED_RDF_SCHEMA
 
     files = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("src"), "value"
@@ -807,10 +893,18 @@ def _read_turtle_like_shuffle_df(spark, path: str, statements_per_chunk: int, pa
         by_file = prefixes_by_file.value
         for src, ch in part:
             triples, _quoted, _ = parser(ch, prefixes=by_file.get(src, {}))
-            for s, p, o in triples:
-                yield (s, p, o, None)
+            if tagged:
+                for s, p, o in triples:
+                    yield ("q", s, p, o, None)
+                for qid, qs, qp, qo in _quoted:
+                    yield ("t", qid, qs, qp, qo)
+            else:
+                for s, p, o in triples:
+                    yield (s, p, o, None)
 
-    return chunked.mapPartitions(parse_part).toDF(QUADS_SCHEMA)
+    return chunked.mapPartitions(parse_part).toDF(
+        TAGGED_RDF_SCHEMA if tagged else QUADS_SCHEMA
+    )
 
 
 def read_turtle_df(spark, path: str, statements_per_chunk: int = 2000):
@@ -818,3 +912,87 @@ def read_turtle_df(spark, path: str, statements_per_chunk: int = 2000):
     :func:`_read_turtle_like_df` for the chunk-parallel scheme and the
     per-source-file prefix scoping."""
     return _read_turtle_like_df(spark, path, statements_per_chunk, parse_turtle)
+
+
+def read_turtle_tagged_df(spark, path: str, statements_per_chunk: int = 2000):
+    """Turtle(-star) as a TAGGED stream: quads plus the quoted-triple
+    qid<->(s,p,o) mapping rows an annotated corpus carries."""
+    return _read_turtle_like_df(
+        spark, path, statements_per_chunk, parse_turtle, tagged=True
+    )
+
+
+def read_n3_tagged_df(spark, path: str, statements_per_chunk: int = 2000):
+    return _read_turtle_like_df(
+        spark, path, statements_per_chunk, parse_n3, tagged=True
+    )
+
+
+def read_rdfxml_tagged_df(spark, path: str, elements_per_chunk: int = 500):
+    """RDF/XML has no quoted-triple syntax — the tagged stream is the
+    quad stream relabeled (kind='q' everywhere)."""
+    from pyspark.sql import functions as F
+
+    df = read_rdfxml_df(spark, path, elements_per_chunk)
+    return df.select(
+        F.lit("q").alias("kind"),
+        F.col("s").alias("t1"),
+        F.col("p").alias("t2"),
+        F.col("o").alias("t3"),
+        F.col("g").alias("t4"),
+    )
+
+
+def infer_format(path: str) -> str:
+    """Format from a file/dir/glob path's extension: a direct extension
+    match wins; a directory or glob is inferred from its first listed
+    file.  Raises KeyError like :func:`_parse` on unknown extensions."""
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext in FORMAT_ALIASES:
+        return FORMAT_ALIASES[ext]
+    hits = _local_paths(path)
+    if hits:
+        return FORMAT_ALIASES[hits[0].rsplit(".", 1)[-1].lower()]
+    raise KeyError(ext)
+
+
+def read_rdf_tagged_df(spark, path: str, fmt: str):
+    """Dispatch a TAGGED distributed read by format name/alias."""
+    fmt = FORMAT_ALIASES[fmt.lower()]
+    if fmt == "ntriples":
+        return read_ntriples_tagged_df(spark, path)
+    if fmt == "nquads":
+        return read_nquads_tagged_df(spark, path)
+    if fmt == "turtle":
+        return read_turtle_tagged_df(spark, path)
+    if fmt == "n3":
+        return read_n3_tagged_df(spark, path)
+    if fmt == "rdfxml":
+        return read_rdfxml_tagged_df(spark, path)
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def split_tagged(tagged):
+    """(quads_df, quoted_df) from a TAGGED stream.  The quoted split is
+    deduped on qid — ids are content hashes, so equal qids are equal
+    rows and the dedup is a plain hash shuffle on the (small) mapping
+    set, never on the quad stream."""
+    from pyspark.sql import functions as F
+
+    quads = tagged.filter(F.col("kind") == "q").select(
+        F.col("t1").alias("s"),
+        F.col("t2").alias("p"),
+        F.col("t3").alias("o"),
+        F.col("t4").alias("g"),
+    )
+    quoted = (
+        tagged.filter(F.col("kind") == "t")
+        .select(
+            F.col("t1").alias("qid"),
+            F.col("t2").alias("qs"),
+            F.col("t3").alias("qp"),
+            F.col("t4").alias("qo"),
+        )
+        .dropDuplicates(["qid"])
+    )
+    return quads, quoted

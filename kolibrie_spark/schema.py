@@ -56,5 +56,23 @@ EVENTS_SCHEMA = StructType(
     ]
 )
 
+# Tagged ingest stream: the distributed readers emit quads AND the
+# quoted-triple surrogate mappings a Turtle-star corpus carries through
+# ONE schema, so a bulk load parses once and splits by kind afterwards
+# (VERDICT r9 #1: the plain readers dropped the qid<->(s,p,o) rows,
+# leaving annotated corpora unqueryable by SUBJECT()/PREDICATE()/
+# OBJECT(); reference shared/src/quoted_triple_store.rs:14-33 keeps
+# every interned id resolvable).  kind='q': (t1..t4) = (s,p,o,g);
+# kind='t': (t1..t4) = (qid,qs,qp,qo).
+TAGGED_RDF_SCHEMA = StructType(
+    [
+        StructField("kind", StringType(), False),
+        StructField("t1", StringType(), False),
+        StructField("t2", StringType(), False),
+        StructField("t3", StringType(), False),
+        StructField("t4", StringType(), True),
+    ]
+)
+
 QT_PREFIX = "qt:"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"

@@ -762,3 +762,108 @@ def test_fast_path_hit_rate_on_bulk_dump_shape():
     P.parse_ntriples(nt)
     assert P.FAST_PATH_STATS["fast"] - before["fast"] == 200
     assert P.FAST_PATH_STATS["slow"] - before["slow"] == 0
+
+
+def test_load_distributed_keeps_rdf_star_mappings(spark, tmp_path):
+    """VERDICT r9 #1: a {| |}-annotated multi-file Turtle-star corpus
+    loaded through the DISTRIBUTED path must leave the quoted-triple
+    qid<->(s,p,o) mappings resolvable — the rdf_star_builtins-shaped
+    query (SUBJECT()/OBJECT() destructuring) must return the same rows
+    as the driver-side load_file path."""
+    from kolibrie_spark.engine import SparqlEngine
+
+    d = tmp_path / "star"
+    d.mkdir()
+    (d / "f0.ttl").write_text(
+        "@prefix ex: <http://e/> .\n"
+        'ex:s0 ex:bal "100" {| ex:conf "0.9" ; ex:src "a" |} .\n'
+        "ex:plain0 ex:p ex:o0 .\n"
+    )
+    (d / "f1.ttl").write_text(
+        "@prefix ex: <http://e/> .\n"
+        'ex:s1 ex:bal "200" {| ex:conf "0.7" |} .\n'
+        '<< ex:s2 ex:bal "300" >> ex:conf "0.5" .\n'
+        "ex:plain1 ex:p ex:o1 .\n"
+    )
+    q = (
+        "SELECT ?subj ?obj ?c WHERE { ?t <http://e/conf> ?c . "
+        "BIND(SUBJECT(?t) AS ?subj) BIND(OBJECT(?t) AS ?obj) } "
+        "ORDER BY ?c"
+    )
+
+    drv = SparqlEngine(spark)
+    for f in sorted(d.iterdir()):
+        drv.load_file(str(f))
+    want = [tuple(r) for r in drv.query(q).collect()]
+    assert len(want) == 3 and all(r[0] and r[1] for r in want), want
+
+    dist = SparqlEngine(spark)
+    dist.load_file(str(d), fmt="turtle", distributed=True)
+    got = [tuple(r) for r in dist.query(q).collect()]
+    assert got == want, (got, want)
+    # the quad sets agree too (annotation triples included)
+    assert sorted(map(tuple, dist.store.quads.collect())) == sorted(
+        map(tuple, drv.store.quads.collect())
+    )
+    # and the mapping table itself: one row per distinct quoted triple
+    assert dist.store.quoted.count() == 3
+
+
+def test_load_distributed_ntriples_star_and_nquads_graphs(spark, tmp_path):
+    """The tagged line readers keep << >> mappings (N-Triples-star) and
+    the store registers named graphs from a distributed N-Quads load."""
+    from kolibrie_spark.engine import SparqlEngine
+    from kolibrie_spark.rdfio import read_ntriples_tagged_df, split_tagged
+
+    nt = tmp_path / "t.nt"
+    nt.write_text(
+        '<http://e/a> <http://e/p> "v" .\n'
+        '<< <http://e/a> <http://e/p> "v" >> <http://e/conf> "0.9" .\n'
+        '<< <http://e/b> <http://e/q> "w" >> <http://e/conf> "0.8" .\n'
+    )
+    quads, quoted = split_tagged(read_ntriples_tagged_df(spark, str(nt)))
+    assert quads.count() == 3
+    qrows = {(r.qs, r.qp, r.qo) for r in quoted.collect()}
+    assert qrows == {("http://e/a", "http://e/p", "v"), ("http://e/b", "http://e/q", "w")}
+
+    e = SparqlEngine(spark)
+    e.load_file(str(nt), distributed=True)
+    assert e.store.quoted.count() == 2
+    got = [
+        tuple(r)
+        for r in e.query(
+            "SELECT ?s WHERE { ?t <http://e/conf> ?c . BIND(SUBJECT(?t) AS ?s) } ORDER BY ?s"
+        ).collect()
+    ]
+    assert got == [("http://e/a",), ("http://e/b",)]
+
+    nq = tmp_path / "g.nq"
+    nq.write_text(
+        '<http://e/a> <http://e/p> "1" <http://e/g1> .\n'
+        '<http://e/b> <http://e/p> "2" <http://e/g2> .\n'
+        '<http://e/c> <http://e/p> "3" .\n'
+    )
+    e2 = SparqlEngine(spark)
+    e2.load_file(str(nq), distributed=True)
+    graphs = {r.g for r in e2.store.named_graph_names().collect()}
+    assert graphs == {"http://e/g1", "http://e/g2"}
+    assert e2.store.triple_count() == 3
+
+
+def test_load_distributed_infer_format_and_count(spark, tmp_path):
+    """Format inference from the path extension (file and directory) and
+    the returned parsed-quad count."""
+    from kolibrie_spark.rdfio import infer_format
+    from kolibrie_spark.store import QuadStore
+
+    d = tmp_path / "corp"
+    d.mkdir()
+    (d / "a.ttl").write_text(
+        "@prefix ex: <http://e/> .\nex:a ex:p ex:b .\nex:a ex:p ex:b .\n"
+    )
+    assert infer_format(str(d / "a.ttl")) == "turtle"
+    assert infer_format(str(d)) == "turtle"
+    store = QuadStore(spark)
+    n = store.load_distributed(str(d))
+    assert n == 2  # pre-dedup parse count, like load_into
+    assert store.triple_count() == 1  # set semantics after dedup
