@@ -261,6 +261,140 @@ def _ttl_chunk_re_bytes(per_chunk: int):
     return re.compile(f"(?:{_TTL_STMT}){{1,{per_chunk}}}+".encode("ascii"))
 
 
+# STRICT statement for WINDOWED scans (VERDICT r9 #2: the scan task must
+# not read a 50-400 GB dump file whole).  Matching a truncated window
+# with the fallback-bearing _TTL_STMT can fabricate boundaries: a long
+# string straddling the window end makes the '"""' branch fail, the
+# short-string branch then eats '""' and the scan "finds" terminators
+# INSIDE the literal.  The strict variant removes every
+# degrade-don't-fail path — no lone-opener tail branch, and the short
+# string branches decline when the quote opens a long string
+# ('(?!"")') — so a statement truncated by the window edge FAILS to
+# match and is carried into the next window instead of mis-splitting.
+# On data whose tokens all close inside the window, strict and fallback
+# branch decisions are identical; inputs that only the fallback paths
+# can consume (genuinely unterminated tokens, 3+ quote runs with no
+# long-string closer) defer to the EOF window, where the ORIGINAL regex
+# runs on complete-to-EOF data and reproduces whole-file semantics
+# byte-for-byte.
+_TTL_STMT_STRICT = (
+    r"(?:"
+    r"[^<\"'#.]++"
+    r"|<[^>]*+>"
+    r"|\"\"\"[\s\S]*?\"\"\""
+    r"|'''[\s\S]*?'''"
+    r"|\"(?!\"\")(?:[^\"\\]|\\[\s\S])*+\""
+    r"|'(?!'')(?:[^'\\]|\\[\s\S])*+'"
+    r"|#[^\n]*+"
+    r"|\.(?!\s|\Z)"
+    r")*+"
+    r"\.(?=\s|\Z)"
+)
+
+
+@functools.lru_cache(maxsize=8)
+def _ttl_stmt_re_strict_bytes():
+    return re.compile(_TTL_STMT_STRICT.encode("ascii"))
+
+
+@functools.lru_cache(maxsize=8)
+def _ttl_group_re_strict_bytes(per_chunk: int):
+    """EXACTLY ``per_chunk`` strict statements per match — the windowed
+    scan's C-speed workhorse.  Exact (not 1..per) so the global
+    statement count stays aligned across window refills; the remainder
+    at a window tail is counted with single-statement matches."""
+    return re.compile(f"(?:{_TTL_STMT_STRICT}){{{per_chunk}}}".encode("ascii"))
+
+
+@functools.lru_cache(maxsize=8)
+def _ttl_stmt_re_bytes():
+    """Single NON-strict statement (fallback branches intact) — the EOF
+    window's finisher; statement-by-statement it makes exactly the
+    decisions the whole-file ``{1,per}`` scan makes."""
+    return re.compile(_TTL_STMT.encode("ascii"))
+
+
+# Scan window for the streaming boundary scanners.  Peak scan memory is
+# bounded by max(window, largest single statement + window) — a
+# statement is the atomic unit a parse task must hold whole anyway, so
+# a statement that overflows the scan would overflow the parse first.
+SCAN_WINDOW_BYTES = 64 * 1024 * 1024
+
+
+def _turtle_stream_bounds(path: str, per_chunk: int, window_bytes: int = 0):
+    """Yield (start, end) BYTE spans of up-to-``per_chunk``-statement
+    runs for one Turtle/N3 file, reading it in ``window_bytes`` windows
+    instead of whole (VERDICT r9 #2) — boundary-identical to matching
+    ``_ttl_chunk_re_bytes(per_chunk)`` over the full file (differential
+    tested, including statements/strings straddling window edges and
+    multi-byte UTF-8 at the edge).
+
+    Scheme: within a (carry + fresh read) buffer, match exact-``per``
+    STRICT groups, then single strict statements for the tail count; a
+    match that touches the buffer end is discarded (its terminator's
+    ``(?=\\s|\\Z)`` lookahead — and any lazy closer — could read beyond
+    the window), and the unmatched remainder is carried into the next
+    refill.  The final window (complete to EOF) switches to the
+    original fallback-bearing statement regex, so malformed tails
+    degrade exactly like the whole-file scan."""
+    window_bytes = window_bytes or SCAN_WINDOW_BYTES
+    group_re = _ttl_group_re_strict_bytes(per_chunk)
+    stmt_re = _ttl_stmt_re_strict_bytes()
+    eof_re = _ttl_stmt_re_bytes()
+    with open(path, "rb") as f:
+        buf = b""
+        base = 0  # absolute offset of buf[0]
+        chunk_start = 0  # absolute start of the current statement group
+        count = 0  # statements in the current group
+        while True:
+            data = f.read(window_bytes)
+            eof = len(data) < window_bytes
+            buf += data
+            pos = 0
+            if eof:
+                while True:
+                    m = eof_re.match(buf, pos)
+                    if m is None:
+                        break
+                    pos = m.end()
+                    count += 1
+                    if count == per_chunk:
+                        yield (chunk_start, base + pos)
+                        chunk_start, count = base + pos, 0
+                if count:
+                    yield (chunk_start, base + pos)
+                    chunk_start = base + pos
+                if buf[pos:].strip():
+                    yield (chunk_start, base + len(buf))
+                return
+            end = len(buf)
+            progressed = True
+            while progressed:
+                progressed = False
+                if count == 0:
+                    while True:
+                        m = group_re.match(buf, pos)
+                        if m is None or m.end() == end:
+                            break  # end-touching: terminator ambiguous
+                        pos = m.end()
+                        progressed = True
+                        yield (chunk_start, base + pos)
+                        chunk_start = base + pos
+                while True:
+                    m = stmt_re.match(buf, pos)
+                    if m is None or m.end() == end:
+                        break
+                    pos = m.end()
+                    count += 1
+                    progressed = True
+                    if count == per_chunk:
+                        yield (chunk_start, base + pos)
+                        chunk_start, count = base + pos, 0
+                        break  # back to group-at-a-time matching
+            buf = buf[pos:]
+            base += pos
+
+
 def _turtle_statement_chunks(text: str, per_chunk: int):
     """Split Turtle text into independently-parseable statement chunks —
     the reference's chunk-parallel trick (sparql_database.rs:965-1141).
@@ -415,6 +549,142 @@ def _close_tag_of(open_tag: str) -> str:
 # byte space so parse tasks can do ranged reads
 _XML_TOKEN_RE_B = re.compile(_XML_TOKEN_RE.pattern.encode("ascii"), re.S)
 
+# STRICT token for WINDOWED XML scans (VERDICT r9 #2, same shape as
+# _TTL_STMT_STRICT): the fallback-ordered branches of _XML_TOKEN_RE can
+# cross over on a truncated window — a comment whose '-->' lies beyond
+# the window edge would degrade to the DOCTYPE branch and "close" at a
+# '>' inside the comment.  Negative lookaheads pin each special form to
+# its own branch, so a truncated token matches NOTHING and is carried
+# into the next refill; the EOF window runs the original pattern on
+# complete data, reproducing whole-file fallback semantics exactly.
+_XML_TOKEN_RE_STRICT_B = re.compile(
+    rb"<!--.*?-->"
+    rb"|<!\[CDATA\[.*?\]\]>"
+    rb"|<\?.*?\?>"
+    rb"|<!(?!--|\[CDATA\[)[^>]*>"
+    rb"|<(?![!?])[^>\"']*(?:\"[^\"]*\"[^>\"']*|'[^']*'[^>\"']*)*>",
+    re.S,
+)
+
+
+def _rdfxml_stream_bounds(
+    path: str, elements_per_chunk: int = 500, window_bytes: int = 0
+):
+    """Yield ``(chunk_index, byte_start, byte_end, root_tag)`` rows for
+    one RDF/XML file — the same rows the whole-file
+    :func:`_rdfxml_spans_bytes` scan derives — reading the file in
+    ``window_bytes`` windows (VERDICT r9 #2).  Unsplittable documents
+    (no root found, self-closing root, at most ``elements_per_chunk``
+    top-level elements) yield the single whole-file row
+    ``(0, 0, size, None)``.  Peak memory: one window plus the largest
+    single token (comment/CDATA/tag) plus ``elements_per_chunk``
+    buffered span offsets.
+
+    Scheme: STRICT token matches within each window; a ``<`` in the gap
+    before a match (a token the strict pattern could not complete) or a
+    match touching the buffer end stops the window and carries from the
+    token start; the EOF window switches to the original fallback-
+    bearing pattern.  Depth/root/span state persists across refills as
+    absolute offsets; groups of ``elements_per_chunk`` spans flush as
+    soon as splitting is confirmed (more than one group exists)."""
+    import os
+
+    window_bytes = window_bytes or SCAN_WINDOW_BYTES
+    size = os.path.getsize(path)
+    per = elements_per_chunk
+    pending: list[tuple[int, int]] = []
+    split_mode = False
+    ci = 0
+    root_open: bytes | None = None
+    depth = 0
+    el_start = -1
+    stopped = False  # root closed / unsplittable verdict reached
+    single = False  # self-closing or absent root => whole-file row
+
+    with open(path, "rb") as f:
+        buf = b""
+        base = 0
+        while not stopped:
+            data = f.read(window_bytes)
+            eof = len(data) < window_bytes
+            buf += data
+            pos = 0
+            end = len(buf)
+            pat = _XML_TOKEN_RE_B if eof else _XML_TOKEN_RE_STRICT_B
+            while not stopped:
+                m = pat.search(buf, pos)
+                if m is None:
+                    if eof:
+                        stopped = True
+                    else:
+                        g = buf.find(b"<", pos)
+                        pos = end if g == -1 else g
+                    break
+                if not eof:
+                    g = buf.find(b"<", pos, m.start())
+                    if g != -1:  # truncated token the strict pattern skipped
+                        pos = g
+                        break
+                    if m.end() == end:  # token may extend past the window
+                        pos = m.start()
+                        break
+                tok = m.group(0)
+                pos = m.end()
+                if tok.startswith((b"<!--", b"<![", b"<?", b"<!")):
+                    continue
+                if tok.startswith(b"</"):
+                    depth -= 1
+                    if depth == 1 and el_start >= 0:
+                        pending.append((el_start, base + m.end()))
+                        el_start = -1
+                    elif depth == 0:
+                        stopped = True
+                else:
+                    selfclose = tok.endswith(b"/>")
+                    if depth == 0:
+                        if selfclose:  # <rdf:RDF/> — empty document
+                            single = True
+                            stopped = True
+                        else:
+                            root_open = tok
+                            depth = 1
+                    elif depth == 1:
+                        if selfclose:
+                            pending.append((base + m.start(), base + m.end()))
+                        else:
+                            el_start = base + m.start()
+                            depth = 2
+                    elif not selfclose:
+                        depth += 1
+                # flush confirmed-full groups so span memory stays O(per)
+                if not split_mode and len(pending) > per:
+                    split_mode = True
+                while split_mode and len(pending) >= per:
+                    group, pending = pending[:per], pending[per:]
+                    yield (
+                        ci,
+                        group[0][0],
+                        group[-1][1],
+                        root_open.decode("utf-8", "replace"),
+                    )
+                    ci += 1
+            buf = buf[pos:]
+            base += pos
+            if eof:
+                stopped = True
+    if single or root_open is None or (not split_mode and len(pending) <= per):
+        yield (0, 0, size, None)
+        return
+    while pending:
+        group, pending = pending[:per], pending[per:]
+        yield (
+            ci,
+            group[0][0],
+            group[-1][1],
+            root_open.decode("utf-8", "replace"),
+        )
+        ci += 1
+
 
 def _rdfxml_spans_bytes(
     raw: bytes, elements_per_chunk: int = 500
@@ -496,18 +766,12 @@ def read_rdfxml_df(spark, path: str, elements_per_chunk: int = 500):
     par = sc.defaultParallelism
 
     def scan(it):
+        # windowed streaming scan (VERDICT r9 #2): never reads a file
+        # whole — a single 400 GB dump file scans in SCAN_WINDOW_BYTES
+        # windows; unsplittable/small documents yield the whole-file row
         for fp in it:
-            with open(fp, "rb") as f:
-                raw = f.read()
-            root, spans = _rdfxml_spans_bytes(raw, elements_per_chunk)
-            if root is None:
-                # unsplittable or small document: one whole-file slice,
-                # parsed as-is (chunk index 0, like the old single chunk)
-                yield (fp, 0, 0, len(raw), None)
-                continue
-            for k, i in enumerate(range(0, len(spans), elements_per_chunk)):
-                group = spans[i : i + elements_per_chunk]
-                yield (fp, k, group[0][0], group[-1][1], root)
+            for ci, a, b, root in _rdfxml_stream_bounds(fp, elements_per_chunk):
+                yield (fp, ci, a, b, root)
 
     bounds = spark.createDataFrame(
         sc.parallelize(paths, max(1, min(len(paths), par))).mapPartitions(scan),
@@ -764,19 +1028,13 @@ def _read_turtle_like_df(
     par = sc.defaultParallelism
 
     def scan(it):
-        pat = _ttl_chunk_re_bytes(statements_per_chunk)
+        # windowed streaming scan (VERDICT r9 #2): boundary-identical to
+        # the whole-file regex pass but bounded at SCAN_WINDOW_BYTES +
+        # the largest single statement, so one 400 GB dump file cannot
+        # OOM the scan task
         for fp in it:
-            with open(fp, "rb") as f:
-                raw = f.read()
-            pos, n = 0, len(raw)
-            while pos < n:
-                m = pat.match(raw, pos)
-                if m is None:
-                    break  # unterminated tail — shipped whole below
-                yield (fp, pos, m.end())
-                pos = m.end()
-            if raw[pos:].strip():
-                yield (fp, pos, n)
+            for a, b in _turtle_stream_bounds(fp, statements_per_chunk):
+                yield (fp, a, b)
 
     bounds = spark.createDataFrame(
         sc.parallelize(paths, max(1, min(len(paths), par))).mapPartitions(scan),

@@ -867,3 +867,135 @@ def test_load_distributed_infer_format_and_count(spark, tmp_path):
     n = store.load_distributed(str(d))
     assert n == 2  # pre-dedup parse count, like load_into
     assert store.triple_count() == 1  # set semantics after dedup
+
+
+def test_turtle_stream_bounds_match_whole_file_scan(tmp_path):
+    """VERDICT r9 #2: the windowed streaming scan must place EXACTLY the
+    whole-file regex scan's boundaries — across statements, short and
+    long strings, comments and multi-byte UTF-8 straddling window edges,
+    window sizes down to 1 byte, and malformed tails (which defer to the
+    EOF window's fallback semantics)."""
+    from kolibrie_spark.rdfio import _ttl_chunk_re_bytes, _turtle_stream_bounds
+
+    def whole(raw, per):
+        pat = _ttl_chunk_re_bytes(per)
+        out, pos, n = [], 0, len(raw)
+        while pos < n:
+            m = pat.match(raw, pos)
+            if m is None:
+                break
+            out.append((pos, m.end()))
+            pos = m.end()
+        if raw[pos:].strip():
+            out.append((pos, n))
+        return out
+
+    cases = [
+        "".join(f'ex:s{i} ex:p "v {i} é" .\n' for i in range(200)),
+        'ex:a ex:b """long\nstring . with dots.\n""" .\nex:c ex:d ex:e .\n',
+        'ex:a ex:b """' + ("x . y\n" * 300) + '""" .\nex:c ex:d ex:e .\n',
+        'ex:a ex:b "' + "A" * 5000 + '" .\nex:c ex:d ex:e .\n',
+        'ex:a ex:b "café . 日本語" .\nex:c ex:d ex:e .\n',
+        'ex:a ex:b "" .\nex:q ex:r """" .\nex:c ex:d ex:e .\n',
+        "@prefix ex: <http://e/> .\r\nex:a ex:b ex:c .\r\nex:d ex:e ex:f .\r\n",
+        'ex:a <unterm ex:b ex:c .\nex:d ex:e ex:f .\n',
+        'ex:a ex:b ex:c . # tail comment',
+        'ex:a ex:b "unterminated',
+        "",
+    ]
+    for i, text in enumerate(cases):
+        raw = text.encode("utf-8")
+        p = tmp_path / f"c{i}.ttl"
+        p.write_bytes(raw)
+        for per in (1, 7, 1000):
+            want = whole(raw, per)
+            for win in (1, 17, 64, 1 << 20):
+                got = list(_turtle_stream_bounds(str(p), per, window_bytes=win))
+                assert got == want, (i, per, win, got[:4], want[:4])
+
+
+def test_rdfxml_stream_bounds_match_whole_file_scan(tmp_path):
+    """Windowed RDF/XML scan == whole-file _rdfxml_spans_bytes-derived
+    rows, including fat comments/CDATA with '>' inside straddling window
+    edges, self-closing roots, and unsplittable small documents."""
+    from kolibrie_spark.rdfio import _rdfxml_spans_bytes, _rdfxml_stream_bounds
+
+    def whole(raw, per):
+        root, spans = _rdfxml_spans_bytes(raw, per)
+        if root is None:
+            return [(0, 0, len(raw), None)]
+        return [
+            (k, spans[i][0], spans[i : i + per][-1][1], root)
+            for k, i in enumerate(range(0, len(spans), per))
+        ]
+
+    def doc(n, mid=""):
+        items = "".join(
+            f'  <rdf:Description rdf:about="http://e/s{i}">'
+            f"<ex:n>café {i} 日本語</ex:n></rdf:Description>\n"
+            for i in range(n)
+        )
+        return (
+            '<?xml version="1.0"?>\n<rdf:RDF '
+            'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:ex="http://e/">\n' + mid + items + "</rdf:RDF>\n"
+        )
+
+    cases = [
+        doc(1),
+        doc(30),
+        doc(30, mid="<!-- a > fat . comment\n" + ("pad > x\n" * 50) + "-->\n"),
+        doc(12, mid="<ex:x><![CDATA[ raw > < stuff ]]></ex:x>"),
+        "<rdf:RDF xmlns:rdf='http://www.w3.org/1999/02/22-rdf-syntax-ns#'/>",
+    ]
+    for i, text in enumerate(cases):
+        raw = text.encode("utf-8")
+        p = tmp_path / f"x{i}.rdf"
+        p.write_bytes(raw)
+        for per in (1, 7, 500):
+            want = whole(raw, per)
+            for win in (1, 16, 256, 1 << 20):
+                got = list(_rdfxml_stream_bounds(str(p), per, window_bytes=win))
+                assert got == want, (i, per, win, got[:3], want[:3])
+
+
+def test_windowed_scan_end_to_end_through_readers(spark, tmp_path, monkeypatch):
+    """The readers must produce identical triples with a window far
+    smaller than the file (forcing many refills + carries mid-statement)
+    as with the default window."""
+    import kolibrie_spark.rdfio as R
+
+    d = tmp_path / "win"
+    d.mkdir()
+    (d / "a.ttl").write_text(
+        "@prefix ex: <http://e/> .\n"
+        + "".join(f'ex:s{i} ex:p "value {i} — 日本語 é" .\n' for i in range(80))
+        # fat single statement (larger than the forced window) with dots
+        # and multi-byte chars, so a statement straddles many refills
+        + 'ex:big ex:p "'
+        + ("fat . value — 日本語 " * 40)
+        + '" .\n'
+    )
+    want = sorted(tuple(r) for r in R.read_turtle_df(spark, str(d), 7).collect())
+    monkeypatch.setattr(R, "SCAN_WINDOW_BYTES", 97)
+    got = sorted(tuple(r) for r in R.read_turtle_df(spark, str(d), 7).collect())
+    assert got == want and len(got) == 81
+
+    x = tmp_path / "winx"
+    x.mkdir()
+    (x / "a.rdf").write_text(
+        '<?xml version="1.0"?>\n<rdf:RDF '
+        'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://e/">\n'
+        + "".join(
+            f'<rdf:Description rdf:about="http://e/s{i}">'
+            f"<ex:n>n{i} é</ex:n></rdf:Description>\n"
+            for i in range(25)
+        )
+        + "</rdf:RDF>"
+    )
+    monkeypatch.undo()
+    want_x = sorted(tuple(r) for r in R.read_rdfxml_df(spark, str(x), 6).collect())
+    monkeypatch.setattr(R, "SCAN_WINDOW_BYTES", 53)
+    got_x = sorted(tuple(r) for r in R.read_rdfxml_df(spark, str(x), 6).collect())
+    assert got_x == want_x and len(got_x) == 25
