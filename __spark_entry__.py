@@ -4161,62 +4161,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # in r8 — it did not; the salted plan is the OPT-IN heavy_df_cap guard
 # and the default window plan is unchanged since r7 (VERDICT r8 #3).
 _DRIVER_FIRST = [
-    # -- the 5 gates whose latest driver row is r4
-    "text_bm25_topk",
-    "layout_zorder",
-    "graph_pagerank",
-    "sample_dsir",
-    "bpe_train_merges",
-    # -- the 49 gates whose latest driver row is r6, in queries() order
-    "optional_left_join",
-    "minus_anti",
-    "filter_exists",
-    "path_seq_fk",
-    "path_plus_reach",
-    "path_star_reach",
-    "path_opt_direct",
-    "groupby_agg",
-    "agg_count",
-    "distinct_segments",
-    "order_by_desc_limit",
-    "order_numeric_lexical",
-    "offset_pagination",
-    "union_multiset",
-    "union_three_branches",
-    "bind_arithmetic",
-    "graph_default_named_join",
-    "bind_concat",
-    "values_undef",
-    "graph_fixed",
-    "graph_var",
-    "from_merge_dedup",
-    "subquery_count_join",
-    "udf_bind",
-    "update_insert_where",
-    "update_delete_where",
-    "update_insert_delete_data",
-    "rdf_star_annotate",
-    "rdf_star_builtins",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_cluster",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "sim_topk_cosine",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    "sim_topk_quantized",
-    "text_analyze",
-    "events_window_agg",
-    "events_sessionize",
-    "sample_stratified",
-    "url_canonicalize",
-    "reasoner_transitive_closure",
-    "streaming_sliding_live",
+    # Round-10 correctness window (VERDICT r9 task #4): lead with the 4
+    # gates whose latest driver row is r6 (judge re-checked green this
+    # session but stale in the driver record), then the 49 r7-rowed
+    # gates in queries() order.  After r10 no gate's latest driver row
+    # is older than r8.
+    "media_audio_fp",
     "media_near_dup",
     "media_phash_pairs",
-    "media_audio_fp",
+    "streaming_sliding_live",
+    # -- the 49 gates whose latest driver row is r7, in queries() order
+    "path_negated_set",
+    "dedup_containment",
+    "dedup_prefix_jaccard",
+    "sim_topk_pq",
+    "search_hybrid_rrf",
+    "text_quality_gopher",
+    "dedup_incremental",
+    "analytics_q5",
+    "profile_rollup",
+    "audit_quality",
+    "scd2_orders",
+    "events_downsample",
+    "dedup_substring",
+    "text_strip_html",
+    "embed_contamination",
+    "sample_weighted",
+    "profile_token_budget",
+    "profile_pivot",
+    "dedup_paragraphs",
+    "sketch_kmv_distinct",
+    "profile_ks_drift",
+    "fuzzy_vocab_pairs",
+    "text_normalize",
+    "sample_domain_cap",
+    "dedup_semantic",
+    "sample_token_budget",
+    "export_manifest",
+    "split_leakage_safe",
+    "closure_doubling",
+    "reasoner_hierarchy",
+    "prob_hybrid",
+    "streaming_istream_replay",
+    "streaming_istream_live",
+    "streaming_dstream_live",
+    "streaming_sync_live",
+    "mlschema_graph",
+    "ml_predict",
+    "multimodal_features",
+    "builder_chain",
+    "profile_winsorize",
+    "audit_snapshot_diff",
+    "multimodal_frame_content",
+    "multimodal_frames",
+    "graph_triangles",
+    "sketch_hll_distinct",
+    "dedup_incremental_near",
+    "multimodal_resize",
+    "analytics_q3",
+    "analytics_q10",
 ]
 
 
