@@ -303,7 +303,7 @@ def _ttl_group_re_strict_bytes(per_chunk: int):
     scan's C-speed workhorse.  Exact (not 1..per) so the global
     statement count stays aligned across window refills; the remainder
     at a window tail is counted with single-statement matches."""
-    return re.compile(f"(?:{_TTL_STMT_STRICT}){{{per_chunk}}}".encode("ascii"))
+    return re.compile(f"(?:{_TTL_STMT_STRICT}){{{per_chunk}}}+".encode("ascii"))
 
 
 @functools.lru_cache(maxsize=8)
@@ -803,6 +803,11 @@ def read_rdfxml_df(spark, path: str, elements_per_chunk: int = 500):
                 with open(fp, "rb") as f:
                     f.seek(int(a))
                     body = f.read(int(b) - int(a)).decode("utf-8", "replace")
+                if not body.strip():
+                    # zero-byte / whitespace-only file (e.g. a marker file
+                    # in a corpus directory): no document, no triples —
+                    # ET.fromstring("") would raise instead
+                    continue
                 doc = (root + body + _close_tag_of(root)) if root else body
                 # same salt formula as the shuffle path: file-scoped
                 # nodeIDs, (file, chunk)-scoped anonymous genid counters

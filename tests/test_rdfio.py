@@ -999,3 +999,24 @@ def test_windowed_scan_end_to_end_through_readers(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(R, "SCAN_WINDOW_BYTES", 53)
     got_x = sorted(tuple(r) for r in R.read_rdfxml_df(spark, str(x), 6).collect())
     assert got_x == want_x and len(got_x) == 25
+
+
+def test_rdfxml_reader_skips_empty_files(spark, tmp_path):
+    """A zero-byte file in a corpus directory (marker files, touch
+    artifacts) must contribute zero triples, not crash the parse task
+    with ET's 'no element found'."""
+    from kolibrie_spark.rdfio import read_rdfxml_df
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "a.rdf").write_text(
+        '<?xml version="1.0"?>\n<rdf:RDF '
+        'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://e/">\n'
+        '<rdf:Description rdf:about="http://e/s"><ex:n>v</ex:n>'
+        "</rdf:Description>\n</rdf:RDF>"
+    )
+    (d / "empty.rdf").write_text("")
+    (d / "ws.rdf").write_text("   \n  ")
+    got = [tuple(r) for r in read_rdfxml_df(spark, str(d)).collect()]
+    assert got == [("http://e/s", "http://e/n", "v", None)]

@@ -75,7 +75,9 @@ def _gen_rdfxml(path: str, lo: int, hi: int) -> None:
 def gen_corpus(fmt: str, millions: float) -> str:
     n = int(millions * 1_000_000)
     d = os.path.join(BASE, f"{fmt}_{millions}M")
-    done = os.path.join(d, ".complete")
+    # marker lives OUTSIDE the corpus dir: readers take the whole dir as
+    # input, and a stray empty file would skew (or, pre-r10, crash) them
+    done = d + ".complete"
     if os.path.exists(done):
         return d
     os.makedirs(d, exist_ok=True)
@@ -126,9 +128,7 @@ def probe_scales(fmts: list[str], sizes: list[float]) -> None:
         for m in sizes:
             d = gen_corpus(fmt, m)
             nbytes = sum(
-                os.path.getsize(os.path.join(d, f))
-                for f in os.listdir(d)
-                if not f.startswith(".")
+                os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
             )
             best = math.inf
             n = 0
@@ -199,7 +199,7 @@ def probe_hitrate(fmts: list[str]) -> None:
             continue
         d = gen_corpus(fmt, 0.6)
         f0 = sorted(
-            os.path.join(d, f) for f in os.listdir(d) if not f.startswith(".")
+            os.path.join(d, f) for f in os.listdir(d)
         )[0]
         text = open(f0, encoding="utf-8").read()
         before = dict(P.FAST_PATH_STATS)
