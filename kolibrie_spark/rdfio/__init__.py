@@ -1177,6 +1177,104 @@ def read_turtle_df(spark, path: str, statements_per_chunk: int = 2000):
     return _read_turtle_like_df(spark, path, statements_per_chunk, parse_turtle)
 
 
+def read_turtle_lines_df(spark, path: str):
+    """LINE-SAFE Turtle ingestion: for dumps whose statements are ONE PER
+    LINE (the shape machine-generated exports overwhelmingly have), the
+    splittable text source partitions even a SINGLE multi-hundred-GB
+    file across executors — the in-file parallelism the general offsets
+    reader cannot offer, because general Turtle statement boundaries
+    need left context and scan sequentially per file (~31 MB/s/core,
+    BASELINE.md r10).
+
+    Opt-in contract, enforced loudly: every non-directive line must be a
+    complete statement ('.'-terminated; ';'/','/annotations WITHIN the
+    line are fine — the full per-line parser handles them).  A
+    continuation line or a statement spanning lines raises
+    RdfParseError naming this reader, telling the caller to use
+    read_turtle_df.  The one shape that cannot be detected per line —
+    a raw-newline short string whose interior line happens to parse as
+    a statement — is the same record-must-not-contain-raw-newlines
+    contract every line-splittable text format (and the reference's own
+    line-oriented Turtle parser, kolibrie/src/sparql_database.rs:966)
+    imposes.
+
+    Prefixes come from the per-file 64 KiB head pass
+    (:func:`_collect_prefixes`), broadcast like the offsets reader's."""
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.schema import QUADS_SCHEMA
+
+    prefixes_by_file = spark.sparkContext.broadcast(_collect_prefixes(spark, path))
+    lines = spark.read.text(path).select(
+        F.input_file_name().alias("src"), "value"
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from kolibrie_spark.rdfio.parsers import (
+            _EMPTY_PREFIXES,
+            _PREFIX_RE,
+            _SIMPLE_LINE_RE,
+            RdfParseError,
+            _fast_term,
+            parse_turtle,
+        )
+
+        by_file = prefixes_by_file.value
+        pfx_cache: dict = {}
+
+        def frame(S, P, O):
+            return pd.DataFrame(
+                {
+                    "s": pd.Series(S, dtype=object),
+                    "p": pd.Series(P, dtype=object),
+                    "o": pd.Series(O, dtype=object),
+                    "g": pd.Series([None] * len(S), dtype=object),
+                }
+            )
+
+        for pdf in batches:
+            S: list = []
+            P: list = []
+            O: list = []
+            for src, raw in zip(pdf["src"], pdf["value"]):
+                line = raw.strip()
+                if not line or line.startswith("#"):
+                    continue
+                if _PREFIX_RE.match(line):
+                    continue  # declarations come from the head pass
+                pfx = pfx_cache.get(src)
+                if pfx is None:
+                    pfx = by_file.get(_norm_src(src), _EMPTY_PREFIXES)
+                    pfx_cache[src] = pfx
+                fm = _SIMPLE_LINE_RE.fullmatch(line)
+                if fm:
+                    S.append(_fast_term(fm.group(1), pfx))
+                    P.append(_fast_term(fm.group(2), pfx))
+                    O.append(_fast_term(fm.group(3), pfx))
+                    continue
+                try:
+                    triples, _quoted, _ = parse_turtle(line, prefixes=pfx)
+                except RdfParseError as e:
+                    raise RdfParseError(
+                        f"read_turtle_lines_df requires one complete "
+                        f"statement per line; offending line: {line[:120]!r}"
+                        f" ({e}) — use read_turtle_df for general Turtle"
+                    ) from e
+                for s, p, o in triples:
+                    S.append(s)
+                    P.append(p)
+                    O.append(o)
+                if len(S) >= 100_000:
+                    yield frame(S, P, O)
+                    S, P, O = [], [], []
+            if S:
+                yield frame(S, P, O)
+
+    return lines.mapInPandas(run, QUADS_SCHEMA)
+
+
 def read_turtle_tagged_df(spark, path: str, statements_per_chunk: int = 2000):
     """Turtle(-star) as a TAGGED stream: quads plus the quoted-triple
     qid<->(s,p,o) mapping rows an annotated corpus carries."""

@@ -1020,3 +1020,47 @@ def test_rdfxml_reader_skips_empty_files(spark, tmp_path):
     (d / "ws.rdf").write_text("   \n  ")
     got = [tuple(r) for r in read_rdfxml_df(spark, str(d)).collect()]
     assert got == [("http://e/s", "http://e/n", "v", None)]
+
+
+def test_read_turtle_lines_df_matches_general_reader(spark, tmp_path):
+    """The line-safe Turtle reader must equal read_turtle_df on
+    one-statement-per-line dumps (incl. same-line continuations and
+    annotations, prefix expansion, fast and slow lines), parallelize a
+    SINGLE file, and raise its named error on multi-line statements."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.rdfio import read_turtle_df, read_turtle_lines_df
+    from kolibrie_spark.rdfio.parsers import RdfParseError
+
+    d = tmp_path / "lines"
+    d.mkdir()
+    (d / "a.ttl").write_text(
+        "@prefix ex: <http://e/> .\n"
+        "# comment line\n"
+        + "".join(f'ex:s{i} ex:p "v {i} é" .\n' for i in range(50))
+        + 'ex:m ex:p1 "a" ; ex:p2 "b" , "c" .\n'
+        + 'ex:ann ex:conf "x" {| ex:src "y" |} .\n'
+        + "unknown:q unknown:r unknown:t .\n"
+    )
+    want = sorted(tuple(r) for r in read_turtle_df(spark, str(d)).collect())
+    got = sorted(tuple(r) for r in read_turtle_lines_df(spark, str(d)).collect())
+    assert got == want and len(got) == 56
+
+    # single-file parallelism: with a small split size, one file becomes
+    # multiple input partitions
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        df = read_turtle_lines_df(spark, str(d / "a.ttl"))
+        assert df.rdd.getNumPartitions() > 1
+        assert df.count() == 56
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    # multi-line statement: loud, named error
+    (d / "a.ttl").write_text(
+        "@prefix ex: <http://e/> .\nex:s ex:p\n    ex:o .\n"
+    )
+    with _pytest.raises(Exception, match="read_turtle_lines_df"):
+        read_turtle_lines_df(spark, str(d)).collect()
