@@ -211,6 +211,16 @@ def _confirm_regressions_fresh_jvm(
 
     if not regressions:
         return {}, {}
+    # let the suite's load drain before measuring: the r10 adjudication
+    # found the confirm numbers inflated ~1.6x because the subprocess
+    # launched while the just-stopped 32-thread suite's loadavg (5-7)
+    # was still decaying.  Wait (bounded) for the 1-min loadavg to drop.
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and os.getloadavg()[0] > 2.0:
+            time.sleep(5)
+    except OSError:
+        pass
     here = os.path.dirname(os.path.abspath(__file__))
     prev_fresh = _previous_fresh_timings(here)
     cmd = [
@@ -219,7 +229,7 @@ def _confirm_regressions_fresh_jvm(
         "--sf-dir",
         sf_dir,
         "--runs",
-        "2",
+        "3",
         *regressions,
     ]
     try:
@@ -239,8 +249,8 @@ def _confirm_regressions_fresh_jvm(
         )
         record = dict(fresh)
         record["_method"] = (
-            "tools/bench_one.py --runs 2, parent SparkSession stopped, "
-            f"sf_dir={sf_dir}"
+            "tools/bench_one.py --runs 3, parent SparkSession stopped, "
+            f"loadavg-drained, sf_dir={sf_dir}"
         )
         try:
             with open(fresh_path, "w") as fh:

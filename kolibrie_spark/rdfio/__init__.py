@@ -1177,7 +1177,7 @@ def read_turtle_df(spark, path: str, statements_per_chunk: int = 2000):
     return _read_turtle_like_df(spark, path, statements_per_chunk, parse_turtle)
 
 
-def read_turtle_lines_df(spark, path: str):
+def read_turtle_lines_df(spark, path: str, tagged: bool = False):
     """LINE-SAFE Turtle ingestion: for dumps whose statements are ONE PER
     LINE (the shape machine-generated exports overwhelmingly have), the
     splittable text source partitions even a SINGLE multi-hundred-GB
@@ -1199,10 +1199,12 @@ def read_turtle_lines_df(spark, path: str):
     imposes.
 
     Prefixes come from the per-file 64 KiB head pass
-    (:func:`_collect_prefixes`), broadcast like the offsets reader's."""
+    (:func:`_collect_prefixes`), broadcast like the offsets reader's.
+    ``tagged=True`` keeps the quoted-triple qid<->(s,p,o) mapping rows
+    annotation lines carry (kind='t'), like the other tagged readers."""
     from pyspark.sql import functions as F
 
-    from kolibrie_spark.schema import QUADS_SCHEMA
+    from kolibrie_spark.schema import QUADS_SCHEMA, TAGGED_RDF_SCHEMA
 
     prefixes_by_file = spark.sparkContext.broadcast(_collect_prefixes(spark, path))
     lines = spark.read.text(path).select(
@@ -1224,13 +1226,27 @@ def read_turtle_lines_df(spark, path: str):
         by_file = prefixes_by_file.value
         pfx_cache: dict = {}
 
-        def frame(S, P, O):
+        def frame(S, P, O, QT):
+            if not tagged:
+                return pd.DataFrame(
+                    {
+                        "s": pd.Series(S, dtype=object),
+                        "p": pd.Series(P, dtype=object),
+                        "o": pd.Series(O, dtype=object),
+                        "g": pd.Series([None] * len(S), dtype=object),
+                    }
+                )
             return pd.DataFrame(
                 {
-                    "s": pd.Series(S, dtype=object),
-                    "p": pd.Series(P, dtype=object),
-                    "o": pd.Series(O, dtype=object),
-                    "g": pd.Series([None] * len(S), dtype=object),
+                    "kind": pd.Series(
+                        ["q"] * len(S) + ["t"] * len(QT), dtype=object
+                    ),
+                    "t1": pd.Series(S + [q[0] for q in QT], dtype=object),
+                    "t2": pd.Series(P + [q[1] for q in QT], dtype=object),
+                    "t3": pd.Series(O + [q[2] for q in QT], dtype=object),
+                    "t4": pd.Series(
+                        [None] * len(S) + [q[3] for q in QT], dtype=object
+                    ),
                 }
             )
 
@@ -1238,6 +1254,7 @@ def read_turtle_lines_df(spark, path: str):
             S: list = []
             P: list = []
             O: list = []
+            QT: list = []
             for src, raw in zip(pdf["src"], pdf["value"]):
                 line = raw.strip()
                 if not line or line.startswith("#"):
@@ -1266,13 +1283,21 @@ def read_turtle_lines_df(spark, path: str):
                     S.append(s)
                     P.append(p)
                     O.append(o)
-                if len(S) >= 100_000:
-                    yield frame(S, P, O)
-                    S, P, O = [], [], []
-            if S:
-                yield frame(S, P, O)
+                if tagged:
+                    QT.extend(_quoted)
+                if len(S) + len(QT) >= 100_000:
+                    yield frame(S, P, O, QT)
+                    S, P, O, QT = [], [], [], []
+            if S or QT:
+                yield frame(S, P, O, QT)
 
-    return lines.mapInPandas(run, QUADS_SCHEMA)
+    return lines.mapInPandas(run, TAGGED_RDF_SCHEMA if tagged else QUADS_SCHEMA)
+
+
+def read_turtle_lines_tagged_df(spark, path: str):
+    """Line-safe Turtle as a TAGGED stream — quads plus quoted-triple
+    mappings, suitable for ``QuadStore.load_distributed``-style splits."""
+    return read_turtle_lines_df(spark, path, tagged=True)
 
 
 def read_turtle_tagged_df(spark, path: str, statements_per_chunk: int = 2000):

@@ -1064,3 +1064,20 @@ def test_read_turtle_lines_df_matches_general_reader(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="read_turtle_lines_df"):
         read_turtle_lines_df(spark, str(d)).collect()
+
+
+def test_read_turtle_lines_tagged_keeps_mappings(spark, tmp_path):
+    """The line-safe reader's tagged variant must keep annotation-line
+    quoted-triple mappings, like every other tagged reader."""
+    from kolibrie_spark.rdfio import read_turtle_lines_tagged_df, split_tagged
+
+    f = tmp_path / "ann.ttl"
+    f.write_text(
+        "@prefix ex: <http://e/> .\n"
+        'ex:a ex:bal "1" {| ex:conf "0.9" |} .\n'
+        "ex:b ex:p ex:c .\n"
+    )
+    quads, quoted = split_tagged(read_turtle_lines_tagged_df(spark, str(f)))
+    assert quads.count() == 3  # base + annotation + plain
+    rows = [(r.qs, r.qp, r.qo) for r in quoted.collect()]
+    assert rows == [("http://e/a", "http://e/bal", "1")]
