@@ -1343,7 +1343,13 @@ def infer_format(path: str) -> str:
 
 
 def read_rdf_tagged_df(spark, path: str, fmt: str):
-    """Dispatch a TAGGED distributed read by format name/alias."""
+    """Dispatch a TAGGED distributed read by format name/alias.  The
+    extra name ``turtle-lines`` selects the line-safe in-file-parallel
+    Turtle path (one statement per line, loud error otherwise) so
+    ``QuadStore.load_distributed(path, fmt="turtle-lines")`` can ride
+    it for line-shaped dumps."""
+    if fmt.lower() in ("turtle-lines", "ttl-lines"):
+        return read_turtle_lines_tagged_df(spark, path)
     fmt = FORMAT_ALIASES[fmt.lower()]
     if fmt == "ntriples":
         return read_ntriples_tagged_df(spark, path)

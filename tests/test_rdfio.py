@@ -1081,3 +1081,20 @@ def test_read_turtle_lines_tagged_keeps_mappings(spark, tmp_path):
     assert quads.count() == 3  # base + annotation + plain
     rows = [(r.qs, r.qp, r.qo) for r in quoted.collect()]
     assert rows == [("http://e/a", "http://e/bal", "1")]
+
+
+def test_load_distributed_turtle_lines_format(spark, tmp_path):
+    """fmt='turtle-lines' routes load_distributed through the in-file-
+    parallel line-safe reader, mappings included."""
+    from kolibrie_spark.store import QuadStore
+
+    f = tmp_path / "lines.ttl"
+    f.write_text(
+        "@prefix ex: <http://e/> .\n"
+        'ex:a ex:bal "1" {| ex:conf "0.9" |} .\n'
+        "ex:b ex:p ex:c .\n"
+    )
+    store = QuadStore(spark)
+    n = store.load_distributed(str(f), fmt="turtle-lines")
+    assert n == 3
+    assert store.quoted.count() == 1
