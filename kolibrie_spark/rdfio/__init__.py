@@ -277,7 +277,7 @@ def _ttl_chunk_re_bytes(per_chunk: int):
 # long-string closer) defer to the EOF window, where the ORIGINAL regex
 # runs on complete-to-EOF data and reproduces whole-file semantics
 # byte-for-byte.
-_TTL_STMT_STRICT = (
+_TTL_SKIP_STRICT = (
     r"(?:"
     r"[^<\"'#.]++"
     r"|<[^>]*+>"
@@ -288,13 +288,24 @@ _TTL_STMT_STRICT = (
     r"|#[^\n]*+"
     r"|\.(?!\s|\Z)"
     r")*+"
-    r"\.(?=\s|\Z)"
 )
+
+_TTL_STMT_STRICT = _TTL_SKIP_STRICT + r"\.(?=\s|\Z)"
 
 
 @functools.lru_cache(maxsize=8)
 def _ttl_stmt_re_strict_bytes():
     return re.compile(_TTL_STMT_STRICT.encode("ascii"))
+
+
+@functools.lru_cache(maxsize=8)
+def _ttl_skip_re_strict_bytes():
+    """The strict statement BODY alone (no terminating '.'): matching it
+    at any between-token position consumes everything up to the first
+    '.'-followed-by-whitespace statement end — or stops earlier at an
+    opener whose token cannot close inside the buffer.  The parallel
+    range scanner's workhorse (always matches, possibly empty)."""
+    return re.compile(_TTL_SKIP_STRICT.encode("ascii"))
 
 
 @functools.lru_cache(maxsize=8)
@@ -321,7 +332,13 @@ def _ttl_stmt_re_bytes():
 SCAN_WINDOW_BYTES = 64 * 1024 * 1024
 
 
-def _turtle_stream_bounds(path: str, per_chunk: int, window_bytes: int = 0):
+def _turtle_stream_bounds(
+    path: str,
+    per_chunk: int,
+    window_bytes: int = 0,
+    start: int = 0,
+    end: int | None = None,
+):
     """Yield (start, end) BYTE spans of up-to-``per_chunk``-statement
     runs for one Turtle/N3 file, reading it in ``window_bytes`` windows
     instead of whole (VERDICT r9 #2) — boundary-identical to matching
@@ -336,19 +353,36 @@ def _turtle_stream_bounds(path: str, per_chunk: int, window_bytes: int = 0):
     the window), and the unmatched remainder is carried into the next
     refill.  The final window (complete to EOF) switches to the
     original fallback-bearing statement regex, so malformed tails
-    degrade exactly like the whole-file scan."""
+    degrade exactly like the whole-file scan.
+
+    ``start``/``end`` restrict the scan to a byte SUB-RANGE (pass 2 of
+    the parallel in-file scan), with ``end`` behaving as EOF for the
+    sub-range.  Safe because pass 1 cuts segments only at true
+    statement ends, so every token opened inside a segment closes
+    inside it — exactly the inputs on which the EOF window's fallback
+    branches decide like the strict ones."""
     window_bytes = window_bytes or SCAN_WINDOW_BYTES
     group_re = _ttl_group_re_strict_bytes(per_chunk)
     stmt_re = _ttl_stmt_re_strict_bytes()
     eof_re = _ttl_stmt_re_bytes()
     with open(path, "rb") as f:
+        if start:
+            f.seek(start)
+        remaining = None if end is None else end - start
         buf = b""
-        base = 0  # absolute offset of buf[0]
-        chunk_start = 0  # absolute start of the current statement group
+        base = start  # absolute offset of buf[0]
+        chunk_start = start  # absolute start of the current statement group
         count = 0  # statements in the current group
         while True:
-            data = f.read(window_bytes)
-            eof = len(data) < window_bytes
+            take = (
+                window_bytes
+                if remaining is None
+                else min(window_bytes, remaining)
+            )
+            data = f.read(take)
+            if remaining is not None:
+                remaining -= len(data)
+            eof = len(data) < window_bytes or remaining == 0
             buf += data
             pos = 0
             if eof:
@@ -393,6 +427,291 @@ def _turtle_stream_bounds(path: str, per_chunk: int, window_bytes: int = 0):
                         break  # back to group-at-a-time matching
             buf = buf[pos:]
             base += pos
+
+
+# ---------------------------------------------------------------------------
+# Parallel in-file boundary scan (the "optimistic split-and-stitch" pass).
+#
+# The general Turtle boundary scan needs LEFT CONTEXT (a '.' means nothing
+# inside a string/IRI/comment), so _turtle_stream_bounds is sequential per
+# file — one multi-hundred-GB dump file used to bottleneck on a single
+# core (~31 MB/s, BASELINE.md r10).  The classic fix is speculative FSM
+# composition (the parallel-lexing trick): cut the file into ranges, scan
+# each range under EVERY possible lexer start state, and compose the tiny
+# per-range (state -> state) tables on the driver.
+#
+# Cutting ranges AFTER A NEWLINE keeps the state space minimal: comments
+# terminate at '\n' (never straddle a cut), escape pairs and quote runs
+# cannot contain '\n' (never straddle), and a '.'-at-end-of-statement
+# decision needs one lookahead byte that is inside the range whenever the
+# range ends with '\n'.  Exactly six states can cross a cut:
+_TTL_ST_NORMAL = 0  # between tokens
+_TTL_ST_IRI = 1  # inside <...>
+_TTL_ST_SDQ = 2  # inside a short "..." string
+_TTL_ST_SSQ = 3  # inside a short '...' string
+_TTL_ST_LDQ = 4  # inside a long """...""" string
+_TTL_ST_LSQ = 5  # inside a long '''...''' string
+_TTL_STATES = range(6)
+
+# close-the-pending-token regexes for the short-string states (content
+# with escape pairs, then the closing quote) — C-speed, like the oracle's
+# per-character scan but in one match
+_TTL_SDQ_CLOSE_RE = re.compile(rb'(?:[^"\\]|\\[\s\S])*+"')
+_TTL_SSQ_CLOSE_RE = re.compile(rb"(?:[^'\\]|\\[\s\S])*+'")
+
+# engage the parallel scan for files at least this large (the sequential
+# scan clears a 256 MB file in ~8 s; below that the two-pass overhead
+# isn't worth it), and only when the file count leaves cores idle
+PARALLEL_SCAN_MIN_BYTES = 256 * 1024 * 1024
+
+
+def _newline_align(f, pos: int, size: int, window_bytes: int) -> int:
+    """Absolute offset just after the first ``\\n`` at-or-after ``pos``
+    (``size`` when none) — the shared cut rule both neighbours of a
+    nominal range boundary compute independently and identically."""
+    if pos <= 0:
+        return 0
+    if pos >= size:
+        return size
+    f.seek(pos)
+    off = pos
+    while off < size:
+        data = f.read(window_bytes)
+        if not data:
+            break
+        i = data.find(b"\n")
+        if i >= 0:
+            return off + i + 1
+        off += len(data)
+    return size
+
+
+def _ttl_state_of_opener(buf: bytes, q: int) -> int:
+    """Lexer state consumed to the end of ``buf`` by the unterminated
+    opener at ``q`` (where the strict skip regex stopped)."""
+    c = buf[q]
+    if c == 0x3C:  # '<' with no '>' in the rest of the range
+        return _TTL_ST_IRI
+    if c == 0x22:  # '"'
+        return _TTL_ST_LDQ if buf[q : q + 3] == b'"""' else _TTL_ST_SDQ
+    if c == 0x27:  # "'"
+        return _TTL_ST_LSQ if buf[q : q + 3] == b"'''" else _TTL_ST_SSQ
+    raise AssertionError(f"unexpected scan stopper {buf[q:q+4]!r} at {q}")
+
+
+def _ttl_end_state_from(buf: bytes, pos: int) -> int:
+    """Lexer state at the end of ``buf`` scanning from the statement
+    start ``pos`` — en-masse strict statement groups (one Python
+    iteration per ~2048 statements), then singles, then one skip match
+    to classify the trailing partial statement."""
+    group_re = _ttl_group_re_strict_bytes(2048)
+    stmt_re = _ttl_stmt_re_strict_bytes()
+    skip_re = _ttl_skip_re_strict_bytes()
+    n = len(buf)
+    while True:
+        m = group_re.match(buf, pos)
+        if m is None:
+            break
+        pos = m.end()
+    while True:
+        m = stmt_re.match(buf, pos)
+        if m is None:
+            break
+        pos = m.end()
+    while True:
+        q = skip_re.match(buf, pos).end()
+        if q >= n:
+            return _TTL_ST_NORMAL
+        if buf[q] == 0x2E:
+            # a '.'-with-whitespace the statement regexes didn't reach
+            # cannot happen on strict-consistent input (the statement
+            # body IS the skip body); step past it defensively
+            pos = q + 1
+            continue
+        return _ttl_state_of_opener(buf, q)
+
+
+def _turtle_range_state_table(
+    path: str,
+    nominal_a: int,
+    nominal_b: int,
+    size: int,
+    window_bytes: int = 0,
+):
+    """Pass 1 of the parallel in-file scan, for one nominal byte range:
+    returns ``(aligned_a, aligned_b, table)`` where ``table`` maps each
+    assumed lexer start state to ``(first_statement_end_abs_or_None,
+    end_state)``.  Entirely range-local — neighbours agree on the
+    newline-aligned cuts without communication, and the driver composes
+    the (tiny) tables into true sync points.
+
+    The buffer is the whole aligned range (range_bytes + the overshoot
+    to the next newline), the same order of bound as the parse tasks'
+    per-slice reads; a single LINE longer than the range size is the
+    adversarial case that inflates it."""
+    window_bytes = window_bytes or SCAN_WINDOW_BYTES
+    with open(path, "rb") as f:
+        a = _newline_align(f, nominal_a, size, window_bytes)
+        b = (
+            size
+            if nominal_b >= size
+            else _newline_align(f, nominal_b, size, window_bytes)
+        )
+        if a >= b:
+            return (a, b, {st: (None, st) for st in _TTL_STATES})
+        f.seek(a)
+        buf = f.read(b - a)
+
+    def close(st: int):
+        """Offset in ``buf`` where NORMAL resumes after the assumed
+        pending token, or None when it consumes the whole range."""
+        if st == _TTL_ST_NORMAL:
+            return 0
+        if st == _TTL_ST_IRI:
+            i = buf.find(b">")
+            return None if i < 0 else i + 1
+        if st == _TTL_ST_LDQ:
+            i = buf.find(b'"""')
+            return None if i < 0 else i + 3
+        if st == _TTL_ST_LSQ:
+            i = buf.find(b"'''")
+            return None if i < 0 else i + 3
+        m = (_TTL_SDQ_CLOSE_RE if st == _TTL_ST_SDQ else _TTL_SSQ_CLOSE_RE).match(
+            buf
+        )
+        return None if m is None else m.end()
+
+    skip_re = _ttl_skip_re_strict_bytes()
+    n = len(buf)
+    table: dict[int, tuple[int | None, int]] = {}
+    from_k: dict[int, tuple[int | None, int]] = {}
+    dot_memo: dict[int, int] = {}  # first-dot offset -> end state
+
+    def scan_from(k: int):
+        q = skip_re.match(buf, k).end()
+        if q >= n:
+            return (None, _TTL_ST_NORMAL)
+        if buf[q] != 0x2E:
+            return (None, _ttl_state_of_opener(buf, q))
+        # '.' stopper: the skip regex declined it, so it IS followed by
+        # whitespace (or true EOF on the file's final range — the only
+        # range whose buffer may not end with '\n')
+        first = a + q
+        end_state = dot_memo.get(q)
+        if end_state is None:
+            end_state = dot_memo[q] = _ttl_end_state_from(buf, q + 1)
+        return (first, end_state)
+
+    for st in _TTL_STATES:
+        k = close(st)
+        if k is None:
+            table[st] = (None, st)
+            continue
+        if k not in from_k:
+            from_k[k] = scan_from(k)
+        table[st] = from_k[k]
+    return (a, b, table)
+
+
+def _turtle_compose_segments(size: int, tables) -> list[tuple[int, int]]:
+    """Driver-side pass-1 composition: thread the true lexer state
+    through the per-range tables (file start = NORMAL) and cut the file
+    at each range's first true statement end.  Returns ``[(seg_start,
+    seg_end), ...]`` covering [0, size) — every segment starts at a
+    statement start and, except possibly the last, ends just after a
+    statement-terminating '.'."""
+    state = _TTL_ST_NORMAL
+    syncs: list[int] = []
+    for _a, _b, table in tables:
+        first, state = table[state]
+        if first is not None:
+            syncs.append(first)
+    segments: list[tuple[int, int]] = []
+    prev = 0
+    for s in syncs:
+        segments.append((prev, s + 1))
+        prev = s + 1
+    if prev < size or not segments:
+        segments.append((prev, size))
+    return segments
+
+
+def _turtle_parallel_segments_local(
+    path: str, range_bytes: int, window_bytes: int = 0
+) -> list[tuple[int, int]]:
+    """In-process twin of the distributed pass 1 (tests + small files):
+    state tables per nominal range, composed into segments."""
+    import os
+
+    size = os.path.getsize(path)
+    n_ranges = max(1, -(-size // range_bytes))
+    tables = [
+        _turtle_range_state_table(
+            path, i * range_bytes, min((i + 1) * range_bytes, size), size,
+            window_bytes,
+        )
+        for i in range(n_ranges)
+    ]
+    return _turtle_compose_segments(size, tables)
+
+
+def _turtle_parallel_bounds(
+    spark, files, per_chunk: int, window_bytes: int = 0
+):
+    """Distributed two-pass boundary scan for HUGE files: pass 1 maps
+    newline-aligned ranges to per-state tables (parallel, tiny results
+    collected — split planning, like any FileScan), the driver composes
+    true sync points, and pass 2 runs the sequential windowed scanner
+    per inter-sync segment (parallel — segments are ~range-sized).
+    Total scan work is ~2x the sequential pass but spreads over every
+    core, so a single 400 GB dump file scans at cluster rate instead of
+    one core's.  Returns an RDD of (path, start, end) bound rows."""
+    sc = spark.sparkContext
+    par = sc.defaultParallelism
+    # ~2 pass-1 tasks per core for balance (each range costs ~2 C-speed
+    # regex walks), floored so tiny ranges don't drown in per-task
+    # overhead and capped at the scan window (the per-task memory bound)
+    total = sum(sz for _, sz in files)
+    range_bytes = max(
+        8 * 1024 * 1024, min(SCAN_WINDOW_BYTES, -(-total // (par * 2)))
+    )
+    tasks = []
+    for fp, sz in files:
+        n_ranges = max(1, -(-sz // range_bytes))
+        tasks.extend(
+            (fp, i * range_bytes, min((i + 1) * range_bytes, sz), sz)
+            for i in range(n_ranges)
+        )
+    wb = window_bytes
+
+    def pass1(t):
+        fp, na, nb, sz = t
+        return (fp, na, _turtle_range_state_table(fp, na, nb, sz, wb))
+
+    tables = (
+        sc.parallelize(tasks, max(1, min(len(tasks), par * 2)))
+        .map(pass1)
+        .collect()
+    )
+    by_file: dict[str, list] = {}
+    for fp, na, tab in tables:
+        by_file.setdefault(fp, []).append((na, tab))
+    segments = []
+    for fp, sz in files:
+        tabs = [t for _, t in sorted(by_file[fp], key=lambda x: x[0])]
+        segments.extend(
+            (fp, sa, sb) for sa, sb in _turtle_compose_segments(sz, tabs)
+        )
+    pc = per_chunk
+
+    def pass2(it):
+        for fp, sa, sb in it:
+            for x, y in _turtle_stream_bounds(fp, pc, wb, start=sa, end=sb):
+                yield (fp, x, y)
+
+    return sc.parallelize(
+        segments, max(1, min(len(segments), par))
+    ).mapPartitions(pass2)
 
 
 def _turtle_statement_chunks(text: str, per_chunk: int):
@@ -1041,8 +1360,32 @@ def _read_turtle_like_df(
             for a, b in _turtle_stream_bounds(fp, statements_per_chunk):
                 yield (fp, a, b)
 
+    # the boundary scan is sequential PER FILE (statement boundaries
+    # need left context); when huge files would leave cores idle, scan
+    # them with the two-pass parallel FSM scan instead — with many files
+    # the per-file scheme is already cluster-wide parallel and the
+    # two-pass scheme would only double the scan work
+    import os as _os
+
+    sizes = [(fp, _os.path.getsize(fp)) for fp in paths]
+    huge = (
+        [t for t in sizes if t[1] >= PARALLEL_SCAN_MIN_BYTES]
+        if len(paths) < par * 2
+        else []
+    )
+    huge_set = {fp for fp, _ in huge}
+    small = [fp for fp in paths if fp not in huge_set]
+    rdds = []
+    if small:
+        rdds.append(
+            sc.parallelize(small, max(1, min(len(small), par))).mapPartitions(
+                scan
+            )
+        )
+    if huge:
+        rdds.append(_turtle_parallel_bounds(spark, huge, statements_per_chunk))
     bounds = spark.createDataFrame(
-        sc.parallelize(paths, max(1, min(len(paths), par))).mapPartitions(scan),
+        rdds[0] if len(rdds) == 1 else sc.union(rdds),
         "path string, start long, end long",
     ).repartition(par)
 

@@ -289,6 +289,49 @@ _FAST_STR_RE = re.compile(
     r'"((?:[^"\\]|\\.)*)"(@[A-Za-z][A-Za-z0-9\-]*)?(?:\^\^\S+)?'
 )
 
+# Long-string ("""...""" / '''...''') support: rather than teaching the
+# line loop and tokenizer multi-line state, long strings are INLINED up
+# front into ordinary short-string literals with their raw specials
+# escaped (newline -> \n, quote -> \", lone backslash -> \\; existing
+# escape pairs kept verbatim), so the rest of the parser — fast path
+# included — sees plain one-line statements.  The closer is the FIRST
+# quote triple after the opener (escape-blind), exactly the boundary
+# rule the chunk scanners use (_TTL_STMT's lazy long branch and the
+# slow oracle's find(c*3)), so slice boundaries and parse agree on the
+# same text.  Token-aware: IRIs, comments and short strings are matched
+# (and copied verbatim) so a quote triple inside them is never taken
+# for an opener.
+_TTL_INLINE_RE = re.compile(
+    r"<[^>]*>"
+    r"|#[^\n]*"
+    r'|"""[\s\S]*?"""'
+    r"|'''[\s\S]*?'''"
+    r'|"(?!"")(?:[^"\\]|\\[\s\S])*"'
+    r"|'(?!'')(?:[^'\\]|\\[\s\S])*'"
+)
+_TTL_REQUOTE_RE = re.compile(r'\\[\s\S]|[\\"\n\r]')
+
+
+def _requote(m: re.Match) -> str:
+    g = m.group(0)
+    if len(g) == 2:  # an existing escape pair, kept verbatim
+        return g
+    if g == "\\":  # lone trailing backslash (closer split an escape)
+        return "\\\\"
+    if g == '"':
+        return '\\"'
+    return "\\n" if g == "\n" else "\\r"
+
+
+def _inline_long_strings(text: str) -> str:
+    def repl(m: re.Match) -> str:
+        tok = m.group(0)
+        if tok[:3] in ('"""', "'''") and len(tok) >= 6:
+            return '"' + _TTL_REQUOTE_RE.sub(_requote, tok[3:-3]) + '"'
+        return tok
+
+    return _TTL_INLINE_RE.sub(repl, text)
+
 # Line-state scan for the fast path's raw-newline-short-string guard
 # (ADVICE r9): tokenize one line from NORMAL state at C speed — ordinary
 # runs, COMPLETE short strings (escape-aware), stray escape pairs, a
@@ -376,9 +419,15 @@ def parse_turtle(text: str, prefixes: dict[str, str] | None = None):
     statements — the contract has never promised statement order and
     every consumer treats the result as a set."""
     prefixes = dict(prefixes or {})
-    # long strings would be corrupted by per-line matching; the tokenizer
-    # path handles (the single-line subset of) them, so decline wholesale
+    # long strings would be corrupted by per-line matching (and the
+    # tokenizer has no multi-line string state): inline them into
+    # escaped short-string literals first, then everything downstream —
+    # fast path included — sees one-line statements.  Only degenerate
+    # leftovers (unbalanced openers) keep the fast path off.
     fast_ok = '"""' not in text and "'''" not in text
+    if not fast_ok:
+        text = _inline_long_strings(text)
+        fast_ok = '"""' not in text and "'''" not in text
     fast_rows: list[tuple[str, str, str]] = []
     body_lines = []
     open_q: str | None = None  # unterminated raw-newline short string state

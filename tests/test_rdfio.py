@@ -1098,3 +1098,157 @@ def test_load_distributed_turtle_lines_format(spark, tmp_path):
     n = store.load_distributed(str(f), fmt="turtle-lines")
     assert n == 3
     assert store.quoted.count() == 1
+
+
+def test_turtle_parallel_segments_match_sequential_scan(tmp_path):
+    """The two-pass parallel in-file scan must place EXACTLY the
+    sequential windowed scan's statement boundaries: at per_chunk=1 the
+    union of per-segment spans equals the whole-file span list — across
+    long/short strings with interior dots spanning range cuts,
+    raw-newline short strings, escapes at line ends, IRIs containing
+    newlines, comments, decimals, CRLF, multi-byte UTF-8, malformed
+    tails, and 250 random token-soup trials at range sizes down to 7
+    bytes."""
+    import random
+
+    from kolibrie_spark.rdfio import (
+        _turtle_parallel_segments_local,
+        _turtle_stream_bounds,
+    )
+
+    def seq(p):
+        return list(_turtle_stream_bounds(p, 1))
+
+    def par(p, rb):
+        out = []
+        for a, b in _turtle_parallel_segments_local(p, rb):
+            out.extend(_turtle_stream_bounds(p, 1, start=a, end=b))
+        return out
+
+    cases = [
+        "".join(f'ex:s{i} ex:p "v {i} é" .\n' for i in range(50)),
+        'ex:a ex:b """long\nstring . with dots.\nmore\n""" .\n'
+        "ex:c ex:d ex:e .\n",
+        'ex:a ex:b """' + ("x . y\n" * 100) + '""" .\nex:c ex:d ex:e .\n',
+        'ex:a ex:b "' + "A" * 500 + '" .\nex:c ex:d ex:e .\n',
+        'ex:a ex:b "café . 日本語" .\nex:c ex:d ex:e .\n',
+        'ex:a ex:b "" .\nex:q ex:r """" .\nex:c ex:d ex:e .\n',
+        "@prefix ex: <http://e/> .\r\nex:a ex:b ex:c .\r\nex:d ex:e ex:f .\r\n",
+        "ex:a <unterm ex:b ex:c .\nex:d ex:e ex:f .\n",
+        "ex:a ex:b ex:c . # tail comment",
+        'ex:a ex:b "unterminated',
+        'ex:a ex:b "raw\nnewline . inside\nstill" .\nex:c ex:d ex:e .\n',
+        'ex:a ex:b "esc at eol\\\n continued" .\nex:c ex:d ex:e .\n',
+        "ex:n ex:v 1.5 .\nex:m ex:w 2.75 .\n",
+        "ex:a ex:b <http://iri\nwith/newline> .\nex:c ex:d ex:e .\n",
+        "ex:a ex:b '''long sq\n . inside\n''' .\nex:c ex:d 'short . ' .\n",
+        '# only a comment with " quote and . dots\n',
+        "",
+    ]
+    for i, text in enumerate(cases):
+        p = tmp_path / f"p{i}.ttl"
+        p.write_bytes(text.encode("utf-8"))
+        want = seq(str(p))
+        for rb in (7, 16, 64, 997, 1 << 20):
+            got = par(str(p), rb)
+            assert got == want, (i, rb, got[:5], want[:5])
+
+    rng = random.Random(20260816)
+    pieces = [
+        "ex:s ex:p ex:o .\n", " . ", ". ", '."', '" ', "' ", "<", ">",
+        "#c . \n", '"""', "'''", "\\", '\\"', "\n", "\r\n", "1.5 ",
+        "café 日本語 ", '"lit . ', 'x" .\n', "@prefix ex: <http://e/> .\n",
+        '{| ex:a "1" |}', "<< ex:a ex:b ex:c >>",
+        '"""block\n. dots\n""" ', "'sq' ", '""', "''", ". \n", "ex:p",
+        " ", ";", ",",
+    ]
+    p = tmp_path / "soup.ttl"
+    for t in range(250):
+        text = "".join(
+            rng.choice(pieces) for _ in range(rng.randrange(1, 60))
+        )
+        p.write_bytes(text.encode("utf-8"))
+        want = seq(str(p))
+        for rb in (7, 33, 128):
+            got = par(str(p), rb)
+            assert got == want, (t, rb, repr(text[:120]))
+
+
+def test_turtle_parallel_scan_through_reader(spark, tmp_path, monkeypatch):
+    """read_turtle_df must produce identical triples (and, tagged,
+    identical quoted mappings) when the parallel in-file scan is forced
+    (threshold 1 byte, tiny ranges so one file becomes many pass-1
+    ranges and pass-2 segments) as with the default sequential scan."""
+    import kolibrie_spark.rdfio as R
+    from kolibrie_spark.rdfio import split_tagged
+
+    d = tmp_path / "par"
+    d.mkdir()
+    (d / "a.ttl").write_text(
+        "@prefix ex: <http://e/> .\n"
+        + "".join(f'ex:s{i} ex:p "value {i} — 日本語 é" .\n' for i in range(60))
+        + 'ex:big ex:p """'
+        + ("fat . value — 日本語\n" * 30)
+        + '""" .\n'
+        + 'ex:ann ex:bal "1" {| ex:conf "0.9" |} .\n'
+    )
+    want = sorted(tuple(r) for r in R.read_turtle_df(spark, str(d), 7).collect())
+    wq, wt = split_tagged(R.read_turtle_tagged_df(spark, str(d), 7))
+    want_q = sorted(tuple(r) for r in wq.collect())
+    want_t = sorted(tuple(r) for r in wt.collect())
+
+    monkeypatch.setattr(R, "PARALLEL_SCAN_MIN_BYTES", 1)
+    monkeypatch.setattr(R, "SCAN_WINDOW_BYTES", 256)
+    got = sorted(tuple(r) for r in R.read_turtle_df(spark, str(d), 7).collect())
+    assert got == want and len(got) == 63
+    gq, gt = split_tagged(R.read_turtle_tagged_df(spark, str(d), 7))
+    assert sorted(tuple(r) for r in gq.collect()) == want_q
+    assert sorted(tuple(r) for r in gt.collect()) == want_t
+
+
+def test_parse_turtle_long_strings():
+    """Long strings — single- and multi-line, both quote styles, with
+    interior dots / quotes / escapes / fake directives — are inlined to
+    short literals up front, so every downstream path (fast lines,
+    tokenizer, annotations, lang tags) sees one-line statements.  The
+    closer is the FIRST quote triple (escape-blind), matching the chunk
+    scanners' boundary rule so slice boundaries and parse agree."""
+    from kolibrie_spark.rdfio.parsers import parse_turtle
+
+    px = {"ex": "http://e/"}
+
+    t, _, _ = parse_turtle('ex:a ex:b """x y""" .', prefixes=px)
+    assert t == [("http://e/a", "http://e/b", "x y")]
+
+    t, _, _ = parse_turtle(
+        'ex:big ex:p """fat . value\nline2 "q" \\" esc\n""" .', prefixes=px
+    )
+    assert t == [
+        ("http://e/big", "http://e/p", 'fat . value\nline2 "q" " esc\n')
+    ]
+
+    t, _, _ = parse_turtle("ex:a ex:b '''sq \"dq\" . \nline''' .", prefixes=px)
+    assert t == [("http://e/a", "http://e/b", 'sq "dq" . \nline')]
+
+    t, _, _ = parse_turtle('ex:a ex:b """x"""@en .', prefixes=px)
+    assert t == [("http://e/a", "http://e/b", "x@en")]
+
+    t, _, _ = parse_turtle('ex:a ex:b """x"""^^<http://t> .', prefixes=px)
+    assert t == [("http://e/a", "http://e/b", "x")]
+
+    # interior lines that LOOK like directives/comments stay content
+    t, _, _ = parse_turtle(
+        'ex:a ex:b """has @prefix nope: <x> .\n# not a comment\n""" .',
+        prefixes=px,
+    )
+    assert "@prefix" in t[0][2] and "# not a comment" in t[0][2]
+
+    # mixed with fast-path lines and annotations
+    t, q, _ = parse_turtle(
+        'ex:s1 ex:p "v" .\n'
+        'ex:c ex:d """ml\n. inside\n""" .\n'
+        'ex:ann ex:bal "1" {| ex:conf "0.9" |} .\n',
+        prefixes=px,
+    )
+    assert ("http://e/c", "http://e/d", "ml\n. inside\n") in t
+    assert len(q) == 1

@@ -170,6 +170,17 @@ def probe_memory() -> None:
     """One >= 1 GB single Turtle file; scan it with the streaming bounds
     generator in a FRESH subprocess so ru_maxrss isolates the scan."""
     os.makedirs(BASE, exist_ok=True)
+    p = _huge_single_file()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _MEMPROBE_SNIPPET.format(repo=repo)
+    r = subprocess.run(
+        [sys.executable, "-c", code, p], capture_output=True, text=True
+    )
+    print(r.stdout.strip() or r.stderr[-2000:], flush=True)
+
+
+def _huge_single_file() -> str:
+    os.makedirs(BASE, exist_ok=True)
     p = os.path.join(BASE, "huge_single.ttl")
     if not os.path.exists(p) or os.path.getsize(p) < 1_000_000_000:
         with open(p, "w", encoding="utf-8") as fh:
@@ -182,12 +193,67 @@ def probe_memory() -> None:
                     for j in range(i, i + 100_000)
                 )
                 i += 100_000
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    code = _MEMPROBE_SNIPPET.format(repo=repo)
-    r = subprocess.run(
-        [sys.executable, "-c", code, p], capture_output=True, text=True
+    return p
+
+
+def probe_parscan() -> None:
+    """Single >= 1 GB Turtle file: sequential boundary scan vs the
+    two-pass parallel FSM scan (r10's in-file split-and-stitch), scan
+    only and end-to-end read_turtle_df (min-of-2 warm)."""
+    import kolibrie_spark.rdfio as R
+    from pyspark.sql import SparkSession
+
+    p = _huge_single_file()
+    size = os.path.getsize(p)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
     )
-    print(r.stdout.strip() or r.stderr[-2000:], flush=True)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()  # warm
+
+    t0 = time.time()
+    n_seq_bounds = sum(1 for _ in R._turtle_stream_bounds(p, 2000))
+    seq_scan = time.time() - t0
+
+    t0 = time.time()
+    rdd = R._turtle_parallel_bounds(spark, [(p, size)], 2000)
+    n_par_bounds = rdd.count()
+    par_scan = time.time() - t0
+
+    def end_to_end(min_bytes: int) -> tuple[float, int]:
+        old = R.PARALLEL_SCAN_MIN_BYTES
+        R.PARALLEL_SCAN_MIN_BYTES = min_bytes
+        try:
+            best, n = math.inf, 0
+            for _ in range(2):
+                t0 = time.time()
+                n = R.read_turtle_df(spark, p).count()
+                best = min(best, time.time() - t0)
+            return best, n
+        finally:
+            R.PARALLEL_SCAN_MIN_BYTES = old
+
+    e2e_seq, n1 = end_to_end(1 << 60)  # force sequential scan
+    e2e_par, n2 = end_to_end(256 * 1024 * 1024)
+    print(
+        json.dumps(
+            {
+                "file_mb": round(size / 1e6),
+                "seq_scan_s": round(seq_scan, 1),
+                "par_scan_s": round(par_scan, 1),
+                "bounds": [n_seq_bounds, n_par_bounds],
+                "e2e_seq_s": round(e2e_seq, 1),
+                "e2e_par_s": round(e2e_par, 1),
+                "triples": [n1, n2],
+            }
+        ),
+        flush=True,
+    )
 
 
 def probe_hitrate(fmts: list[str]) -> None:
@@ -220,6 +286,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", action="store_true")
     ap.add_argument("--memprobe", action="store_true")
+    ap.add_argument("--parscan", action="store_true")
     ap.add_argument("--hitrate", action="store_true")
     ap.add_argument("--fmt", default="ntriples,nquads,rdfxml")
     ap.add_argument("--sizes", default="0.6,6,60")
@@ -230,5 +297,7 @@ if __name__ == "__main__":
         probe_hitrate(fmts)
     if args.memprobe:
         probe_memory()
+    if args.parscan:
+        probe_parscan()
     if args.scale:
         probe_scales(fmts, sizes)
