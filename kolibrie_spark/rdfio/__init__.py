@@ -887,7 +887,14 @@ _XML_TOKEN_RE_STRICT_B = re.compile(
 
 
 def _rdfxml_stream_bounds(
-    path: str, elements_per_chunk: int = 500, window_bytes: int = 0
+    path: str,
+    elements_per_chunk: int = 500,
+    window_bytes: int = 0,
+    start: int = 0,
+    end: int | None = None,
+    depth0: int = 0,
+    root_open0: bytes | None = None,
+    assume_split: bool = False,
 ):
     """Yield ``(chunk_index, byte_start, byte_end, root_tag)`` rows for
     one RDF/XML file — the same rows the whole-file
@@ -905,30 +912,48 @@ def _rdfxml_stream_bounds(
     token start; the EOF window switches to the original fallback-
     bearing pattern.  Depth/root/span state persists across refills as
     absolute offsets; groups of ``elements_per_chunk`` spans flush as
-    soon as splitting is confirmed (more than one group exists)."""
+    soon as splitting is confirmed (more than one group exists).
+
+    ``start``/``end``/``depth0``/``root_open0``/``assume_split``
+    restrict the scan to a byte SUB-RANGE with a known entry state —
+    pass 2 of the parallel in-file scan.  Segments start between
+    top-level elements (depth 1, outside all tokens), splitting is
+    already decided (groups flush at ``per``; the unsplittable
+    whole-file verdict is disabled), and ``end`` behaves as EOF for
+    the sub-range."""
     import os
 
     window_bytes = window_bytes or SCAN_WINDOW_BYTES
     size = os.path.getsize(path)
     per = elements_per_chunk
     pending: list[tuple[int, int]] = []
-    split_mode = False
+    split_mode = assume_split
     ci = 0
-    root_open: bytes | None = None
-    depth = 0
+    root_open: bytes | None = root_open0
+    depth = depth0
     el_start = -1
     stopped = False  # root closed / unsplittable verdict reached
     single = False  # self-closing or absent root => whole-file row
 
     with open(path, "rb") as f:
+        if start:
+            f.seek(start)
+        remaining = None if end is None else end - start
         buf = b""
-        base = 0
+        base = start
         while not stopped:
-            data = f.read(window_bytes)
-            eof = len(data) < window_bytes
+            take = (
+                window_bytes
+                if remaining is None
+                else min(window_bytes, remaining)
+            )
+            data = f.read(take)
+            if remaining is not None:
+                remaining -= len(data)
+            eof = len(data) < window_bytes or remaining == 0
             buf += data
             pos = 0
-            end = len(buf)
+            bend = len(buf)
             pat = _XML_TOKEN_RE_B if eof else _XML_TOKEN_RE_STRICT_B
             while not stopped:
                 m = pat.search(buf, pos)
@@ -937,14 +962,14 @@ def _rdfxml_stream_bounds(
                         stopped = True
                     else:
                         g = buf.find(b"<", pos)
-                        pos = end if g == -1 else g
+                        pos = bend if g == -1 else g
                     break
                 if not eof:
                     g = buf.find(b"<", pos, m.start())
                     if g != -1:  # truncated token the strict pattern skipped
                         pos = g
                         break
-                    if m.end() == end:  # token may extend past the window
+                    if m.end() == bend:  # token may extend past the window
                         pos = m.start()
                         break
                 tok = m.group(0)
@@ -1003,6 +1028,361 @@ def _rdfxml_stream_bounds(
             root_open.decode("utf-8", "replace"),
         )
         ci += 1
+
+
+# ---------------------------------------------------------------------------
+# Parallel in-file boundary scan for RDF/XML — the XML twin of the Turtle
+# speculative-FSM scan above.  Newline-aligned cuts again keep the state
+# space finite: every multi-byte lexical marker (<!--, <![CDATA[, </, <?,
+# -->, ]]>, ?>, />, quote chars) contains no newline, so none can
+# straddle a cut; only the STATES below can.  Depth is unbounded but its
+# DELTA across a range is composable, and element-end events are
+# recorded per RELATIVE depth so the driver can pick the true top-level
+# ones after composing absolute depths.
+_XML_ST_TEXT = 0
+_XML_ST_COMMENT = 1  # inside <!-- ... -->
+_XML_ST_CDATA = 2  # inside <![CDATA[ ... ]]>
+_XML_ST_PI = 3  # inside <? ... ?>
+_XML_ST_BANG = 4  # inside <!DOCTYPE-ish ... >
+_XML_ST_OPEN = 5  # inside an open tag, outside attr quotes
+_XML_ST_OPEN_SQ = 6
+_XML_ST_OPEN_DQ = 7
+_XML_ST_CLOSE = 8  # inside a </close> tag
+_XML_ST_CLOSE_SQ = 9
+_XML_ST_CLOSE_DQ = 10
+_XML_STATES = range(11)
+
+# tag-INTERNAL completion from just after '<' (or any point inside the
+# tag outside quotes): quote-aware skip then the closing '>'
+_XML_TAG_REST_RE = re.compile(
+    rb"[^>\"']*(?:\"[^\"]*\"[^>\"']*|'[^']*'[^>\"']*)*>"
+)
+# same but WITHOUT requiring the '>': always matches; its end tells
+# whether the range ends outside quotes (end == len) or at an
+# unterminated quote (buf[end] is the quote char)
+_XML_TAG_SKIP_RE = re.compile(
+    rb"[^>\"']*(?:\"[^\"]*\"[^>\"']*|'[^']*'[^>\"']*)*"
+)
+
+
+def _xml_tag_end_state(buf: bytes, pos: int, closing: bool) -> int:
+    """State at the end of ``buf`` when it ends inside a tag whose
+    remaining text starts at ``pos``."""
+    e = _XML_TAG_SKIP_RE.match(buf, pos).end()
+    if e >= len(buf):
+        return _XML_ST_CLOSE if closing else _XML_ST_OPEN
+    c = buf[e]
+    if c == 0x22:
+        return _XML_ST_CLOSE_DQ if closing else _XML_ST_OPEN_DQ
+    if c == 0x27:
+        return _XML_ST_CLOSE_SQ if closing else _XML_ST_OPEN_SQ
+    raise AssertionError(f"tag skip stopped at {buf[e:e+4]!r}")
+
+
+def _xml_walk(buf: bytes, k: int):
+    """Token walk from ``k`` (TEXT state) to the end of ``buf``:
+    returns (end_state, depth_delta, sync_map, open_map) where
+    ``sync_map`` maps RELATIVE depth AFTER an element-end event to the
+    absolute-in-buf offset just after the first such event, and
+    ``open_map`` maps the relative depth BEFORE the first non-self-
+    closing open tag seen at that depth to its tag bytes (the driver
+    reads the root open tag from it).  Mirrors the windowed scanner's
+    strict-token + gap-'<' discipline, so unterminated tokens classify
+    instead of being misparsed."""
+    pat = _XML_TOKEN_RE_STRICT_B
+    n = len(buf)
+    pos = k
+    rel = 0
+    sync: dict[int, int] = {}
+    opens: dict[int, bytes] = {}
+    while True:
+        m = pat.search(buf, pos)
+        g = buf.find(b"<", pos, m.start() if m else n)
+        if g != -1 and (m is None or g < m.start()):
+            # unterminated opener: classify; its content swallows the
+            # rest of the range
+            if buf.startswith(b"<!--", g):
+                return (_XML_ST_COMMENT, rel, sync, opens)
+            if buf.startswith(b"<![CDATA[", g):
+                return (_XML_ST_CDATA, rel, sync, opens)
+            if buf.startswith(b"<?", g):
+                return (_XML_ST_PI, rel, sync, opens)
+            if buf.startswith(b"<!", g):
+                return (_XML_ST_BANG, rel, sync, opens)
+            closing = buf.startswith(b"</", g)
+            return (
+                _xml_tag_end_state(buf, g + (2 if closing else 1), closing),
+                rel,
+                sync,
+                opens,
+            )
+        if m is None:
+            return (_XML_ST_TEXT, rel, sync, opens)
+        tok = m.group(0)
+        pos = m.end()
+        if tok.startswith((b"<!--", b"<![", b"<?", b"<!")):
+            continue
+        if tok.startswith(b"</"):
+            rel -= 1
+            sync.setdefault(rel, m.end())
+        else:
+            if tok.endswith(b"/>"):
+                sync.setdefault(rel, m.end())  # self-close: element end
+            else:
+                opens.setdefault(rel, tok)
+                rel += 1
+
+
+def _rdfxml_range_state_table(
+    path: str,
+    nominal_a: int,
+    nominal_b: int,
+    size: int,
+    window_bytes: int = 0,
+):
+    """Pass 1 for one newline-aligned byte range of an RDF/XML file:
+    ``(aligned_a, aligned_b, table)`` with ``table[state] = (end_state,
+    depth_delta, sync_map, open_map)``; sync/open offsets are absolute
+    file offsets and sync/open keys are relative to the depth at range
+    entry."""
+    window_bytes = window_bytes or SCAN_WINDOW_BYTES
+    with open(path, "rb") as f:
+        a = _newline_align(f, nominal_a, size, window_bytes)
+        b = (
+            size
+            if nominal_b >= size
+            else _newline_align(f, nominal_b, size, window_bytes)
+        )
+        if a >= b:
+            return (a, b, {st: (st, 0, {}, {}) for st in _XML_STATES})
+        f.seek(a)
+        buf = f.read(b - a)
+
+    def close(st: int):
+        """(k, depth_adj, pending_end_event) for the assumed pending
+        token, or None when it consumes the whole range (terminal)."""
+        if st == _XML_ST_TEXT:
+            return (0, 0, False)
+        if st == _XML_ST_COMMENT:
+            i = buf.find(b"-->")
+            return None if i < 0 else (i + 3, 0, False)
+        if st == _XML_ST_CDATA:
+            i = buf.find(b"]]>")
+            return None if i < 0 else (i + 3, 0, False)
+        if st == _XML_ST_PI:
+            i = buf.find(b"?>")
+            return None if i < 0 else (i + 2, 0, False)
+        if st == _XML_ST_BANG:
+            i = buf.find(b">")
+            return None if i < 0 else (i + 1, 0, False)
+        closing = st in (_XML_ST_CLOSE, _XML_ST_CLOSE_SQ, _XML_ST_CLOSE_DQ)
+        pos = 0
+        if st in (_XML_ST_OPEN_SQ, _XML_ST_CLOSE_SQ):
+            i = buf.find(b"'")
+            if i < 0:
+                return None
+            pos = i + 1
+        elif st in (_XML_ST_OPEN_DQ, _XML_ST_CLOSE_DQ):
+            i = buf.find(b'"')
+            if i < 0:
+                return None
+            pos = i + 1
+        m = _XML_TAG_REST_RE.match(buf, pos)
+        if m is None:
+            return None
+        k = m.end()
+        if closing:
+            return (k, -1, True)
+        selfclose = buf.endswith(b"/>", 0, k)
+        return (k, 0 if selfclose else 1, selfclose)
+
+    def terminal_state(st: int) -> int:
+        """End state when the pending token never closes in-range: quote
+        states can drop back to plain tag state once the quote closes
+        even if the tag's '>' does not arrive; everything else stays."""
+        if st in (_XML_ST_OPEN_SQ, _XML_ST_OPEN_DQ, _XML_ST_CLOSE_SQ,
+                  _XML_ST_CLOSE_DQ):
+            q = b"'" if st in (_XML_ST_OPEN_SQ, _XML_ST_CLOSE_SQ) else b'"'
+            i = buf.find(q)
+            if i >= 0:
+                closing = st in (_XML_ST_CLOSE_SQ, _XML_ST_CLOSE_DQ)
+                return _xml_tag_end_state(buf, i + 1, closing)
+        return st
+
+    from_k: dict[int, tuple] = {}
+    table: dict[int, tuple] = {}
+    for st in _XML_STATES:
+        c = close(st)
+        if c is None:
+            table[st] = (terminal_state(st), 0, {}, {})
+            continue
+        k, adj, pending_end = c
+        if k not in from_k:
+            from_k[k] = _xml_walk(buf, k)
+        end_state, delta, sync_k, opens_k = from_k[k]
+        # shift walk-relative depths by the pending token's adjustment
+        # and add absolute offsets; the pending token's own end event
+        # (at relative depth ``adj``) happens first, so it wins the
+        # first-per-key slot
+        sync = {r + adj: a + p for r, p in sync_k.items()}
+        if pending_end:
+            if adj not in sync or a + k < sync[adj]:
+                sync[adj] = a + k
+        opens = {r + adj: t for r, t in opens_k.items()}
+        table[st] = (end_state, delta + adj, sync, opens)
+    return (a, b, table)
+
+
+def _rdfxml_compose(size: int, tables):
+    """Driver-side composition for the XML parallel scan: thread
+    (state, depth) through the per-range tables from (TEXT, 0), picking
+    each range's first true top-level element-end as a sync point and
+    the root open tag from the first open seen at absolute depth 0.
+    Returns (root_open_bytes | None, [sync offsets])."""
+    state, depth = _XML_ST_TEXT, 0
+    root: bytes | None = None
+    syncs: list[int] = []
+    for _a, _b, table in tables:
+        end_state, delta, sync, opens = table[state]
+        if root is None:
+            root = opens.get(-depth)
+        s = sync.get(1 - depth)
+        if s is not None:
+            syncs.append(s)
+        state, depth = end_state, depth + delta
+    return root, syncs
+
+
+def _rdfxml_parallel_bounds_local(
+    path: str, per: int, range_bytes: int, window_bytes: int = 0
+) -> list[tuple[int, int, int, str | None]]:
+    """In-process twin of the distributed XML parallel scan (tests +
+    differential oracle): pass-1 tables per nominal range, composed
+    sync points, pass-2 sequential scans per segment.  Falls back to
+    the plain sequential scan when the file is unsplittable."""
+    import os
+
+    size = os.path.getsize(path)
+    n_ranges = max(1, -(-size // range_bytes))
+    tabs = [
+        _rdfxml_range_state_table(
+            path, i * range_bytes, min((i + 1) * range_bytes, size), size,
+            window_bytes,
+        )
+        for i in range(n_ranges)
+    ]
+    root, syncs = _rdfxml_compose(size, tabs)
+    if root is None or len(syncs) < 2:
+        return list(_rdfxml_stream_bounds(path, per, window_bytes))
+    out = []
+    bounds = list(syncs) + [size]
+    prev, d0 = 0, 0
+    for si, s in enumerate(bounds):
+        for ci, a, b, r in _rdfxml_stream_bounds(
+            path,
+            per,
+            window_bytes,
+            start=prev,
+            end=s,
+            depth0=d0,
+            root_open0=root if d0 else None,
+            assume_split=True,
+        ):
+            out.append(((si << 32) + ci, a, b, r))
+        prev, d0 = s, 1
+    return out
+
+
+def _rdfxml_parallel_bounds(
+    spark, files, elements_per_chunk: int, window_bytes: int = 0
+):
+    """Distributed two-pass boundary scan for HUGE RDF/XML files — same
+    scheme as :func:`_turtle_parallel_bounds`: pass 1 maps newline-
+    aligned ranges to per-state (end-state, depth-delta, sync) tables,
+    the driver composes true sync points (positions between top-level
+    elements), pass 2 runs the sequential windowed scanner per
+    inter-sync segment with its known entry state (TEXT, depth 1).
+    Chunk indices are remapped per segment (segment_index * 2**32 +
+    local) so (file, chunk) genid salts stay unique and deterministic.
+    Returns an RDD of (path, ci, start, end, root) bound rows."""
+    sc = spark.sparkContext
+    par = sc.defaultParallelism
+    total = sum(sz for _, sz in files)
+    range_bytes = max(
+        8 * 1024 * 1024, min(SCAN_WINDOW_BYTES, -(-total // (par * 2)))
+    )
+    tasks = []
+    for fp, sz in files:
+        n_ranges = max(1, -(-sz // range_bytes))
+        tasks.extend(
+            (fp, i * range_bytes, min((i + 1) * range_bytes, sz), sz)
+            for i in range(n_ranges)
+        )
+    wb = window_bytes
+
+    def pass1(t):
+        fp, na, nb, sz = t
+        return (fp, na, _rdfxml_range_state_table(fp, na, nb, sz, wb))
+
+    tables = (
+        sc.parallelize(tasks, max(1, min(len(tasks), par * 2)))
+        .map(pass1)
+        .collect()
+    )
+    by_file: dict[str, list] = {}
+    for fp, na, tab in tables:
+        by_file.setdefault(fp, []).append((na, tab))
+    per = elements_per_chunk
+    segments = []  # (path, si, seg_start, seg_end, depth0, root_str)
+    seq_files = []  # unsplittable: defer to the sequential scanner
+    for fp, sz in files:
+        # each entry is the (aligned_a, aligned_b, table) triple the
+        # range task returned, ordered by nominal range start
+        tabs = [t for _, t in sorted(by_file[fp], key=lambda x: x[0])]
+        root, syncs = _rdfxml_compose(sz, tabs)
+        if root is None or len(syncs) < 2:
+            seq_files.append(fp)
+            continue
+        root_str = root.decode("utf-8", "replace")
+        prev, d0 = 0, 0
+        for si, s in enumerate(syncs):
+            segments.append((fp, si, prev, s, d0, root_str))
+            prev, d0 = s, 1
+        segments.append((fp, len(syncs), prev, sz, 1, root_str))
+
+    def pass2(it):
+        for fp, si, sa, sb, d0, root_str in it:
+            for ci, x, y, r in _rdfxml_stream_bounds(
+                fp,
+                per,
+                wb,
+                start=sa,
+                end=sb,
+                depth0=d0,
+                root_open0=root_str.encode("utf-8") if d0 else None,
+                assume_split=True,
+            ):
+                yield (fp, (si << 32) + ci, x, y, r)
+
+    def seq_scan(it):
+        for fp in it:
+            for ci, x, y, r in _rdfxml_stream_bounds(fp, per, wb):
+                yield (fp, ci, x, y, r)
+
+    rdds = []
+    if segments:
+        rdds.append(
+            sc.parallelize(
+                segments, max(1, min(len(segments), par))
+            ).mapPartitions(pass2)
+        )
+    if seq_files:
+        rdds.append(
+            sc.parallelize(
+                seq_files, max(1, min(len(seq_files), par))
+            ).mapPartitions(seq_scan)
+        )
+    return rdds[0] if len(rdds) == 1 else sc.union(rdds)
 
 
 def _rdfxml_spans_bytes(
@@ -1092,8 +1472,29 @@ def read_rdfxml_df(spark, path: str, elements_per_chunk: int = 500):
             for ci, a, b, root in _rdfxml_stream_bounds(fp, elements_per_chunk):
                 yield (fp, ci, a, b, root)
 
+    # huge files scan with the two-pass parallel FSM scan when the file
+    # count would leave cores idle — same policy as the Turtle reader
+    import os as _os
+
+    sizes = [(fp, _os.path.getsize(fp)) for fp in paths]
+    huge = (
+        [t for t in sizes if t[1] >= PARALLEL_SCAN_MIN_BYTES]
+        if len(paths) < par * 2
+        else []
+    )
+    huge_set = {fp for fp, _ in huge}
+    small = [fp for fp in paths if fp not in huge_set]
+    rdds = []
+    if small:
+        rdds.append(
+            sc.parallelize(small, max(1, min(len(small), par))).mapPartitions(
+                scan
+            )
+        )
+    if huge:
+        rdds.append(_rdfxml_parallel_bounds(spark, huge, elements_per_chunk))
     bounds = spark.createDataFrame(
-        sc.parallelize(paths, max(1, min(len(paths), par))).mapPartitions(scan),
+        rdds[0] if len(rdds) == 1 else sc.union(rdds),
         "path string, ci long, start long, end long, root string",
     ).repartition(par)
 

@@ -1252,3 +1252,164 @@ def test_parse_turtle_long_strings():
     )
     assert ("http://e/c", "http://e/d", "ml\n. inside\n") in t
     assert len(q) == 1
+
+
+def test_rdfxml_parallel_bounds_match_sequential_scan(tmp_path):
+    """The XML two-pass parallel scan must place EXACTLY the sequential
+    windowed scan's element spans at per=1 — across comments with fake
+    tags inside, CDATA, PIs, DOCTYPE, attributes containing '>' /
+    quotes / newlines, nesting, self-closing top-level elements,
+    multi-byte UTF-8, and 120 random nested-document fuzz trials at
+    range sizes down to 13 bytes."""
+    import random
+
+    from kolibrie_spark.rdfio import (
+        _rdfxml_parallel_bounds_local,
+        _rdfxml_stream_bounds,
+    )
+
+    def seq(p, per=1):
+        return [(a, b, r) for _, a, b, r in _rdfxml_stream_bounds(p, per)]
+
+    def par(p, rb, per=1):
+        return [
+            (a, b, r)
+            for _, a, b, r in _rdfxml_parallel_bounds_local(p, per, rb)
+        ]
+
+    def doc(n, mid="", nest=False, pre=""):
+        items = []
+        for i in range(n):
+            if nest and i % 5 == 2:
+                items.append(
+                    f'  <rdf:Description rdf:about="http://e/s{i}">'
+                    f"<ex:n>café {i} 日本語</ex:n>"
+                    f'<ex:inner><ex:d attr="a &gt; b">x</ex:d></ex:inner>'
+                    f"</rdf:Description>\n"
+                )
+            elif nest and i % 7 == 3:
+                items.append(
+                    f'  <rdf:Description rdf:about="http://e/s{i}"/>\n'
+                )
+            else:
+                items.append(
+                    f'  <rdf:Description rdf:about="http://e/s{i}">'
+                    f"<ex:n>value {i}</ex:n></rdf:Description>\n"
+                )
+        return (
+            pre + '<?xml version="1.0"?>\n<rdf:RDF '
+            'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:ex="http://e/">\n' + mid + "".join(items) + "</rdf:RDF>\n"
+        )
+
+    cases = [
+        doc(40),
+        doc(40, nest=True),
+        doc(
+            30,
+            mid="<!-- a > fat comment\n"
+            + ("pad > x</rdf:Description>\n" * 20)
+            + "-->\n",
+        ),
+        doc(12, mid="<ex:x><![CDATA[ raw > < stuff \n more ]]></ex:x>"),
+        doc(
+            25,
+            mid='<ex:w attr="multi\nline > v" other=\'s > q\'>t</ex:w>\n',
+        ),
+        doc(
+            18,
+            pre="<!DOCTYPE rdf:RDF SYSTEM 'x.dtd'>\n"
+            "<?xml-stylesheet href='y'?>\n",
+        ),
+        "<rdf:RDF xmlns:rdf='http://www.w3.org/1999/02/22-rdf-syntax-ns#'/>",
+        doc(3),  # unsplittable at high per: falls back to sequential
+    ]
+    for i, text in enumerate(cases):
+        p = tmp_path / f"x{i}.rdf"
+        p.write_bytes(text.encode("utf-8"))
+        want = seq(str(p))
+        for rb in (16, 64, 331, 1 << 20):
+            got = par(str(p), rb)
+            assert got == want, (i, rb, got[:4], want[:4])
+
+    rng = random.Random(42)
+
+    def rand_elem(depth, budget):
+        name = rng.choice(["ex:a", "ex:b", "rdf:Description"])
+        attrs = ""
+        for _ in range(rng.randrange(0, 3)):
+            v = rng.choice(
+                ["x > y", "multi\nline", "quote ' inside", "café 日本語"]
+            )
+            q = '"' if "'" in v or rng.random() < 0.7 else "'"
+            attrs += f" ex:k{rng.randrange(5)}={q}{v}{q}"
+        if budget <= 0 or (depth > 0 and rng.random() < 0.3):
+            return (
+                f"<{name}{attrs}/>"
+                if rng.random() < 0.5
+                else f"<{name}{attrs}></{name}>"
+            )
+        kids = []
+        for _ in range(rng.randrange(1, 4)):
+            r = rng.random()
+            if r < 0.15:
+                kids.append("<!-- comment with > and </fake>\nlines -->")
+            elif r < 0.25:
+                kids.append("<![CDATA[ raw < > \n stuff ]]>")
+            elif r < 0.3:
+                kids.append("<?pi data > here?>")
+            elif r < 0.5:
+                kids.append(f"text café {rng.randrange(100)}\n")
+            else:
+                kids.append(rand_elem(depth + 1, budget - 1))
+        return f"<{name}{attrs}>" + "".join(kids) + f"</{name}>"
+
+    p = tmp_path / "fuzz.rdf"
+    for t in range(120):
+        body = "\n".join(
+            rand_elem(1, rng.randrange(0, 4))
+            for _ in range(rng.randrange(2, 12))
+        )
+        p.write_bytes(
+            (
+                '<?xml version="1.0"?>\n<rdf:RDF '
+                'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+                'xmlns:ex="http://e/">\n' + body + "\n</rdf:RDF>\n"
+            ).encode("utf-8")
+        )
+        want = seq(str(p))
+        for rb in (13, 47, 256):
+            got = par(str(p), rb)
+            assert got == want, (t, rb)
+
+
+def test_rdfxml_parallel_scan_through_reader(spark, tmp_path, monkeypatch):
+    """read_rdfxml_df must produce identical triples with the parallel
+    in-file scan forced (threshold 1, tiny ranges) as with the default
+    sequential scan — including stable (file, chunk)-salted genid blank
+    nodes across the ci remap."""
+    import kolibrie_spark.rdfio as R
+
+    d = tmp_path / "xpar"
+    d.mkdir()
+    (d / "a.rdf").write_text(
+        '<?xml version="1.0"?>\n<rdf:RDF '
+        'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://e/">\n'
+        + "".join(
+            f'<rdf:Description rdf:about="http://e/s{i}">'
+            f"<ex:n>n{i} é 日本語</ex:n></rdf:Description>\n"
+            for i in range(60)
+        )
+        + "<!-- fat > comment\n" + ("x</rdf:Description>\n" * 10) + "-->\n"
+        + "</rdf:RDF>"
+    )
+    want = sorted(
+        tuple(r) for r in R.read_rdfxml_df(spark, str(d), 7).collect()
+    )
+    monkeypatch.setattr(R, "PARALLEL_SCAN_MIN_BYTES", 1)
+    monkeypatch.setattr(R, "SCAN_WINDOW_BYTES", 256)
+    got = sorted(
+        tuple(r) for r in R.read_rdfxml_df(spark, str(d), 7).collect()
+    )
+    assert got == want and len(got) == 60

@@ -196,6 +196,87 @@ def _huge_single_file() -> str:
     return p
 
 
+def _huge_single_xml() -> str:
+    os.makedirs(BASE, exist_ok=True)
+    p = os.path.join(BASE, "huge_single.rdf")
+    if not os.path.exists(p) or os.path.getsize(p) < 1_000_000_000:
+        with open(p, "w", encoding="utf-8") as fh:
+            fh.write(
+                '<?xml version="1.0"?>\n<rdf:RDF '
+                'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+                'xmlns:ex="http://example.org/">\n'
+            )
+            i = 0
+            while fh.tell() < 1_000_000_000:
+                fh.writelines(
+                    f'  <rdf:Description rdf:about="http://example.org/s{j}">'
+                    f"<ex:p{j % 7}>value {j} — café padding {j * 7}</ex:p{j % 7}>"
+                    f"</rdf:Description>\n"
+                    for j in range(i, i + 100_000)
+                )
+                i += 100_000
+            fh.write("</rdf:RDF>\n")
+    return p
+
+
+def probe_parscan_xml() -> None:
+    """Single >= 1 GB RDF/XML file: sequential vs parallel scan,
+    end-to-end (min-of-2 warm)."""
+    import kolibrie_spark.rdfio as R
+    from pyspark.sql import SparkSession
+
+    p = _huge_single_xml()
+    size = os.path.getsize(p)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    t0 = time.time()
+    n_seq = sum(1 for _ in R._rdfxml_stream_bounds(p, 500))
+    seq_scan = time.time() - t0
+    t0 = time.time()
+    n_par = R._rdfxml_parallel_bounds(spark, [(p, size)], 500).count()
+    par_scan = time.time() - t0
+
+    def end_to_end(min_bytes: int):
+        old = R.PARALLEL_SCAN_MIN_BYTES
+        R.PARALLEL_SCAN_MIN_BYTES = min_bytes
+        try:
+            best, n = math.inf, 0
+            for _ in range(2):
+                t0 = time.time()
+                n = R.read_rdfxml_df(spark, p).count()
+                best = min(best, time.time() - t0)
+            return best, n
+        finally:
+            R.PARALLEL_SCAN_MIN_BYTES = old
+
+    e2e_seq, n1 = end_to_end(1 << 60)
+    e2e_par, n2 = end_to_end(256 * 1024 * 1024)
+    print(
+        json.dumps(
+            {
+                "fmt": "rdfxml",
+                "file_mb": round(size / 1e6),
+                "seq_scan_s": round(seq_scan, 1),
+                "par_scan_s": round(par_scan, 1),
+                "bounds": [n_seq, n_par],
+                "e2e_seq_s": round(e2e_seq, 1),
+                "e2e_par_s": round(e2e_par, 1),
+                "triples": [n1, n2],
+            }
+        ),
+        flush=True,
+    )
+
+
 def probe_parscan() -> None:
     """Single >= 1 GB Turtle file: sequential boundary scan vs the
     two-pass parallel FSM scan (r10's in-file split-and-stitch), scan
@@ -287,6 +368,7 @@ if __name__ == "__main__":
     ap.add_argument("--scale", action="store_true")
     ap.add_argument("--memprobe", action="store_true")
     ap.add_argument("--parscan", action="store_true")
+    ap.add_argument("--parscan-xml", action="store_true")
     ap.add_argument("--hitrate", action="store_true")
     ap.add_argument("--fmt", default="ntriples,nquads,rdfxml")
     ap.add_argument("--sizes", default="0.6,6,60")
@@ -299,5 +381,7 @@ if __name__ == "__main__":
         probe_memory()
     if args.parscan:
         probe_parscan()
+    if args.parscan_xml:
+        probe_parscan_xml()
     if args.scale:
         probe_scales(fmts, sizes)
