@@ -461,8 +461,22 @@ _TTL_SSQ_CLOSE_RE = re.compile(rb"(?:[^'\\]|\\[\s\S])*+'")
 
 # engage the parallel scan for files at least this large (the sequential
 # scan clears a 256 MB file in ~8 s; below that the two-pass overhead
-# isn't worth it), and only when the file count leaves cores idle
+# isn't worth it) ...
 PARALLEL_SCAN_MIN_BYTES = 256 * 1024 * 1024
+# ... and only when the predicted win justifies its ~3x total scan work:
+# the per-file plan's wall is ~max_file/rate (files scan concurrently),
+# the parallel plan's ~3*total/(par*rate); requiring the former to be
+# >= PARALLEL_SCAN_MIN_WIN times the latter keeps the 1x-work per-file
+# plan whenever the corpus already spreads (measured: an 8x380 MB corpus
+# scans slightly FASTER per-file, a single 1 GB file 2.8-4.9x faster
+# parallel — BASELINE.md r10)
+PARALLEL_SCAN_MIN_WIN = 2
+
+
+def _parallel_scan_worthwhile(sizes, par: int) -> bool:
+    total = sum(sz for _, sz in sizes)
+    max_sz = max((sz for _, sz in sizes), default=0)
+    return max_sz * par >= 3 * PARALLEL_SCAN_MIN_WIN * total
 
 
 def _newline_align(f, pos: int, size: int, window_bytes: int) -> int:
@@ -475,8 +489,11 @@ def _newline_align(f, pos: int, size: int, window_bytes: int) -> int:
         return size
     f.seek(pos)
     off = pos
+    # newlines sit a line-length away; read small probes (capped by the
+    # window bound), not whole windows
+    step = min(window_bytes, 256 * 1024)
     while off < size:
-        data = f.read(window_bytes)
+        data = f.read(step)
         if not data:
             break
         i = data.find(b"\n")
@@ -1079,6 +1096,27 @@ def _xml_tag_end_state(buf: bytes, pos: int, closing: bool) -> int:
     raise AssertionError(f"tag skip stopped at {buf[e:e+4]!r}")
 
 
+def _xml_walk_unterminated(buf: bytes, g: int, rel, sync, opens):
+    """Classify the unterminated opener at ``g`` (where the strict
+    pattern could not complete a token): its content swallows the rest
+    of the range, so the walk ends in the opener's state."""
+    if buf.startswith(b"<!--", g):
+        return (_XML_ST_COMMENT, rel, sync, opens)
+    if buf.startswith(b"<![CDATA[", g):
+        return (_XML_ST_CDATA, rel, sync, opens)
+    if buf.startswith(b"<?", g):
+        return (_XML_ST_PI, rel, sync, opens)
+    if buf.startswith(b"<!", g):
+        return (_XML_ST_BANG, rel, sync, opens)
+    closing = buf.startswith(b"</", g)
+    return (
+        _xml_tag_end_state(buf, g + (2 if closing else 1), closing),
+        rel,
+        sync,
+        opens,
+    )
+
+
 def _xml_walk(buf: bytes, k: int):
     """Token walk from ``k`` (TEXT state) to the end of ``buf``:
     returns (end_state, depth_delta, sync_map, open_map) where
@@ -1088,49 +1126,40 @@ def _xml_walk(buf: bytes, k: int):
     closing open tag seen at that depth to its tag bytes (the driver
     reads the root open tag from it).  Mirrors the windowed scanner's
     strict-token + gap-'<' discipline, so unterminated tokens classify
-    instead of being misparsed."""
-    pat = _XML_TOKEN_RE_STRICT_B
-    n = len(buf)
+    instead of being misparsed.  The loop is finditer-driven with byte
+    peeks instead of token materialization — per-token Python is THE
+    pass-1 cost (the 60M probe measured the naive search+group loop at
+    ~11 us/token; this shape is ~3x cheaper)."""
     pos = k
     rel = 0
     sync: dict[int, int] = {}
     opens: dict[int, bytes] = {}
-    while True:
-        m = pat.search(buf, pos)
-        g = buf.find(b"<", pos, m.start() if m else n)
-        if g != -1 and (m is None or g < m.start()):
-            # unterminated opener: classify; its content swallows the
-            # rest of the range
-            if buf.startswith(b"<!--", g):
-                return (_XML_ST_COMMENT, rel, sync, opens)
-            if buf.startswith(b"<![CDATA[", g):
-                return (_XML_ST_CDATA, rel, sync, opens)
-            if buf.startswith(b"<?", g):
-                return (_XML_ST_PI, rel, sync, opens)
-            if buf.startswith(b"<!", g):
-                return (_XML_ST_BANG, rel, sync, opens)
-            closing = buf.startswith(b"</", g)
-            return (
-                _xml_tag_end_state(buf, g + (2 if closing else 1), closing),
-                rel,
-                sync,
-                opens,
-            )
-        if m is None:
-            return (_XML_ST_TEXT, rel, sync, opens)
-        tok = m.group(0)
+    find = buf.find
+    for m in _XML_TOKEN_RE_STRICT_B.finditer(buf, k):
+        s = m.start()
+        if s > pos:
+            g = find(b"<", pos, s)
+            if g != -1:
+                return _xml_walk_unterminated(buf, g, rel, sync, opens)
         pos = m.end()
-        if tok.startswith((b"<!--", b"<![", b"<?", b"<!")):
+        c1 = buf[s + 1]
+        if c1 == 0x21 or c1 == 0x3F:  # <!... / <?...: no depth effect
             continue
-        if tok.startswith(b"</"):
+        if c1 == 0x2F:  # </close>
             rel -= 1
-            sync.setdefault(rel, m.end())
-        else:
-            if tok.endswith(b"/>"):
-                sync.setdefault(rel, m.end())  # self-close: element end
-            else:
-                opens.setdefault(rel, tok)
-                rel += 1
+            if rel not in sync:
+                sync[rel] = pos
+        elif buf[pos - 2] == 0x2F:  # <self/>: element end, no change
+            if rel not in sync:
+                sync[rel] = pos
+        else:  # <open>
+            if rel not in opens:
+                opens[rel] = m.group(0)
+            rel += 1
+    g = find(b"<", pos)
+    if g != -1:
+        return _xml_walk_unterminated(buf, g, rel, sync, opens)
+    return (_XML_ST_TEXT, rel, sync, opens)
 
 
 def _rdfxml_range_state_table(
@@ -1210,6 +1239,25 @@ def _rdfxml_range_state_table(
         return st
 
     from_k: dict[int, tuple] = {}
+    from_first: dict[int, tuple] = {}
+    pat = _XML_TOKEN_RE_STRICT_B
+
+    def walk_memo(k: int):
+        """A walk from ``k`` (TEXT) is fully determined by its FIRST
+        strict-token start (the eventless text before it only matters
+        for the unterminated-'<' gap check) — different assumed states
+        whose pending tokens close at nearby offsets usually share it,
+        so the ~2 s/64 MB walk runs once, not once per state."""
+        m = pat.search(buf, k)
+        first = m.start() if m is not None else len(buf)
+        g = buf.find(b"<", k, first)
+        if g != -1:
+            return _xml_walk_unterminated(buf, g, 0, {}, {})
+        r = from_first.get(first)
+        if r is None:
+            r = from_first[first] = _xml_walk(buf, first)
+        return r
+
     table: dict[int, tuple] = {}
     for st in _XML_STATES:
         c = close(st)
@@ -1218,7 +1266,7 @@ def _rdfxml_range_state_table(
             continue
         k, adj, pending_end = c
         if k not in from_k:
-            from_k[k] = _xml_walk(buf, k)
+            from_k[k] = walk_memo(k)
         end_state, delta, sync_k, opens_k = from_k[k]
         # shift walk-relative depths by the pending token's adjustment
         # and add absolute offsets; the pending token's own end event
@@ -1472,14 +1520,14 @@ def read_rdfxml_df(spark, path: str, elements_per_chunk: int = 500):
             for ci, a, b, root in _rdfxml_stream_bounds(fp, elements_per_chunk):
                 yield (fp, ci, a, b, root)
 
-    # huge files scan with the two-pass parallel FSM scan when the file
-    # count would leave cores idle — same policy as the Turtle reader
+    # huge dominant files scan with the two-pass parallel FSM scan —
+    # same win-based policy as the Turtle reader
     import os as _os
 
     sizes = [(fp, _os.path.getsize(fp)) for fp in paths]
     huge = (
         [t for t in sizes if t[1] >= PARALLEL_SCAN_MIN_BYTES]
-        if len(paths) < par * 2
+        if _parallel_scan_worthwhile(sizes, par)
         else []
     )
     huge_set = {fp for fp, _ in huge}
@@ -1762,16 +1810,16 @@ def _read_turtle_like_df(
                 yield (fp, a, b)
 
     # the boundary scan is sequential PER FILE (statement boundaries
-    # need left context); when huge files would leave cores idle, scan
-    # them with the two-pass parallel FSM scan instead — with many files
-    # the per-file scheme is already cluster-wide parallel and the
-    # two-pass scheme would only double the scan work
+    # need left context); when the corpus is dominated by huge files
+    # that would leave cores idle, scan them with the two-pass parallel
+    # FSM scan instead — the win-based rule keeps the 1x-work per-file
+    # plan whenever the file count already spreads the scan
     import os as _os
 
     sizes = [(fp, _os.path.getsize(fp)) for fp in paths]
     huge = (
         [t for t in sizes if t[1] >= PARALLEL_SCAN_MIN_BYTES]
-        if len(paths) < par * 2
+        if _parallel_scan_worthwhile(sizes, par)
         else []
     )
     huge_set = {fp for fp, _ in huge}

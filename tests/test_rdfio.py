@@ -1198,6 +1198,7 @@ def test_turtle_parallel_scan_through_reader(spark, tmp_path, monkeypatch):
     want_t = sorted(tuple(r) for r in wt.collect())
 
     monkeypatch.setattr(R, "PARALLEL_SCAN_MIN_BYTES", 1)
+    monkeypatch.setattr(R, "PARALLEL_SCAN_MIN_WIN", 0)  # local[4] test session
     monkeypatch.setattr(R, "SCAN_WINDOW_BYTES", 256)
     got = sorted(tuple(r) for r in R.read_turtle_df(spark, str(d), 7).collect())
     assert got == want and len(got) == 63
@@ -1408,6 +1409,7 @@ def test_rdfxml_parallel_scan_through_reader(spark, tmp_path, monkeypatch):
         tuple(r) for r in R.read_rdfxml_df(spark, str(d), 7).collect()
     )
     monkeypatch.setattr(R, "PARALLEL_SCAN_MIN_BYTES", 1)
+    monkeypatch.setattr(R, "PARALLEL_SCAN_MIN_WIN", 0)  # local[4] test session
     monkeypatch.setattr(R, "SCAN_WINDOW_BYTES", 256)
     got = sorted(
         tuple(r) for r in R.read_rdfxml_df(spark, str(d), 7).collect()
