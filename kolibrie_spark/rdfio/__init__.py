@@ -401,14 +401,14 @@ def _turtle_stream_bounds(
                 if buf[pos:].strip():
                     yield (chunk_start, base + len(buf))
                 return
-            end = len(buf)
+            bend = len(buf)
             progressed = True
             while progressed:
                 progressed = False
                 if count == 0:
                     while True:
                         m = group_re.match(buf, pos)
-                        if m is None or m.end() == end:
+                        if m is None or m.end() == bend:
                             break  # end-touching: terminator ambiguous
                         pos = m.end()
                         progressed = True
@@ -416,7 +416,7 @@ def _turtle_stream_bounds(
                         chunk_start = base + pos
                 while True:
                     m = stmt_re.match(buf, pos)
-                    if m is None or m.end() == end:
+                    if m is None or m.end() == bend:
                         break
                     pos = m.end()
                     count += 1
@@ -472,11 +472,47 @@ PARALLEL_SCAN_MIN_BYTES = 256 * 1024 * 1024
 # parallel — BASELINE.md r10)
 PARALLEL_SCAN_MIN_WIN = 2
 
+# pass-1 range floor: below this, per-task overhead dominates the walk.
+# Module-level (not inlined) so tests can force many tiny ranges through
+# the DISTRIBUTED pass-1/pass-2/ci-remap path, not just the local twins.
+PARALLEL_SCAN_RANGE_FLOOR = 8 * 1024 * 1024
+
 
 def _parallel_scan_worthwhile(sizes, par: int) -> bool:
     total = sum(sz for _, sz in sizes)
     max_sz = max((sz for _, sz in sizes), default=0)
     return max_sz * par >= 3 * PARALLEL_SCAN_MIN_WIN * total
+
+
+def _scan_bounds_rdd(spark, paths, seq_scan, parallel_bounds):
+    """Shared scan routing for the offset readers: per-file sequential
+    scans for the spread of the corpus, the two-pass parallel FSM scan
+    for dominant huge files (win-based rule above), and a valid empty
+    RDD for an empty corpus directory (``sc.union([])`` would raise)."""
+    import os as _os
+
+    sc = spark.sparkContext
+    par = sc.defaultParallelism
+    sizes = [(fp, _os.path.getsize(fp)) for fp in paths]
+    huge = (
+        [t for t in sizes if t[1] >= PARALLEL_SCAN_MIN_BYTES]
+        if _parallel_scan_worthwhile(sizes, par)
+        else []
+    )
+    huge_set = {fp for fp, _ in huge}
+    small = [fp for fp in paths if fp not in huge_set]
+    rdds = []
+    if small:
+        rdds.append(
+            sc.parallelize(small, max(1, min(len(small), par))).mapPartitions(
+                seq_scan
+            )
+        )
+    if huge:
+        rdds.append(parallel_bounds(spark, huge))
+    if not rdds:
+        return sc.parallelize([], 1)
+    return rdds[0] if len(rdds) == 1 else sc.union(rdds)
 
 
 def _newline_align(f, pos: int, size: int, window_bytes: int) -> int:
@@ -690,7 +726,8 @@ def _turtle_parallel_bounds(
     # overhead and capped at the scan window (the per-task memory bound)
     total = sum(sz for _, sz in files)
     range_bytes = max(
-        8 * 1024 * 1024, min(SCAN_WINDOW_BYTES, -(-total // (par * 2)))
+        PARALLEL_SCAN_RANGE_FLOOR,
+        min(SCAN_WINDOW_BYTES, -(-total // (par * 2))),
     )
     tasks = []
     for fp, sz in files:
@@ -1226,9 +1263,15 @@ def _rdfxml_range_state_table(
         return (k, 0 if selfclose else 1, selfclose)
 
     def terminal_state(st: int) -> int:
-        """End state when the pending token never closes in-range: quote
-        states can drop back to plain tag state once the quote closes
-        even if the tag's '>' does not arrive; everything else stays."""
+        """End state when the pending token never closes in-range.  A
+        tag state must re-derive WHERE inside the tag the range ends —
+        a tag spanning the whole range can drift into (or out of) an
+        attribute quote, and reporting the entry state unchanged lets
+        the next range's close() read quoted text as tag syntax (a '/>'
+        inside an attribute value then fabricates an element end —
+        silent span loss, caught by review)."""
+        if st in (_XML_ST_OPEN, _XML_ST_CLOSE):
+            return _xml_tag_end_state(buf, 0, st == _XML_ST_CLOSE)
         if st in (_XML_ST_OPEN_SQ, _XML_ST_OPEN_DQ, _XML_ST_CLOSE_SQ,
                   _XML_ST_CLOSE_DQ):
             q = b"'" if st in (_XML_ST_OPEN_SQ, _XML_ST_CLOSE_SQ) else b'"'
@@ -1357,7 +1400,8 @@ def _rdfxml_parallel_bounds(
     par = sc.defaultParallelism
     total = sum(sz for _, sz in files)
     range_bytes = max(
-        8 * 1024 * 1024, min(SCAN_WINDOW_BYTES, -(-total // (par * 2)))
+        PARALLEL_SCAN_RANGE_FLOOR,
+        min(SCAN_WINDOW_BYTES, -(-total // (par * 2))),
     )
     tasks = []
     for fp, sz in files:
@@ -1520,29 +1564,17 @@ def read_rdfxml_df(spark, path: str, elements_per_chunk: int = 500):
             for ci, a, b, root in _rdfxml_stream_bounds(fp, elements_per_chunk):
                 yield (fp, ci, a, b, root)
 
-    # huge dominant files scan with the two-pass parallel FSM scan —
-    # same win-based policy as the Turtle reader
-    import os as _os
-
-    sizes = [(fp, _os.path.getsize(fp)) for fp in paths]
-    huge = (
-        [t for t in sizes if t[1] >= PARALLEL_SCAN_MIN_BYTES]
-        if _parallel_scan_worthwhile(sizes, par)
-        else []
-    )
-    huge_set = {fp for fp, _ in huge}
-    small = [fp for fp in paths if fp not in huge_set]
-    rdds = []
-    if small:
-        rdds.append(
-            sc.parallelize(small, max(1, min(len(small), par))).mapPartitions(
-                scan
-            )
-        )
-    if huge:
-        rdds.append(_rdfxml_parallel_bounds(spark, huge, elements_per_chunk))
+    # dominant huge files take the two-pass parallel FSM scan — same
+    # shared win-based routing as the Turtle reader
     bounds = spark.createDataFrame(
-        rdds[0] if len(rdds) == 1 else sc.union(rdds),
+        _scan_bounds_rdd(
+            spark,
+            paths,
+            scan,
+            lambda sp, huge: _rdfxml_parallel_bounds(
+                sp, huge, elements_per_chunk
+            ),
+        ),
         "path string, ci long, start long, end long, root string",
     ).repartition(par)
 
@@ -1810,31 +1842,18 @@ def _read_turtle_like_df(
                 yield (fp, a, b)
 
     # the boundary scan is sequential PER FILE (statement boundaries
-    # need left context); when the corpus is dominated by huge files
-    # that would leave cores idle, scan them with the two-pass parallel
-    # FSM scan instead — the win-based rule keeps the 1x-work per-file
-    # plan whenever the file count already spreads the scan
-    import os as _os
-
-    sizes = [(fp, _os.path.getsize(fp)) for fp in paths]
-    huge = (
-        [t for t in sizes if t[1] >= PARALLEL_SCAN_MIN_BYTES]
-        if _parallel_scan_worthwhile(sizes, par)
-        else []
-    )
-    huge_set = {fp for fp, _ in huge}
-    small = [fp for fp in paths if fp not in huge_set]
-    rdds = []
-    if small:
-        rdds.append(
-            sc.parallelize(small, max(1, min(len(small), par))).mapPartitions(
-                scan
-            )
-        )
-    if huge:
-        rdds.append(_turtle_parallel_bounds(spark, huge, statements_per_chunk))
+    # need left context); dominant huge files take the two-pass parallel
+    # FSM scan instead — the shared win-based routing keeps the 1x-work
+    # per-file plan whenever the file count already spreads the scan
     bounds = spark.createDataFrame(
-        rdds[0] if len(rdds) == 1 else sc.union(rdds),
+        _scan_bounds_rdd(
+            spark,
+            paths,
+            scan,
+            lambda sp, huge: _turtle_parallel_bounds(
+                sp, huge, statements_per_chunk
+            ),
+        ),
         "path string, start long, end long",
     ).repartition(par)
 

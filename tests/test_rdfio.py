@@ -1199,6 +1199,7 @@ def test_turtle_parallel_scan_through_reader(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(R, "PARALLEL_SCAN_MIN_BYTES", 1)
     monkeypatch.setattr(R, "PARALLEL_SCAN_MIN_WIN", 0)  # local[4] test session
+    monkeypatch.setattr(R, "PARALLEL_SCAN_RANGE_FLOOR", 256)  # force many ranges
     monkeypatch.setattr(R, "SCAN_WINDOW_BYTES", 256)
     got = sorted(tuple(r) for r in R.read_turtle_df(spark, str(d), 7).collect())
     assert got == want and len(got) == 63
@@ -1410,8 +1411,62 @@ def test_rdfxml_parallel_scan_through_reader(spark, tmp_path, monkeypatch):
     )
     monkeypatch.setattr(R, "PARALLEL_SCAN_MIN_BYTES", 1)
     monkeypatch.setattr(R, "PARALLEL_SCAN_MIN_WIN", 0)  # local[4] test session
+    monkeypatch.setattr(R, "PARALLEL_SCAN_RANGE_FLOOR", 256)  # force many ranges
     monkeypatch.setattr(R, "SCAN_WINDOW_BYTES", 256)
     got = sorted(
         tuple(r) for r in R.read_rdfxml_df(spark, str(d), 7).collect()
     )
     assert got == want and len(got) == 60
+
+
+def test_rdfxml_parallel_scan_tag_spanning_full_range(tmp_path):
+    """Review repro: a tag whose attribute values span MULTIPLE pass-1
+    ranges, with a fake '/>' and '>' inside a quoted value straddling a
+    range cut.  The quote-blind terminal_state reported OPEN instead of
+    OPEN_DQ for the mid-tag ranges, so the next range's close() matched
+    the fake '/>' as a self-closing tag and the parallel scan silently
+    dropped 7 of 13 top-level elements."""
+    from kolibrie_spark.rdfio import (
+        _rdfxml_parallel_bounds_local,
+        _rdfxml_stream_bounds,
+    )
+
+    fat_attr = 'x > y /> z\n' * 40  # many fake closers, raw newlines
+    text = (
+        '<?xml version="1.0"?>\n<rdf:RDF '
+        'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://e/">\n'
+        + "".join(
+            f'<rdf:Description rdf:about="http://e/s{i}">'
+            f"<ex:n>v{i}</ex:n></rdf:Description>\n"
+            for i in range(6)
+        )
+        + f'<ex:w a="1"\nb="{fat_attr}"\nc=\'{fat_attr}\'>t</ex:w>\n'
+        + "".join(
+            f'<rdf:Description rdf:about="http://e/t{i}">'
+            f"<ex:n>w{i}</ex:n></rdf:Description>\n"
+            for i in range(6)
+        )
+        + "</rdf:RDF>\n"
+    )
+    pth = tmp_path / "fat.rdf"
+    pth.write_bytes(text.encode("utf-8"))
+    want = [(a, b, r) for _, a, b, r in _rdfxml_stream_bounds(str(pth), 1)]
+    assert len(want) == 13
+    for rb in (64, 128, 256):  # the tag spans many ranges at these sizes
+        got = [
+            (a, b, r)
+            for _, a, b, r in _rdfxml_parallel_bounds_local(str(pth), 1, rb)
+        ]
+        assert got == want, (rb, len(got), len(want))
+
+
+def test_offset_readers_empty_directory(spark, tmp_path):
+    """An empty corpus directory must return an empty DataFrame, not
+    crash in sc.union([]) (review regression catch)."""
+    from kolibrie_spark.rdfio import read_rdfxml_df, read_turtle_df
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    assert read_turtle_df(spark, str(d)).count() == 0
+    assert read_rdfxml_df(spark, str(d)).count() == 0
