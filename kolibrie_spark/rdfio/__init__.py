@@ -1751,7 +1751,7 @@ def _collect_prefixes(spark, path: str, head_bytes: int = 1 << 16) -> dict:
                         text = f.read(head_bytes).decode("utf-8", "replace")
                 except OSError:
                     continue
-                for line in text.splitlines():
+                for line in text.lstrip("\ufeff").splitlines():
                     m = _PREFIX_RE.match(line.strip())
                     if m:
                         yield (_norm_src(fp), (m.group(1) or "", m.group(2)))
@@ -1774,7 +1774,7 @@ def _collect_prefixes(spark, path: str, head_bytes: int = 1 << 16) -> dict:
 
         def prefix_lines(part):
             for row in part:
-                m = _PREFIX_RE.match(row.value.strip())
+                m = _PREFIX_RE.match(row.value.lstrip("\ufeff").strip())
                 if m:
                     yield (_norm_src(row.src), (m.group(1) or "", m.group(2)))
 
@@ -1810,7 +1810,11 @@ def _read_turtle_like_df(
     row-at-a-time.  This is the split-planning shape a 100 TB ingest
     wants (scan = split computation, parse = ranged reads, exactly how a
     FileScan distributes work); the r8 path shipped every chunk's text
-    through a full shuffle.  Non-listable paths (hdfs://, s3://) — and
+    through a full shuffle.  Dominant huge files (win-based rule,
+    :func:`_scan_bounds_rdd`) scan with the two-pass parallel FSM scan
+    (:func:`_turtle_parallel_bounds`), so even a single multi-hundred-GB
+    dump file scans at cluster rate.  Non-listable paths (hdfs://,
+    s3://) — and
     non-local masters without ``SHARED_FS`` (ADVICE r9: executor tasks
     must be able to open() the driver-listed paths) — keep the
     text-shuffle fallback (:func:`_read_turtle_like_shuffle_df`).
@@ -1992,10 +1996,12 @@ def read_turtle_lines_df(spark, path: str, tagged: bool = False):
     """LINE-SAFE Turtle ingestion: for dumps whose statements are ONE PER
     LINE (the shape machine-generated exports overwhelmingly have), the
     splittable text source partitions even a SINGLE multi-hundred-GB
-    file across executors — the in-file parallelism the general offsets
-    reader cannot offer, because general Turtle statement boundaries
-    need left context and scan sequentially per file (~31 MB/s/core,
-    BASELINE.md r10).
+    file across executors with ZERO extra scan work.  The general
+    reader's two-pass parallel FSM scan (r10) also parallelizes huge
+    single files — with full Turtle fidelity but ~3x scan work — so
+    this reader remains the cheapest plan where its one-statement-per-
+    line contract holds (BASELINE.md r10: 15.2 s vs 14.3 s general-
+    parallel vs 42.8 s general-sequential on the same 1 GB file).
 
     Opt-in contract, enforced loudly: every non-directive line must be a
     complete statement ('.'-terminated; ';'/','/annotations WITHIN the
@@ -2067,7 +2073,7 @@ def read_turtle_lines_df(spark, path: str, tagged: bool = False):
             O: list = []
             QT: list = []
             for src, raw in zip(pdf["src"], pdf["value"]):
-                line = raw.strip()
+                line = raw.lstrip("\ufeff").strip()
                 if not line or line.startswith("#"):
                     continue
                 if _PREFIX_RE.match(line):

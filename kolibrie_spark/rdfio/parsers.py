@@ -46,6 +46,15 @@ _ESCAPES = {
 }
 
 
+def _shed_bom(text: str) -> str:
+    """Drop a leading U+FEFF — the RDF serialization grammars allow an
+    optional byte-order mark at the start of the document (Turtle spec
+    sec 6.2), and Windows-exported dumps routinely carry one.  Only the
+    document head can have it, so slice/chunk parsers see it at most on
+    their first input."""
+    return text[1:] if text.startswith("\ufeff") else text
+
+
 class RdfParseError(ValueError):
     pass
 
@@ -161,6 +170,7 @@ def parse_ntriples(text: str):
     so conversion needs no deferral and statement order is preserved
     exactly; quoted-triple lines (``<< … >>``) and anything unusual
     decline to the tokenizer+reader per line."""
+    text = _shed_bom(text)
     triples, quoted = [], []
     n_fast = n_slow = 0
     for raw in re.split(r"[\r\n]+", text):
@@ -196,6 +206,7 @@ def parse_ntriples(text: str):
 def parse_nquads(text: str):
     """→ ([(s,p,o,g|None)], [(qid,qs,qp,qo)]); simple triple/quad lines
     take the fast path, everything else the tokenizer+reader."""
+    text = _shed_bom(text)
     quads, quoted = [], []
     n_fast = n_slow = 0
     for raw in re.split(r"[\r\n]+", text):
@@ -418,6 +429,7 @@ def parse_turtle(text: str, prefixes: dict[str, str] | None = None):
     fast-path statements in line order followed by the remaining
     statements — the contract has never promised statement order and
     every consumer treats the result as a set."""
+    text = _shed_bom(text)
     prefixes = dict(prefixes or {})
     # long strings would be corrupted by per-line matching (and the
     # tokenizer has no multi-line string state): inline them into
@@ -546,7 +558,7 @@ def parse_rdfxml(
     encoding pass (kolibrie/src/sparql_database.rs:806-963)."""
     from urllib.parse import urljoin
 
-    root = ET.fromstring(text)
+    root = ET.fromstring(_shed_bom(text))
     doc_base = root.get(_XML_BASE) or base or ""
     if genid_prefix is None:
         genid_prefix = bnode_prefix

@@ -1470,3 +1470,57 @@ def test_offset_readers_empty_directory(spark, tmp_path):
     d.mkdir()
     assert read_turtle_df(spark, str(d)).count() == 0
     assert read_rdfxml_df(spark, str(d)).count() == 0
+
+
+def test_bom_prefixed_documents(spark, tmp_path):
+    """The RDF grammars allow an optional leading U+FEFF (Turtle spec
+    sec 6.2) and Windows-exported dumps routinely carry one: every
+    parser sheds it, the prefix head pass still collects @prefix from a
+    BOM'd first line, and the readers produce identical triples to the
+    BOM-less twin files."""
+    from kolibrie_spark.rdfio import (
+        read_ntriples_df,
+        read_rdfxml_df,
+        read_turtle_df,
+        read_turtle_lines_df,
+    )
+    from kolibrie_spark.rdfio.parsers import parse_nquads, parse_turtle
+
+    ttl = "@prefix ex: <http://e/> .\nex:a ex:b ex:c .\nex:d ex:e ex:f .\n"
+    nt = "<http://e/a> <http://e/b> <http://e/c> .\n"
+    xml = (
+        '<?xml version="1.0"?>\n<rdf:RDF '
+        'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://e/">\n'
+        '<rdf:Description rdf:about="http://e/a"><ex:n>v</ex:n>'
+        "</rdf:Description>\n</rdf:RDF>\n"
+    )
+    d1, d2 = tmp_path / "plain", tmp_path / "bom"
+    d1.mkdir(), d2.mkdir()
+    for name, body in [("a.ttl", ttl), ("a.nt", nt), ("a.rdf", xml)]:
+        (d1 / name).write_bytes(body.encode("utf-8"))
+        (d2 / name).write_bytes(b"\xef\xbb\xbf" + body.encode("utf-8"))
+
+    for reader, name in [
+        (read_turtle_df, "a.ttl"),
+        (read_turtle_lines_df, "a.ttl"),
+        (read_ntriples_df, "a.nt"),
+        (read_rdfxml_df, "a.rdf"),
+    ]:
+        want = sorted(tuple(r) for r in reader(spark, str(d1 / name)).collect())
+        got = sorted(tuple(r) for r in reader(spark, str(d2 / name)).collect())
+        assert got == want and len(got) >= 1, (name, got, want)
+
+    # BOM'd prefix line must still resolve prefixed names (head pass)
+    rows = sorted(
+        tuple(r) for r in read_turtle_df(spark, str(d2 / "a.ttl")).collect()
+    )
+    assert rows[0][0] == "http://e/a"
+
+    # driver parsers directly
+    assert parse_turtle("﻿" + ttl)[0][0] == (
+        "http://e/a", "http://e/b", "http://e/c"
+    )
+    assert parse_nquads(
+        "﻿<http://e/a> <http://e/b> <http://e/c> <http://e/g> .\n"
+    )[0][0][3] == "http://e/g"
