@@ -1548,6 +1548,8 @@ def read_rdfxml_df(spark, path: str, elements_per_chunk: int = 500):
     set (the offsets plan needs executors to open() the driver's paths —
     see the flag's comment)."""
     paths = _local_paths(path) if _offsets_usable(spark) else None
+    if paths is not None and _has_compressed(paths):
+        paths = None  # offsets cannot see through codecs
     if paths is None:
         return _read_rdfxml_shuffle_df(spark, path, elements_per_chunk)
 
@@ -1685,6 +1687,18 @@ def read_n3_df(spark, path: str, statements_per_chunk: int = 2000):
 # with a shared filesystem sets this flag to keep the no-shuffle plan.
 SHARED_FS = False
 
+# Hadoop-codec extensions the Spark text source decompresses natively.
+# The byte-offset scans cannot see through them, so compressed files
+# route to the text-source fallbacks (correctness first: gz is not
+# splittable, one decompress task per file — the price of the codec).
+_COMPRESSED_EXT_RE = re.compile(
+    r"\.(?:gz|bz2|zst|lz4|snappy|deflate)$", re.IGNORECASE
+)
+
+
+def _has_compressed(paths) -> bool:
+    return any(_COMPRESSED_EXT_RE.search(p) for p in paths)
+
 
 def _offsets_usable(spark) -> bool:
     if SHARED_FS:
@@ -1742,6 +1756,8 @@ def _collect_prefixes(spark, path: str, head_bytes: int = 1 << 16) -> dict:
 
     paths = _local_paths(path)
 
+    if paths and _has_compressed(paths):
+        paths = None  # codec bytes: the Spark text branch decompresses
     if paths:
 
         def heads(it):
@@ -1825,6 +1841,8 @@ def _read_turtle_like_df(
     are emitted DISTRIBUTIVELY from the parse tasks (ids are content
     hashes, rdfstar.qt_id, so no coordination), deduped downstream."""
     paths = _local_paths(path) if _offsets_usable(spark) else None
+    if paths is not None and _has_compressed(paths):
+        paths = None  # offsets cannot see through codecs
     if paths is None:
         return _read_turtle_like_shuffle_df(
             spark, path, statements_per_chunk, parser, tagged=tagged
@@ -2150,12 +2168,16 @@ def infer_format(path: str) -> str:
     """Format from a file/dir/glob path's extension: a direct extension
     match wins; a directory or glob is inferred from its first listed
     file.  Raises KeyError like :func:`_parse` on unknown extensions."""
-    ext = path.rsplit(".", 1)[-1].lower()
+    def ext_of(p: str) -> str:
+        p = _COMPRESSED_EXT_RE.sub("", p)
+        return p.rsplit(".", 1)[-1].lower()
+
+    ext = ext_of(path)
     if ext in FORMAT_ALIASES:
         return FORMAT_ALIASES[ext]
     hits = _local_paths(path)
     if hits:
-        return FORMAT_ALIASES[hits[0].rsplit(".", 1)[-1].lower()]
+        return FORMAT_ALIASES[ext_of(hits[0])]
     raise KeyError(ext)
 
 

@@ -1524,3 +1524,55 @@ def test_bom_prefixed_documents(spark, tmp_path):
     assert parse_nquads(
         "﻿<http://e/a> <http://e/b> <http://e/c> <http://e/g> .\n"
     )[0][0][3] == "http://e/g"
+
+
+def test_compressed_dumps_route_to_text_fallback(spark, tmp_path):
+    """Real dumps ship gzipped: the byte-offset scans cannot see through
+    codecs, so compressed corpora route to the Spark-text fallbacks
+    (which decompress natively) — including the prefix head pass, which
+    previously read codec bytes and silently lost @prefix resolution.
+    infer_format strips compression suffixes."""
+    import gzip
+
+    from kolibrie_spark.rdfio import (
+        infer_format,
+        read_ntriples_df,
+        read_rdfxml_df,
+        read_turtle_df,
+    )
+    from kolibrie_spark.store import QuadStore
+
+    d = tmp_path / "gz"
+    d.mkdir()
+    ttl = "@prefix ex: <http://e/> .\nex:a ex:b ex:c .\nex:d ex:e ex:f .\n"
+    with gzip.open(d / "a.ttl.gz", "wt") as f:
+        f.write(ttl)
+    rows = sorted(
+        tuple(r) for r in read_turtle_df(spark, str(d / "a.ttl.gz")).collect()
+    )
+    assert rows == [
+        ("http://e/a", "http://e/b", "http://e/c", None),
+        ("http://e/d", "http://e/e", "http://e/f", None),
+    ]
+
+    x = tmp_path / "gzx"
+    x.mkdir()
+    with gzip.open(x / "a.rdf.gz", "wt") as f:
+        f.write(
+            '<?xml version="1.0"?><rdf:RDF '
+            'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            'xmlns:ex="http://e/"><rdf:Description rdf:about="http://e/a">'
+            "<ex:n>v</ex:n></rdf:Description></rdf:RDF>"
+        )
+    assert read_rdfxml_df(spark, str(x / "a.rdf.gz")).count() == 1
+
+    n = tmp_path / "gzn"
+    n.mkdir()
+    with gzip.open(n / "a.nt.gz", "wt") as f:
+        f.write("<http://e/a> <http://e/b> <http://e/c> .\n")
+    assert read_ntriples_df(spark, str(n / "a.nt.gz")).count() == 1
+
+    assert infer_format(str(d / "a.ttl.gz")) == "turtle"
+    assert infer_format(str(d)) == "turtle"
+    store = QuadStore(spark)
+    assert store.load_distributed(str(d)) == 2
