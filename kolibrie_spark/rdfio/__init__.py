@@ -1548,10 +1548,16 @@ def read_rdfxml_df(spark, path: str, elements_per_chunk: int = 500):
     set (the offsets plan needs executors to open() the driver's paths —
     see the flag's comment)."""
     paths = _local_paths(path) if _offsets_usable(spark) else None
-    if paths is not None and _has_compressed(paths):
-        paths = None  # offsets cannot see through codecs
     if paths is None:
         return _read_rdfxml_shuffle_df(spark, path, elements_per_chunk)
+    # per-file codec routing — see the Turtle reader's note
+    compressed = [fp for fp in paths if _COMPRESSED_EXT_RE.search(fp)]
+    comp_df = None
+    if compressed:
+        comp_df = _read_rdfxml_shuffle_df(spark, compressed, elements_per_chunk)
+        paths = [fp for fp in paths if not _COMPRESSED_EXT_RE.search(fp)]
+        if not paths:
+            return comp_df
 
     from kolibrie_spark.schema import QUADS_SCHEMA
 
@@ -1632,10 +1638,11 @@ def read_rdfxml_df(spark, path: str, elements_per_chunk: int = 500):
             if S:
                 yield frame(S, P, O)
 
-    return bounds.mapInPandas(parse_slices, QUADS_SCHEMA)
+    out = bounds.mapInPandas(parse_slices, QUADS_SCHEMA)
+    return out.unionAll(comp_df) if comp_df is not None else out
 
 
-def _read_rdfxml_shuffle_df(spark, path: str, elements_per_chunk: int = 500):
+def _read_rdfxml_shuffle_df(spark, path, elements_per_chunk: int = 500):
     """Text-shuffle fallback for non-listable paths (the pre-r9 plan):
     wholetext read, str-scan chunking (:func:`_rdfxml_chunks`), chunk
     text repartitioned to the parse tasks."""
@@ -1700,20 +1707,51 @@ def _has_compressed(paths) -> bool:
     return any(_COMPRESSED_EXT_RE.search(p) for p in paths)
 
 
+# codecs the DRIVER can stream incrementally for the 64 KiB prefix-head
+# pass (gzip/bz2/xz via the stdlib); zst/lz4/snappy/deflate heads fall
+# back to the Spark text branch
+_STDLIB_CODEC_RE = re.compile(r"\.(?:gz|bz2|xz|lzma)$", re.IGNORECASE)
+
+
+def _open_maybe_compressed(fp: str):
+    low = fp.lower()
+    if low.endswith(".gz"):
+        import gzip
+
+        return gzip.open(fp, "rb")
+    if low.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(fp, "rb")
+    if low.endswith((".xz", ".lzma")):
+        import lzma
+
+        return lzma.open(fp, "rb")
+    return open(fp, "rb")
+
+
 def _offsets_usable(spark) -> bool:
     if SHARED_FS:
         return True
     return (spark.sparkContext.master or "").startswith("local")
 
 
-def _local_paths(path: str) -> list[str] | None:
-    """Driver-listable local files for ``path`` (a file, a directory, or
-    a glob) as sorted absolute paths — or None when the path is not
-    local/listable (e.g. an hdfs:// URI), in which case callers fall back
-    to the Spark text source."""
+def _local_paths(path) -> list[str] | None:
+    """Driver-listable local files for ``path`` (a file, a directory, a
+    glob, or a LIST of any of those) as sorted absolute paths — or None
+    when the path is not local/listable (e.g. an hdfs:// URI), in which
+    case callers fall back to the Spark text source."""
     import glob as _glob
     import os
 
+    if isinstance(path, (list, tuple)):
+        out: list[str] = []
+        for p in path:
+            hits = _local_paths(p)
+            if hits is None:
+                return None
+            out.extend(hits)
+        return sorted(out) or None
     if os.path.isdir(path):
         return sorted(
             os.path.abspath(os.path.join(path, f))
@@ -1756,14 +1794,23 @@ def _collect_prefixes(spark, path: str, head_bytes: int = 1 << 16) -> dict:
 
     paths = _local_paths(path)
 
-    if paths and _has_compressed(paths):
-        paths = None  # codec bytes: the Spark text branch decompresses
+    if paths and any(
+        _COMPRESSED_EXT_RE.search(p) and not _STDLIB_CODEC_RE.search(p)
+        for p in paths
+    ):
+        paths = None  # codec the driver cannot stream: text branch
+    if paths and len(paths) > 256 and not _offsets_usable(spark):
+        # the >256-file branch ships head reads to EXECUTORS, which
+        # cannot open() driver-listed paths on a shared-nothing cluster
+        # (the per-file OSError continue would silently drop every
+        # prefix — review finding); use the text branch instead
+        paths = None
     if paths:
 
         def heads(it):
             for fp in it:
                 try:
-                    with open(fp, "rb") as f:
+                    with _open_maybe_compressed(fp) as f:
                         text = f.read(head_bytes).decode("utf-8", "replace")
                 except OSError:
                     continue
@@ -1841,12 +1888,23 @@ def _read_turtle_like_df(
     are emitted DISTRIBUTIVELY from the parse tasks (ids are content
     hashes, rdfstar.qt_id, so no coordination), deduped downstream."""
     paths = _local_paths(path) if _offsets_usable(spark) else None
-    if paths is not None and _has_compressed(paths):
-        paths = None  # offsets cannot see through codecs
     if paths is None:
         return _read_turtle_like_shuffle_df(
             spark, path, statements_per_chunk, parser, tagged=tagged
         )
+    # per-file codec routing (review finding: one .gz sidecar must not
+    # push a multi-TB plain corpus onto the wholetext shuffle plan):
+    # only the compressed files take the text fallback; note its
+    # wholetext row carries a ~2 GB JVM ceiling per DECOMPRESSED file
+    compressed = [fp for fp in paths if _COMPRESSED_EXT_RE.search(fp)]
+    comp_df = None
+    if compressed:
+        comp_df = _read_turtle_like_shuffle_df(
+            spark, compressed, statements_per_chunk, parser, tagged=tagged
+        )
+        paths = [fp for fp in paths if not _COMPRESSED_EXT_RE.search(fp)]
+        if not paths:
+            return comp_df
 
     from kolibrie_spark.schema import QUADS_SCHEMA, TAGGED_RDF_SCHEMA
 
@@ -1952,13 +2010,14 @@ def _read_turtle_like_df(
             if S or QT:
                 yield frame(S, P, O, QT)
 
-    return bounds.mapInPandas(
+    out = bounds.mapInPandas(
         parse_slices, TAGGED_RDF_SCHEMA if tagged else QUADS_SCHEMA
     )
+    return out.unionAll(comp_df) if comp_df is not None else out
 
 
 def _read_turtle_like_shuffle_df(
-    spark, path: str, statements_per_chunk: int, parser, tagged: bool = False
+    spark, path, statements_per_chunk: int, parser, tagged: bool = False
 ):
     """Text-shuffle fallback for non-listable paths: wholetext read,
     str-regex chunk scan (:func:`_turtle_statement_chunks`), chunk text

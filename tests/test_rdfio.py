@@ -1576,3 +1576,45 @@ def test_compressed_dumps_route_to_text_fallback(spark, tmp_path):
     assert infer_format(str(d)) == "turtle"
     store = QuadStore(spark)
     assert store.load_distributed(str(d)) == 2
+
+
+def test_mixed_plain_and_compressed_corpus(spark, tmp_path):
+    """Per-file codec routing (review finding): one compressed sidecar
+    must not push the plain files onto the wholetext shuffle plan — the
+    plain files keep the offsets path, the compressed files take the
+    text fallback, results union.  Prefix heads stream through stdlib
+    codecs (gzip/bz2) on the driver instead of scanning the whole
+    decompressed corpus."""
+    import bz2
+    import gzip
+
+    from kolibrie_spark.rdfio import read_rdfxml_df, read_turtle_df
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "plain.ttl").write_text(
+        "@prefix ex: <http://e/> .\nex:p1 ex:b ex:c .\n"
+    )
+    with gzip.open(d / "z.ttl.gz", "wt") as f:
+        f.write("@prefix ex: <http://e/> .\nex:z1 ex:b ex:c .\n")
+    with bz2.open(d / "y.ttl.bz2", "wt") as f:
+        f.write("@prefix ex: <http://e/> .\nex:y1 ex:b ex:c .\n")
+    rows = sorted(tuple(r)[0] for r in read_turtle_df(spark, str(d)).collect())
+    assert rows == ["http://e/p1", "http://e/y1", "http://e/z1"], rows
+
+    x = tmp_path / "mixedx"
+    x.mkdir()
+
+    def doc(n):
+        return (
+            '<?xml version="1.0"?><rdf:RDF '
+            'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+            f'xmlns:ex="http://e/"><rdf:Description rdf:about="http://e/{n}">'
+            "<ex:n>v</ex:n></rdf:Description></rdf:RDF>"
+        )
+
+    (x / "p.rdf").write_text(doc("p"))
+    with gzip.open(x / "z.rdf.gz", "wt") as f:
+        f.write(doc("z"))
+    rows = sorted(r.s for r in read_rdfxml_df(spark, str(x)).collect())
+    assert rows == ["http://e/p", "http://e/z"]
