@@ -1894,12 +1894,12 @@ def _read_turtle_like_df(
         )
     # per-file codec routing (review finding: one .gz sidecar must not
     # push a multi-TB plain corpus onto the wholetext shuffle plan):
-    # only the compressed files take the text fallback; note its
-    # wholetext row carries a ~2 GB JVM ceiling per DECOMPRESSED file
+    # only the compressed files take the STREAMING text fallback, which
+    # parses any decompressed size in bounded memory
     compressed = [fp for fp in paths if _COMPRESSED_EXT_RE.search(fp)]
     comp_df = None
     if compressed:
-        comp_df = _read_turtle_like_shuffle_df(
+        comp_df = _read_turtle_like_stream_df(
             spark, compressed, statements_per_chunk, parser, tagged=tagged
         )
         paths = [fp for fp in paths if not _COMPRESSED_EXT_RE.search(fp)]
@@ -2014,6 +2014,114 @@ def _read_turtle_like_df(
         parse_slices, TAGGED_RDF_SCHEMA if tagged else QUADS_SCHEMA
     )
     return out.unionAll(comp_df) if comp_df is not None else out
+
+
+# streaming-fallback flush threshold: complete statements are scanned
+# out of the line buffer whenever it exceeds this, so peak memory per
+# task is ~this plus the largest single statement — NOT the whole
+# decompressed file
+_STREAM_FLUSH_BYTES = 8 * 1024 * 1024
+
+
+@functools.lru_cache(maxsize=8)
+def _ttl_chunk_re_strict(per_chunk: int):
+    """STR twin of the strict chunk regex for the streaming fallback's
+    mid-stream scans (end-touching matches carried, like the windowed
+    byte scanner)."""
+    return re.compile(f"(?:{_TTL_STMT_STRICT}){{1,{per_chunk}}}+")
+
+
+def _read_turtle_like_stream_df(
+    spark, paths, statements_per_chunk: int, parser, tagged: bool = False
+):
+    """STREAMING text fallback for LISTABLE COMPRESSED Turtle/N3 files:
+    each file reads as ONE Hadoop split (split.minsize pinned huge, so
+    even splittable codecs like bz2 keep statement order inside a
+    single partition), lines re-join into a bounded buffer, complete
+    statements scan out with the STRICT chunk regex (end-touching
+    matches carried — the windowed byte scanner's discipline), and the
+    tail finishes with the fallback regex exactly like an EOF window.
+    A 50 GB-decompressed dump therefore parses in ~_STREAM_FLUSH_BYTES
+    of task memory instead of hitting the wholetext plan's ~2 GB JVM
+    row ceiling.  Known normalization: the text source strips line
+    terminators, so a CRLF inside a raw-newline literal comes back as
+    a bare newline."""
+    from kolibrie_spark.schema import QUADS_SCHEMA, TAGGED_RDF_SCHEMA
+
+    sc = spark.sparkContext
+    prefixes_by_file = sc.broadcast(_collect_prefixes(spark, list(paths)))
+    per = statements_per_chunk
+
+    def gen_for(fp: str):
+        key = _norm_src(fp)
+
+        def gen(it):
+            pfx = prefixes_by_file.value.get(key, {})
+            strict_re = _ttl_chunk_re_strict(per)
+            final_re = _ttl_chunk_re(per)
+
+            def parse_chunks(text: str, final: bool):
+                chunks, pos, n = [], 0, len(text)
+                pat = final_re if final else strict_re
+                while True:
+                    m = pat.match(text, pos)
+                    if m is None or (not final and m.end() == n):
+                        break
+                    chunks.append(m.group(0))
+                    pos = m.end()
+                if final and text[pos:].strip():
+                    chunks.append(text[pos:])
+                    pos = n
+                for ch in chunks:
+                    ch = _TTL_DIRECTIVE_LINE_RE.sub("", ch)
+                    triples, quoted, _ = parser(ch, prefixes=pfx)
+                    if tagged:
+                        for s, p, o in triples:
+                            yield ("q", s, p, o, None)
+                        for qid, qs, qp, qo in quoted:
+                            yield ("t", qid, qs, qp, qo)
+                    else:
+                        for s, p, o in triples:
+                            yield (s, p, o, None)
+                return text[pos:]
+
+            carry = ""
+            buf: list[str] = []
+            size = 0
+            for _off, line in it:
+                buf.append(line)
+                size += len(line) + 1
+                if size >= _STREAM_FLUSH_BYTES:
+                    text = carry + "\n".join(buf) + "\n"
+                    g = parse_chunks(text, final=False)
+                    carry = yield from _yield_with_return(g)
+                    buf, size = [], 0
+            if buf or carry:
+                text = carry + "\n".join(buf) + ("\n" if buf else "")
+                yield from parse_chunks(text, final=True)
+
+        return gen
+
+    conf = {"mapreduce.input.fileinputformat.split.minsize": str(1 << 60)}
+    rdds = []
+    for fp in paths:
+        rdd = sc.newAPIHadoopFile(
+            fp,
+            "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+            "org.apache.hadoop.io.LongWritable",
+            "org.apache.hadoop.io.Text",
+            conf=conf,
+        )
+        rdds.append(rdd.mapPartitions(gen_for(fp)))
+    out = rdds[0] if len(rdds) == 1 else sc.union(rdds)
+    return out.toDF(TAGGED_RDF_SCHEMA if tagged else QUADS_SCHEMA)
+
+
+def _yield_with_return(gen):
+    """``yield from`` a generator and hand back its return value — the
+    streaming fallback's parse_chunks yields rows and returns the
+    carry."""
+    return (yield from gen)
 
 
 def _read_turtle_like_shuffle_df(

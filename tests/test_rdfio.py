@@ -1618,3 +1618,48 @@ def test_mixed_plain_and_compressed_corpus(spark, tmp_path):
         f.write(doc("z"))
     rows = sorted(r.s for r in read_rdfxml_df(spark, str(x)).collect())
     assert rows == ["http://e/p", "http://e/z"]
+
+
+def test_streaming_compressed_reader_bounded_memory(spark, tmp_path, monkeypatch):
+    """Compressed Turtle routes to the STREAMING fallback: one Hadoop
+    split per file (split.minsize pinned, so bz2 cannot split), lines
+    re-joined into a bounded buffer, strict-scan with carry mid-stream,
+    fallback finish at EOF.  Forced 64-byte flushes make statements —
+    including a multi-line long string with interior dots, an
+    annotation, and a raw-newline short string — straddle many buffer
+    flushes; triples must equal the driver parse for both gzip and
+    bz2."""
+    import bz2
+    import gzip
+
+    import kolibrie_spark.rdfio as R
+    from kolibrie_spark.rdfio.parsers import parse_turtle
+
+    ttl = (
+        "@prefix ex: <http://e/> .\n"
+        + "".join(f'ex:s{i} ex:p "v {i} é" .\n' for i in range(60))
+        + 'ex:big ex:p """' + ("fat . line\n" * 30) + '""" .\n'
+        + 'ex:ann ex:bal "1" {| ex:conf "0.9" |} .\n'
+        + 'ex:raw ex:p "multi\nline . string" .\n'
+        + "ex:tail ex:q ex:r .\n"
+    )
+    d = tmp_path / "stream"
+    d.mkdir()
+    with gzip.open(d / "a.ttl.gz", "wt") as f:
+        f.write(ttl)
+    with bz2.open(d / "b.ttl.bz2", "wt") as f:
+        f.write(ttl)
+    monkeypatch.setattr(R, "_STREAM_FLUSH_BYTES", 64)
+    want = sorted(parse_turtle(ttl)[0])
+    for fn in ("a.ttl.gz", "b.ttl.bz2"):
+        got = sorted(
+            (r.s, r.p, r.o)
+            for r in R.read_turtle_df(spark, str(d / fn)).collect()
+        )
+        assert got == want, fn
+
+    # tagged twin keeps the quoted mappings through the stream path
+    quads, quoted = R.split_tagged(
+        R.read_turtle_tagged_df(spark, str(d / "a.ttl.gz"))
+    )
+    assert quoted.count() == 1
