@@ -2031,59 +2031,137 @@ def _ttl_chunk_re_strict(per_chunk: int):
     return re.compile(f"(?:{_TTL_STMT_STRICT}){{1,{per_chunk}}}+")
 
 
+def _turtle_stream_chunks(fobj, per_chunk: int, window_bytes: int = 0):
+    """Chunk-CONTENT sibling of :func:`_turtle_stream_bounds` for
+    non-seekable decompressed streams: same windowed strict-match-and-
+    carry discipline, but yields the chunk BYTES instead of (start, end)
+    offsets — a gzip stream cannot be ranged-read later, so the scan
+    must hand the content onward itself.  Differential-tested against
+    the offsets scanner (concatenating the yields reproduces the file
+    between its bounds)."""
+    window_bytes = window_bytes or SCAN_WINDOW_BYTES
+    group_re = _ttl_group_re_strict_bytes(per_chunk)
+    stmt_re = _ttl_stmt_re_strict_bytes()
+    eof_re = _ttl_stmt_re_bytes()
+    buf = b""
+    pending = b""  # statements matched but not yet a full group
+    count = 0  # statements in ``pending`` plus the unyielded buf span
+    while True:
+        data = fobj.read(window_bytes)
+        eof = len(data) < window_bytes
+        buf += data
+        pos = mark = 0  # scan position / start of the unyielded span
+        if eof:
+            while True:
+                m = eof_re.match(buf, pos)
+                if m is None:
+                    break
+                pos = m.end()
+                count += 1
+                if count == per_chunk:
+                    yield pending + buf[mark:pos]
+                    pending, mark, count = b"", pos, 0
+            if count:
+                yield pending + buf[mark:pos]
+                pending, mark = b"", pos
+            tail = pending + buf[mark:]
+            if tail.strip():
+                yield tail
+            return
+        bend = len(buf)
+        progressed = True
+        while progressed:
+            progressed = False
+            if count == 0:  # pending is empty iff count == 0
+                while True:
+                    m = group_re.match(buf, pos)
+                    if m is None or m.end() == bend:
+                        break
+                    yield buf[mark : m.end()]
+                    pos = mark = m.end()
+                    progressed = True
+            while True:
+                m = stmt_re.match(buf, pos)
+                if m is None or m.end() == bend:
+                    break
+                pos = m.end()
+                count += 1
+                progressed = True
+                if count == per_chunk:
+                    yield pending + buf[mark:pos]
+                    pending, mark, count = b"", pos, 0
+                    break
+        if pos > mark:  # complete statements awaiting group completion
+            pending += buf[mark:pos]
+        buf = buf[pos:]
+
+
 def _read_turtle_like_stream_df(
     spark, paths, statements_per_chunk: int, parser, tagged: bool = False
 ):
-    """STREAMING text fallback for LISTABLE COMPRESSED Turtle/N3 files:
-    each file reads as ONE Hadoop split (split.minsize pinned huge, so
-    even splittable codecs like bz2 keep statement order inside a
-    single partition), lines re-join into a bounded buffer, complete
-    statements scan out with the STRICT chunk regex (end-touching
-    matches carried — the windowed byte scanner's discipline), and the
-    tail finishes with the fallback regex exactly like an EOF window.
-    A 50 GB-decompressed dump therefore parses in ~_STREAM_FLUSH_BYTES
-    of task memory instead of hitting the wholetext plan's ~2 GB JVM
-    row ceiling.  Known normalization: the text source strips line
-    terminators, so a CRLF inside a raw-newline literal comes back as
-    a bare newline."""
+    """STREAMING fallback for LISTABLE COMPRESSED Turtle/N3 files.
+
+    stdlib codecs (gz/bz2/xz): one scan task per file opens the codec
+    stream DIRECTLY in Python (:func:`_open_maybe_compressed`) and runs
+    the windowed strict-carry chunk scan on the decompressed bytes
+    (:func:`_turtle_stream_chunks` — the chunk-content sibling of the
+    offsets scanner), shipping chunk TEXT through one repartition to
+    parallel parse tasks.  Peak task memory is a scan window plus the
+    largest statement — a 50 GB-decompressed dump parses in bounded
+    memory, and nothing crosses the JVM per line (the first cut of this
+    path shipped 30M (offset, line) tuples through newAPIHadoopFile at
+    ~49k rows/s; direct decompression measures ~10x that).
+
+    Other codecs (zst/lz4/snappy/deflate): the Hadoop text source
+    decompresses them, each file pinned to ONE split (split.minsize)
+    so statement order holds within a partition; lines re-join into a
+    bounded buffer with the same strict-carry scan.  Line terminators
+    are stripped by the text source, so CRLF inside raw-newline
+    literals normalizes to \n on this path only."""
     from kolibrie_spark.schema import QUADS_SCHEMA, TAGGED_RDF_SCHEMA
 
     sc = spark.sparkContext
+    par = sc.defaultParallelism
     prefixes_by_file = sc.broadcast(_collect_prefixes(spark, list(paths)))
     per = statements_per_chunk
 
-    def gen_for(fp: str):
+    direct = [fp for fp in paths if _STDLIB_CODEC_RE.search(fp)]
+    hadoop = [fp for fp in paths if not _STDLIB_CODEC_RE.search(fp)]
+    chunk_rdds = []
+
+    if direct:
+
+        def scan_direct(it):
+            for fp in it:
+                key = _norm_src(fp)
+                with _open_maybe_compressed(fp) as f:
+                    for ch in _turtle_stream_chunks(f, per):
+                        yield (key, ch.decode("utf-8", "replace"))
+
+        chunk_rdds.append(
+            sc.parallelize(direct, len(direct)).mapPartitions(scan_direct)
+        )
+
+    for fp in hadoop:
         key = _norm_src(fp)
 
-        def gen(it):
-            pfx = prefixes_by_file.value.get(key, {})
+        def lines_to_chunks(it, _key=key):
             strict_re = _ttl_chunk_re_strict(per)
             final_re = _ttl_chunk_re(per)
 
-            def parse_chunks(text: str, final: bool):
-                chunks, pos, n = [], 0, len(text)
+            def scan(text: str, final: bool):
+                out, pos, n = [], 0, len(text)
                 pat = final_re if final else strict_re
                 while True:
                     m = pat.match(text, pos)
                     if m is None or (not final and m.end() == n):
                         break
-                    chunks.append(m.group(0))
+                    out.append(m.group(0))
                     pos = m.end()
                 if final and text[pos:].strip():
-                    chunks.append(text[pos:])
+                    out.append(text[pos:])
                     pos = n
-                for ch in chunks:
-                    ch = _TTL_DIRECTIVE_LINE_RE.sub("", ch)
-                    triples, quoted, _ = parser(ch, prefixes=pfx)
-                    if tagged:
-                        for s, p, o in triples:
-                            yield ("q", s, p, o, None)
-                        for qid, qs, qp, qo in quoted:
-                            yield ("t", qid, qs, qp, qo)
-                    else:
-                        for s, p, o in triples:
-                            yield (s, p, o, None)
-                return text[pos:]
+                return out, text[pos:]
 
             carry = ""
             buf: list[str] = []
@@ -2092,19 +2170,18 @@ def _read_turtle_like_stream_df(
                 buf.append(line)
                 size += len(line) + 1
                 if size >= _STREAM_FLUSH_BYTES:
-                    text = carry + "\n".join(buf) + "\n"
-                    g = parse_chunks(text, final=False)
-                    carry = yield from _yield_with_return(g)
+                    chunks, carry = scan(carry + "\n".join(buf) + "\n", False)
+                    for ch in chunks:
+                        yield (_key, ch)
                     buf, size = [], 0
             if buf or carry:
-                text = carry + "\n".join(buf) + ("\n" if buf else "")
-                yield from parse_chunks(text, final=True)
+                chunks, _ = scan(
+                    carry + "\n".join(buf) + ("\n" if buf else ""), True
+                )
+                for ch in chunks:
+                    yield (_key, ch)
 
-        return gen
-
-    conf = {"mapreduce.input.fileinputformat.split.minsize": str(1 << 60)}
-    rdds = []
-    for fp in paths:
+        conf = {"mapreduce.input.fileinputformat.split.minsize": str(1 << 60)}
         rdd = sc.newAPIHadoopFile(
             fp,
             "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
@@ -2112,16 +2189,29 @@ def _read_turtle_like_stream_df(
             "org.apache.hadoop.io.Text",
             conf=conf,
         )
-        rdds.append(rdd.mapPartitions(gen_for(fp)))
-    out = rdds[0] if len(rdds) == 1 else sc.union(rdds)
-    return out.toDF(TAGGED_RDF_SCHEMA if tagged else QUADS_SCHEMA)
+        chunk_rdds.append(rdd.mapPartitions(lines_to_chunks))
 
+    chunked = (
+        chunk_rdds[0] if len(chunk_rdds) == 1 else sc.union(chunk_rdds)
+    ).repartition(par)
 
-def _yield_with_return(gen):
-    """``yield from`` a generator and hand back its return value — the
-    streaming fallback's parse_chunks yields rows and returns the
-    carry."""
-    return (yield from gen)
+    def parse_part(part):
+        by_file = prefixes_by_file.value
+        for src, ch in part:
+            ch = _TTL_DIRECTIVE_LINE_RE.sub("", ch)
+            triples, quoted, _ = parser(ch, prefixes=by_file.get(src, {}))
+            if tagged:
+                for s_, p_, o_ in triples:
+                    yield ("q", s_, p_, o_, None)
+                for qid, qs, qp, qo in quoted:
+                    yield ("t", qid, qs, qp, qo)
+            else:
+                for s_, p_, o_ in triples:
+                    yield (s_, p_, o_, None)
+
+    return chunked.mapPartitions(parse_part).toDF(
+        TAGGED_RDF_SCHEMA if tagged else QUADS_SCHEMA
+    )
 
 
 def _read_turtle_like_shuffle_df(

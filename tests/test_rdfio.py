@@ -1663,3 +1663,39 @@ def test_streaming_compressed_reader_bounded_memory(spark, tmp_path, monkeypatch
         R.read_turtle_tagged_df(spark, str(d / "a.ttl.gz"))
     )
     assert quoted.count() == 1
+
+
+def test_turtle_stream_chunks_match_offset_scanner(tmp_path):
+    """The chunk-CONTENT scanner (compressed-stream fallback) must
+    yield byte-identical chunks to the offsets scanner's bounds — same
+    strict-match-and-carry discipline, token-soup fuzzed at windows
+    down to 7 bytes."""
+    import io
+    import random
+
+    from kolibrie_spark.rdfio import (
+        _turtle_stream_bounds,
+        _turtle_stream_chunks,
+    )
+
+    rng = random.Random(7)
+    pieces = [
+        "ex:s ex:p ex:o .\n", " . ", ". ", '."', '" ', "' ", "<", ">",
+        "#c . \n", '"""', "'''", "\\", '\\"', "\n", "\r\n", "1.5 ",
+        "café 日本語 ", '"lit . ', 'x" .\n', "@prefix ex: <http://e/> .\n",
+        '{| ex:a "1" |}', '"""block\n. dots\n""" ', "'sq' ", '""', "''",
+        ". \n", "ex:p", " ", ";", ",",
+    ]
+    p = tmp_path / "soup.ttl"
+    for t in range(150):
+        raw = "".join(
+            rng.choice(pieces) for _ in range(rng.randrange(1, 80))
+        ).encode("utf-8")
+        p.write_bytes(raw)
+        for per in (1, 3, 17):
+            want = [raw[a:b] for a, b in _turtle_stream_bounds(str(p), per)]
+            for win in (7, 31, 127):
+                got = list(
+                    _turtle_stream_chunks(io.BytesIO(raw), per, win)
+                )
+                assert got == want, (t, per, win)

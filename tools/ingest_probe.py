@@ -277,6 +277,55 @@ def probe_parscan_xml() -> None:
     )
 
 
+def probe_stream() -> None:
+    """One gzip Turtle file whose DECOMPRESSED size exceeds the ~2 GB
+    JVM wholetext row ceiling: the streaming fallback must parse it
+    (bounded flush-buffer memory); the old wholetext plan cannot."""
+    import gzip
+
+    from pyspark.sql import SparkSession
+
+    import kolibrie_spark.rdfio as R
+
+    os.makedirs(BASE, exist_ok=True)
+    p = os.path.join(BASE, "big_stream.ttl.gz")
+    if not os.path.exists(p):
+        with gzip.open(p, "wt", compresslevel=1) as fh:
+            fh.write("@prefix ex: <http://example.org/> .\n")
+            i = 0
+            # ~2.6 GB decompressed (~90 B/stmt x 30M)
+            while i < 30_000_000:
+                fh.writelines(
+                    f'ex:s{j} ex:p{j % 7} "value {j} — café padding '
+                    f'{j * 7}"@en .\n'
+                    for j in range(i, i + 100_000)
+                )
+                i += 100_000
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    n = R.read_turtle_df(spark, p).count()
+    sec = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "probe": "stream-gz",
+                "compressed_mb": round(os.path.getsize(p) / 1e6),
+                "rows": n,
+                "sec": round(sec, 1),
+            }
+        ),
+        flush=True,
+    )
+
+
 def probe_parscan() -> None:
     """Single >= 1 GB Turtle file: sequential boundary scan vs the
     two-pass parallel FSM scan (r10's in-file split-and-stitch), scan
@@ -369,6 +418,7 @@ if __name__ == "__main__":
     ap.add_argument("--memprobe", action="store_true")
     ap.add_argument("--parscan", action="store_true")
     ap.add_argument("--parscan-xml", action="store_true")
+    ap.add_argument("--streamprobe", action="store_true")
     ap.add_argument("--hitrate", action="store_true")
     ap.add_argument("--fmt", default="ntriples,nquads,rdfxml")
     ap.add_argument("--sizes", default="0.6,6,60")
@@ -383,5 +433,7 @@ if __name__ == "__main__":
         probe_parscan()
     if args.parscan_xml:
         probe_parscan_xml()
+    if args.streamprobe:
+        probe_stream()
     if args.scale:
         probe_scales(fmts, sizes)
