@@ -1699,7 +1699,7 @@ SHARED_FS = False
 # route to the text-source fallbacks (correctness first: gz is not
 # splittable, one decompress task per file — the price of the codec).
 _COMPRESSED_EXT_RE = re.compile(
-    r"\.(?:gz|bz2|zst|lz4|snappy|deflate)$", re.IGNORECASE
+    r"\.(?:gz|bz2|xz|lzma|zst|lz4|snappy|deflate)$", re.IGNORECASE
 )
 
 
@@ -2127,6 +2127,7 @@ def _read_turtle_like_stream_df(
 
     direct = [fp for fp in paths if _STDLIB_CODEC_RE.search(fp)]
     hadoop = [fp for fp in paths if not _STDLIB_CODEC_RE.search(fp)]
+    flush_bytes = _STREAM_FLUSH_BYTES  # driver-time capture (testable)
     chunk_rdds = []
 
     if direct:
@@ -2169,7 +2170,7 @@ def _read_turtle_like_stream_df(
             for _off, line in it:
                 buf.append(line)
                 size += len(line) + 1
-                if size >= _STREAM_FLUSH_BYTES:
+                if size >= flush_bytes:
                     chunks, carry = scan(carry + "\n".join(buf) + "\n", False)
                     for ch in chunks:
                         yield (_key, ch)
@@ -2196,22 +2197,32 @@ def _read_turtle_like_stream_df(
     ).repartition(par)
 
     def parse_part(part):
-        by_file = prefixes_by_file.value
-        for src, ch in part:
-            ch = _TTL_DIRECTIVE_LINE_RE.sub("", ch)
-            triples, quoted, _ = parser(ch, prefixes=by_file.get(src, {}))
-            if tagged:
-                for s_, p_, o_ in triples:
-                    yield ("q", s_, p_, o_, None)
-                for qid, qs, qp, qo in quoted:
-                    yield ("t", qid, qs, qp, qo)
-            else:
-                for s_, p_, o_ in triples:
-                    yield (s_, p_, o_, None)
+        yield from _parse_chunk_rows(
+            part, prefixes_by_file.value, parser, tagged,
+            strip_directives=True,
+        )
 
     return chunked.mapPartitions(parse_part).toDF(
         TAGGED_RDF_SCHEMA if tagged else QUADS_SCHEMA
     )
+
+
+def _parse_chunk_rows(part, by_file, parser, tagged, strip_directives=False):
+    """Shared (src, chunk-text) -> row-tuple loop for the streaming and
+    text-shuffle fallbacks (review: the two copies had drifted apart by
+    exactly the directive sub)."""
+    for src, ch in part:
+        if strip_directives:
+            ch = _TTL_DIRECTIVE_LINE_RE.sub("", ch)
+        triples, quoted, _ = parser(ch, prefixes=by_file.get(src, {}))
+        if tagged:
+            for s_, p_, o_ in triples:
+                yield ("q", s_, p_, o_, None)
+            for qid, qs, qp, qo in quoted:
+                yield ("t", qid, qs, qp, qo)
+        else:
+            for s_, p_, o_ in triples:
+                yield (s_, p_, o_, None)
 
 
 def _read_turtle_like_shuffle_df(
@@ -2243,17 +2254,7 @@ def _read_turtle_like_shuffle_df(
     chunked = files.rdd.mapPartitions(chunk).repartition(par)
 
     def parse_part(part):
-        by_file = prefixes_by_file.value
-        for src, ch in part:
-            triples, _quoted, _ = parser(ch, prefixes=by_file.get(src, {}))
-            if tagged:
-                for s, p, o in triples:
-                    yield ("q", s, p, o, None)
-                for qid, qs, qp, qo in _quoted:
-                    yield ("t", qid, qs, qp, qo)
-            else:
-                for s, p, o in triples:
-                    yield (s, p, o, None)
+        yield from _parse_chunk_rows(part, prefixes_by_file.value, parser, tagged)
 
     return chunked.mapPartitions(parse_part).toDF(
         TAGGED_RDF_SCHEMA if tagged else QUADS_SCHEMA

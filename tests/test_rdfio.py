@@ -1699,3 +1699,48 @@ def test_turtle_stream_chunks_match_offset_scanner(tmp_path):
                     _turtle_stream_chunks(io.BytesIO(raw), per, win)
                 )
                 assert got == want, (t, per, win)
+
+
+def test_streaming_hadoop_line_branch_and_xz(spark, tmp_path, monkeypatch):
+    """Review follow-ups: (a) .xz routes to the streaming fallback (it
+    was missing from _COMPRESSED_EXT_RE, so LZMA bytes hit the raw
+    offsets plan — silent garbage); (b) the Hadoop line-rejoin branch
+    (the zst/lz4/snappy path) gets real coverage by forcing a .gz file
+    through it (Hadoop decompresses gz natively) with 64-byte flushes,
+    so statements straddle many buffer flushes."""
+    import gzip
+    import lzma
+    import re as _re
+
+    import kolibrie_spark.rdfio as R
+    from kolibrie_spark.rdfio.parsers import parse_turtle
+
+    ttl = (
+        "@prefix ex: <http://e/> .\n"
+        + "".join(f'ex:s{i} ex:p "v {i} é" .\n' for i in range(40))
+        + 'ex:big ex:p """' + ("fat . line\n" * 20) + '""" .\n'
+        + "ex:tail ex:q ex:r .\n"
+    )
+    want = sorted(parse_turtle(ttl)[0])
+
+    d = tmp_path / "xz"
+    d.mkdir()
+    with lzma.open(d / "a.ttl.xz", "wt") as f:
+        f.write(ttl)
+    got = sorted(
+        (r.s, r.p, r.o)
+        for r in R.read_turtle_df(spark, str(d / "a.ttl.xz")).collect()
+    )
+    assert got == want
+
+    h = tmp_path / "hline"
+    h.mkdir()
+    with gzip.open(h / "a.ttl.gz", "wt") as f:
+        f.write(ttl)
+    monkeypatch.setattr(R, "_STDLIB_CODEC_RE", _re.compile(r"(?!x)x"))
+    monkeypatch.setattr(R, "_STREAM_FLUSH_BYTES", 64)
+    got = sorted(
+        (r.s, r.p, r.o)
+        for r in R.read_turtle_df(spark, str(h / "a.ttl.gz")).collect()
+    )
+    assert got == want
