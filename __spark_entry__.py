@@ -4161,65 +4161,67 @@ def entry(spark: SparkSession) -> DataFrame:
 # in r8 — it did not; the salted plan is the OPT-IN heavy_df_cap guard
 # and the default window plan is unchanged since r7 (VERDICT r8 #3).
 _DRIVER_FIRST = [
-    # Round-10 correctness window (VERDICT r9 task #4): lead with the 4
-    # gates whose latest driver row is r6 (judge re-checked green this
-    # session but stale in the driver record), then the 49 r7-rowed
-    # gates in queries() order.  After r10 no gate's latest driver row
-    # is older than r8.
-    "media_audio_fp",
-    "media_near_dup",
-    "media_phash_pairs",
-    "streaming_sliding_live",
-    # -- the 49 gates whose latest driver row is r7, in queries() order
-    "path_negated_set",
-    "dedup_containment",
-    "dedup_prefix_jaccard",
-    "sim_topk_pq",
-    "search_hybrid_rrf",
-    "text_quality_gopher",
-    "dedup_incremental",
-    "analytics_q5",
-    "profile_rollup",
-    "audit_quality",
-    "scd2_orders",
-    "events_downsample",
-    "dedup_substring",
-    "text_strip_html",
-    "embed_contamination",
-    "sample_weighted",
-    "profile_token_budget",
-    "profile_pivot",
-    "dedup_paragraphs",
-    "sketch_kmv_distinct",
-    "profile_ks_drift",
-    "fuzzy_vocab_pairs",
-    "text_normalize",
-    "sample_domain_cap",
-    "dedup_semantic",
-    "sample_token_budget",
-    "export_manifest",
-    "split_leakage_safe",
-    "closure_doubling",
-    "reasoner_hierarchy",
-    "prob_hybrid",
-    "streaming_istream_replay",
-    "streaming_istream_live",
-    "streaming_dstream_live",
-    "streaming_sync_live",
-    "mlschema_graph",
-    "ml_predict",
-    "multimodal_features",
-    "builder_chain",
-    "profile_winsorize",
-    "audit_snapshot_diff",
-    "multimodal_frame_content",
-    "multimodal_frames",
-    "graph_triangles",
-    "sketch_hll_distinct",
-    "dedup_incremental_near",
+    # Round-11 correctness window (VERDICT r10 task #5): lead with the 3
+    # gates whose latest driver row is r7 (multimodal_resize, analytics_q3,
+    # analytics_q10 -- judge re-checked green in the r10 session via
+    # tools/check_correctness.py, 3/3 pass, but stale in the driver
+    # record), then the 50 r8-rowed gates in queries() order.  53 listed /
+    # window 50, so the last ~3 overflow to r12, which then takes the r9
+    # set.  After r11 no gate's latest driver row is older than r9.
     "multimodal_resize",
     "analytics_q3",
     "analytics_q10",
+    # -- the 50 gates whose latest driver row is r8, in queries() order
+    "scan_project",
+    "filter_numeric_gt",
+    "filter_logical",
+    "filter_arithmetic",
+    "star_join",
+    "join_fk",
+    "text_common_spans",
+    "range_join_binned",
+    "embed_centroids",
+    "events_json_agg",
+    "events_rolling",
+    "events_funnel",
+    "events_retention",
+    "profile_quantiles",
+    "profile_histogram",
+    "text_quality_model",
+    "pack_sequences",
+    "text_repetition",
+    "sample_domain_mix",
+    "text_contamination",
+    "text_top_terms",
+    "sample_group_split",
+    "profile_stats",
+    "text_scrub_pii",
+    "pipeline_curate",
+    "text_tokenize_ids",
+    "text_lm_score",
+    "text_chunk",
+    "top_docs_per_source",
+    "streaming_dstream_replay",
+    "profile_equidepth",
+    "profile_corr",
+    "ml_group_ols",
+    "events_attribution",
+    "having_count",
+    "group_concat_names",
+    "bind_string_funcs",
+    "filter_regex_sample",
+    "construct_graph",
+    "ask_exists",
+    "describe_subject",
+    "select_expr_proj",
+    "filter_datetime",
+    "asof_join_events_orders",
+    "telemetry_resample",
+    "embed_hard_negatives",
+    "events_interval_merge",
+    "events_anomaly_mad",
+    "events_ewma",
+    "events_path_trigrams",
 ]
 
 

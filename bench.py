@@ -335,8 +335,37 @@ def _bench_cross_window(spark) -> dict[str, float]:
 _LOAD_AT_START: list | None = None
 
 
+def _drain_loadavg_at_start(threshold: float = 2.0, budget_sec: float = 300.0) -> float:
+    """Wait (bounded) for the 1-min loadavg to drop below ``threshold``
+    before the suite starts timing.  The r10 working-tree record was taken
+    at loadavg 8.9 and clobbered the committed clean 205.5s record — its 4
+    flags were all adjudicated measurement artifacts (VERDICT r10).  The
+    confirm stage already drains load before measuring; the suite start
+    needs the same gate.  Returns seconds waited.  If load never drains
+    within the budget we proceed anyway (the driver needs a JSON line) —
+    the stamped loadavg_start plus loadavg_waited_sec makes the record
+    self-identifying as contaminated, per BASELINE.md's r9 standard."""
+    waited = 0.0
+    try:
+        start = time.time()
+        while time.time() - start < budget_sec and os.getloadavg()[0] > threshold:
+            time.sleep(5)
+        waited = time.time() - start
+        if os.getloadavg()[0] > threshold:
+            print(
+                f"# WARNING: suite starting at 1-min loadavg "
+                f"{os.getloadavg()[0]:.1f} > {threshold} after waiting "
+                f"{waited:.0f}s — record will read as contaminated",
+                file=sys.stderr,
+            )
+    except OSError:
+        pass
+    return round(waited, 1)
+
+
 def main() -> None:
     global _LOAD_AT_START
+    _LOAD_WAITED = _drain_loadavg_at_start()
     try:
         _LOAD_AT_START = [round(x, 1) for x in os.getloadavg()]
     except OSError:
@@ -530,6 +559,7 @@ def main() -> None:
         "metric": "operator_suite_wall_seconds",
         "value": total,
         "loadavg_start": _LOAD_AT_START,
+        "loadavg_waited_sec": _LOAD_WAITED,
         "loadavg_end": [round(x, 1) for x in load_end] if load_end else None,
         "unit": "sec",
         "queries": timings,
