@@ -216,8 +216,14 @@ _TTL_STMT = (
     r"(?:"
     r"[^<\"'#.]++"
     r"|<[^>]*+>"
-    r"|\"\"\"[\s\S]*?\"\"\""
-    r"|'''[\s\S]*?'''"
+    # long strings close at the FIRST quote-triple not inside an
+    # escape pair (W3C Turtle STRING_LITERAL_LONG_*: content is
+    # (('"'|'""')? ([^"\\]|ECHAR|UCHAR))* — equivalently, scan
+    # left-to-right with backslash consuming two chars; ADVICE r10:
+    # the old escape-blind lazy closer cut serializer output like
+    # """abc\"""" early and could silently re-open mid-statement)
+    r"|\"\"\"(?:[^\"\\]++|\\[\s\S]|\"(?!\"\"))*+\"\"\""
+    r"|'''(?:[^'\\]++|\\[\s\S]|'(?!''))*+'''"
     r"|\"(?:[^\"\\]|\\[\s\S])*+\""
     r"|'(?:[^'\\]|\\[\s\S])*+'"
     r"|#[^\n]*+"
@@ -281,8 +287,14 @@ _TTL_SKIP_STRICT = (
     r"(?:"
     r"[^<\"'#.]++"
     r"|<[^>]*+>"
-    r"|\"\"\"[\s\S]*?\"\"\""
-    r"|'''[\s\S]*?'''"
+    # long strings close at the FIRST quote-triple not inside an
+    # escape pair (W3C Turtle STRING_LITERAL_LONG_*: content is
+    # (('"'|'""')? ([^"\\]|ECHAR|UCHAR))* — equivalently, scan
+    # left-to-right with backslash consuming two chars; ADVICE r10:
+    # the old escape-blind lazy closer cut serializer output like
+    # """abc\"""" early and could silently re-open mid-statement)
+    r"|\"\"\"(?:[^\"\\]++|\\[\s\S]|\"(?!\"\"))*+\"\"\""
+    r"|'''(?:[^'\\]++|\\[\s\S]|'(?!''))*+'''"
     r"|\"(?!\"\")(?:[^\"\\]|\\[\s\S])*+\""
     r"|'(?!'')(?:[^'\\]|\\[\s\S])*+'"
     r"|#[^\n]*+"
@@ -458,6 +470,12 @@ _TTL_STATES = range(6)
 # per-character scan but in one match
 _TTL_SDQ_CLOSE_RE = re.compile(rb'(?:[^"\\]|\\[\s\S])*+"')
 _TTL_SSQ_CLOSE_RE = re.compile(rb"(?:[^'\\]|\\[\s\S])*+'")
+# ... and for the long-string states: escape-aware first-triple closer,
+# the same rule the statement regexes' long branches use (ADVICE r10).
+# Escape pairs contain no newline, so a pair never straddles a range cut
+# and matching from the range start is safe in these states.
+_TTL_LDQ_CLOSE_RE = re.compile(rb'(?:[^"\\]++|\\[\s\S]|"(?!""))*+"""')
+_TTL_LSQ_CLOSE_RE = re.compile(rb"(?:[^'\\]++|\\[\s\S]|'(?!''))*+'''")
 
 # engage the parallel scan for files at least this large (the sequential
 # scan clears a 256 MB file in ~8 s; below that the two-pass overhead
@@ -624,11 +642,11 @@ def _turtle_range_state_table(
             i = buf.find(b">")
             return None if i < 0 else i + 1
         if st == _TTL_ST_LDQ:
-            i = buf.find(b'"""')
-            return None if i < 0 else i + 3
+            m = _TTL_LDQ_CLOSE_RE.match(buf)
+            return None if m is None else m.end()
         if st == _TTL_ST_LSQ:
-            i = buf.find(b"'''")
-            return None if i < 0 else i + 3
+            m = _TTL_LSQ_CLOSE_RE.match(buf)
+            return None if m is None else m.end()
         m = (_TTL_SDQ_CLOSE_RE if st == _TTL_ST_SDQ else _TTL_SSQ_CLOSE_RE).match(
             buf
         )
@@ -821,8 +839,18 @@ def _turtle_statement_chunks_slow(text: str, per_chunk: int):
             continue
         if c in ('"', "'"):
             if body[i : i + 3] in ('"""', "'''"):  # long string
-                j = body.find(c * 3, i + 3)
-                i = n if j < 0 else j + 3
+                # escape-aware first-triple closer (ADVICE r10): a
+                # backslash consumes two chars, mirroring the statement
+                # regexes' long branches
+                j = i + 3
+                while j < n:
+                    if body[j] == "\\":
+                        j += 2
+                    elif body[j] == c and body[j : j + 3] == c * 3:
+                        break
+                    else:
+                        j += 1
+                i = n if j >= n else j + 3
             else:
                 j = i + 1
                 while j < n and body[j] != c:
@@ -1080,6 +1108,140 @@ def _rdfxml_stream_bounds(
             group[0][0],
             group[-1][1],
             root_open.decode("utf-8", "replace"),
+        )
+        ci += 1
+
+
+def _rdfxml_stream_chunks(fobj, elements_per_chunk: int, window_bytes: int = 0):
+    """Chunk-CONTENT sibling of :func:`_rdfxml_stream_bounds` for
+    non-seekable decompressed streams (VERDICT r10 task #3 — the XML
+    twin of :func:`_turtle_stream_chunks`): the same windowed strict
+    token scan and top-level-element grouping, but yielding
+    ``(chunk_index, root_tag|None, body_bytes)`` rows with the chunk
+    CONTENT — a gzip stream cannot be ranged-read later, so the scan
+    must hand the bytes onward itself.  ``root_tag`` is None only for
+    the unsplittable whole-file row, whose body is the entire document.
+
+    Memory: bytes are retained only from the first pending span (plus
+    one scan window); groups flush as soon as splitting is confirmed,
+    so a 50 GB-decompressed dump of the usual millions-of-top-level-
+    elements shape scans in ~(elements_per_chunk elements + window)
+    bytes.  The whole-document fallback (no root / self-closing root /
+    at most ``elements_per_chunk`` top-level elements) inherently
+    buffers the document — the same ceiling that row has everywhere.
+
+    Differential-tested against :func:`_rdfxml_stream_bounds`: on a
+    seekable copy of the same bytes, ranged reads of the bounds rows
+    reproduce these chunks byte-for-byte."""
+    window_bytes = window_bytes or SCAN_WINDOW_BYTES
+    per = elements_per_chunk
+    pending: list[tuple[int, int]] = []  # ABSOLUTE [start, end) spans
+    split_mode = False
+    ci = 0
+    root_open: bytes | None = None
+    depth = 0
+    el_start = -1  # absolute start of the open top-level element
+    stopped = False
+    single = False
+
+    buf = b""
+    base = 0  # absolute offset of buf[0]
+    pos = 0  # scan position within buf
+    while not stopped:
+        data = _read_full(fobj, window_bytes)
+        eof = len(data) < window_bytes
+        buf += data
+        bend = len(buf)
+        pat = _XML_TOKEN_RE_B if eof else _XML_TOKEN_RE_STRICT_B
+        while not stopped:
+            m = pat.search(buf, pos)
+            if m is None:
+                if eof:
+                    stopped = True
+                else:
+                    g = buf.find(b"<", pos)
+                    pos = bend if g == -1 else g
+                break
+            if not eof:
+                g = buf.find(b"<", pos, m.start())
+                if g != -1:  # truncated token the strict pattern skipped
+                    pos = g
+                    break
+                if m.end() == bend:  # token may extend past the window
+                    pos = m.start()
+                    break
+            tok = m.group(0)
+            pos = m.end()
+            if tok.startswith((b"<!--", b"<![", b"<?", b"<!")):
+                continue
+            if tok.startswith(b"</"):
+                depth -= 1
+                if depth == 1 and el_start >= 0:
+                    pending.append((el_start, base + m.end()))
+                    el_start = -1
+                elif depth == 0:
+                    stopped = True
+            else:
+                selfclose = tok.endswith(b"/>")
+                if depth == 0:
+                    if selfclose:  # <rdf:RDF/> — empty document
+                        single = True
+                        stopped = True
+                    else:
+                        root_open = tok
+                        depth = 1
+                elif depth == 1:
+                    if selfclose:
+                        pending.append((base + m.start(), base + m.end()))
+                    else:
+                        el_start = base + m.start()
+                        depth = 2
+                elif not selfclose:
+                    depth += 1
+            if not split_mode and len(pending) > per:
+                split_mode = True
+            while split_mode and len(pending) >= per:
+                group, pending = pending[:per], pending[per:]
+                yield (
+                    ci,
+                    root_open.decode("utf-8", "replace"),
+                    buf[group[0][0] - base : group[-1][1] - base],
+                )
+                ci += 1
+        # compact: before splitting is confirmed EVERYTHING from byte 0
+        # is retained (the whole-document fallback needs it); after, only
+        # from the first pending span (or the open element, or the scan
+        # position) onward
+        if split_mode:
+            if pending:
+                keep_from = pending[0][0]
+            elif el_start >= 0:
+                keep_from = el_start
+            else:
+                keep_from = base + pos
+            drop = keep_from - base
+            if drop > 0:
+                buf = buf[drop:]
+                base += drop
+                pos -= drop
+        if eof:
+            stopped = True
+    if single or root_open is None or (not split_mode and len(pending) <= per):
+        # whole-document row: drain any unread tail so the body matches
+        # the bounds scanner's (0, 0, size, None) ranged read exactly
+        while True:
+            data = _read_full(fobj, window_bytes)
+            buf += data
+            if len(data) < window_bytes:
+                break
+        yield (0, None, buf)
+        return
+    while pending:
+        group, pending = pending[:per], pending[per:]
+        yield (
+            ci,
+            root_open.decode("utf-8", "replace"),
+            buf[group[0][0] - base : group[-1][1] - base],
         )
         ci += 1
 
@@ -1550,11 +1712,29 @@ def read_rdfxml_df(spark, path: str, elements_per_chunk: int = 500):
     paths = _local_paths(path) if _offsets_usable(spark) else None
     if paths is None:
         return _read_rdfxml_shuffle_df(spark, path, elements_per_chunk)
-    # per-file codec routing — see the Turtle reader's note
+    # per-file codec routing — see the Turtle reader's note.  Directly-
+    # streamable codecs take the bounded-memory streaming chunker
+    # (VERDICT r10 task #3 — a .rdf.gz/.bz2 dump with >2 GB decompressed
+    # used to hit the wholetext plan's JVM-row ceiling); the rest keep
+    # the wholetext shuffle, whose ~2 GB decompressed-row ceiling is
+    # documented at _read_rdfxml_shuffle_df
     compressed = [fp for fp in paths if _COMPRESSED_EXT_RE.search(fp)]
     comp_df = None
     if compressed:
-        comp_df = _read_rdfxml_shuffle_df(spark, compressed, elements_per_chunk)
+        stream = [fp for fp in compressed if _codec_direct_streamable(fp)]
+        rest = [fp for fp in compressed if not _codec_direct_streamable(fp)]
+        comp_dfs = []
+        if stream:
+            comp_dfs.append(
+                _read_rdfxml_stream_df(spark, stream, elements_per_chunk)
+            )
+        if rest:
+            comp_dfs.append(
+                _read_rdfxml_shuffle_df(spark, rest, elements_per_chunk)
+            )
+        comp_df = comp_dfs[0]
+        for extra in comp_dfs[1:]:
+            comp_df = comp_df.unionAll(extra)
         paths = [fp for fp in paths if not _COMPRESSED_EXT_RE.search(fp)]
         if not paths:
             return comp_df
@@ -1642,10 +1822,62 @@ def read_rdfxml_df(spark, path: str, elements_per_chunk: int = 500):
     return out.unionAll(comp_df) if comp_df is not None else out
 
 
+def _read_rdfxml_stream_df(spark, paths, elements_per_chunk: int = 500):
+    """STREAMING reader for LISTABLE COMPRESSED RDF/XML files — the XML
+    twin of :func:`_read_turtle_like_stream_df` (VERDICT r10 task #3).
+    One scan task per file opens the codec stream directly in Python
+    (:func:`_open_maybe_compressed`) and runs the windowed strict token
+    scan on the decompressed bytes (:func:`_rdfxml_stream_chunks`),
+    shipping each chunk's body once through one repartition to parallel
+    DOM-parse tasks.  Peak scan-task memory is a window plus one group
+    of top-level elements, so a multi-GB-decompressed ``.rdf.gz`` dump
+    parses where the wholetext plan's ~2 GB JVM-row ceiling failed.
+    Blank-node salts match the offsets reader (file-scoped nodeIDs,
+    (file, chunk)-scoped genid counters)."""
+    import hashlib
+
+    from kolibrie_spark.schema import QUADS_SCHEMA
+
+    sc = spark.sparkContext
+    par = sc.defaultParallelism
+    per = elements_per_chunk
+
+    def scan(it):
+        for fp in it:
+            key = _norm_src(fp)
+            with _open_maybe_compressed(fp) as f:
+                for ci, root, body in _rdfxml_stream_chunks(f, per):
+                    yield (key, int(ci), root, body.decode("utf-8", "replace"))
+
+    chunked = (
+        sc.parallelize(list(paths), max(1, len(paths)))
+        .mapPartitions(scan)
+        .repartition(par)
+    )
+
+    def parse_part(part):
+        for key, ci, root, body in part:
+            if not body.strip():
+                continue
+            doc = (root + body + _close_tag_of(root)) if root else body
+            salt = hashlib.sha1(key.encode("utf-8")).hexdigest()[:8]
+            for s, p, o in parse_rdfxml(
+                doc,
+                bnode_prefix=f"f{salt}.",
+                genid_prefix=f"f{salt}c{ci}.",
+            ):
+                yield (s, p, o, None)
+
+    return chunked.mapPartitions(parse_part).toDF(QUADS_SCHEMA)
+
+
 def _read_rdfxml_shuffle_df(spark, path, elements_per_chunk: int = 500):
     """Text-shuffle fallback for non-listable paths (the pre-r9 plan):
     wholetext read, str-scan chunking (:func:`_rdfxml_chunks`), chunk
-    text repartitioned to the parse tasks."""
+    text repartitioned to the parse tasks.  Ceiling: the wholetext read
+    materializes each file as ONE JVM row, so a single file with >~2 GB
+    decompressed fails here — listable compressed files route to
+    :func:`_read_rdfxml_stream_df` instead."""
     import hashlib
 
     from pyspark.sql import functions as F
@@ -1727,7 +1959,54 @@ def _open_maybe_compressed(fp: str):
         import lzma
 
         return lzma.open(fp, "rb")
+    if low.endswith(".zst"):
+        # optional dependency (VERDICT r10 task #4): zstd is the de-facto
+        # dump codec for new corpora; when the module is present the scan
+        # task decompresses directly (the 2.9x-faster streaming path)
+        # instead of the per-line Hadoop fallback.  stream_reader.read()
+        # may legally return short — every caller goes through _read_full.
+        import zstandard
+
+        fh = open(fp, "rb")
+        try:
+            return zstandard.ZstdDecompressor().stream_reader(
+                fh, closefd=True
+            )
+        except TypeError:  # older zstandard without closefd
+            return zstandard.ZstdDecompressor().stream_reader(fh)
+    if low.endswith(".lz4"):
+        import lz4.frame
+
+        return lz4.frame.open(fp, "rb")
     return open(fp, "rb")
+
+
+def _codec_direct_streamable(fp: str) -> bool:
+    """Can the Python scan task decompress ``fp`` itself (the bounded-
+    memory streaming chunker path)?  Always true for stdlib codecs;
+    true for .zst/.lz4 exactly when the optional module imports on the
+    driver (executors are assumed env-identical — a mismatched cluster
+    fails loudly at the task's import, and the Hadoop line fallback
+    still covers the module-less install)."""
+    if _STDLIB_CODEC_RE.search(fp):
+        return True
+    low = fp.lower()
+    if low.endswith(".zst"):
+        return _optional_codec_available("zstandard")
+    if low.endswith(".lz4"):
+        return _optional_codec_available("lz4.frame")
+    return False
+
+
+@functools.lru_cache(maxsize=4)
+def _optional_codec_available(module: str) -> bool:
+    import importlib
+
+    try:
+        importlib.import_module(module)
+        return True
+    except ImportError:
+        return False
 
 
 def _offsets_usable(spark) -> bool:
@@ -1795,7 +2074,7 @@ def _collect_prefixes(spark, path: str, head_bytes: int = 1 << 16) -> dict:
     paths = _local_paths(path)
 
     if paths and any(
-        _COMPRESSED_EXT_RE.search(p) and not _STDLIB_CODEC_RE.search(p)
+        _COMPRESSED_EXT_RE.search(p) and not _codec_direct_streamable(p)
         for p in paths
     ):
         paths = None  # codec the driver cannot stream: text branch
@@ -1811,7 +2090,11 @@ def _collect_prefixes(spark, path: str, head_bytes: int = 1 << 16) -> dict:
             for fp in it:
                 try:
                     with _open_maybe_compressed(fp) as f:
-                        text = f.read(head_bytes).decode("utf-8", "replace")
+                        # _read_full, not read(): codec stream_readers
+                        # may legally return short before head_bytes
+                        text = _read_full(f, head_bytes).decode(
+                            "utf-8", "replace"
+                        )
                 except OSError:
                     continue
                 for line in text.lstrip("\ufeff").splitlines():
@@ -2031,6 +2314,23 @@ def _ttl_chunk_re_strict(per_chunk: int):
     return re.compile(f"(?:{_TTL_STMT_STRICT}){{1,{per_chunk}}}+")
 
 
+def _read_full(fobj, n: int) -> bytes:
+    """Read exactly ``n`` bytes unless the stream ends: accumulate a
+    FULL window before declaring EOF.  stdlib codec streams satisfy
+    full reads, but a file object whose read() legally returns fewer
+    bytes mid-stream (socket-backed, raw unbuffered, zstandard's
+    stream_reader) must not flip the windowed scanners to their EOF
+    regime early — that could mis-split a statement/token spanning the
+    short read (ADVICE r10).  EOF is only a b"" read."""
+    data = b""
+    while len(data) < n:
+        piece = fobj.read(n - len(data))
+        if not piece:
+            break
+        data += piece
+    return data
+
+
 def _turtle_stream_chunks(fobj, per_chunk: int, window_bytes: int = 0):
     """Chunk-CONTENT sibling of :func:`_turtle_stream_bounds` for
     non-seekable decompressed streams: same windowed strict-match-and-
@@ -2047,7 +2347,7 @@ def _turtle_stream_chunks(fobj, per_chunk: int, window_bytes: int = 0):
     pending = b""  # statements matched but not yet a full group
     count = 0  # statements in ``pending`` plus the unyielded buf span
     while True:
-        data = fobj.read(window_bytes)
+        data = _read_full(fobj, window_bytes)
         eof = len(data) < window_bytes
         buf += data
         pos = mark = 0  # scan position / start of the unyielded span
@@ -2101,8 +2401,11 @@ def _read_turtle_like_stream_df(
 ):
     """STREAMING fallback for LISTABLE COMPRESSED Turtle/N3 files.
 
-    stdlib codecs (gz/bz2/xz): one scan task per file opens the codec
-    stream DIRECTLY in Python (:func:`_open_maybe_compressed`) and runs
+    Directly-streamable codecs (stdlib gz/bz2/xz always; zst/lz4 when
+    the optional ``zstandard``/``lz4`` module is installed — VERDICT
+    r10 task #4, a measured 2.9x over the line path): one scan task per
+    file opens the codec stream DIRECTLY in Python
+    (:func:`_open_maybe_compressed`) and runs
     the windowed strict-carry chunk scan on the decompressed bytes
     (:func:`_turtle_stream_chunks` — the chunk-content sibling of the
     offsets scanner), shipping chunk TEXT through one repartition to
@@ -2112,7 +2415,7 @@ def _read_turtle_like_stream_df(
     path shipped 30M (offset, line) tuples through newAPIHadoopFile at
     ~49k rows/s; direct decompression measures ~10x that).
 
-    Other codecs (zst/lz4/snappy/deflate): the Hadoop text source
+    Other codecs (snappy/deflate; zst/lz4 sans module): the Hadoop text source
     decompresses them, each file pinned to ONE split (split.minsize)
     so statement order holds within a partition; lines re-join into a
     bounded buffer with the same strict-carry scan.  Line terminators
@@ -2125,8 +2428,8 @@ def _read_turtle_like_stream_df(
     prefixes_by_file = sc.broadcast(_collect_prefixes(spark, list(paths)))
     per = statements_per_chunk
 
-    direct = [fp for fp in paths if _STDLIB_CODEC_RE.search(fp)]
-    hadoop = [fp for fp in paths if not _STDLIB_CODEC_RE.search(fp)]
+    direct = [fp for fp in paths if _codec_direct_streamable(fp)]
+    hadoop = [fp for fp in paths if not _codec_direct_streamable(fp)]
     flush_bytes = _STREAM_FLUSH_BYTES  # driver-time capture (testable)
     chunk_rdds = []
 

@@ -306,17 +306,20 @@ _FAST_STR_RE = re.compile(
 # escaped (newline -> \n, quote -> \", lone backslash -> \\; existing
 # escape pairs kept verbatim), so the rest of the parser — fast path
 # included — sees plain one-line statements.  The closer is the FIRST
-# quote triple after the opener (escape-blind), exactly the boundary
-# rule the chunk scanners use (_TTL_STMT's lazy long branch and the
-# slow oracle's find(c*3)), so slice boundaries and parse agree on the
-# same text.  Token-aware: IRIs, comments and short strings are matched
-# (and copied verbatim) so a quote triple inside them is never taken
-# for an opener.
+# quote triple after the opener NOT inside an escape pair (a backslash
+# consumes two chars — the W3C STRING_LITERAL_LONG_* rule, under which
+# serializer output like """abc\"""" closes at the final triple, not
+# inside the escaped quote), exactly the boundary rule the chunk
+# scanners use (_TTL_STMT's long branch, the slow oracle's escape-aware
+# walk — all tightened together in r11, ADVICE r10), so slice
+# boundaries and parse agree on the same text.  Token-aware: IRIs,
+# comments and short strings are matched (and copied verbatim) so a
+# quote triple inside them is never taken for an opener.
 _TTL_INLINE_RE = re.compile(
     r"<[^>]*>"
     r"|#[^\n]*"
-    r'|"""[\s\S]*?"""'
-    r"|'''[\s\S]*?'''"
+    r'|"""(?:[^"\\]++|\\[\s\S]|"(?!""))*+"""'
+    r"|'''(?:[^'\\]++|\\[\s\S]|'(?!''))*+'''"
     r'|"(?!"")(?:[^"\\]|\\[\s\S])*"'
     r"|'(?!'')(?:[^'\\]|\\[\s\S])*'"
 )
@@ -327,8 +330,8 @@ def _requote(m: re.Match) -> str:
     g = m.group(0)
     if len(g) == 2:  # an existing escape pair, kept verbatim
         return g
-    if g == "\\":  # lone trailing backslash (closer split an escape)
-        return "\\\\"
+    if g == "\\":  # lone trailing backslash (unreachable since the r11
+        return "\\\\"  # escape-aware closer; kept as a safety net)
     if g == '"':
         return '\\"'
     return "\\n" if g == "\n" else "\\r"

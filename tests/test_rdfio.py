@@ -1701,6 +1701,55 @@ def test_turtle_stream_chunks_match_offset_scanner(tmp_path):
                 assert got == want, (t, per, win)
 
 
+class _ShortReadIO:
+    """File object whose read() legally returns FEWER bytes than asked
+    mid-stream (socket-backed shape) — pins the ADVICE r10 fix that a
+    short read must not be treated as EOF."""
+
+    def __init__(self, raw, max_read):
+        import io
+
+        self._b = io.BytesIO(raw)
+        self._max = max_read
+
+    def read(self, n=-1):
+        if n is None or n < 0:
+            return self._b.read()
+        return self._b.read(min(n, self._max))
+
+
+def test_turtle_stream_chunks_short_reads_not_eof(tmp_path):
+    """A read() that returns fewer bytes than requested mid-stream must
+    accumulate to a full window, not switch to the EOF regex early
+    (which could mis-split statements).  Chunks must be byte-identical
+    to the full-read path across pathological max_read sizes."""
+    import io
+    import random
+
+    from kolibrie_spark.rdfio import _turtle_stream_chunks
+
+    rng = random.Random(11)
+    pieces = [
+        "ex:s ex:p ex:o .\n", " . ", '."', '"""block\n. dots\n""" ',
+        "#c . \n", '{| ex:a "1" |}', '"lit . ', 'x" .\n', "\r\n",
+        "@prefix ex: <http://e/> .\n", "'sq' ", ". \n", ";", ",", " ",
+    ]
+    for t in range(40):
+        raw = "".join(
+            rng.choice(pieces) for _ in range(rng.randrange(1, 60))
+        ).encode("utf-8")
+        for per in (1, 5):
+            for win in (13, 64):
+                want = list(_turtle_stream_chunks(io.BytesIO(raw), per, win))
+                for max_read in (1, 3, 7):
+                    got = list(
+                        _turtle_stream_chunks(
+                            _ShortReadIO(raw, max_read), per, win
+                        )
+                    )
+                    assert got == want, (t, per, win, max_read)
+
+
 def test_streaming_hadoop_line_branch_and_xz(spark, tmp_path, monkeypatch):
     """Review follow-ups: (a) .xz routes to the streaming fallback (it
     was missing from _COMPRESSED_EXT_RE, so LZMA bytes hit the raw
@@ -1744,3 +1793,277 @@ def test_streaming_hadoop_line_branch_and_xz(spark, tmp_path, monkeypatch):
         for r in R.read_turtle_df(spark, str(h / "a.ttl.gz")).collect()
     )
     assert got == want
+
+
+def test_long_string_escaped_quote_before_closer(spark, tmp_path):
+    """ADVICE r10 fix pin: the long-string closer is the first quote
+    triple NOT inside an escape pair (W3C STRING_LITERAL_LONG_*), so
+    serializer output for literals ending in a quote (q3 abc backslash
+    q4) and escaped-quote-runs mid-string parse to the right values —
+    the old escape-blind lazy closer cut these early
+    (loud error for the first shape, silent mid-statement re-open risk
+    for the second).  Pinned across ALL the boundary engines: driver
+    parse, fast chunk scan, slow oracle, windowed offsets scan, stream
+    chunker, and the Spark reader."""
+    import io
+
+    from kolibrie_spark.rdfio import (
+        _turtle_statement_chunks,
+        _turtle_statement_chunks_slow,
+        _turtle_stream_bounds,
+        _turtle_stream_chunks,
+        parse_turtle,
+        read_turtle_df,
+    )
+
+    ttl = (
+        '@prefix ex: <http://e/> .\n'
+        'ex:s1 ex:p """abc\\"""" .\n'
+        'ex:s2 ex:p """a\\"""bc""" .\n'
+        "ex:s3 ex:p '''x\\'''' .\n"
+        'ex:s4 ex:p """multi\nline ""inner"" q""" .\n'
+        'ex:s5 ex:p "plain" .\n'
+    )
+    want = {
+        ("http://e/s1", "abc\""),
+        ("http://e/s2", 'a"""bc'),
+        ("http://e/s3", "x'"),
+        ("http://e/s4", 'multi\nline ""inner"" q'),
+        ("http://e/s5", "plain"),
+    }
+    triples, _, _ = parse_turtle(ttl)
+    assert {(s, o) for s, _, o in triples} == want
+
+    # every chunking engine agrees on statement boundaries (5 statements)
+    for per in (1, 2, 5):
+        fast = _turtle_statement_chunks(ttl, per)
+        slow = _turtle_statement_chunks_slow(ttl, per)
+        assert [c.strip() for c in fast] == [c.strip() for c in slow], per
+        parsed = [t for c in fast for t in parse_turtle(c, {"ex": "http://e/"})[0]]
+        assert {(s, o) for s, _, o in parsed} == want, per
+
+    p = tmp_path / "esc.ttl"
+    p.write_bytes(ttl.encode("utf-8"))
+    raw = p.read_bytes()
+    for per in (1, 3):
+        bounds_chunks = [raw[a:b] for a, b in _turtle_stream_bounds(str(p), per)]
+        for win in (11, 64, 1 << 20):
+            stream_chunks = list(
+                _turtle_stream_chunks(io.BytesIO(raw), per, win)
+            )
+            assert stream_chunks == bounds_chunks, (per, win)
+
+    rows = read_turtle_df(spark, str(p)).select("s", "o").collect()
+    assert {(r.s, r.o) for r in rows} == want
+
+
+def _xml_soup(rng, n_pieces):
+    pieces = [
+        "<rdf:RDF xmlns:rdf='http://www.w3.org/1999/02/22-rdf-syntax-ns#'>",
+        "</rdf:RDF>", "<a>", "</a>", "<b x='1'>", "</b>", "<c/>",
+        "<d y=\"v>v\">", "</d>", "text ", "< ", "> ", "<!-- c > -->",
+        "<![CDATA[ <x> ]]>", "<?pi v?>", "<!DOCTYPE t>", "&amp; ",
+        "<e z='q\"q'>", "</e>", "\n", "café ", "<f/>", "<g>", "</g>",
+    ]
+    return "".join(
+        rng.choice(pieces) for _ in range(n_pieces)
+    ).encode("utf-8")
+
+
+def test_rdfxml_stream_chunks_match_bounds_scanner(tmp_path):
+    """The XML chunk-CONTENT scanner (compressed-stream path, VERDICT
+    r10 task #3) must reproduce the offsets scanner's rows exactly:
+    same chunk indices, same root tag, and bodies byte-identical to
+    ranged reads of the bounds — structured documents and token soup,
+    fuzzed at windows down to 16 bytes."""
+    import io
+    import random
+
+    from kolibrie_spark.rdfio import (
+        _rdfxml_stream_bounds,
+        _rdfxml_stream_chunks,
+    )
+
+    rng = random.Random(13)
+    docs = []
+    # structured: splittable documents of varying sizes
+    for n in (0, 1, 3, 12, 40):
+        body = "".join(
+            f'<rdf:Description rdf:about="http://e/s{i}">'
+            f"<ex:p xmlns:ex=\"http://e/\">v {i} &lt;&gt; café</ex:p>"
+            f"</rdf:Description>\n"
+            for i in range(n)
+        )
+        docs.append(
+            (
+                '<?xml version="1.0"?>\n<rdf:RDF '
+                'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">\n'
+                + body
+                + "</rdf:RDF>\n"
+            ).encode("utf-8")
+        )
+    # soups
+    for t in range(60):
+        docs.append(_xml_soup(rng, rng.randrange(1, 60)))
+
+    p = tmp_path / "doc.rdf"
+    for di, raw in enumerate(docs):
+        p.write_bytes(raw)
+        for per in (1, 2, 5):
+            want = [
+                (ci, a, b, root)
+                for ci, a, b, root in _rdfxml_stream_bounds(str(p), per)
+            ]
+            for win in (16, 64, 1 << 20):
+                got = list(
+                    _rdfxml_stream_chunks(io.BytesIO(raw), per, win)
+                )
+                assert len(got) == len(want), (di, per, win)
+                for (gci, groot, gbody), (wci, wa, wb, wroot) in zip(got, want):
+                    assert gci == wci, (di, per, win)
+                    assert groot == wroot, (di, per, win)
+                    assert gbody == raw[wa:wb], (di, per, win, gci)
+                # short-read streams must not change the chunks
+                got_sr = list(
+                    _rdfxml_stream_chunks(_ShortReadIO(raw, 5), per, win)
+                )
+                assert got_sr == got, (di, per, win)
+
+
+def test_rdfxml_compressed_streaming_end_to_end(spark, tmp_path):
+    """A gzip-compressed (and a BOM'd bz2) RDF/XML file routes to the
+    streaming chunker and produces the same triples as the uncompressed
+    offsets plan — the >2 GB-decompressed wholetext ceiling no longer
+    applies to stdlib-codec XML dumps."""
+    import bz2 as _bz2
+    import gzip as _gzip
+
+    from kolibrie_spark.rdfio import read_rdfxml_df
+
+    xml = (
+        '<?xml version="1.0"?>\n<rdf:RDF '
+        'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://e/">\n'
+        + "".join(
+            f'<rdf:Description rdf:about="http://e/s{i}">'
+            f"<ex:p>v {i} café</ex:p></rdf:Description>\n"
+            for i in range(25)
+        )
+        + "</rdf:RDF>\n"
+    )
+    plain = tmp_path / "plain" / "d.rdf"
+    plain.parent.mkdir()
+    plain.write_text(xml, encoding="utf-8")
+    gz = tmp_path / "gz" / "d.rdf.gz"
+    gz.parent.mkdir()
+    gz.write_bytes(_gzip.compress(xml.encode("utf-8")))
+    bz = tmp_path / "bz" / "d.rdf.bz2"
+    bz.parent.mkdir()
+    bz.write_bytes(_bz2.compress(b"\xef\xbb\xbf" + xml.encode("utf-8")))
+
+    want = {
+        (r.s, r.p, r.o)
+        for r in read_rdfxml_df(spark, str(plain), 4).collect()
+    }
+    assert len(want) == 25
+    for comp in (gz, bz):
+        got = {
+            (r.s, r.p, r.o)
+            for r in read_rdfxml_df(spark, str(comp), 4).collect()
+        }
+        assert got == want, comp
+
+
+def test_zst_routing_present_vs_absent(monkeypatch, tmp_path):
+    """.zst routes to the direct streaming path exactly when the
+    optional zstandard module imports; absent module keeps the Hadoop
+    line fallback (VERDICT r10 task #4)."""
+    import kolibrie_spark.rdfio as R
+
+    import sys
+
+    # force "absent" even if another test planted a fake module or an
+    # addPyFile root earlier this session (None blocks the import)
+    monkeypatch.setitem(sys.modules, "zstandard", None)
+    monkeypatch.setitem(sys.modules, "lz4", None)
+    monkeypatch.setitem(sys.modules, "lz4.frame", None)
+    R._optional_codec_available.cache_clear()
+    try:
+        # with the modules absent, .zst/.lz4 keep the line path
+        assert not R._codec_direct_streamable("/x/d.ttl.zst")
+        assert not R._codec_direct_streamable("/x/d.ttl.lz4")
+        # stdlib codecs are always direct
+        assert R._codec_direct_streamable("/x/d.ttl.gz")
+        assert R._codec_direct_streamable("/x/d.rdf.bz2")
+        assert not R._codec_direct_streamable("/x/d.ttl.snappy")
+        # plant a fake module: now .zst goes direct
+        fake = tmp_path / "fakemods"
+        fake.mkdir()
+        (fake / "zstandard.py").write_text("class ZstdDecompressor:\n pass\n")
+        monkeypatch.delitem(sys.modules, "zstandard")
+        monkeypatch.syspath_prepend(str(fake))
+        R._optional_codec_available.cache_clear()
+        assert R._codec_direct_streamable("/x/d.ttl.zst")
+        assert not R._codec_direct_streamable("/x/d.ttl.lz4")
+    finally:
+        R._optional_codec_available.cache_clear()
+
+
+_FAKE_ZSTD_SRC = '''\
+"""Identity stand-in for the optional zstandard module (test-only):
+lets the .zst direct-streaming route run end-to-end in a container
+without the real codec.  stream_reader deliberately returns SHORT
+reads to exercise the _read_full discipline."""
+
+
+class _Reader:
+    def __init__(self, fh):
+        self._fh = fh
+
+    def read(self, n=-1):
+        if n is None or n < 0:
+            return self._fh.read()
+        return self._fh.read(min(n, 7))  # short reads on purpose
+
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class ZstdDecompressor:
+    def stream_reader(self, fh, closefd=True):
+        return _Reader(fh)
+'''
+
+
+def test_zst_direct_stream_end_to_end(spark, monkeypatch, tmp_path):
+    """With a (fake, identity) zstandard module importable on driver and
+    executors, a .ttl.zst file takes the direct streaming chunker and
+    parses identically to the plain file."""
+    import kolibrie_spark.rdfio as R
+
+    fake = tmp_path / "fakemods"
+    fake.mkdir()
+    mod = fake / "zstandard.py"
+    mod.write_text(_FAKE_ZSTD_SRC)
+    monkeypatch.syspath_prepend(str(fake))
+    spark.sparkContext.addPyFile(str(mod))
+    R._optional_codec_available.cache_clear()
+    try:
+        ttl = "@prefix ex: <http://e/> .\n" + "".join(
+            f'ex:s{i} ex:p "v {i} café" .\n' for i in range(30)
+        )
+        d = tmp_path / "corpus"
+        d.mkdir()
+        (d / "d.ttl.zst").write_bytes(ttl.encode("utf-8"))
+        rows = R.read_turtle_df(spark, str(d / "d.ttl.zst")).collect()
+        assert {(r.s, r.o) for r in rows} == {
+            (f"http://e/s{i}", f"v {i} café") for i in range(30)
+        }
+    finally:
+        R._optional_codec_available.cache_clear()
