@@ -14,6 +14,14 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="kolibrie_spark", description=__doc__)
     ap.add_argument("--file", action="append", default=[], help="RDF file(s) to load")
     ap.add_argument("--format", default=None, help="override format (nt/nq/ttl/n3/rdf)")
+    ap.add_argument(
+        "--distributed",
+        action="store_true",
+        help="load through the chunk-parallel bulk readers "
+        "(QuadStore.load_distributed) instead of the driver-side parse — "
+        "the path for dump-scale files (VERDICT r10 task #7; the "
+        "reference CLI loads any size synchronously, cli/src/main.rs:25-39)",
+    )
     ap.add_argument("--query", default=None, help="SPARQL SELECT to run")
     ap.add_argument("--update", default=None, help="SPARQL Update to apply")
     ap.add_argument("--explain", action="store_true", help="print the physical plan")
@@ -35,7 +43,7 @@ def main(argv: list[str] | None = None) -> int:
 
     engine = SparqlEngine(spark)
     for path in args.file:
-        engine.load_file(path, fmt=args.format)
+        engine.load_file(path, fmt=args.format, distributed=args.distributed)
     if args.update:
         engine.update(args.update)
         print(f"update applied; store now holds {engine.triple_count()} quads")

@@ -305,3 +305,28 @@ def test_legacy_update_alias_variants(client):
         ).get_data(as_text=True)
         == "Update Failed"
     )
+
+
+def test_load_route_distributed(client, tmp_path):
+    """POST /load {path, distributed} pulls a server-side file into the
+    app store through the bulk readers (VERDICT r10 task #7)."""
+    f = tmp_path / "d.nt"
+    f.write_text('<urn:h1> <urn:hp> "hv" .\n<urn:h2> <urn:hp> "hw" .\n')
+    r = client.post(
+        "/load", json={"path": str(f), "distributed": True}
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["status"] == "ok" and body["quads"] >= 2
+    # the app store is the legacy endpoint's target (POST /query builds a
+    # per-request context engine, mirroring the reference)
+    r2 = client.get(
+        "/", query_string={
+            "query": "SELECT ?o WHERE { ?s <urn:hp> ?o } ORDER BY ?o"
+        },
+    )
+    rows = r2.get_data(as_text=True).splitlines()
+    assert rows == ["hv", "hw"]
+
+    r3 = client.post("/load", json={"distributed": True})
+    assert r3.status_code == 400

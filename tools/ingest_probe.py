@@ -326,6 +326,62 @@ def probe_stream() -> None:
     )
 
 
+def probe_stream_xml() -> None:
+    """XML twin of :func:`probe_stream` (VERDICT r10 task #3): one gzip
+    RDF/XML file with >2 GB decompressed — past the wholetext plan's JVM
+    row ceiling — must parse through the streaming chunker
+    (_rdfxml_stream_chunks) in bounded memory."""
+    import gzip
+
+    from pyspark.sql import SparkSession
+
+    import kolibrie_spark.rdfio as R
+
+    os.makedirs(BASE, exist_ok=True)
+    p = os.path.join(BASE, "big_stream.rdf.gz")
+    if not os.path.exists(p):
+        with gzip.open(p, "wt", compresslevel=1) as fh:
+            fh.write(
+                '<?xml version="1.0"?>\n<rdf:RDF '
+                'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+                'xmlns:ex="http://example.org/">\n'
+            )
+            i = 0
+            # ~2.6 GB decompressed (~130 B/element x 20M)
+            while i < 20_000_000:
+                fh.writelines(
+                    f'  <rdf:Description rdf:about="http://example.org/s{j}">'
+                    f"<ex:p{j % 7}>value {j} — café padding {j * 7}</ex:p{j % 7}>"
+                    f"</rdf:Description>\n"
+                    for j in range(i, i + 100_000)
+                )
+                i += 100_000
+            fh.write("</rdf:RDF>\n")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    n = R.read_rdfxml_df(spark, p).count()
+    sec = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "probe": "stream-gz-xml",
+                "compressed_mb": round(os.path.getsize(p) / 1e6),
+                "rows": n,
+                "sec": round(sec, 1),
+            }
+        ),
+        flush=True,
+    )
+
+
 def probe_parscan() -> None:
     """Single >= 1 GB Turtle file: sequential boundary scan vs the
     two-pass parallel FSM scan (r10's in-file split-and-stitch), scan
@@ -419,6 +475,7 @@ if __name__ == "__main__":
     ap.add_argument("--parscan", action="store_true")
     ap.add_argument("--parscan-xml", action="store_true")
     ap.add_argument("--streamprobe", action="store_true")
+    ap.add_argument("--streamprobe-xml", action="store_true")
     ap.add_argument("--hitrate", action="store_true")
     ap.add_argument("--fmt", default="ntriples,nquads,rdfxml")
     ap.add_argument("--sizes", default="0.6,6,60")
@@ -435,5 +492,7 @@ if __name__ == "__main__":
         probe_parscan_xml()
     if args.streamprobe:
         probe_stream()
+    if args.streamprobe_xml:
+        probe_stream_xml()
     if args.scale:
         probe_scales(fmts, sizes)
