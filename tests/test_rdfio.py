@@ -1144,6 +1144,13 @@ def test_turtle_parallel_segments_match_sequential_scan(tmp_path):
         "ex:a ex:b '''long sq\n . inside\n''' .\nex:c ex:d 'short . ' .\n",
         '# only a comment with " quote and . dots\n',
         "",
+        # r11 escape-aware long-string closer: escaped quote-runs and a
+        # trailing escaped quote, with newlines so range cuts land INSIDE
+        # the long string (exercises the LDQ/LSQ close regexes)
+        'ex:a ex:b """line one\nends with quote\\""""' " .\nex:c ex:d ex:e .\n",
+        'ex:a ex:b """a\\"""mid . dot\nmore\\"""tail""" .\nex:c ex:d ex:e .\n',
+        "ex:a ex:b '''sq\\'''\nrun . here''' .\nex:c ex:d ex:e .\n",
+        'ex:a ex:b """backslashes \\\\"""' " .\nex:c ex:d ex:e .\n",
     ]
     for i, text in enumerate(cases):
         p = tmp_path / f"p{i}.ttl"
@@ -1160,7 +1167,7 @@ def test_turtle_parallel_segments_match_sequential_scan(tmp_path):
         "café 日本語 ", '"lit . ', 'x" .\n', "@prefix ex: <http://e/> .\n",
         '{| ex:a "1" |}', "<< ex:a ex:b ex:c >>",
         '"""block\n. dots\n""" ', "'sq' ", '""', "''", ". \n", "ex:p",
-        " ", ";", ",",
+        " ", ";", ",", '\\"""', "\\'''", '"""e\\"""" ', "\\\\",
     ]
     p = tmp_path / "soup.ttl"
     for t in range(250):
