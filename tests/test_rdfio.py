@@ -2116,3 +2116,71 @@ def test_turtle_lines_reader_splits_bz2_in_file(spark, tmp_path):
         for r in R.read_turtle_df(spark, str(plain)).collect()
     }
     assert got == want and len(want) == 40_000
+
+
+_FAKE_LZ4_FRAME_SRC = '''\
+"""Identity stand-in for lz4.frame (test-only)."""
+
+
+class _F:
+    def __init__(self, fh):
+        self._fh = fh
+
+    def read(self, n=-1):
+        if n is None or n < 0:
+            return self._fh.read()
+        return self._fh.read(min(n, 11))  # short reads on purpose
+
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def open(fp, mode="rb"):
+    import builtins
+
+    return _F(builtins.open(fp, "rb"))
+'''
+
+
+def test_lz4_direct_stream_end_to_end(spark, monkeypatch, tmp_path):
+    """lz4 twin of the zst end-to-end: a fake identity lz4.frame package
+    (zip-shipped so executors import it too) routes .ttl.lz4 through the
+    direct streaming chunker."""
+    import sys
+    import zipfile
+
+    import kolibrie_spark.rdfio as R
+
+    pkg = tmp_path / "fakepkg" / "lz4"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    (pkg / "frame.py").write_text(_FAKE_LZ4_FRAME_SRC)
+    zp = tmp_path / "lz4fake.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        z.write(pkg / "__init__.py", "lz4/__init__.py")
+        z.write(pkg / "frame.py", "lz4/frame.py")
+    monkeypatch.delitem(sys.modules, "lz4", raising=False)
+    monkeypatch.delitem(sys.modules, "lz4.frame", raising=False)
+    monkeypatch.syspath_prepend(str(tmp_path / "fakepkg"))
+    spark.sparkContext.addPyFile(str(zp))
+    R._optional_codec_available.cache_clear()
+    try:
+        ttl = "@prefix ex: <http://e/> .\n" + "".join(
+            f'ex:s{i} ex:p "w {i}" .\n' for i in range(20)
+        )
+        d = tmp_path / "corpus"
+        d.mkdir()
+        (d / "d.ttl.lz4").write_bytes(ttl.encode("utf-8"))
+        assert R._codec_direct_streamable(str(d / "d.ttl.lz4"))
+        rows = R.read_turtle_df(spark, str(d / "d.ttl.lz4")).collect()
+        assert {(r.s, r.o) for r in rows} == {
+            (f"http://e/s{i}", f"w {i}") for i in range(20)
+        }
+    finally:
+        R._optional_codec_available.cache_clear()
