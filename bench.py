@@ -380,6 +380,26 @@ def _machinery_warmup(spark) -> None:
         print(f"# machinery warmup failed ({exc}); proceeding", file=sys.stderr)
 
 
+def _cpu_calibration() -> float:
+    """Seconds for a fixed single-thread integer workload (best of 3) —
+    a box-speed stamp for the record.  Loadavg says how BUSY the box
+    was; this says how FAST it actually computed.  The r11 adjudication
+    needed exactly this: three same-code suite runs read 256.8/319/294 s
+    on a box whose 1-min loadavg gated clean every time, because the
+    host stalled in bursts that averages (loadavg, PSI, steal %) did not
+    capture (idle-box ad hoc samples that day ranged 0.49-1.16 s for
+    this loop).  Two records whose calib stamps differ materially are
+    not comparable, full stop."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        x = 0
+        for i in range(10_000_000):
+            x += i
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def _drain_loadavg_at_start(threshold: float = 2.0, budget_sec: float = 300.0) -> float:
     """Wait (bounded) for the 1-min loadavg to drop below ``threshold``
     before the suite starts timing.  The r10 working-tree record was taken
@@ -411,6 +431,7 @@ def _drain_loadavg_at_start(threshold: float = 2.0, budget_sec: float = 300.0) -
 def main() -> None:
     global _LOAD_AT_START
     _LOAD_WAITED = _drain_loadavg_at_start()
+    _CALIB_START = _cpu_calibration()
     try:
         _LOAD_AT_START = [round(x, 1) for x in os.getloadavg()]
     except OSError:
@@ -606,6 +627,7 @@ def main() -> None:
         "value": total,
         "loadavg_start": _LOAD_AT_START,
         "loadavg_waited_sec": _LOAD_WAITED,
+        "cpu_calib_sec": [_CALIB_START, _cpu_calibration()],
         "loadavg_end": [round(x, 1) for x in load_end] if load_end else None,
         "unit": "sec",
         "queries": timings,

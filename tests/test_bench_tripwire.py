@@ -290,3 +290,13 @@ def test_bench_one_multi_gate_isolation_end_to_end():
         f"{multi['text_lm_score']}s after iterative gates vs "
         f"{iso['text_lm_score']}s isolated"
     )
+
+
+def test_cpu_calibration_stamp():
+    """The record's box-speed stamp: fixed single-thread work, best-of-3,
+    plausible on any box and stable enough (< 2x spread) across two
+    immediate samples to serve as a comparability check."""
+    a = bench._cpu_calibration()
+    b = bench._cpu_calibration()
+    assert 0.05 < a < 30 and 0.05 < b < 30
+    assert max(a, b) / min(a, b) < 2.0
