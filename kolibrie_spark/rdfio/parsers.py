@@ -28,7 +28,7 @@ _TOK = re.compile(
   | (?P<ANO>\{\|)
   | (?P<ANC>\|\})
   | (?P<IRI><[^<>\s]*>)
-  | (?P<STR>"(?:[^"\\]|\\.)*")
+  | (?P<STR>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<BLANK>_:[A-Za-z0-9_.\-]+)
   | (?P<DT>\^\^)
   | (?P<LANG>@[A-Za-z][A-Za-z0-9\-]*)

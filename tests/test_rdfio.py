@@ -2184,3 +2184,35 @@ def test_lz4_direct_stream_end_to_end(spark, monkeypatch, tmp_path):
         }
     finally:
         R._optional_codec_available.cache_clear()
+
+
+def test_single_quoted_short_strings(spark, tmp_path):
+    """W3C Turtle STRING_LITERAL_SINGLE_QUOTE ('lit'): the chunk
+    scanners always handled its boundaries, but the tokenizer had no
+    single-quote branch, so any dump using the alternate quote style
+    failed with a lex error (r11 gap found while tightening the
+    long-string closers).  Pinned through the driver parse AND the
+    distributed reader, with escapes, lang tags, and datatypes."""
+    from kolibrie_spark.rdfio import parse_turtle, read_turtle_df
+
+    ttl = (
+        "@prefix ex: <http://e/> .\n"
+        "ex:s1 ex:p 'plain sq' .\n"
+        "ex:s2 ex:p 'it\\'s escaped' .\n"
+        "ex:s3 ex:p 'has \"dq\" inside'@en .\n"
+        "ex:s4 ex:p 'typed'^^<http://www.w3.org/2001/XMLSchema#string> .\n"
+        "ex:s5 ex:p '' .\n"
+    )
+    want = {
+        ("http://e/s1", "plain sq"),
+        ("http://e/s2", "it's escaped"),
+        ("http://e/s3", 'has "dq" inside@en'),
+        ("http://e/s4", "typed"),
+        ("http://e/s5", ""),
+    }
+    triples, _, _ = parse_turtle(ttl)
+    assert {(s, o) for s, _, o in triples} == want
+    p = tmp_path / "sq.ttl"
+    p.write_text(ttl, encoding="utf-8")
+    rows = read_turtle_df(spark, str(p)).select("s", "o").collect()
+    assert {(r.s, r.o) for r in rows} == want
