@@ -26,6 +26,26 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--update", default=None, help="SPARQL Update to apply")
     ap.add_argument("--explain", action="store_true", help="print the physical plan")
     ap.add_argument("--master", default="local[*]")
+    ap.add_argument(
+        "--serve",
+        action="store_true",
+        help="after loading --file inputs, run the HTTP endpoint "
+        "(reference kolibrie-http-server binds 0.0.0.0:7878; we default "
+        "to loopback)",
+    )
+    ap.add_argument("--serve-host", default="127.0.0.1")
+    ap.add_argument("--serve-port", type=int, default=7878)
+    ap.add_argument(
+        "--serve-allow-load",
+        action="store_true",
+        help="enable POST /load (server-side file read) — OFF by default "
+        "because it is an arbitrary-file-read primitive (ADVICE r11)",
+    )
+    ap.add_argument(
+        "--serve-load-root",
+        default=None,
+        help="confine POST /load paths to this directory subtree",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -52,6 +72,15 @@ def main(argv: list[str] | None = None) -> int:
             print(engine.explain(args.query))
         for row in engine.execute(args.query):
             print("\t".join(row))
+    if args.serve:  # pragma: no cover - blocking server loop
+        from kolibrie_spark.http_server import create_app
+
+        create_app(
+            spark,
+            engine.store,
+            allow_load=args.serve_allow_load,
+            load_root=args.serve_load_root,
+        ).run(host=args.serve_host, port=args.serve_port, threaded=False)
     return 0
 
 

@@ -154,10 +154,16 @@ def _json_error(message: str, code: int = 400):
     return jsonify({"error": message}), code
 
 
-def create_app(spark, store=None):
+def create_app(spark, store=None, *, allow_load: bool = False, load_root=None):
     """App factory: one Spark session serves all requests (the reference
     likewise builds one SparqlDatabase per /query call but shares the
-    process)."""
+    process).
+
+    ``POST /load`` reads SERVER-SIDE paths, which is an arbitrary-file-read
+    primitive if the endpoint is exposed — so it is OFF by default
+    (ADVICE r11, medium): pass ``allow_load=True`` (CLI:
+    ``--serve-allow-load``) to enable it, and optionally ``load_root`` to
+    confine resolvable paths to one directory subtree."""
     if Flask is None:  # pragma: no cover
         raise ImportError(f"flask is required for the HTTP server: {_flask_error}")
 
@@ -289,9 +295,18 @@ def create_app(spark, store=None):
         {path, format?, distributed?}.  ``distributed: true`` routes
         through the chunk-parallel bulk readers, so the dump-scale path
         is reachable without Python API access."""
+        if not allow_load:
+            return _json_error("loading is disabled on this server", 403)
         req = request.get_json(silent=True)
         if req is None or not req.get("path"):
             return _json_error("No path provided")
+        if load_root is not None:
+            import os.path as _osp
+
+            root = _osp.realpath(str(load_root))
+            resolved = _osp.realpath(str(req["path"]))
+            if not (resolved == root or resolved.startswith(root + _osp.sep)):
+                return _json_error("path outside the configured load root", 403)
         eng = app.config["ENGINE"]
         try:
             eng.load_file(
@@ -411,6 +426,15 @@ def create_app(spark, store=None):
     return app
 
 
-def serve(spark, host: str = "127.0.0.1", port: int = 7878):  # pragma: no cover
+def serve(
+    spark,
+    host: str = "127.0.0.1",
+    port: int = 7878,
+    *,
+    allow_load: bool = False,
+    load_root=None,
+):  # pragma: no cover
     """Run the endpoint (reference binds 0.0.0.0:7878)."""
-    create_app(spark).run(host=host, port=port, threaded=False)
+    create_app(spark, allow_load=allow_load, load_root=load_root).run(
+        host=host, port=port, threaded=False
+    )

@@ -1945,6 +1945,33 @@ def _has_compressed(paths) -> bool:
 _STDLIB_CODEC_RE = re.compile(r"\.(?:gz|bz2|xz|lzma)$", re.IGNORECASE)
 
 
+class _ClosingStreamWrapper:
+    """Delegating wrapper whose close() also closes the underlying file
+    handle — for decompressor streams that cannot take ownership of the
+    fh themselves (older ``zstandard`` without ``closefd``; ADVICE r11:
+    one leaked fd per file otherwise in long-running scan executors)."""
+
+    def __init__(self, stream, fh):
+        self._stream = stream
+        self._fh = fh
+
+    def __getattr__(self, name):
+        return getattr(self._stream, name)
+
+    def close(self):
+        try:
+            self._stream.close()
+        finally:
+            self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
 def _open_maybe_compressed(fp: str):
     low = fp.lower()
     if low.endswith(".gz"):
@@ -1969,11 +1996,19 @@ def _open_maybe_compressed(fp: str):
 
         fh = open(fp, "rb")
         try:
-            return zstandard.ZstdDecompressor().stream_reader(
-                fh, closefd=True
-            )
-        except TypeError:  # older zstandard without closefd
-            return zstandard.ZstdDecompressor().stream_reader(fh)
+            try:
+                return zstandard.ZstdDecompressor().stream_reader(
+                    fh, closefd=True
+                )
+            except TypeError:  # older zstandard without closefd
+                return _ClosingStreamWrapper(
+                    zstandard.ZstdDecompressor().stream_reader(fh), fh
+                )
+        except Exception:
+            # ADVICE r11: never leak the already-opened fd — long-running
+            # scan executors open one fh per file.
+            fh.close()
+            raise
     if low.endswith(".lz4"):
         import lz4.frame
 

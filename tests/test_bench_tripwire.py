@@ -294,9 +294,9 @@ def test_bench_one_multi_gate_isolation_end_to_end():
 
 def test_cpu_calibration_stamp():
     """The record's box-speed stamp: fixed single-thread work, best-of-3,
-    plausible on any box and stable enough (< 2x spread) across two
-    immediate samples to serve as a comparability check."""
+    plausible on any box.  Only plausibility bounds are asserted here —
+    the r11 adjudication documented this exact loop ranging 0.49-1.16s
+    on an idle box under burst stalls (ADVICE r11: a tight spread check
+    belongs to record adjudication, not the unit suite)."""
     a = bench._cpu_calibration()
-    b = bench._cpu_calibration()
-    assert 0.05 < a < 30 and 0.05 < b < 30
-    assert max(a, b) / min(a, b) < 2.0
+    assert 0.05 < a < 30

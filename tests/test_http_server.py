@@ -13,7 +13,7 @@ flask = pytest.importorskip("flask")
 def client(spark):
     from kolibrie_spark.http_server import create_app
 
-    app = create_app(spark)
+    app = create_app(spark, allow_load=True)
     app.testing = True
     return app.test_client()
 
@@ -330,3 +330,50 @@ def test_load_route_distributed(client, tmp_path):
 
     r3 = client.post("/load", json={"distributed": True})
     assert r3.status_code == 400
+
+
+def test_load_route_disabled_by_default(spark, tmp_path):
+    """ADVICE r11 (medium): POST /load is a server-side file-read
+    primitive, so it must be OFF unless create_app opts in."""
+    from kolibrie_spark.http_server import create_app
+
+    app = create_app(spark)  # no allow_load
+    app.testing = True
+    c = app.test_client()
+    f = tmp_path / "x.nt"
+    f.write_text('<urn:a> <urn:b> "c" .\n')
+    r = c.post("/load", json={"path": str(f)})
+    assert r.status_code == 403
+    assert "disabled" in r.get_json()["error"]
+
+
+def test_load_route_root_confinement(spark, tmp_path):
+    """load_root confines resolvable paths to one subtree (realpath-based,
+    so ../ and symlink escapes are both caught)."""
+    from kolibrie_spark.http_server import create_app
+
+    root = tmp_path / "data"
+    root.mkdir()
+    inside = root / "ok.nt"
+    inside.write_text('<urn:r1> <urn:rp> "rv" .\n')
+    outside = tmp_path / "secret.nt"
+    outside.write_text('<urn:s1> <urn:sp> "sv" .\n')
+
+    app = create_app(spark, allow_load=True, load_root=root)
+    app.testing = True
+    c = app.test_client()
+
+    assert c.post("/load", json={"path": str(inside)}).status_code == 200
+    r = c.post("/load", json={"path": str(outside)})
+    assert r.status_code == 403
+    # ../ traversal out of the root is normalised away by realpath
+    r2 = c.post("/load", json={"path": str(root / ".." / "secret.nt")})
+    assert r2.status_code == 403
+    # a symlink inside the root pointing outside is followed and rejected
+    link = root / "sneaky.nt"
+    try:
+        link.symlink_to(outside)
+    except OSError:
+        pytest.skip("symlinks unavailable")
+    r3 = c.post("/load", json={"path": str(link)})
+    assert r3.status_code == 403

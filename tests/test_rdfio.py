@@ -661,16 +661,26 @@ def test_turtle_fast_path_raw_newline_short_string():
     # the ADVICE scenario explicitly: no phantom triple, full literal
     t, _, _ = P.parse_turtle(cases[0])
     assert t == [("ex:a", "ex:b", "line1\nex:a ex:b ex:c .\nline3")]
-    # single-quoted strings: _TOK has no single-quote STR branch, so BOTH
-    # paths must reject identically (the fast path must not accept what
-    # the tokenizer rejects)
-    sq = "ex:a ex:b 'sing\nex:p ex:q ex:r .\nle' ."
-    with pytest.raises(P.RdfParseError):
-        P.parse_turtle(sq)
-    with pytest.MonkeyPatch.context() as mp:
-        mp.setattr(P, "_SIMPLE_LINE_RE", null_re)
-        with pytest.raises(P.RdfParseError):
-            P.parse_turtle(sq)
+    # single-quoted strings: since the W3C single-quote STR branch landed
+    # in _TOK (round 11), BOTH paths must ACCEPT identically — same
+    # documented raw-newline divergence as the double-quote short string.
+    sq_cases = [
+        "ex:a ex:b 'sing\nex:p ex:q ex:r .\nle' .",
+        # single-quote close-and-reopen on the same line
+        "ex:a ex:b 'one\ntwo' , 'three\nfour' .",
+        # escaped single quote keeps the string open across the newline
+        "ex:a ex:b 'esc \\' still open\nex:x ex:y ex:z .\nclose' .",
+    ]
+    for text in sq_cases:
+        fast_t, fast_q, fast_px = P.parse_turtle(text)
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(P, "_SIMPLE_LINE_RE", null_re)
+            slow_t, slow_q, slow_px = P.parse_turtle(text)
+        assert sorted(fast_t) == sorted(slow_t), text
+        assert sorted(fast_q) == sorted(slow_q), text
+        assert fast_px == slow_px, text
+    t, _, _ = P.parse_turtle(sq_cases[0])
+    assert t == [("ex:a", "ex:b", "sing\nex:p ex:q ex:r .\nle")]
 
 
 def test_turtle_chunker_crlf_matches_slow_oracle():
@@ -2046,6 +2056,65 @@ class ZstdDecompressor:
     def stream_reader(self, fh, closefd=True):
         return _Reader(fh)
 '''
+
+
+def test_zst_open_never_leaks_fd(monkeypatch, tmp_path):
+    """ADVICE r11 (low): the .zst branch of _open_maybe_compressed must
+    close the underlying fh (a) on close() even when the old no-closefd
+    zstandard API is in play, and (b) when stream_reader construction
+    itself raises."""
+    import sys
+    import types
+
+    import kolibrie_spark.rdfio as R
+
+    f = tmp_path / "x.zst"
+    f.write_bytes(b"payload")
+
+    # (a) old API: stream_reader(fh) only — TypeError on closefd kwarg
+    class _OldReader:
+        def __init__(self, fh):
+            self._fh = fh
+
+        def read(self, n=-1):
+            return self._fh.read(n)
+
+        def close(self):
+            pass  # old readers do NOT close the fh themselves
+
+    class _OldDecomp:
+        def stream_reader(self, fh):  # no closefd kwarg
+            return _OldReader(fh)
+
+    old_mod = types.ModuleType("zstandard")
+    old_mod.ZstdDecompressor = _OldDecomp
+    monkeypatch.setitem(sys.modules, "zstandard", old_mod)
+    stream = R._open_maybe_compressed(str(f))
+    inner_fh = stream._fh
+    assert not inner_fh.closed
+    stream.close()
+    assert inner_fh.closed
+
+    # (b) constructor failure: the already-opened fh must be closed
+    opened = []
+    real_open = open
+
+    def _spy_open(path, *a, **kw):
+        fh = real_open(path, *a, **kw)
+        opened.append(fh)
+        return fh
+
+    class _BoomDecomp:
+        def stream_reader(self, fh, closefd=True):
+            raise RuntimeError("corrupt frame header")
+
+    boom_mod = types.ModuleType("zstandard")
+    boom_mod.ZstdDecompressor = _BoomDecomp
+    monkeypatch.setitem(sys.modules, "zstandard", boom_mod)
+    monkeypatch.setattr("builtins.open", _spy_open)
+    with pytest.raises(RuntimeError):
+        R._open_maybe_compressed(str(f))
+    assert opened and all(fh.closed for fh in opened)
 
 
 def test_zst_direct_stream_end_to_end(spark, monkeypatch, tmp_path):
