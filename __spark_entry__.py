@@ -4161,67 +4161,68 @@ def entry(spark: SparkSession) -> DataFrame:
 # in r8 — it did not; the salted plan is the OPT-IN heavy_df_cap guard
 # and the default window plan is unchanged since r7 (VERDICT r8 #3).
 _DRIVER_FIRST = [
-    # Round-11 correctness window (VERDICT r10 task #5): lead with the 3
-    # gates whose latest driver row is r7 (multimodal_resize, analytics_q3,
-    # analytics_q10 -- judge re-checked green in the r10 session via
-    # tools/check_correctness.py, 3/3 pass, but stale in the driver
-    # record), then the 50 r8-rowed gates in queries() order.  53 listed /
-    # window 50, so the last ~3 overflow to r12, which then takes the r9
-    # set.  After r11 no gate's latest driver row is older than r9.
-    "multimodal_resize",
-    "analytics_q3",
-    "analytics_q10",
-    # -- the 50 gates whose latest driver row is r8, in queries() order
-    "scan_project",
-    "filter_numeric_gt",
-    "filter_logical",
-    "filter_arithmetic",
-    "star_join",
-    "join_fk",
-    "text_common_spans",
-    "range_join_binned",
-    "embed_centroids",
-    "events_json_agg",
-    "events_rolling",
-    "events_funnel",
-    "events_retention",
-    "profile_quantiles",
-    "profile_histogram",
-    "text_quality_model",
-    "pack_sequences",
-    "text_repetition",
-    "sample_domain_mix",
-    "text_contamination",
-    "text_top_terms",
-    "sample_group_split",
-    "profile_stats",
-    "text_scrub_pii",
-    "pipeline_curate",
-    "text_tokenize_ids",
-    "text_lm_score",
-    "text_chunk",
-    "top_docs_per_source",
-    "streaming_dstream_replay",
-    "profile_equidepth",
-    "profile_corr",
-    "ml_group_ols",
-    "events_attribution",
-    "having_count",
-    "group_concat_names",
-    "bind_string_funcs",
-    "filter_regex_sample",
-    "construct_graph",
-    "ask_exists",
-    "describe_subject",
-    "select_expr_proj",
-    "filter_datetime",
-    "asof_join_events_orders",
-    "telemetry_resample",
-    "embed_hard_negatives",
-    "events_interval_merge",
+    # ROUND-12 correctness window (VERDICT r11 task #3): lead with the 3
+    # gates whose latest driver row is r8 (events_anomaly_mad, events_ewma,
+    # events_path_trigrams -- judge re-checked green at sf0.01 in the r11
+    # session via tools/check_correctness.py, 3/3 pass, but stale in the
+    # driver record), then the 50 r9-rowed gates in queries() order.
+    # 53 listed / window 50, so the last ~3 overflow to r13, which then
+    # takes the r10 set.  After r12 no gate's latest driver row is older
+    # than r10 (modulo the <=3 overflow, which r13 leads with).
     "events_anomaly_mad",
     "events_ewma",
     "events_path_trigrams",
+    # -- the 50 gates whose latest driver row is r9, in queries() order
+    "optional_left_join",
+    "minus_anti",
+    "filter_exists",
+    "path_seq_fk",
+    "path_plus_reach",
+    "path_star_reach",
+    "path_opt_direct",
+    "groupby_agg",
+    "agg_count",
+    "distinct_segments",
+    "order_by_desc_limit",
+    "order_numeric_lexical",
+    "offset_pagination",
+    "union_multiset",
+    "union_three_branches",
+    "bind_arithmetic",
+    "graph_default_named_join",
+    "bind_concat",
+    "values_undef",
+    "graph_fixed",
+    "graph_var",
+    "from_merge_dedup",
+    "subquery_count_join",
+    "udf_bind",
+    "update_insert_where",
+    "update_delete_where",
+    "update_insert_delete_data",
+    "rdf_star_annotate",
+    "rdf_star_builtins",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_cluster",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_topk_cosine",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "sim_topk_quantized",
+    "text_analyze",
+    "text_bm25_topk",
+    "layout_zorder",
+    "graph_pagerank",
+    "sample_dsir",
+    "events_window_agg",
+    "events_sessionize",
+    "sample_stratified",
+    "url_canonicalize",
+    "reasoner_transitive_closure",
+    "bpe_train_merges",
 ]
 
 

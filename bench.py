@@ -400,6 +400,51 @@ def _cpu_calibration() -> float:
     return round(best, 3)
 
 
+# fixed single-thread work for the per-gate bracket probe: ~0.15s on this
+# class of box (the full _cpu_calibration loop is 10M and best-of-3; the
+# bracket probe must stay cheap enough that ~156 of them cost <10% of the
+# suite, so it is single-shot over 3M)
+_PROBE_WORK = 3_000_000
+
+
+def _calib_probe() -> float:
+    """One single-shot sample of fixed single-thread integer work.
+
+    VERDICT r11 task #2: the start/end ``cpu_calib_sec`` stamps and the
+    loadavg gate cannot catch MID-RUN host bursts (four same-code r11
+    runs spanned 250-319s with spikes moving randomly between runs while
+    both endpoint stamps read clean).  Bracketing every gate with this
+    probe makes a burst visible exactly where it landed, so flags become
+    self-adjudicating instead of needing a hand-written addendum."""
+    t0 = time.time()
+    x = 0
+    for i in range(_PROBE_WORK):
+        x += i
+    return round(time.time() - t0, 4)
+
+
+def _probe_median(samples) -> float:
+    s = sorted(samples)
+    n = len(s)
+    if n == 0:
+        return 0.0
+    mid = n // 2
+    return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2
+
+
+def _burst_gates(gate_probes, median, ratio: float = 1.5) -> list[str]:
+    """Gates whose bracketing probes say the box was stalled while they
+    ran: either bracket sample > ratio x the session median probe.  Their
+    timings are discarded and the gates requeued (bench main loop)."""
+    if median <= 0:
+        return []
+    return [
+        name
+        for name, (p0, p1) in gate_probes.items()
+        if max(p0, p1) > ratio * median
+    ]
+
+
 def _drain_loadavg_at_start(threshold: float = 2.0, budget_sec: float = 300.0) -> float:
     """Wait (bounded) for the 1-min loadavg to drop below ``threshold``
     before the suite starts timing.  The r10 working-tree record was taken
@@ -500,15 +545,10 @@ def main() -> None:
     # scan instead of the operator (measured: a projection-only repetition
     # query "cost" 0.5s under count() vs 22s of real single-partition work)
     timings: dict[str, float] = {}
-    for name in bench_queries:
-        best = float("inf")
-        for _ in range(2):
-            t1 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t1)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    gate_probes: dict[str, list[float]] = {}
+    probe_samples: list[float] = []
+
+    def _cleanup_blocks() -> None:
         # gates that iterate (closure, propagation, fixpoints) leave
         # eagerly-persisted localCheckpoint blocks behind; their refs die
         # with the gate but the JVM only frees the storage on a GC the
@@ -527,13 +567,101 @@ def main() -> None:
         except Exception:
             pass
 
+    # per-gate burst brackets (VERDICT r11 task #2): shared — gate N's end
+    # probe is gate N+1's start probe, so ~156 single-shot samples cost
+    # <10% of the suite while pinning WHEN the box stalled
+    _carry = _calib_probe()
+    probe_samples.append(_carry)
+
+    def _time_gate(name: str) -> float:
+        nonlocal _carry
+        p0 = _carry
+        best = float("inf")
+        for _ in range(2):
+            t1 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t1)
+        p1 = _calib_probe()
+        probe_samples.append(p1)
+        _carry = p1
+        gate_probes[name] = [p0, p1]
+        return round(best, 3)
+
+    for name in bench_queries:
+        timings[name] = _time_gate(name)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        _cleanup_blocks()
+
+    xw_names: list[str] = []
     try:
+        xw_p0 = _calib_probe()
+        probe_samples.append(xw_p0)
         xw = _bench_cross_window(spark)
+        xw_p1 = _calib_probe()
+        probe_samples.append(xw_p1)
+        _carry = xw_p1
         timings.update(xw)
-        for name, sec in xw.items():
-            print(f"# {name}: {sec:.3f}s", file=sys.stderr)
+        xw_names = list(xw)
+        for name in xw_names:
+            # block-granularity brackets: the xw gates run as one block
+            gate_probes[name] = [xw_p0, xw_p1]
+            print(f"# {name}: {xw[name]:.3f}s", file=sys.stderr)
     except Exception as exc:  # bench must still emit its JSON line
         print(f"# cross-window bench skipped: {exc}", file=sys.stderr)
+
+    # burst adjudication: a gate whose brackets exceed 1.5x the session
+    # median probe was timed during a host stall — discard that timing and
+    # requeue the gate (up to 2 extra passes).  min() merge is sound
+    # because contamination only ever INFLATES a wall-clock timing.
+    burst_requeued: list[str] = []
+    burst_flagged: dict[str, list[float]] = {}
+    for _pass in range(2):
+        med = _probe_median(probe_samples)
+        bursty = _burst_gates(gate_probes, med)
+        if not bursty:
+            break
+        _carry = _calib_probe()
+        probe_samples.append(_carry)
+        for name in bursty:
+            if name not in burst_requeued:
+                burst_requeued.append(name)
+            if name in xw_names:
+                continue  # xw block handled below
+            old, old_brackets = timings[name], gate_probes[name]
+            timings[name] = min(old, _time_gate(name))
+            print(
+                f"# burst requeue {name}: {old:.3f}s under brackets "
+                f"{old_brackets} -> {timings[name]:.3f}s",
+                file=sys.stderr,
+            )
+            _cleanup_blocks()
+        if any(n in xw_names for n in bursty):
+            try:
+                xw_p0 = _calib_probe()
+                probe_samples.append(xw_p0)
+                xw2 = _bench_cross_window(spark)
+                xw_p1 = _calib_probe()
+                probe_samples.append(xw_p1)
+                _carry = xw_p1
+                for name in xw_names:
+                    timings[name] = min(timings[name], xw2.get(name, timings[name]))
+                    gate_probes[name] = [xw_p0, xw_p1]
+                print("# burst requeue: cross-window block re-run", file=sys.stderr)
+            except Exception as exc:
+                print(f"# cross-window requeue skipped: {exc}", file=sys.stderr)
+    calib_median = round(_probe_median(probe_samples), 4)
+    burst_flagged = {
+        name: gate_probes[name]
+        for name in _burst_gates(gate_probes, calib_median)
+    }
+    for name, brackets in burst_flagged.items():
+        print(
+            f"# WARNING: {name} still burst-bracketed after requeue "
+            f"({brackets} vs median {calib_median}) — its timing is a "
+            f"ceiling, not a measurement",
+            file=sys.stderr,
+        )
 
     prev_file, prev = _previous_round_timings()
     regressions = _find_regressions(timings, prev)
@@ -628,6 +756,15 @@ def main() -> None:
         "loadavg_start": _LOAD_AT_START,
         "loadavg_waited_sec": _LOAD_WAITED,
         "cpu_calib_sec": [_CALIB_START, _cpu_calibration()],
+        # per-gate burst brackets (VERDICT r11 task #2): compare records
+        # ONLY when their calib medians agree (tools/compare_bench.py is
+        # the executable policy); a burst_flagged gate's timing is a
+        # ceiling taken during a host stall, not a measurement
+        "calib_probe_median_sec": calib_median,
+        "calib_probe_work": _PROBE_WORK,
+        "burst_requeued": burst_requeued,
+        "burst_flagged": burst_flagged,
+        "gate_calib_sec": {n: p for n, p in gate_probes.items()},
         "loadavg_end": [round(x, 1) for x in load_end] if load_end else None,
         "unit": "sec",
         "queries": timings,

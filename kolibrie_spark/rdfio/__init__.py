@@ -1992,7 +1992,13 @@ def _open_maybe_compressed(fp: str):
         # task decompresses directly (the 2.9x-faster streaming path)
         # instead of the per-line Hadoop fallback.  stream_reader.read()
         # may legally return short — every caller goes through _read_full.
-        import zstandard
+        try:
+            import zstandard
+        except ImportError:
+            # vendored minimal decoder over the system libzstd (VERDICT
+            # r11 task #5): containers routinely ship libzstd.so without
+            # the Python wheel
+            from kolibrie_spark.rdfio import zstd_ctypes as zstandard
 
         fh = open(fp, "rb")
         try:
@@ -2027,10 +2033,22 @@ def _codec_direct_streamable(fp: str) -> bool:
         return True
     low = fp.lower()
     if low.endswith(".zst"):
-        return _optional_codec_available("zstandard")
+        return _optional_codec_available("zstandard") or _ctypes_zstd_available()
     if low.endswith(".lz4"):
         return _optional_codec_available("lz4.frame")
     return False
+
+
+@functools.lru_cache(maxsize=1)
+def _ctypes_zstd_available() -> bool:
+    """True when the vendored ctypes shim can bind the system libzstd —
+    the no-wheel fallback for the .zst direct-streaming path."""
+    try:
+        from kolibrie_spark.rdfio import zstd_ctypes
+
+        return zstd_ctypes.available()
+    except Exception:
+        return False
 
 
 @functools.lru_cache(maxsize=4)

@@ -300,3 +300,68 @@ def test_cpu_calibration_stamp():
     belongs to record adjudication, not the unit suite)."""
     a = bench._cpu_calibration()
     assert 0.05 < a < 30
+
+
+def test_burst_bracket_adjudication():
+    """VERDICT r11 task #2: per-gate probe brackets — a gate is bursty
+    when EITHER bracket sample exceeds 1.5x the session median probe."""
+    probes = {
+        "fast_gate": [0.15, 0.16],
+        "burst_at_start": [0.40, 0.15],
+        "burst_at_end": [0.16, 0.31],
+        "slow_box_everywhere": [0.21, 0.22],
+    }
+    samples = [0.15, 0.16, 0.40, 0.15, 0.16, 0.31, 0.21, 0.22, 0.15, 0.16]
+    med = bench._probe_median(samples)
+    assert abs(med - 0.16) < 1e-9
+    bursty = set(bench._burst_gates(probes, med))
+    assert bursty == {"burst_at_start", "burst_at_end"}
+    # a uniformly slower box moves the MEDIAN, not individual flags
+    assert "slow_box_everywhere" not in bursty
+    # degenerate inputs never divide by zero / flag everything
+    assert bench._burst_gates(probes, 0.0) == []
+    assert bench._probe_median([]) == 0.0
+    assert bench._probe_median([0.2]) == 0.2
+
+
+def test_calib_probe_plausible_and_cheap():
+    """The bracket probe is single-shot over 3M iterations — it must stay
+    cheap enough that ~156 of them are <10% of a suite run."""
+    t = bench._calib_probe()
+    assert 0.01 < t < 10
+
+
+def test_compare_bench_policy(tmp_path):
+    """tools/compare_bench.py IS BASELINE.md's comparability rule: calib
+    stamps gate the comparison, burst_flagged gates are excluded."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import compare_bench as cb
+
+    def rec(path, calib_med, queries, flagged=(), requeued=()):
+        p = tmp_path / path
+        p.write_text(json.dumps({
+            "calib_probe_median_sec": calib_med,
+            "calib_probe_work": 3_000_000,
+            "queries": queries,
+            "burst_flagged": {n: [9, 9] for n in flagged},
+            "burst_requeued": list(requeued),
+        }))
+        return str(p)
+
+    # comparable boxes, one real regression, one burst-flagged exclusion
+    old = rec("old.json", 0.15, {"a": 1.0, "b": 2.0, "c": 3.0})
+    new = rec("new.json", 0.16, {"a": 2.5, "b": 2.1, "c": 30.0},
+              flagged=["c"])
+    assert cb.main([old, new]) == 1  # a regressed; c excluded
+    # same gates, but the boxes differ 2x in calib -> NOT COMPARABLE
+    slow = rec("slow.json", 0.31, {"a": 2.5, "b": 2.1, "c": 3.0})
+    assert cb.main([old, slow]) == 2
+    # r11-generation record: endpoint stamps only, normalized per-10M
+    r11 = tmp_path / "r11.json"
+    r11.write_text(json.dumps({
+        "cpu_calib_sec": [0.53, 0.57], "queries": {"a": 1.0, "b": 2.0}}))
+    r12 = rec("r12.json", 0.165, {"a": 1.1, "b": 2.0})  # 0.55s/10M equiv
+    assert cb.main([str(r11), r12]) == 0
+    # missing record -> usage error
+    assert cb.main([str(tmp_path / "nope.json"), r12]) == 3

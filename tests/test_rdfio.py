@@ -1992,9 +1992,10 @@ def test_rdfxml_compressed_streaming_end_to_end(spark, tmp_path):
 
 
 def test_zst_routing_present_vs_absent(monkeypatch, tmp_path):
-    """.zst routes to the direct streaming path exactly when the
-    optional zstandard module imports; absent module keeps the Hadoop
-    line fallback (VERDICT r10 task #4)."""
+    """.zst routes to the direct streaming path when EITHER the optional
+    zstandard module imports OR the vendored ctypes shim can bind the
+    system libzstd (r12); with both absent the Hadoop line fallback
+    keeps the file readable-by-design (VERDICT r10 task #4)."""
     import kolibrie_spark.rdfio as R
 
     import sys
@@ -2005,15 +2006,22 @@ def test_zst_routing_present_vs_absent(monkeypatch, tmp_path):
     monkeypatch.setitem(sys.modules, "lz4", None)
     monkeypatch.setitem(sys.modules, "lz4.frame", None)
     R._optional_codec_available.cache_clear()
+    # simulate a box with no libzstd either
+    monkeypatch.setattr(R, "_ctypes_zstd_available", lambda: False)
     try:
-        # with the modules absent, .zst/.lz4 keep the line path
+        # with wheel AND libzstd absent, .zst/.lz4 keep the line path
         assert not R._codec_direct_streamable("/x/d.ttl.zst")
         assert not R._codec_direct_streamable("/x/d.ttl.lz4")
         # stdlib codecs are always direct
         assert R._codec_direct_streamable("/x/d.ttl.gz")
         assert R._codec_direct_streamable("/x/d.rdf.bz2")
         assert not R._codec_direct_streamable("/x/d.ttl.snappy")
-        # plant a fake module: now .zst goes direct
+        # libzstd bindable via the ctypes shim: .zst goes direct, no wheel
+        monkeypatch.setattr(R, "_ctypes_zstd_available", lambda: True)
+        assert R._codec_direct_streamable("/x/d.ttl.zst")
+        assert not R._codec_direct_streamable("/x/d.ttl.lz4")
+        monkeypatch.setattr(R, "_ctypes_zstd_available", lambda: False)
+        # plant a fake module: now .zst goes direct via the wheel route
         fake = tmp_path / "fakemods"
         fake.mkdir()
         (fake / "zstandard.py").write_text("class ZstdDecompressor:\n pass\n")
@@ -2056,6 +2064,96 @@ class ZstdDecompressor:
     def stream_reader(self, fh, closefd=True):
         return _Reader(fh)
 '''
+
+
+def _zstd_compress_bytes(data: bytes, level: int = 3) -> bytes:
+    """Test-only one-shot compressor over the same system libzstd the
+    vendored shim binds (the product code only ever DEcompresses)."""
+    import ctypes
+
+    from kolibrie_spark.rdfio.zstd_ctypes import _load_libzstd
+
+    lib = _load_libzstd()
+    lib.ZSTD_compressBound.restype = ctypes.c_size_t
+    lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+    lib.ZSTD_compress.restype = ctypes.c_size_t
+    lib.ZSTD_compress.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+    ]
+    bound = lib.ZSTD_compressBound(len(data))
+    dst = ctypes.create_string_buffer(bound)
+    n = lib.ZSTD_compress(
+        ctypes.cast(dst, ctypes.c_void_p), bound, data, len(data), level
+    )
+    assert not lib.ZSTD_isError(n)
+    return dst.raw[:n]
+
+
+def test_zst_ctypes_shim_real_codec_roundtrip(tmp_path):
+    """r12 (VERDICT r11 task #5): the vendored ctypes decoder against the
+    REAL system libzstd — single frame, multi-frame (concatenated), and
+    corrupt input all behave; short reads respected by construction."""
+    from kolibrie_spark.rdfio import zstd_ctypes as Z
+
+    if not Z.available():
+        pytest.skip("no libzstd on this box")
+    data = ("@prefix ex: <http://e/> .\n" + "".join(
+        f'ex:s{i} ex:p "v {i} café" .\n' for i in range(5000)
+    )).encode("utf-8")
+
+    f = tmp_path / "one.zst"
+    f.write_bytes(_zstd_compress_bytes(data))
+    r = Z.ZstdDecompressor().stream_reader(open(f, "rb"))
+    got = bytearray()
+    while True:
+        c = r.read(4096)
+        if not c:
+            break
+        got.extend(c)
+    r.close()
+    assert bytes(got) == data
+
+    # multi-frame: two independently-compressed frames concatenated is a
+    # legal .zst file (zstdcat semantics) — the reader must cross the
+    # frame boundary
+    half = len(data) // 2
+    f2 = tmp_path / "two.zst"
+    f2.write_bytes(
+        _zstd_compress_bytes(data[:half]) + _zstd_compress_bytes(data[half:])
+    )
+    r2 = Z.ZstdDecompressor().stream_reader(open(f2, "rb"))
+    assert r2.read(-1) == data
+    r2.close()
+
+    # corrupt input raises loudly, not silently truncates
+    f3 = tmp_path / "bad.zst"
+    f3.write_bytes(b"\x28\xb5\x2f\xfd" + b"\x00" * 64)  # magic + garbage
+    r3 = Z.ZstdDecompressor().stream_reader(open(f3, "rb"))
+    with pytest.raises(Z.ZstdError):
+        r3.read(-1)
+    r3.close()
+
+
+def test_zst_real_codec_end_to_end_scan(spark, tmp_path):
+    """A .ttl.zst written with the real codec reads through the full
+    distributed reader via the ctypes shim (no zstandard wheel in this
+    container) and matches the plain-text parse."""
+    import kolibrie_spark.rdfio as R
+    from kolibrie_spark.rdfio import zstd_ctypes as Z
+
+    if not Z.available():
+        pytest.skip("no libzstd on this box")
+    ttl = "@prefix ex: <http://e/> .\n" + "".join(
+        f'ex:s{i} ex:p{i % 5} "v {i} café" .\n' for i in range(2000)
+    )
+    comp = tmp_path / "d.ttl.zst"
+    comp.write_bytes(_zstd_compress_bytes(ttl.encode("utf-8")))
+    assert R._codec_direct_streamable(str(comp))
+    rows = R.read_turtle_df(spark, str(comp)).collect()
+    assert {(r.s, r.o) for r in rows} == {
+        (f"http://e/s{i}", f"v {i} café") for i in range(2000)
+    }
 
 
 def test_zst_open_never_leaks_fd(monkeypatch, tmp_path):
