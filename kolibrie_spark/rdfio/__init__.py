@@ -2274,6 +2274,8 @@ def _read_turtle_like_df(
     ).repartition(par)
 
     def parse_slices(batches):
+        import hashlib
+
         import pandas as pd
 
         by_file = prefixes_by_file.value
@@ -2307,7 +2309,7 @@ def _read_turtle_like_df(
             P: list = []
             O: list = []
             QT: list = []
-            fh, cur = None, None
+            fh, cur, fsalt = None, None, ""
             try:
                 for fp, a, b in sorted(
                     zip(pdf["path"], pdf["start"], pdf["end"])
@@ -2316,6 +2318,13 @@ def _read_turtle_like_df(
                         if fh is not None:
                             fh.close()
                         fh, cur = open(fp, "rb"), fp
+                        # anonymous '[ ]'/'( )' labels are document-scoped
+                        # but counters restart per slice — salt with
+                        # (file, byte-offset), unique and deterministic
+                        # (the rdfxml genid discipline)
+                        fsalt = hashlib.sha1(
+                            _norm_src(fp).encode("utf-8")
+                        ).hexdigest()[:8]
                     fh.seek(int(a))
                     text = fh.read(int(b) - int(a)).decode("utf-8", "replace")
                     # directive lines were left in place during the byte
@@ -2323,7 +2332,9 @@ def _read_turtle_like_df(
                     # drop them here, per slice, before the parse
                     text = _TTL_DIRECTIVE_LINE_RE.sub("", text)
                     triples, _quoted, _ = parser(
-                        text, prefixes=by_file.get(_norm_src(fp), {})
+                        text,
+                        prefixes=by_file.get(_norm_src(fp), {}),
+                        anon_prefix=f"f{fsalt}o{int(a)}.",
                     )
                     for s, p, o in triples:
                         S.append(s)
@@ -2567,10 +2578,21 @@ def _parse_chunk_rows(part, by_file, parser, tagged, strip_directives=False):
     """Shared (src, chunk-text) -> row-tuple loop for the streaming and
     text-shuffle fallbacks (review: the two copies had drifted apart by
     exactly the directive sub)."""
-    for src, ch in part:
+    # per-chunk anonymous-label salt: these paths carry no byte offsets,
+    # so (spark partition id, chunk ordinal) scopes the '[ ]' counters —
+    # unique across every chunk of one read
+    try:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+    except Exception:
+        pid = 0
+    for seq, (src, ch) in enumerate(part):
         if strip_directives:
             ch = _TTL_DIRECTIVE_LINE_RE.sub("", ch)
-        triples, quoted, _ = parser(ch, prefixes=by_file.get(src, {}))
+        triples, quoted, _ = parser(
+            ch, prefixes=by_file.get(src, {}), anon_prefix=f"p{pid}c{seq}."
+        )
         if tagged:
             for s_, p_, o_ in triples:
                 yield ("q", s_, p_, o_, None)
@@ -2674,6 +2696,13 @@ def read_turtle_lines_df(spark, path: str, tagged: bool = False):
 
         by_file = prefixes_by_file.value
         pfx_cache: dict = {}
+        try:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+        except Exception:
+            pid = 0
+        n_slow = 0  # slow-path line ordinal: the '[ ]' anon-label salt
 
         def frame(S, P, O, QT):
             if not tagged:
@@ -2721,7 +2750,12 @@ def read_turtle_lines_df(spark, path: str, tagged: bool = False):
                     O.append(_fast_term(fm.group(3), pfx))
                     continue
                 try:
-                    triples, _quoted, _ = parse_turtle(line, prefixes=pfx)
+                    # '[ ]' counters restart per LINE here — salt with
+                    # (partition id, line ordinal) like the chunk paths
+                    n_slow += 1
+                    triples, _quoted, _ = parse_turtle(
+                        line, prefixes=pfx, anon_prefix=f"p{pid}l{n_slow}."
+                    )
                 except RdfParseError as e:
                     raise RdfParseError(
                         f"read_turtle_lines_df requires one complete "

@@ -18,7 +18,7 @@ import re
 import xml.etree.ElementTree as ET
 
 from kolibrie_spark.rdfstar import qt_id
-from kolibrie_spark.schema import RDF_TYPE
+from kolibrie_spark.schema import RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE
 
 _TOK = re.compile(
     r"""
@@ -32,6 +32,10 @@ _TOK = re.compile(
   | (?P<BLANK>_:[A-Za-z0-9_.\-]+)
   | (?P<DT>\^\^)
   | (?P<LANG>@[A-Za-z][A-Za-z0-9\-]*)
+  | (?P<BRO>\[)
+  | (?P<BRC>\])
+  | (?P<PARO>\()
+  | (?P<PARC>\))
   | (?P<PUNCT>[;,.])
   | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>(?:[A-Za-z_][\w\-]*)?:(?:[\w.\-/%#~]*[\w\-/%#~])?)
@@ -94,11 +98,34 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 
 
 class _TermReader:
-    def __init__(self, toks, prefixes: dict[str, str] | None = None):
+    def __init__(
+        self,
+        toks,
+        prefixes: dict[str, str] | None = None,
+        allow_anon: bool = False,
+        anon_prefix: str = "",
+    ):
         self.toks = toks
         self.i = 0
         self.prefixes = prefixes or {}
         self.quoted: list[tuple[str, str, str, str]] = []
+        # triples emitted by nested structures ('[ ... ]' property lists,
+        # '( ... )' collection chains) — Turtle only; N-Triples/N-Quads
+        # construct the reader without allow_anon, so '[' stays a loud
+        # parse error there exactly as the W3C grammar demands
+        self.allow_anon = allow_anon
+        self.anon_prefix = anon_prefix
+        self.emitted: list[tuple[str, str, str]] = []
+        self._anon_n = 0
+
+    def _new_bnode(self) -> str:
+        """Allocate an anonymous blank-node label.  DOCUMENT-scoped like
+        every other blank label, so distributed chunk parses salt
+        ``anon_prefix`` per chunk (the rdfxml readers' genid discipline,
+        parse_rdfxml docstring) — counters restart per chunk and must
+        not collide across chunks of one file."""
+        self._anon_n += 1
+        return f"_:{self.anon_prefix}anon{self._anon_n}"
 
     def at(self, kind: str) -> bool:
         return self.i < len(self.toks) and self.toks[self.i][0] == kind
@@ -155,7 +182,81 @@ class _TermReader:
             if text == "a":
                 return RDF_TYPE
             return text
+        if kind == "BRO":
+            # blank-node property list '[ p o ; ... ]' (Turtle sec 2.7;
+            # r12, VERDICT r11 task #4 — beyond reference parity, whose
+            # line-based subset rejects these too, but OWL-shaped public
+            # dumps open with one): allocate a fresh blank node, emit its
+            # predicate-object pairs, return the node as the term
+            if not self.allow_anon:
+                raise RdfParseError(
+                    "anonymous blank node '[' is not legal in this format"
+                )
+            b = self._new_bnode()
+            if self.at("BRC"):  # ANON: '[ ]'
+                self.i += 1
+                return b
+            while True:
+                p = self.read_term()
+                self.read_po_objects(b, p)
+                if self.at_punct(";"):
+                    self.i += 1
+                    if self.at("BRC"):  # trailing ';' before ']' is legal
+                        break
+                    continue
+                break
+            if not self.at("BRC"):
+                raise RdfParseError("expected ']' closing property list")
+            self.i += 1
+            return b
+        if kind == "PARO":
+            # collection '( e1 e2 ... )' -> rdf:first/rdf:rest chain,
+            # '()' -> rdf:nil (Turtle sec 2.8)
+            if not self.allow_anon:
+                raise RdfParseError(
+                    "collection '(' is not legal in this format"
+                )
+            items = []
+            while not self.at("PARC"):
+                if self.done():
+                    raise RdfParseError("unterminated collection '( ...'")
+                items.append(self.read_term())
+            self.i += 1
+            if not items:
+                return RDF_NIL
+            head = self._new_bnode()
+            cur = head
+            for idx, item in enumerate(items):
+                self.emitted.append((cur, RDF_FIRST, item))
+                nxt = self._new_bnode() if idx + 1 < len(items) else RDF_NIL
+                self.emitted.append((cur, RDF_REST, nxt))
+                cur = nxt
+            return head
         raise RdfParseError(f"unexpected token {text!r}")
+
+    def read_po_objects(self, s: str, p: str) -> None:
+        """One objectList for (s, p): object (',' object)* — with the
+        same ``{| ... |}`` annotation handling the statement loop uses.
+        Shared by the top-level Turtle loop and nested '[ ]' lists so
+        annotations and RDF-star ids behave identically at any depth."""
+        while True:
+            o = self.read_term()
+            self.emitted.append((s, p, o))
+            if self.at("ANO"):  # {| p2 o2 |} annotates the triple
+                self.i += 1
+                qid = qt_id(s, p, o)
+                self.quoted.append((qid, s, p, o))
+                while not self.at("ANC"):
+                    p2 = self.read_term()
+                    self.read_po_objects(qid, p2)
+                    if self.at_punct(";"):
+                        self.i += 1
+                if self.at("ANC"):
+                    self.i += 1
+            if self.at_punct(","):
+                self.i += 1
+                continue
+            break
 
 
 # ------------------------------------------------------------------ formats
@@ -418,12 +519,21 @@ def _fast_term(tok: str, prefixes: dict[str, str]) -> str:
     return tok  # NUM and bare NAME pass through unchanged
 
 
-def parse_turtle(text: str, prefixes: dict[str, str] | None = None):
+def parse_turtle(
+    text: str,
+    prefixes: dict[str, str] | None = None,
+    anon_prefix: str = "",
+):
     """→ ([(s,p,o)], [(qid,qs,qp,qo)], prefixes)
 
     Statement grammar: subject predicate object (',' object)*
     (';' predicate object...)* '.' with optional ``{| p o |}`` annotations
-    after any object (emits ``<< s p o >> p2 o2``).
+    after any object (emits ``<< s p o >> p2 o2``), blank-node property
+    lists ``[ p o ; ... ]`` and collections ``( e1 e2 )`` (r12; expanded
+    to rdf:first/rdf:rest chains, ``()`` → rdf:nil).  ``anon_prefix``
+    salts the generated ``_:{prefix}anonN`` labels — blank labels are
+    document-scoped, so a chunk-parallel ingest must pass a per-chunk
+    salt exactly like the rdfxml readers' genid_prefix discipline.
 
     Simple one-line statements take the `_SIMPLE_LINE_RE` fast path;
     their term conversion is deferred until all ``@prefix`` lines are
@@ -481,31 +591,28 @@ def parse_turtle(text: str, prefixes: dict[str, str] | None = None):
         )
         for (s, p, o) in fast_rows
     ]
-    r = _TermReader(_tokenize("\n".join(body_lines)), prefixes)
-
-    def read_object(s: str, p: str) -> None:
-        o = r.read_term()
-        triples.append((s, p, o))
-        if r.at("ANO"):  # {| p2 o2 |} annotation on the preceding triple
-            r.i += 1
-            qid = qt_id(s, p, o)
-            r.quoted.append((qid, s, p, o))
-            while not r.at("ANC"):
-                p2 = r.read_term()
-                o2 = r.read_term()
-                triples.append((qid, p2, o2))
-                if r.at_punct(";"):
-                    r.i += 1
-            r.i += 1
+    r = _TermReader(
+        _tokenize("\n".join(body_lines)),
+        prefixes,
+        allow_anon=True,
+        anon_prefix=anon_prefix,
+    )
 
     while not r.done():
+        # subject: any term, including '[ ... ]' property lists and
+        # '( ... )' collections (r12) — their interior triples land on
+        # r.emitted in reader order
+        subj_is_bnpl = r.at("BRO")
         s = r.read_term()
+        # a blankNodePropertyList may stand alone as a whole statement:
+        # '[ :p :o ] .' (Turtle grammar: blankNodePropertyList
+        # predicateObjectList?)
+        if subj_is_bnpl and r.at_punct("."):
+            r.i += 1
+            continue
         while True:
             p = r.read_term()
-            read_object(s, p)
-            while r.at_punct(","):
-                r.i += 1
-                read_object(s, p)
+            r.read_po_objects(s, p)
             if r.at_punct(";"):
                 r.i += 1
                 if r.at_punct("."):
@@ -516,13 +623,18 @@ def parse_turtle(text: str, prefixes: dict[str, str] | None = None):
             r.i += 1
         else:
             raise RdfParseError("missing terminating '.' in turtle statement")
+    triples.extend(r.emitted)
     return triples, r.quoted, prefixes
 
 
-def parse_n3(text: str, prefixes: dict[str, str] | None = None):
+def parse_n3(
+    text: str,
+    prefixes: dict[str, str] | None = None,
+    anon_prefix: str = "",
+):
     """The reference's N3 subset is prefix decls + turtle-style statements
     (sparql_database.rs:1264-1332)."""
-    return parse_turtle(text, prefixes)
+    return parse_turtle(text, prefixes, anon_prefix=anon_prefix)
 
 
 _RDF_NS = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"

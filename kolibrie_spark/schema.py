@@ -76,3 +76,7 @@ TAGGED_RDF_SCHEMA = StructType(
 
 QT_PREFIX = "qt:"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+# collection vocabulary (Turtle '( ... )' expands to first/rest chains)
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"

@@ -2383,3 +2383,187 @@ def test_single_quoted_short_strings(spark, tmp_path):
     p.write_text(ttl, encoding="utf-8")
     rows = read_turtle_df(spark, str(p)).select("s", "o").collect()
     assert {(r.s, r.o) for r in rows} == want
+
+
+# --------------------------------------------------------------- r12: [ ] ( )
+def _canon_bnodes(triples):
+    """Label-insensitive canonical form for the bracket/collection tests:
+    blank nodes in the generated docs form TREES, so each node's
+    signature is the recursive hash of its outgoing (p, o) edges."""
+    out = {}
+    for s, p, o in triples:
+        out.setdefault(s, []).append((p, o))
+    memo = {}
+
+    def sig(term, depth=0):
+        if not isinstance(term, str) or not term.startswith("_:") or depth > 50:
+            return term
+        if term in memo:
+            return memo[term]
+        memo[term] = "•cycle"
+        memo[term] = "•(" + "|".join(
+            sorted(f"{p}→{sig(o, depth + 1)}" for p, o in out.get(term, []))
+        ) + ")"
+        return memo[term]
+
+    return sorted((sig(s), p, sig(o)) for s, p, o in triples)
+
+
+def test_turtle_bnode_property_lists_and_collections():
+    """VERDICT r11 task #4: '[ p o ; ... ]' property lists and '( ... )'
+    collections — beyond reference parity (its line-based subset,
+    sparql_database.rs:965-1141, rejects them too) but line one of every
+    OWL-shaped public dump."""
+    import kolibrie_spark.rdfio.parsers as P
+    from kolibrie_spark.schema import RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE
+
+    pre = "@prefix ex: <http://e/> .\n"
+    # object property list, nested, multi-line (the OWL restriction shape)
+    t, _, _ = P.parse_turtle(
+        pre + "ex:a ex:p [\n  ex:q ex:v ;\n  ex:r \"x\" , \"y\"\n] ."
+    )
+    b = [o for s, p, o in t if s == "http://e/a"][0]
+    assert b.startswith("_:")
+    assert (b, "http://e/q", "http://e/v") in t
+    assert (b, "http://e/r", "x") in t and (b, "http://e/r", "y") in t
+    # standalone subject form '[ ... ] .' and subject-with-POs form
+    t2, _, _ = P.parse_turtle(pre + "[ ex:q ex:v ] .")
+    assert len(t2) == 1 and t2[0][1:] == ("http://e/q", "http://e/v")
+    t3, _, _ = P.parse_turtle(pre + "[ ex:q ex:v ] ex:p ex:o .")
+    assert len(t3) == 2 and {x[1] for x in t3} == {"http://e/q", "http://e/p"}
+    # collection -> first/rest chain; () -> rdf:nil
+    t4, _, _ = P.parse_turtle(pre + 'ex:a ex:list ( ex:x 1 "two" ) .')
+    firsts = [o for s, p, o in t4 if p == RDF_FIRST]
+    assert firsts == ["http://e/x", "1", "two"]
+    rests = [o for s, p, o in t4 if p == RDF_REST]
+    assert rests[-1] == RDF_NIL and len(rests) == 3
+    t5, _, _ = P.parse_turtle(pre + "ex:a ex:list () .")
+    assert t5 == [("http://e/a", "http://e/list", RDF_NIL)]
+    # empty anon '[]' as object
+    t6, _, _ = P.parse_turtle(pre + "ex:b ex:p [] .")
+    assert len(t6) == 1 and t6[0][2].startswith("_:")
+    # 'a' shorthand inside brackets; distinct anon labels per bracket
+    t7, _, _ = P.parse_turtle(
+        pre + "ex:a ex:p [ a ex:T ] .\nex:b ex:p [ a ex:T ] ."
+    )
+    bn = {s for s, p, o in t7 if p == RDF_TYPE}
+    assert len(bn) == 2
+    # anon_prefix salts the labels (chunk scoping)
+    t8, _, _ = P.parse_turtle("ex:a ex:p [ ex:q ex:v ] .", anon_prefix="p1c2.")
+    assert any(s.startswith("_:p1c2.anon") for s, _, _ in t8)
+    # N-Triples / N-Quads stay strict: '[' is a loud error
+    for fn in (P.parse_ntriples, P.parse_nquads):
+        with pytest.raises(P.RdfParseError):
+            fn("<urn:a> <urn:p> [ ] .")
+    # unterminated forms fail loudly
+    for bad in ("ex:a ex:p [ ex:q ex:v .", "ex:a ex:p ( ex:x ."):
+        with pytest.raises(P.RdfParseError):
+            P.parse_turtle(pre + bad)
+
+
+def test_turtle_bracket_chunker_differential_and_fuzz():
+    """The strict scanners must be boundary-safe on '.' inside brackets
+    (pname locals with dots, decimals): fast chunker == slow per-line
+    oracle on bracket-bearing text, and chunked parse == whole-doc parse
+    (label-insensitively) across randomized docs."""
+    import random
+
+    import kolibrie_spark.rdfio as R
+    import kolibrie_spark.rdfio.parsers as P
+
+    rng = random.Random(42)
+
+    def rand_statement(i):
+        kind = rng.randrange(5)
+        if kind == 0:
+            return f"ex:s{i} ex:p ex:o{i} ."
+        if kind == 1:  # brackets with dotted pname locals and decimals
+            return (
+                f"ex:s{i} ex:p [ ex:q ex:v.{i} ; ex:num 1.{i} ;"
+                f' ex:lit "dot . inside {i}" ] .'
+            )
+        if kind == 2:  # multi-line bracket
+            return f"ex:s{i} ex:p [\n  ex:q ex:v{i} ;\n  ex:r {i}.5\n] ."
+        if kind == 3:  # collection with nested bracket
+            return f'ex:s{i} ex:list ( ex:x{i} {i} [ ex:in "n{i}" ] ) .'
+        return f"[ ex:q ex:v{i} ] ex:p ex:o{i} ."
+
+    for trial in range(8):
+        body = "\n".join(rand_statement(i) for i in range(rng.randrange(3, 30)))
+        text = "@prefix ex: <http://e/> .\n" + body + "\n"
+        # chunker differential: fast == slow oracle at several chunk sizes
+        norm = lambda cs: [" ".join(c.split()) for c in cs]  # noqa: E731
+        for per in (1, 2, 7):
+            fast = norm(R._turtle_statement_chunks(text, per))
+            slow = norm(R._turtle_statement_chunks_slow(text, per))
+            assert fast == slow, (trial, per)
+        # chunked parse == whole-doc parse, label-insensitively
+        whole, _, pfx = P.parse_turtle(text)
+        per_chunk = []
+        for ci, ch in enumerate(R._turtle_statement_chunks(text, 2)):
+            ch = R._TTL_DIRECTIVE_LINE_RE.sub("", ch)
+            t, _, _ = P.parse_turtle(ch, prefixes=pfx, anon_prefix=f"c{ci}.")
+            per_chunk.extend(t)
+        assert _canon_bnodes(per_chunk) == _canon_bnodes(whole), trial
+
+
+def test_turtle_bracket_distributed_roundtrip(spark, tmp_path, monkeypatch):
+    """Distributed-reader round-trip with '[ ]' statements spanning chunk
+    and stream-flush boundaries: plain dir scan, tiny scan window, and
+    the compressed streaming path all produce the whole-doc parse
+    (label-insensitively), with anon labels DISTINCT across chunks."""
+    import gzip
+
+    import kolibrie_spark.rdfio as R
+    import kolibrie_spark.rdfio.parsers as P
+    from kolibrie_spark.schema import RDF_FIRST
+
+    stmts = []
+    for i in range(40):
+        stmts.append(
+            f"ex:s{i} ex:p [\n  ex:q ex:v.{i} ;\n  ex:num {i}.25 ;\n"
+            f'  ex:lit "dot . in {i}"\n] .'
+        )
+        stmts.append(f"ex:s{i} ex:list ( ex:x{i} {i} ) .")
+    text = "@prefix ex: <http://e/> .\n" + "\n".join(stmts) + "\n"
+    whole, _, _ = P.parse_turtle(text)
+    want = _canon_bnodes(whole)
+
+    d = tmp_path / "br"
+    d.mkdir()
+    (d / "a.ttl").write_text(text)
+
+    got_plain = [
+        (r.s, r.p, r.o) for r in R.read_turtle_df(spark, str(d), 3).collect()
+    ]
+    assert _canon_bnodes(got_plain) == want
+    # 80 anon-bearing statements over per_chunk=3 chunks: every bracket's
+    # node must stay distinct (the cross-chunk collision the salt fixes)
+    anon = {t for tr in got_plain for t in tr if t.startswith("_:")}
+    assert len(anon) == len(
+        {t for tr in whole for t in tr if isinstance(t, str) and t.startswith("_:")}
+    )
+
+    # tiny windows: brackets straddle scan-window refills
+    monkeypatch.setattr(R, "SCAN_WINDOW_BYTES", 128)
+    got_win = [
+        (r.s, r.p, r.o) for r in R.read_turtle_df(spark, str(d), 3).collect()
+    ]
+    monkeypatch.undo()
+    assert _canon_bnodes(got_win) == want
+
+    # compressed streaming path with a tiny flush: brackets straddle
+    # stream-chunk boundaries
+    g = tmp_path / "brgz"
+    g.mkdir()
+    with gzip.open(g / "a.ttl.gz", "wt") as fh:
+        fh.write(text)
+    monkeypatch.setattr(R, "_STREAM_FLUSH_BYTES", 256)
+    got_gz = [
+        (r.s, r.p, r.o)
+        for r in R.read_turtle_df(spark, str(g / "a.ttl.gz"), 3).collect()
+    ]
+    assert _canon_bnodes(got_gz) == want
+    # structural sanity: collection chains intact end-to-end
+    firsts = [o for s, p, o in got_gz if p == RDF_FIRST]
+    assert len(firsts) == 80
