@@ -2016,8 +2016,19 @@ def _open_maybe_compressed(fp: str):
             fh.close()
             raise
     if low.endswith(".lz4"):
-        import lz4.frame
+        try:
+            import lz4.frame
+        except ImportError:
+            # vendored minimal decoder over the system liblz4 (the zstd
+            # shim's twin): never leak the fh on construction failure
+            from kolibrie_spark.rdfio import lz4_ctypes
 
+            fh = open(fp, "rb")
+            try:
+                return lz4_ctypes.open_stream(fh, closefd=True)
+            except Exception:
+                fh.close()
+                raise
         return lz4.frame.open(fp, "rb")
     return open(fp, "rb")
 
@@ -2035,7 +2046,7 @@ def _codec_direct_streamable(fp: str) -> bool:
     if low.endswith(".zst"):
         return _optional_codec_available("zstandard") or _ctypes_zstd_available()
     if low.endswith(".lz4"):
-        return _optional_codec_available("lz4.frame")
+        return _optional_codec_available("lz4.frame") or _ctypes_lz4_available()
     return False
 
 
@@ -2047,6 +2058,17 @@ def _ctypes_zstd_available() -> bool:
         from kolibrie_spark.rdfio import zstd_ctypes
 
         return zstd_ctypes.available()
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=1)
+def _ctypes_lz4_available() -> bool:
+    """liblz4 twin of :func:`_ctypes_zstd_available`."""
+    try:
+        from kolibrie_spark.rdfio import lz4_ctypes
+
+        return lz4_ctypes.available()
     except Exception:
         return False
 

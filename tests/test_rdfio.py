@@ -2006,21 +2006,25 @@ def test_zst_routing_present_vs_absent(monkeypatch, tmp_path):
     monkeypatch.setitem(sys.modules, "lz4", None)
     monkeypatch.setitem(sys.modules, "lz4.frame", None)
     R._optional_codec_available.cache_clear()
-    # simulate a box with no libzstd either
+    # simulate a box with no libzstd / liblz4 either
     monkeypatch.setattr(R, "_ctypes_zstd_available", lambda: False)
+    monkeypatch.setattr(R, "_ctypes_lz4_available", lambda: False)
     try:
-        # with wheel AND libzstd absent, .zst/.lz4 keep the line path
+        # with wheel AND C library absent, .zst/.lz4 keep the line path
         assert not R._codec_direct_streamable("/x/d.ttl.zst")
         assert not R._codec_direct_streamable("/x/d.ttl.lz4")
         # stdlib codecs are always direct
         assert R._codec_direct_streamable("/x/d.ttl.gz")
         assert R._codec_direct_streamable("/x/d.rdf.bz2")
         assert not R._codec_direct_streamable("/x/d.ttl.snappy")
-        # libzstd bindable via the ctypes shim: .zst goes direct, no wheel
+        # C library bindable via the ctypes shims: direct, no wheel
         monkeypatch.setattr(R, "_ctypes_zstd_available", lambda: True)
         assert R._codec_direct_streamable("/x/d.ttl.zst")
         assert not R._codec_direct_streamable("/x/d.ttl.lz4")
+        monkeypatch.setattr(R, "_ctypes_lz4_available", lambda: True)
+        assert R._codec_direct_streamable("/x/d.ttl.lz4")
         monkeypatch.setattr(R, "_ctypes_zstd_available", lambda: False)
+        monkeypatch.setattr(R, "_ctypes_lz4_available", lambda: False)
         # plant a fake module: now .zst goes direct via the wheel route
         fake = tmp_path / "fakemods"
         fake.mkdir()
@@ -2215,32 +2219,75 @@ def test_zst_open_never_leaks_fd(monkeypatch, tmp_path):
     assert opened and all(fh.closed for fh in opened)
 
 
-def test_zst_direct_stream_end_to_end(spark, monkeypatch, tmp_path):
-    """With a (fake, identity) zstandard module importable on driver and
-    executors, a .ttl.zst file takes the direct streaming chunker and
-    parses identically to the plain file."""
-    import kolibrie_spark.rdfio as R
+_FAKE_CODEC_DRIVER = '''\
+import os
+import sys
 
+from pyspark.sql import SparkSession
+
+import kolibrie_spark.rdfio as R
+
+path = sys.argv[1]
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+assert R._codec_direct_streamable(path), "fake module not importable"
+rows = R.read_turtle_df(spark, path).collect()
+got = {(r.s, r.o) for r in rows}
+want = {(f"http://e/s{i}", sys.argv[2].format(i=i)) for i in range(int(sys.argv[3]))}
+assert got == want, (len(got), len(want))
+print("FAKE-CODEC-OK")
+'''
+
+
+def _run_fake_codec_subprocess(tmp_path, fake_dir, codec_path, pattern, n):
+    """Run the fake-codec end-to-end read in an ISOLATED SparkSession
+    subprocess: a fake module shipped into the shared session via
+    addPyFile would shadow the real import for every LATER test reading
+    that codec (the landmine the r12 real-codec tests stepped on)."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    drv = tmp_path / "drv.py"
+    drv.write_text(_FAKE_CODEC_DRIVER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        f"{fake_dir}{os.pathsep}{repo}{os.pathsep}" + env.get("PYTHONPATH", "")
+    )
+    proc = subprocess.run(
+        [_sys.executable, str(drv), str(codec_path), pattern, str(n)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "FAKE-CODEC-OK" in proc.stdout
+
+
+def test_zst_direct_stream_end_to_end(tmp_path):
+    """With a (fake, identity) zstandard module importable on driver and
+    executors (via PYTHONPATH in an isolated session), a .ttl.zst file
+    takes the direct streaming chunker and parses identically to the
+    plain file."""
     fake = tmp_path / "fakemods"
     fake.mkdir()
-    mod = fake / "zstandard.py"
-    mod.write_text(_FAKE_ZSTD_SRC)
-    monkeypatch.syspath_prepend(str(fake))
-    spark.sparkContext.addPyFile(str(mod))
-    R._optional_codec_available.cache_clear()
-    try:
-        ttl = "@prefix ex: <http://e/> .\n" + "".join(
-            f'ex:s{i} ex:p "v {i} café" .\n' for i in range(30)
-        )
-        d = tmp_path / "corpus"
-        d.mkdir()
-        (d / "d.ttl.zst").write_bytes(ttl.encode("utf-8"))
-        rows = R.read_turtle_df(spark, str(d / "d.ttl.zst")).collect()
-        assert {(r.s, r.o) for r in rows} == {
-            (f"http://e/s{i}", f"v {i} café") for i in range(30)
-        }
-    finally:
-        R._optional_codec_available.cache_clear()
+    (fake / "zstandard.py").write_text(_FAKE_ZSTD_SRC)
+    ttl = "@prefix ex: <http://e/> .\n" + "".join(
+        f'ex:s{i} ex:p "v {i} café" .\n' for i in range(30)
+    )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "d.ttl.zst").write_bytes(ttl.encode("utf-8"))
+    _run_fake_codec_subprocess(
+        tmp_path, fake, d / "d.ttl.zst", "v {i} café", 30
+    )
 
 
 def test_turtle_lines_reader_splits_bz2_in_file(spark, tmp_path):
@@ -2315,42 +2362,23 @@ def open(fp, mode="rb"):
 '''
 
 
-def test_lz4_direct_stream_end_to_end(spark, monkeypatch, tmp_path):
+def test_lz4_direct_stream_end_to_end(tmp_path):
     """lz4 twin of the zst end-to-end: a fake identity lz4.frame package
-    (zip-shipped so executors import it too) routes .ttl.lz4 through the
-    direct streaming chunker."""
-    import sys
-    import zipfile
-
-    import kolibrie_spark.rdfio as R
-
+    importable on driver and executors (PYTHONPATH, isolated session)
+    routes .ttl.lz4 through the direct streaming chunker."""
     pkg = tmp_path / "fakepkg" / "lz4"
     pkg.mkdir(parents=True)
     (pkg / "__init__.py").write_text("")
     (pkg / "frame.py").write_text(_FAKE_LZ4_FRAME_SRC)
-    zp = tmp_path / "lz4fake.zip"
-    with zipfile.ZipFile(zp, "w") as z:
-        z.write(pkg / "__init__.py", "lz4/__init__.py")
-        z.write(pkg / "frame.py", "lz4/frame.py")
-    monkeypatch.delitem(sys.modules, "lz4", raising=False)
-    monkeypatch.delitem(sys.modules, "lz4.frame", raising=False)
-    monkeypatch.syspath_prepend(str(tmp_path / "fakepkg"))
-    spark.sparkContext.addPyFile(str(zp))
-    R._optional_codec_available.cache_clear()
-    try:
-        ttl = "@prefix ex: <http://e/> .\n" + "".join(
-            f'ex:s{i} ex:p "w {i}" .\n' for i in range(20)
-        )
-        d = tmp_path / "corpus"
-        d.mkdir()
-        (d / "d.ttl.lz4").write_bytes(ttl.encode("utf-8"))
-        assert R._codec_direct_streamable(str(d / "d.ttl.lz4"))
-        rows = R.read_turtle_df(spark, str(d / "d.ttl.lz4")).collect()
-        assert {(r.s, r.o) for r in rows} == {
-            (f"http://e/s{i}", f"w {i}") for i in range(20)
-        }
-    finally:
-        R._optional_codec_available.cache_clear()
+    ttl = "@prefix ex: <http://e/> .\n" + "".join(
+        f'ex:s{i} ex:p "w {i}" .\n' for i in range(20)
+    )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "d.ttl.lz4").write_bytes(ttl.encode("utf-8"))
+    _run_fake_codec_subprocess(
+        tmp_path, tmp_path / "fakepkg", d / "d.ttl.lz4", "w {i}", 20
+    )
 
 
 def test_single_quoted_short_strings(spark, tmp_path):
@@ -2567,3 +2595,73 @@ def test_turtle_bracket_distributed_roundtrip(spark, tmp_path, monkeypatch):
     # structural sanity: collection chains intact end-to-end
     firsts = [o for s, p, o in got_gz if p == RDF_FIRST]
     assert len(firsts) == 80
+
+
+def test_lz4_ctypes_shim_real_codec_roundtrip(tmp_path):
+    """lz4 twin of the zstd shim test: real liblz4 streaming decode —
+    single frame via the CLI compressor, truncation raises loudly."""
+    import shutil
+    import subprocess
+
+    from kolibrie_spark.rdfio import lz4_ctypes as L
+
+    if not L.available():
+        pytest.skip("no liblz4 on this box")
+    lz4_bin = shutil.which("lz4")
+    if lz4_bin is None:
+        pytest.skip("no lz4 CLI to compress the fixture")
+    data = ("@prefix ex: <http://e/> .\n" + "".join(
+        f'ex:s{i} ex:p "v {i} café" .\n' for i in range(5000)
+    )).encode("utf-8")
+    plain = tmp_path / "d.ttl"
+    plain.write_bytes(data)
+    comp = tmp_path / "d.ttl.lz4"
+    subprocess.run([lz4_bin, "-f", "-q", str(plain), str(comp)], check=True)
+
+    r = L.open_stream(open(comp, "rb"))
+    got = bytearray()
+    while True:
+        c = r.read(4096)
+        if not c:
+            break
+        got.extend(c)
+    r.close()
+    assert bytes(got) == data
+
+    # truncated mid-frame: loud error, not silent short data
+    blob = comp.read_bytes()
+    trunc = tmp_path / "t.lz4"
+    trunc.write_bytes(blob[: len(blob) // 2])
+    r2 = L.open_stream(open(trunc, "rb"))
+    with pytest.raises(L.Lz4Error):
+        r2.read(-1)
+    r2.close()
+
+
+def test_lz4_real_codec_end_to_end_scan(spark, tmp_path):
+    """A .ttl.lz4 written with the real codec reads through the full
+    distributed reader via the ctypes shim (no lz4 wheel here)."""
+    import shutil
+    import subprocess
+
+    import kolibrie_spark.rdfio as R
+    from kolibrie_spark.rdfio import lz4_ctypes as L
+
+    if not L.available():
+        pytest.skip("no liblz4 on this box")
+    lz4_bin = shutil.which("lz4")
+    if lz4_bin is None:
+        pytest.skip("no lz4 CLI to compress the fixture")
+    ttl = "@prefix ex: <http://e/> .\n" + "".join(
+        f'ex:s{i} ex:p{i % 5} "v {i} café" .\n' for i in range(2000)
+    )
+    plain = tmp_path / "d.ttl"
+    plain.write_text(ttl)
+    comp = tmp_path / "d.ttl.lz4"
+    subprocess.run([lz4_bin, "-f", "-q", str(plain), str(comp)], check=True)
+    plain.unlink()  # only the compressed file in the scan dir
+    assert R._codec_direct_streamable(str(comp))
+    rows = R.read_turtle_df(spark, str(comp)).collect()
+    assert {(r.s, r.o) for r in rows} == {
+        (f"http://e/s{i}", f"v {i} café") for i in range(2000)
+    }

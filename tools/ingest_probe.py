@@ -390,6 +390,67 @@ def probe_stream_zst() -> None:
     )
 
 
+def probe_stream_lz4() -> None:
+    """lz4 twin of :func:`probe_stream_zst` via the vendored liblz4
+    ctypes shim (same 30M-statement corpus, lz4 -1)."""
+    import shutil
+    import subprocess
+
+    from pyspark.sql import SparkSession
+
+    import kolibrie_spark.rdfio as R
+
+    os.makedirs(BASE, exist_ok=True)
+    p = os.path.join(BASE, "big_stream.ttl.lz4")
+    if not os.path.exists(p):
+        plain = os.path.join(BASE, "big_stream_plain.ttl")
+        if not os.path.exists(plain):
+            with open(plain, "w") as fh:
+                fh.write("@prefix ex: <http://example.org/> .\n")
+                i = 0
+                while i < 30_000_000:
+                    fh.writelines(
+                        f'ex:s{j} ex:p{j % 7} "value {j} — café padding '
+                        f'{j * 7}"@en .\n'
+                        for j in range(i, i + 100_000)
+                    )
+                    i += 100_000
+        lz4_bin = shutil.which("lz4")
+        if lz4_bin is None:
+            print(json.dumps({"probe": "stream-lz4", "skip": "no lz4 CLI"}))
+            return
+        subprocess.run([lz4_bin, "-1", "-f", "-q", plain, p], check=True)
+        os.remove(plain)
+    from kolibrie_spark.rdfio import lz4_ctypes
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    n = R.read_turtle_df(spark, p).count()
+    sec = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "probe": "stream-lz4",
+                "decoder": "lz4-wheel"
+                if R._optional_codec_available("lz4.frame")
+                else ("ctypes-liblz4" if lz4_ctypes.available() else "none"),
+                "compressed_mb": round(os.path.getsize(p) / 1e6),
+                "rows": n,
+                "sec": round(sec, 1),
+            }
+        ),
+        flush=True,
+    )
+
+
 def probe_stream_xml() -> None:
     """XML twin of :func:`probe_stream` (VERDICT r10 task #3): one gzip
     RDF/XML file with >2 GB decompressed — past the wholetext plan's JVM
@@ -541,6 +602,7 @@ if __name__ == "__main__":
     ap.add_argument("--streamprobe", action="store_true")
     ap.add_argument("--streamprobe-xml", action="store_true")
     ap.add_argument("--streamprobe-zst", action="store_true")
+    ap.add_argument("--streamprobe-lz4", action="store_true")
     ap.add_argument("--hitrate", action="store_true")
     ap.add_argument("--fmt", default="ntriples,nquads,rdfxml")
     ap.add_argument("--sizes", default="0.6,6,60")
@@ -561,5 +623,7 @@ if __name__ == "__main__":
         probe_stream_xml()
     if args.streamprobe_zst:
         probe_stream_zst()
+    if args.streamprobe_lz4:
+        probe_stream_lz4()
     if args.scale:
         probe_scales(fmts, sizes)
