@@ -19,6 +19,8 @@ dump ingests as a map-only job with no driver involvement.
 import functools
 import re
 
+from kolibrie_spark.rdfio import framesplit
+
 from kolibrie_spark.rdfio.parsers import (
     _PREFIX_RE,
     parse_n3,
@@ -88,6 +90,21 @@ def load_into(store, path: str, fmt: str | None = None) -> int:
         return parse_into(store, f.read(), fmt=fmt)
 
 
+def _text_lines_df(spark, path):
+    """``value``-column line DataFrame for the N-Triples/N-Quads-shaped
+    readers: the Spark text source, plus the frame-index split plan for
+    local .zst/.lz4 files (:func:`_framesplit_lines_df` — Hadoop has no
+    streaming zstd/lz4 text codec in local mode, and multi-frame dumps
+    split in-file besides)."""
+    frame_files, rest = _split_frame_files(path)
+    if not frame_files:
+        return spark.read.text(path)
+    lines = _framesplit_lines_df(spark, frame_files).select("value")
+    if rest:
+        lines = lines.unionByName(spark.read.text(rest))
+    return lines
+
+
 def _read_lines_arrow_df(spark, path: str, parse_line):
     """Shared Arrow-batched line reader for N-Triples/N-Quads: the text
     source's splittable line partitions feed ``mapInPandas`` directly, so
@@ -96,7 +113,7 @@ def _read_lines_arrow_df(spark, path: str, parse_line):
     triple).  ``parse_line(value) -> iterable of (s, p, o, g)``."""
     from kolibrie_spark.schema import QUADS_SCHEMA
 
-    lines = spark.read.text(path)
+    lines = _text_lines_df(spark, path)
 
     def run(batches):
         import pandas as pd
@@ -151,7 +168,7 @@ def _read_lines_tagged_df(spark, path: str, parse_line):
     plain readers drop the mappings; a bulk load must not)."""
     from kolibrie_spark.schema import TAGGED_RDF_SCHEMA
 
-    lines = spark.read.text(path)
+    lines = _text_lines_df(spark, path)
 
     def run(batches):
         import pandas as pd
@@ -2668,6 +2685,95 @@ def read_turtle_df(spark, path: str, statements_per_chunk: int = 2000):
     return _read_turtle_like_df(spark, path, statements_per_chunk, parse_turtle)
 
 
+_FRAME_CODEC_RE = re.compile(r"\.(?:zst|lz4)$", re.IGNORECASE)
+
+
+def _split_frame_files(path):
+    """Partition ``path`` into (frame_files, text_files): local .zst/.lz4
+    files the frame-index split planner handles vs everything else (which
+    stays on the Spark text source).  Returns ([], None) when the path is
+    not driver-listable — the caller keeps its current single-source plan.
+    Frame files route through :mod:`~kolibrie_spark.rdfio.framesplit`
+    whenever a decoder binds (wheel or vendored ctypes): Hadoop's
+    ZStandardCodec is stream-only and usually absent in local mode, so
+    without this the line readers cannot read .zst/.lz4 at all — and WITH
+    it, a multi-frame dump (pzstd / zstd --seekable / t2sz / concatenated
+    frames) splits across executors like bz2 blocks do."""
+    files = _local_paths(path)
+    if files is None:
+        return [], None
+    frame = [
+        fp
+        for fp in files
+        if _FRAME_CODEC_RE.search(fp) and _codec_direct_streamable(fp)
+    ]
+    rest = [fp for fp in files if fp not in set(frame)]
+    return frame, rest
+
+
+def _framesplit_lines_df(spark, files, target_bytes: int = 32 << 20):
+    """(src, value) line DataFrame over .zst/.lz4 files via the
+    frame-index split plan (:mod:`~kolibrie_spark.rdfio.framesplit`).
+
+    The DRIVER walks each file's frame headers (a few bytes per block, no
+    decompression) and plans ~``target_bytes``-compressed groups; each
+    group becomes one row of a tiny task DataFrame whose ``mapInPandas``
+    expansion decompresses ONLY its span (plus a forward tail-line carry)
+    and emits line batches as Arrow columns.  One multi-frame 400 GB dump
+    therefore scans with genuine in-file parallelism — single-frame files
+    degrade to one task per file, which is still the only way a
+    wheel-less local cluster can read them at all."""
+    import os
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    tasks = []
+    for fp in files:
+        size = os.path.getsize(fp)
+        for start, end in framesplit.frame_groups(fp, target_bytes):
+            tasks.append((fp, int(start), int(end), int(size)))
+    lines_schema = StructType(
+        [StructField("src", StringType()), StructField("value", StringType())]
+    )
+    if not tasks:
+        return spark.createDataFrame([], lines_schema)
+    task_schema = "fp string, start long, end long, size long"
+    tdf = spark.createDataFrame(tasks, task_schema).repartition(len(tasks))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for fp, start, end, size in zip(
+                pdf["fp"], pdf["start"], pdf["end"], pdf["size"]
+            ):
+                key = _norm_src(fp)
+                S: list = []
+                V: list = []
+                for ln in framesplit.iter_group_lines(
+                    fp, int(start), int(end), int(size)
+                ):
+                    S.append(key)
+                    V.append(ln.decode("utf-8", "replace"))
+                    if len(V) >= 100_000:
+                        yield pd.DataFrame(
+                            {
+                                "src": pd.Series(S, dtype=object),
+                                "value": pd.Series(V, dtype=object),
+                            }
+                        )
+                        S, V = [], []
+                if V:
+                    yield pd.DataFrame(
+                        {
+                            "src": pd.Series(S, dtype=object),
+                            "value": pd.Series(V, dtype=object),
+                        }
+                    )
+
+    return tdf.mapInPandas(run, lines_schema)
+
+
 def read_turtle_lines_df(spark, path: str, tagged: bool = False):
     """LINE-SAFE Turtle ingestion: for dumps whose statements are ONE PER
     LINE (the shape machine-generated exports overwhelmingly have), the
@@ -2700,9 +2806,22 @@ def read_turtle_lines_df(spark, path: str, tagged: bool = False):
     from kolibrie_spark.schema import QUADS_SCHEMA, TAGGED_RDF_SCHEMA
 
     prefixes_by_file = spark.sparkContext.broadcast(_collect_prefixes(spark, path))
-    lines = spark.read.text(path).select(
-        F.input_file_name().alias("src"), "value"
-    )
+    frame_files, rest = _split_frame_files(path)
+    if frame_files:
+        # .zst/.lz4 dumps: frame-index split plan (in-file parallel for
+        # multi-frame files; the only readable route in wheel-less local
+        # mode either way) — everything else stays on the text source
+        lines = _framesplit_lines_df(spark, frame_files)
+        if rest:
+            lines = lines.unionByName(
+                spark.read.text(rest).select(
+                    F.input_file_name().alias("src"), "value"
+                )
+            )
+    else:
+        lines = spark.read.text(path).select(
+            F.input_file_name().alias("src"), "value"
+        )
 
     def run(batches):
         import pandas as pd

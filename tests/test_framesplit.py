@@ -1,0 +1,329 @@
+"""Frame-index split planning for multi-frame .zst/.lz4 line dumps
+(kolibrie_spark.rdfio.framesplit) — the in-file parallel scan path for
+the codecs Hadoop cannot split (its ZStandardCodec is stream-only).
+
+Fixtures are built with the REAL system codecs: zstd frames via a
+test-only ctypes one-shot compressor over the same libzstd the vendored
+decoder binds; lz4 frames via the CLI.  Every differential asserts the
+group-owned line union equals the single-stream read — including frame
+boundaries that land mid-line, mid-CRLF, and exactly on terminators."""
+
+import ctypes
+import random
+import shutil
+import subprocess
+
+import pytest
+
+from kolibrie_spark.rdfio import framesplit as FS
+
+
+def _zstd_available():
+    from kolibrie_spark.rdfio import zstd_ctypes as Z
+
+    return Z.available()
+
+
+def _lz4_cli():
+    from kolibrie_spark.rdfio import lz4_ctypes as L
+
+    if not L.available():
+        return None
+    return shutil.which("lz4")
+
+
+def _zstd_compress_frame(data: bytes, level: int = 3) -> bytes:
+    """One complete zstd frame (test-only; product code only decodes)."""
+    from kolibrie_spark.rdfio.zstd_ctypes import _load_libzstd
+
+    lib = _load_libzstd()
+    lib.ZSTD_compressBound.restype = ctypes.c_size_t
+    lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+    lib.ZSTD_compress.restype = ctypes.c_size_t
+    lib.ZSTD_compress.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+    ]
+    bound = lib.ZSTD_compressBound(len(data))
+    dst = ctypes.create_string_buffer(bound)
+    n = lib.ZSTD_compress(
+        ctypes.cast(dst, ctypes.c_void_p), bound, data, len(data), level
+    )
+    assert not lib.ZSTD_isError(n)
+    return dst.raw[:n]
+
+
+def _zstd_skippable(payload: bytes = b"seek-table") -> bytes:
+    return (
+        (0x184D2A50).to_bytes(4, "little")
+        + len(payload).to_bytes(4, "little")
+        + payload
+    )
+
+
+def _write_multiframe_zst(path, data: bytes, cuts, skippable_after=()):
+    """Compress ``data`` as one frame per piece split at byte offsets
+    ``cuts`` (NOT line-aligned), optionally inserting a skippable frame
+    after the given piece indexes.  Returns the pieces."""
+    bounds = [0] + sorted(cuts) + [len(data)]
+    pieces = [data[bounds[i] : bounds[i + 1]] for i in range(len(bounds) - 1)]
+    blob = b""
+    for i, piece in enumerate(pieces):
+        blob += _zstd_compress_frame(piece)
+        if i in skippable_after:
+            blob += _zstd_skippable()
+    path.write_bytes(blob)
+    return pieces
+
+
+def _write_multiframe_lz4(path, data: bytes, cuts, tmp_path):
+    lz4_bin = _lz4_cli()
+    bounds = [0] + sorted(cuts) + [len(data)]
+    blob = b""
+    for i in range(len(bounds) - 1):
+        pf = tmp_path / f"_piece{i}"
+        pf.write_bytes(data[bounds[i] : bounds[i + 1]])
+        cf = tmp_path / f"_piece{i}.lz4"
+        subprocess.run(
+            [lz4_bin, "-f", "-q", str(pf), str(cf)], check=True
+        )
+        blob += cf.read_bytes()
+    path.write_bytes(blob)
+
+
+def _expected_lines(data: bytes) -> list[bytes]:
+    """Text-source line semantics: split on \\n, strip trailing \\r, no
+    phantom line after a trailing terminator."""
+    lines = data.split(b"\n")
+    if lines and lines[-1] == b"":
+        lines.pop()
+    return [ln[:-1] if ln.endswith(b"\r") else ln for ln in lines]
+
+
+def _group_lines(fp, target_bytes) -> list[bytes]:
+    import os
+
+    size = os.path.getsize(str(fp))
+    out = []
+    for start, end in FS.frame_groups(str(fp), target_bytes):
+        out.extend(FS.iter_group_lines(str(fp), start, end, size))
+    return out
+
+
+# ---------------------------------------------------------------- walks
+
+
+@pytest.mark.skipif(not _zstd_available(), reason="no libzstd")
+def test_zstd_frame_offsets_walk(tmp_path):
+    data = b"".join(b"line %d with some text\n" % i for i in range(2000))
+    f = tmp_path / "d.zst"
+    _write_multiframe_zst(f, data, cuts=[5000, 17000, 30000],
+                          skippable_after=(1,))
+    offs = FS.zstd_frame_offsets(str(f))
+    assert len(offs) == 4  # the skippable frame is not a data frame
+    assert offs[0] == 0
+    assert offs == sorted(offs)
+    # offsets are exact frame starts: re-derive by compressing the pieces
+    import os
+    pieces_sizes = []
+    bounds = [0, 5000, 17000, 30000, len(data)]
+    for i in range(4):
+        pieces_sizes.append(
+            len(_zstd_compress_frame(data[bounds[i] : bounds[i + 1]]))
+        )
+    want = [0, pieces_sizes[0],
+            pieces_sizes[0] + pieces_sizes[1] + len(_zstd_skippable()),
+            pieces_sizes[0] + pieces_sizes[1] + len(_zstd_skippable())
+            + pieces_sizes[2]]
+    assert offs == want
+    assert want[3] + pieces_sizes[3] == os.path.getsize(str(f))
+
+
+@pytest.mark.skipif(not _zstd_available(), reason="no libzstd")
+def test_zstd_frame_walk_rejects_garbage(tmp_path):
+    f = tmp_path / "bad.zst"
+    f.write_bytes(b"not a zstd file at all, clearly")
+    with pytest.raises(FS.FrameWalkError):
+        FS.zstd_frame_offsets(str(f))
+    # truncated mid-frame: loud, not a silent short plan
+    g = tmp_path / "trunc.zst"
+    blob = _zstd_compress_frame(b"x" * 100000)
+    g.write_bytes(blob[: len(blob) // 2])
+    with pytest.raises(FS.FrameWalkError):
+        FS.zstd_frame_offsets(str(g))
+
+
+@pytest.mark.skipif(not _zstd_available(), reason="no libzstd")
+def test_frame_groups_target_bytes(tmp_path):
+    data = b"".join(b"row %d\n" % i for i in range(20000))
+    f = tmp_path / "d.zst"
+    _write_multiframe_zst(f, data, cuts=[30000, 60000, 90000, 120000])
+    import os
+    size = os.path.getsize(str(f))
+    # tiny target: one group per frame
+    g1 = FS.frame_groups(str(f), target_bytes=1)
+    assert len(g1) == 5
+    # huge target: one group
+    g2 = FS.frame_groups(str(f), target_bytes=1 << 40)
+    assert g2 == [(0, size)]
+    # groups tile [0, size) contiguously
+    assert g1[0][0] == 0 and g1[-1][1] == size
+    for a, b in zip(g1, g1[1:]):
+        assert a[1] == b[0]
+
+
+# --------------------------------------------------------- differentials
+
+
+@pytest.mark.skipif(not _zstd_available(), reason="no libzstd")
+def test_zstd_group_lines_differential(tmp_path):
+    """Union of group-owned lines == single-stream lines, with frame cuts
+    landing mid-line, mid-CRLF-pair, and exactly on terminators."""
+    rows = []
+    for i in range(3000):
+        if i % 7 == 0:
+            rows.append(b"")  # empty lines
+        term = b"\r\n" if i % 5 == 0 else b"\n"
+        rows.append(b"r%d caf\xc3\xa9 %s" % (i, b"x" * (i % 37)) + term[:-1])
+    data = b"\n".join(rows) + b"\n"
+    want = _expected_lines(data)
+
+    # cut exactly ON a terminator, one byte after, and mid-line
+    nl = data.index(b"\n", 4000)
+    f = tmp_path / "d.zst"
+    _write_multiframe_zst(f, data, cuts=[nl + 1, nl + 2, 9001, 22222])
+    got = _group_lines(f, target_bytes=1)
+    assert got == want
+    # grouping never changes ownership, only task boundaries
+    assert _group_lines(f, target_bytes=10000) == want
+    assert _group_lines(f, target_bytes=1 << 40) == want
+
+
+@pytest.mark.skipif(not _zstd_available(), reason="no libzstd")
+def test_zstd_group_lines_no_trailing_newline(tmp_path):
+    data = b"alpha\nbeta\ngamma-without-terminator"
+    f = tmp_path / "d.zst"
+    _write_multiframe_zst(f, data, cuts=[7])
+    assert _group_lines(f, 1) == [b"alpha", b"beta",
+                                  b"gamma-without-terminator"]
+
+
+@pytest.mark.skipif(not _zstd_available(), reason="no libzstd")
+def test_zstd_group_lines_line_spanning_many_frames(tmp_path):
+    """One line longer than several frames: the owner reads FORWARD
+    across every frame it spans; the spanned groups yield nothing."""
+    data = b"head\n" + b"L" * 50000 + b"\ntail\n"
+    f = tmp_path / "d.zst"
+    _write_multiframe_zst(f, data, cuts=[100, 10000, 20000, 30000, 40000])
+    assert _group_lines(f, 1) == [b"head", b"L" * 50000, b"tail"]
+
+
+@pytest.mark.skipif(not _zstd_available(), reason="no libzstd")
+def test_zstd_group_lines_boundary_fuzz(tmp_path):
+    """Seeded fuzz: random text, random byte cuts (never line-aligned by
+    construction), every grouping granularity — exactly-once lines."""
+    rng = random.Random(0xF5)
+    for trial in range(12):
+        rows = []
+        for i in range(rng.randrange(50, 400)):
+            n = rng.randrange(0, 60)
+            rows.append(bytes(rng.randrange(32, 127) for _ in range(n)))
+        data = b"\n".join(rows) + (b"\n" if rng.random() < 0.7 else b"")
+        if len(data) < 10:
+            continue
+        cuts = sorted(rng.sample(range(1, len(data)), min(6, len(data) - 2)))
+        f = tmp_path / f"fz{trial}.zst"
+        _write_multiframe_zst(f, data, cuts=cuts)
+        want = _expected_lines(data)
+        for tb in (1, 4096, 1 << 40):
+            assert _group_lines(f, tb) == want, (trial, tb, cuts)
+
+
+@pytest.mark.skipif(_lz4_cli() is None, reason="no liblz4 / lz4 CLI")
+def test_lz4_frame_walk_and_differential(tmp_path):
+    data = b"".join(b"lz4 row %d caf\xc3\xa9\n" % i for i in range(4000))
+    f = tmp_path / "d.lz4"
+    _write_multiframe_lz4(f, data, cuts=[5003, 17011, 39999], tmp_path=tmp_path)
+    offs = FS.lz4_frame_offsets(str(f))
+    assert len(offs) == 4 and offs[0] == 0 and offs == sorted(offs)
+    want = _expected_lines(data)
+    assert _group_lines(f, 1) == want
+    assert _group_lines(f, 1 << 40) == want
+
+    g = tmp_path / "bad.lz4"
+    g.write_bytes(b"definitely not an lz4 frame")
+    with pytest.raises(FS.FrameWalkError):
+        FS.lz4_frame_offsets(str(g))
+
+
+# ---------------------------------------------------------- Spark plumb
+
+
+@pytest.mark.skipif(not _zstd_available(), reason="no libzstd")
+def test_framesplit_lines_df_partitions(spark, tmp_path):
+    import kolibrie_spark.rdfio as R
+
+    data = b"".join(b"s%d\n" % i for i in range(30000))
+    f = tmp_path / "d.txt.zst"
+    _write_multiframe_zst(f, data, cuts=[40000, 80000, 120000])
+    df = R._framesplit_lines_df(spark, [str(f)], target_bytes=1)
+    # one task per frame — the in-file parallelism bz2 blocks give Hadoop
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 30000
+
+
+@pytest.mark.skipif(not _zstd_available(), reason="no libzstd")
+def test_turtle_lines_reader_multiframe_zst(spark, tmp_path):
+    """read_turtle_lines_df over a multi-frame .ttl.zst == the plain-text
+    parse, with cuts landing mid-statement — and a mixed dir where the
+    sibling plain file still routes through the text source."""
+    import kolibrie_spark.rdfio as R
+
+    ttl = "@prefix ex: <http://e/> .\n" + "".join(
+        f'ex:s{i} ex:p{i % 5} "v {i} café" .\n' for i in range(4000)
+    )
+    data = ttl.encode("utf-8")
+    d = tmp_path / "mix"
+    d.mkdir()
+    _write_multiframe_zst(d / "a.ttl.zst", data, cuts=[9001, 33333, 70007])
+    (d / "b.ttl").write_text(
+        "@prefix ex: <http://e/> .\n"
+        + "".join(f'ex:t{i} ex:q "w{i}" .\n' for i in range(500))
+    )
+    rows = R.read_turtle_lines_df(spark, str(d)).collect()
+    got = {(r.s, r.o) for r in rows}
+    want = {(f"http://e/s{i}", f"v {i} café") for i in range(4000)} | {
+        (f"http://e/t{i}", f"w{i}") for i in range(500)
+    }
+    assert got == want
+
+
+@pytest.mark.skipif(not _zstd_available(), reason="no libzstd")
+def test_ntriples_reader_multiframe_zst(spark, tmp_path):
+    import kolibrie_spark.rdfio as R
+
+    nt = "".join(
+        f'<http://e/s{i}> <http://e/p> "v{i}" .\n' for i in range(3000)
+    )
+    f = tmp_path / "d.nt.zst"
+    _write_multiframe_zst(f, nt.encode(), cuts=[10000, 40000])
+    rows = R.read_ntriples_df(spark, str(f)).collect()
+    assert {(r.s, r.o) for r in rows} == {
+        (f"http://e/s{i}", f"v{i}") for i in range(3000)
+    }
+
+
+@pytest.mark.skipif(_lz4_cli() is None, reason="no liblz4 / lz4 CLI")
+def test_turtle_lines_reader_multiframe_lz4(spark, tmp_path):
+    import kolibrie_spark.rdfio as R
+
+    ttl = "@prefix ex: <http://e/> .\n" + "".join(
+        f'ex:s{i} ex:p "v{i}" .\n' for i in range(2000)
+    )
+    f = tmp_path / "d.ttl.lz4"
+    _write_multiframe_lz4(f, ttl.encode(), cuts=[5000, 20000],
+                          tmp_path=tmp_path)
+    rows = R.read_turtle_lines_df(spark, str(f)).collect()
+    assert {(r.s, r.o) for r in rows} == {
+        (f"http://e/s{i}", f"v{i}") for i in range(2000)
+    }
