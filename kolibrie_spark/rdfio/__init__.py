@@ -83,11 +83,25 @@ def parse_into(store, text: str, fmt: str = "turtle") -> int:
 
 
 def load_into(store, path: str, fmt: str | None = None) -> int:
+    """Driver-side synchronous load (the reference's interactive ``load``
+    shape) — small files only; bulk corpora go through
+    ``QuadStore.load_distributed``.  Compressed files decompress through
+    the same codec routing the scan tasks use, and the format comes from
+    the extension UNDER the codec suffix (``d.ttl.gz`` -> turtle)."""
     if fmt is None:
-        ext = path.rsplit(".", 1)[-1].lower()
-        fmt = ext
-    with open(path, encoding="utf-8") as f:
-        return parse_into(store, f.read(), fmt=fmt)
+        fmt = (
+            infer_format(path)
+            if _COMPRESSED_EXT_RE.search(path)
+            else path.rsplit(".", 1)[-1].lower()
+        )
+    buf = bytearray()
+    with _open_maybe_compressed(path) as f:
+        while True:  # bounded reads: codec readers may not accept read(-1)
+            b = f.read(1 << 20)
+            if not b:
+                break
+            buf.extend(b)
+    return parse_into(store, bytes(buf).decode("utf-8"), fmt=fmt)
 
 
 def _text_lines_df(spark, path):

@@ -327,3 +327,69 @@ def test_turtle_lines_reader_multiframe_lz4(spark, tmp_path):
     assert {(r.s, r.o) for r in rows} == {
         (f"http://e/s{i}", f"v{i}") for i in range(2000)
     }
+
+
+def _seek_table_frame(entries) -> bytes:
+    """zstd seekable-format seek table: skippable frame (magic 0x184D2A5E)
+    of (compressed u32, decompressed u32) entries + 9-byte footer."""
+    body = b"".join(
+        c.to_bytes(4, "little") + d.to_bytes(4, "little") for c, d in entries
+    )
+    footer = (
+        len(entries).to_bytes(4, "little") + b"\x00"
+        + (0x8F92EAB1).to_bytes(4, "little")
+    )
+    payload = body + footer
+    return (
+        (0x184D2A5E).to_bytes(4, "little")
+        + len(payload).to_bytes(4, "little")
+        + payload
+    )
+
+
+@pytest.mark.skipif(not _zstd_available(), reason="no libzstd")
+def test_zstd_seekable_seek_table_shortcut(tmp_path):
+    """A seekable-format file plans from the trailing seek table —
+    O(frames) reads — and a corrupted table falls back to the header
+    walk with identical offsets."""
+    data = b"".join(b"row %d seekable\n" % i for i in range(5000))
+    bounds = [0, 20000, 45000, len(data)]
+    frames = [
+        _zstd_compress_frame(data[bounds[i] : bounds[i + 1]])
+        for i in range(3)
+    ]
+    entries = [(len(fr), bounds[i + 1] - bounds[i]) for i, fr in enumerate(frames)]
+    f = tmp_path / "s.zst"
+    f.write_bytes(b"".join(frames) + _seek_table_frame(entries))
+
+    import os
+    size = os.path.getsize(str(f))
+    want = [0, len(frames[0]), len(frames[0]) + len(frames[1])]
+    assert FS._zstd_seek_table_offsets(str(f), size) == want
+    assert FS.zstd_frame_offsets(str(f)) == want
+
+    # lines still read correctly with the seek-table frame in the last span
+    assert _group_lines(f, 1) == _expected_lines(data)
+
+    # corrupt one cumulative size: the table is rejected, the walk agrees
+    bad = tmp_path / "bad.zst"
+    bad_entries = [(entries[0][0] + 1, entries[0][1])] + entries[1:]
+    bad.write_bytes(b"".join(frames) + _seek_table_frame(bad_entries))
+    assert FS._zstd_seek_table_offsets(str(bad), os.path.getsize(str(bad))) is None
+    assert FS.zstd_frame_offsets(str(bad)) == want
+
+    # a checksummed table (descriptor bit 7, 12-byte entries) also parses
+    body = b"".join(
+        c.to_bytes(4, "little") + d.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        for c, d in entries
+    )
+    footer = (3).to_bytes(4, "little") + b"\x80" + (0x8F92EAB1).to_bytes(4, "little")
+    payload = body + footer
+    ck = tmp_path / "ck.zst"
+    ck.write_bytes(
+        b"".join(frames)
+        + (0x184D2A5E).to_bytes(4, "little")
+        + len(payload).to_bytes(4, "little")
+        + payload
+    )
+    assert FS._zstd_seek_table_offsets(str(ck), os.path.getsize(str(ck))) == want

@@ -2665,3 +2665,33 @@ def test_lz4_real_codec_end_to_end_scan(spark, tmp_path):
     assert {(r.s, r.o) for r in rows} == {
         (f"http://e/s{i}", f"v {i} café") for i in range(2000)
     }
+
+
+def test_load_into_compressed_files(spark, tmp_path):
+    """r12: the driver-side interactive load decompresses and infers the
+    format from the extension UNDER the codec suffix (it used to hand
+    raw gzip bytes to the parser and KeyError on fmt='gz')."""
+    import gzip
+
+    import kolibrie_spark.rdfio as R
+    from kolibrie_spark.store import QuadStore
+
+    ttl = '@prefix ex: <http://e/> .\nex:a ex:p "v café" .\nex:b ex:p "w" .\n'
+    g = tmp_path / "d.ttl.gz"
+    with gzip.open(g, "wt") as fh:
+        fh.write(ttl)
+    store = QuadStore(spark)
+    assert R.load_into(store, str(g)) == 2
+    assert store.quads.count() == 2
+
+    from kolibrie_spark.rdfio import zstd_ctypes as Z
+
+    if Z.available():
+        nt = '<http://e/x> <http://e/p> "1" .\n<http://e/y> <http://e/p> "2" .\n'
+        z = tmp_path / "d.nt.zst"
+        z.write_bytes(_zstd_compress_bytes(nt.encode()))
+        store2 = QuadStore(spark)
+        assert R.load_into(store2, str(z)) == 2
+        assert {r.s for r in store2.quads.collect()} == {
+            "http://e/x", "http://e/y"
+        }

@@ -451,6 +451,104 @@ def probe_stream_lz4() -> None:
     )
 
 
+def probe_stream_zst_split() -> None:
+    """MULTI-FRAME zst probe (r12): the same 30M-statement corpus
+    compressed one-frame-per-32 MB-decompressed (the pzstd/seekable
+    shape), read through read_turtle_lines_df's frame-index split plan —
+    in-file parallelism for a codec Hadoop cannot split at all.  The
+    sequential control is the SAME file read as one frame group
+    (target_bytes=1 << 60), isolating the split win from codec/parser
+    differences."""
+    import ctypes
+
+    from pyspark.sql import SparkSession
+
+    import kolibrie_spark.rdfio as R
+    from kolibrie_spark.rdfio import framesplit
+    from kolibrie_spark.rdfio.zstd_ctypes import _load_libzstd
+
+    os.makedirs(BASE, exist_ok=True)
+    p = os.path.join(BASE, "big_stream_mf.ttl.zst")
+    if not os.path.exists(p):
+        lib = _load_libzstd()
+        lib.ZSTD_compressBound.restype = ctypes.c_size_t
+        lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+        lib.ZSTD_compress.restype = ctypes.c_size_t
+        lib.ZSTD_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+        ]
+
+        def frame(b: bytes) -> bytes:
+            bound = lib.ZSTD_compressBound(len(b))
+            dst = ctypes.create_string_buffer(bound)
+            n = lib.ZSTD_compress(
+                ctypes.cast(dst, ctypes.c_void_p), bound, b, len(b), 1
+            )
+            return dst.raw[:n]
+
+        target = 32 << 20  # decompressed bytes per frame, the pzstd shape
+        with open(p, "wb") as out:
+            buf: list[str] = ["@prefix ex: <http://example.org/> .\n"]
+            size = len(buf[0])
+            i = 0
+            while i < 30_000_000:
+                chunk = "".join(
+                    f'ex:s{j} ex:p{j % 7} "value {j} — café padding '
+                    f'{j * 7}"@en .\n'
+                    for j in range(i, i + 100_000)
+                )
+                buf.append(chunk)
+                size += len(chunk)
+                i += 100_000
+                if size >= target:
+                    out.write(frame("".join(buf).encode("utf-8")))
+                    buf, size = [], 0
+            if buf:
+                out.write(frame("".join(buf).encode("utf-8")))
+    n_frames = len(framesplit.zstd_frame_offsets(p))
+    n_groups = len(framesplit.frame_groups(p))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    n = R.read_turtle_lines_df(spark, p).count()
+    split_sec = time.time() - t0
+    # sequential control: same file, one group (monkeypatched plan)
+    orig = R._framesplit_lines_df
+    R._framesplit_lines_df = lambda sp, files, target_bytes=0: orig(
+        sp, files, target_bytes=1 << 60
+    )
+    try:
+        t0 = time.time()
+        n_seq = R.read_turtle_lines_df(spark, p).count()
+        seq_sec = time.time() - t0
+    finally:
+        R._framesplit_lines_df = orig
+    print(
+        json.dumps(
+            {
+                "probe": "stream-zst-split",
+                "compressed_mb": round(os.path.getsize(p) / 1e6),
+                "frames": n_frames,
+                "groups": n_groups,
+                "rows": n,
+                "sec": round(split_sec, 1),
+                "rows_seq": n_seq,
+                "sec_seq": round(seq_sec, 1),
+                "speedup": round(seq_sec / split_sec, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
 def probe_stream_xml() -> None:
     """XML twin of :func:`probe_stream` (VERDICT r10 task #3): one gzip
     RDF/XML file with >2 GB decompressed — past the wholetext plan's JVM
@@ -602,6 +700,7 @@ if __name__ == "__main__":
     ap.add_argument("--streamprobe", action="store_true")
     ap.add_argument("--streamprobe-xml", action="store_true")
     ap.add_argument("--streamprobe-zst", action="store_true")
+    ap.add_argument("--streamprobe-zstsplit", action="store_true")
     ap.add_argument("--streamprobe-lz4", action="store_true")
     ap.add_argument("--hitrate", action="store_true")
     ap.add_argument("--fmt", default="ntriples,nquads,rdfxml")
@@ -623,6 +722,8 @@ if __name__ == "__main__":
         probe_stream_xml()
     if args.streamprobe_zst:
         probe_stream_zst()
+    if args.streamprobe_zstsplit:
+        probe_stream_zst_split()
     if args.streamprobe_lz4:
         probe_stream_lz4()
     if args.scale:
