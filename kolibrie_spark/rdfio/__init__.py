@@ -2744,28 +2744,33 @@ def _framesplit_lines_df(spark, files, target_bytes: int = 32 << 20):
     tasks = []
     for fp in files:
         size = os.path.getsize(fp)
-        for start, end in framesplit.frame_groups(fp, target_bytes):
-            tasks.append((fp, int(start), int(end), int(size)))
+        for i, (start, end) in enumerate(
+            framesplit.frame_groups(fp, target_bytes)
+        ):
+            # explicit first-group flag: a leading skippable frame puts
+            # the first group at start > 0, which must still OWN its
+            # head line (framesplit.iter_group_lines docstring)
+            tasks.append((fp, int(start), int(end), int(size), i == 0))
     lines_schema = StructType(
         [StructField("src", StringType()), StructField("value", StringType())]
     )
     if not tasks:
         return spark.createDataFrame([], lines_schema)
-    task_schema = "fp string, start long, end long, size long"
+    task_schema = "fp string, start long, end long, size long, first boolean"
     tdf = spark.createDataFrame(tasks, task_schema).repartition(len(tasks))
 
     def run(batches):
         import pandas as pd
 
         for pdf in batches:
-            for fp, start, end, size in zip(
-                pdf["fp"], pdf["start"], pdf["end"], pdf["size"]
+            for fp, start, end, size, first in zip(
+                pdf["fp"], pdf["start"], pdf["end"], pdf["size"], pdf["first"]
             ):
                 key = _norm_src(fp)
                 S: list = []
                 V: list = []
                 for ln in framesplit.iter_group_lines(
-                    fp, int(start), int(end), int(size)
+                    fp, int(start), int(end), int(size), first=bool(first)
                 ):
                     S.append(key)
                     V.append(ln.decode("utf-8", "replace"))

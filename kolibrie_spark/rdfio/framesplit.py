@@ -275,12 +275,23 @@ def _open_decompressor(fp: str, fh, start: int, end: int):
         return lz4_ctypes.open_stream(rf, closefd=False)
 
 
-def iter_group_lines(fp: str, start: int, end: int, file_size: int):
+def iter_group_lines(
+    fp: str, start: int, end: int, file_size: int, first: bool | None = None
+):
     """Yield the text lines OWNED by frame span [start, end) of ``fp``
     (Hadoop split semantics: lines starting inside the span; the tail
     line is completed by decompressing forward past ``end``).  Bounded
-    memory: one 1 MiB read buffer + one partial-line carry."""
-    first = start == 0
+    memory: one 1 MiB read buffer + one partial-line carry.
+
+    ``first`` marks the FIRST group of the file — it owns its head line
+    instead of skipping to the first newline.  It defaults to
+    ``start == 0``, which is only correct when the first data frame is at
+    offset 0: a file with a LEADING SKIPPABLE frame (seekable-format
+    metadata) has its first group start past it, so callers that planned
+    via :func:`frame_groups` must pass ``first`` explicitly or lose the
+    head line."""
+    if first is None:
+        first = start == 0
     with open(fp, "rb") as fh:
         stream = _open_decompressor(fp, fh, start, end)
         carry = b""

@@ -105,8 +105,10 @@ def _group_lines(fp, target_bytes) -> list[bytes]:
 
     size = os.path.getsize(str(fp))
     out = []
-    for start, end in FS.frame_groups(str(fp), target_bytes):
-        out.extend(FS.iter_group_lines(str(fp), start, end, size))
+    for i, (start, end) in enumerate(FS.frame_groups(str(fp), target_bytes)):
+        out.extend(
+            FS.iter_group_lines(str(fp), start, end, size, first=(i == 0))
+        )
     return out
 
 
@@ -393,3 +395,20 @@ def test_zstd_seekable_seek_table_shortcut(tmp_path):
         + payload
     )
     assert FS._zstd_seek_table_offsets(str(ck), os.path.getsize(str(ck))) == want
+
+
+@pytest.mark.skipif(not _zstd_available(), reason="no libzstd")
+def test_leading_skippable_frame_keeps_head_line(tmp_path):
+    """A LEADING skippable frame (seekable-format metadata shape) puts
+    the first group at start > 0 — it must still own its head line
+    (the start==0 heuristic alone would silently drop it)."""
+    data = b"first line must survive\nsecond\nthird\n"
+    f = tmp_path / "lead.zst"
+    f.write_bytes(
+        _zstd_skippable(b"leading metadata")
+        + _zstd_compress_frame(data[:10])
+        + _zstd_compress_frame(data[10:])
+    )
+    offs = FS.zstd_frame_offsets(str(f))
+    assert len(offs) == 2 and offs[0] > 0
+    assert _group_lines(f, 1) == _expected_lines(data)
