@@ -104,19 +104,33 @@ def load_into(store, path: str, fmt: str | None = None) -> int:
     return parse_into(store, bytes(buf).decode("utf-8"), fmt=fmt)
 
 
-def _text_lines_df(spark, path):
-    """``value``-column line DataFrame for the N-Triples/N-Quads-shaped
-    readers: the Spark text source, plus the frame-index split plan for
-    local .zst/.lz4 files (:func:`_framesplit_lines_df` — Hadoop has no
+def _frame_or_text_df(spark, path, schema, run, batches_from_values):
+    """Shared routing for the ``value``-driven line readers
+    (N-Triples/N-Quads-shaped): plain files parse off the Spark text
+    source via ``run``; local .zst/.lz4 files take the SINGLE-HOP
+    framesplit plan (:func:`_framesplit_parsed_df`) feeding the same
+    ``batches_from_values`` parse, so no intermediate line DataFrame
+    crosses the JVM and the two routes cannot drift.  Hadoop has no
     streaming zstd/lz4 text codec in local mode, and multi-frame dumps
-    split in-file besides)."""
+    split in-file besides."""
+    parts = []
     frame_files, rest = _split_frame_files(path)
-    if not frame_files:
-        return spark.read.text(path)
-    lines = _framesplit_lines_df(spark, frame_files).select("value")
-    if rest:
-        lines = lines.unionByName(spark.read.text(rest))
-    return lines
+    if frame_files:
+        parts.append(
+            _framesplit_parsed_df(
+                spark,
+                frame_files,
+                schema,
+                lambda pairs: batches_from_values(v for _, v in pairs),
+            )
+        )
+    if rest or not frame_files:
+        lines = spark.read.text(rest if frame_files else path)
+        parts.append(lines.mapInPandas(run, schema))
+    df = parts[0]
+    for extra in parts[1:]:
+        df = df.unionByName(extra)
+    return df
 
 
 def _read_lines_arrow_df(spark, path: str, parse_line):
@@ -124,35 +138,50 @@ def _read_lines_arrow_df(spark, path: str, parse_line):
     source's splittable line partitions feed ``mapInPandas`` directly, so
     parsed quads return to the JVM as Arrow columns instead of pickled
     rows (the r8 path paid an RDD round-trip + per-row pickle on every
-    triple).  ``parse_line(value) -> iterable of (s, p, o, g)``."""
+    triple).  ``parse_line(value) -> iterable of (s, p, o, g)``.
+    Local .zst/.lz4 files take the single-hop framesplit plan
+    (:func:`_framesplit_parsed_df`) with the same parse."""
     from kolibrie_spark.schema import QUADS_SCHEMA
 
-    lines = _text_lines_df(spark, path)
-
-    def run(batches):
+    def batches_from_values(values):
         import pandas as pd
 
-        for pdf in batches:
-            S: list = []
-            P: list = []
-            O: list = []
-            G: list = []
-            for value in pdf["value"]:
-                for s, p, o, g in parse_line(value):
-                    S.append(s)
-                    P.append(p)
-                    O.append(o)
-                    G.append(g)
-            yield pd.DataFrame(
-                {
-                    "s": pd.Series(S, dtype=object),
-                    "p": pd.Series(P, dtype=object),
-                    "o": pd.Series(O, dtype=object),
-                    "g": pd.Series(G, dtype=object),
-                }
-            )
+        S: list = []
+        P: list = []
+        O: list = []
+        G: list = []
+        for value in values:
+            for s, p, o, g in parse_line(value):
+                S.append(s)
+                P.append(p)
+                O.append(o)
+                G.append(g)
+            if len(S) >= 100_000:
+                yield pd.DataFrame(
+                    {
+                        "s": pd.Series(S, dtype=object),
+                        "p": pd.Series(P, dtype=object),
+                        "o": pd.Series(O, dtype=object),
+                        "g": pd.Series(G, dtype=object),
+                    }
+                )
+                S, P, O, G = [], [], [], []
+        yield pd.DataFrame(
+            {
+                "s": pd.Series(S, dtype=object),
+                "p": pd.Series(P, dtype=object),
+                "o": pd.Series(O, dtype=object),
+                "g": pd.Series(G, dtype=object),
+            }
+        )
 
-    return lines.mapInPandas(run, QUADS_SCHEMA)
+    def run(batches):
+        for pdf in batches:
+            yield from batches_from_values(pdf["value"])
+
+    return _frame_or_text_df(
+        spark, path, QUADS_SCHEMA, run, batches_from_values
+    )
 
 
 def read_ntriples_df(spark, path: str):
@@ -182,38 +211,54 @@ def _read_lines_tagged_df(spark, path: str, parse_line):
     plain readers drop the mappings; a bulk load must not)."""
     from kolibrie_spark.schema import TAGGED_RDF_SCHEMA
 
-    lines = _text_lines_df(spark, path)
-
-    def run(batches):
+    def batches_from_values(values):
         import pandas as pd
 
-        for pdf in batches:
-            S: list = []
-            P: list = []
-            O: list = []
-            G: list = []
-            QT: list = []
-            for value in pdf["value"]:
-                quads, quoted = parse_line(value)
-                for s, p, o, g in quads:
-                    S.append(s)
-                    P.append(p)
-                    O.append(o)
-                    G.append(g)
-                QT.extend(quoted)
-            yield pd.DataFrame(
-                {
-                    "kind": pd.Series(
-                        ["q"] * len(S) + ["t"] * len(QT), dtype=object
-                    ),
-                    "t1": pd.Series(S + [q[0] for q in QT], dtype=object),
-                    "t2": pd.Series(P + [q[1] for q in QT], dtype=object),
-                    "t3": pd.Series(O + [q[2] for q in QT], dtype=object),
-                    "t4": pd.Series(G + [q[3] for q in QT], dtype=object),
-                }
-            )
+        S: list = []
+        P: list = []
+        O: list = []
+        G: list = []
+        QT: list = []
+        for value in values:
+            quads, quoted = parse_line(value)
+            for s, p, o, g in quads:
+                S.append(s)
+                P.append(p)
+                O.append(o)
+                G.append(g)
+            QT.extend(quoted)
+            if len(S) + len(QT) >= 100_000:
+                yield pd.DataFrame(
+                    {
+                        "kind": pd.Series(
+                            ["q"] * len(S) + ["t"] * len(QT), dtype=object
+                        ),
+                        "t1": pd.Series(S + [q[0] for q in QT], dtype=object),
+                        "t2": pd.Series(P + [q[1] for q in QT], dtype=object),
+                        "t3": pd.Series(O + [q[2] for q in QT], dtype=object),
+                        "t4": pd.Series(G + [q[3] for q in QT], dtype=object),
+                    }
+                )
+                S, P, O, G, QT = [], [], [], [], []
+        yield pd.DataFrame(
+            {
+                "kind": pd.Series(
+                    ["q"] * len(S) + ["t"] * len(QT), dtype=object
+                ),
+                "t1": pd.Series(S + [q[0] for q in QT], dtype=object),
+                "t2": pd.Series(P + [q[1] for q in QT], dtype=object),
+                "t3": pd.Series(O + [q[2] for q in QT], dtype=object),
+                "t4": pd.Series(G + [q[3] for q in QT], dtype=object),
+            }
+        )
 
-    return lines.mapInPandas(run, TAGGED_RDF_SCHEMA)
+    def run(batches):
+        for pdf in batches:
+            yield from batches_from_values(pdf["value"])
+
+    return _frame_or_text_df(
+        spark, path, TAGGED_RDF_SCHEMA, run, batches_from_values
+    )
 
 
 def read_ntriples_tagged_df(spark, path: str):
@@ -2725,72 +2770,111 @@ def _split_frame_files(path):
     return frame, rest
 
 
-def _framesplit_lines_df(spark, files, target_bytes: int = 32 << 20):
-    """(src, value) line DataFrame over .zst/.lz4 files via the
-    frame-index split plan (:mod:`~kolibrie_spark.rdfio.framesplit`).
-
-    The DRIVER walks each file's frame headers (a few bytes per block, no
-    decompression) and plans ~``target_bytes``-compressed groups; each
-    group becomes one row of a tiny task DataFrame whose ``mapInPandas``
-    expansion decompresses ONLY its span (plus a forward tail-line carry)
-    and emits line batches as Arrow columns.  One multi-frame 400 GB dump
-    therefore scans with genuine in-file parallelism — single-frame files
-    degrade to one task per file, which is still the only way a
-    wheel-less local cluster can read them at all."""
+def _framesplit_parsed_df(
+    spark, files, schema, make_batches, target_bytes: int | None = None
+):
+    """Single-hop framesplit reader over .zst/.lz4 files: the DRIVER
+    walks each file's frame headers (a few bytes per block, no
+    decompression; the seekable-format seek table when present) and
+    plans ~``target_bytes``-DECOMPRESSED groups; each group becomes one
+    row of a tiny task DataFrame whose ``mapInPandas`` expansion
+    decompresses ONLY its span (plus a forward tail-line carry), turns
+    the group-owned (src, line) pairs into output rows via
+    ``make_batches`` — a callable running IN the task, so decode, parse
+    and Arrow-out all happen in one Python worker with no intermediate
+    line DataFrame crossing the JVM — and yields ``schema``-shaped
+    pandas frames.  One multi-frame 400 GB dump therefore scans with
+    genuine in-file parallelism — single-frame files degrade to one
+    task per file, which is still the only way a wheel-less local
+    cluster can read these codecs at all."""
     import os
 
-    from pyspark.sql.types import StringType, StructField, StructType
-
+    indexes = {fp: framesplit.frame_index(fp) for fp in files}
+    sizes = {fp: os.path.getsize(fp) for fp in files}
+    if target_bytes is None:
+        # adaptive granularity, the text source's own convention:
+        # ~128 MB decompressed per task, but never fewer than
+        # 2 x defaultParallelism tasks when the corpus allows (floored
+        # at 16 MB so tiny files don't shatter into no-op tasks)
+        total = sum(
+            framesplit.estimated_decompressed(indexes[fp], sizes[fp])
+            for fp in files
+        )
+        par = max(spark.sparkContext.defaultParallelism, 1)
+        target_bytes = max(16 << 20, min(128 << 20, total // (2 * par) or 1))
     tasks = []
     for fp in files:
-        size = os.path.getsize(fp)
         for i, (start, end) in enumerate(
-            framesplit.frame_groups(fp, target_bytes)
+            framesplit.frame_groups_from_index(
+                indexes[fp], sizes[fp], target_bytes
+            )
         ):
             # explicit first-group flag: a leading skippable frame puts
             # the first group at start > 0, which must still OWN its
             # head line (framesplit.iter_group_lines docstring)
-            tasks.append((fp, int(start), int(end), int(size), i == 0))
-    lines_schema = StructType(
-        [StructField("src", StringType()), StructField("value", StringType())]
-    )
+            tasks.append((fp, int(start), int(end), int(sizes[fp]), i == 0))
     if not tasks:
-        return spark.createDataFrame([], lines_schema)
+        return spark.createDataFrame([], schema)
     task_schema = "fp string, start long, end long, size long, first boolean"
     tdf = spark.createDataFrame(tasks, task_schema).repartition(len(tasks))
 
     def run(batches):
-        import pandas as pd
-
         for pdf in batches:
             for fp, start, end, size, first in zip(
                 pdf["fp"], pdf["start"], pdf["end"], pdf["size"], pdf["first"]
             ):
                 key = _norm_src(fp)
-                S: list = []
-                V: list = []
-                for ln in framesplit.iter_group_lines(
-                    fp, int(start), int(end), int(size), first=bool(first)
-                ):
-                    S.append(key)
-                    V.append(ln.decode("utf-8", "replace"))
-                    if len(V) >= 100_000:
-                        yield pd.DataFrame(
-                            {
-                                "src": pd.Series(S, dtype=object),
-                                "value": pd.Series(V, dtype=object),
-                            }
-                        )
-                        S, V = [], []
-                if V:
-                    yield pd.DataFrame(
-                        {
-                            "src": pd.Series(S, dtype=object),
-                            "value": pd.Series(V, dtype=object),
-                        }
+                pairs = (
+                    (key, ln.decode("utf-8", "replace"))
+                    for ln in framesplit.iter_group_lines(
+                        fp, int(start), int(end), int(size), first=bool(first)
                     )
+                )
+                yield from make_batches(pairs)
 
-    return tdf.mapInPandas(run, lines_schema)
+    return tdf.mapInPandas(run, schema)
+
+
+def _frame_pairs_batches(pairs, batch_rows: int = 100_000):
+    """Default ``make_batches``: (src, value) line frames, 100k rows per
+    Arrow batch."""
+    import pandas as pd
+
+    S: list = []
+    V: list = []
+    for key, val in pairs:
+        S.append(key)
+        V.append(val)
+        if len(V) >= batch_rows:
+            yield pd.DataFrame(
+                {
+                    "src": pd.Series(S, dtype=object),
+                    "value": pd.Series(V, dtype=object),
+                }
+            )
+            S, V = [], []
+    if V:
+        yield pd.DataFrame(
+            {
+                "src": pd.Series(S, dtype=object),
+                "value": pd.Series(V, dtype=object),
+            }
+        )
+
+
+def _framesplit_lines_df(spark, files, target_bytes: int | None = None):
+    """(src, value) line DataFrame over .zst/.lz4 files via the
+    frame-index split plan — the generic lines surface of
+    :func:`_framesplit_parsed_df` (the Turtle/N-Triples readers use the
+    single-hop parsed variant instead)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    lines_schema = StructType(
+        [StructField("src", StringType()), StructField("value", StringType())]
+    )
+    return _framesplit_parsed_df(
+        spark, files, lines_schema, _frame_pairs_batches, target_bytes
+    )
 
 
 def read_turtle_lines_df(spark, path: str, tagged: bool = False):
@@ -2825,116 +2909,143 @@ def read_turtle_lines_df(spark, path: str, tagged: bool = False):
     from kolibrie_spark.schema import QUADS_SCHEMA, TAGGED_RDF_SCHEMA
 
     prefixes_by_file = spark.sparkContext.broadcast(_collect_prefixes(spark, path))
-    frame_files, rest = _split_frame_files(path)
-    if frame_files:
-        # .zst/.lz4 dumps: frame-index split plan (in-file parallel for
-        # multi-frame files; the only readable route in wheel-less local
-        # mode either way) — everything else stays on the text source
-        lines = _framesplit_lines_df(spark, frame_files)
-        if rest:
-            lines = lines.unionByName(
-                spark.read.text(rest).select(
-                    F.input_file_name().alias("src"), "value"
-                )
-            )
-    else:
-        lines = spark.read.text(path).select(
-            F.input_file_name().alias("src"), "value"
-        )
+    out_schema = TAGGED_RDF_SCHEMA if tagged else QUADS_SCHEMA
 
     def run(batches):
-        import pandas as pd
+        def pairs():
+            for pdf in batches:
+                yield from zip(pdf["src"], pdf["value"])
 
-        from kolibrie_spark.rdfio.parsers import (
-            _EMPTY_PREFIXES,
-            _PREFIX_RE,
-            _SIMPLE_LINE_RE,
-            RdfParseError,
-            _fast_term,
-            parse_turtle,
+        yield from _turtle_line_batches(pairs(), prefixes_by_file.value, tagged)
+
+    parts = []
+    frame_files, rest = _split_frame_files(path)
+    if frame_files:
+        # .zst/.lz4 dumps: frame-index split plan, SINGLE-HOP — decode,
+        # per-line parse and Arrow-out all inside the group task (the
+        # two-hop lines-then-parse pipeline measured 99.5 s vs 15.5 s
+        # lines-only on the 30M-row probe: the second Arrow crossing
+        # and re-batching dominated) — in-file parallel for multi-frame
+        # files; the only readable route in wheel-less local mode
+        # either way.  Everything else stays on the text source.
+        parts.append(
+            _framesplit_parsed_df(
+                spark,
+                frame_files,
+                out_schema,
+                lambda pairs: _turtle_line_batches(
+                    pairs, prefixes_by_file.value, tagged
+                ),
+            )
         )
+    if rest or not frame_files:
+        lines = spark.read.text(rest if frame_files else path).select(
+            F.input_file_name().alias("src"), "value"
+        )
+        parts.append(lines.mapInPandas(run, out_schema))
+    df = parts[0]
+    for extra in parts[1:]:
+        df = df.unionByName(extra)
+    return df
 
-        by_file = prefixes_by_file.value
-        pfx_cache: dict = {}
-        try:
-            from pyspark import TaskContext
 
-            pid = TaskContext.get().partitionId()
-        except Exception:
-            pid = 0
-        n_slow = 0  # slow-path line ordinal: the '[ ]' anon-label salt
+def _turtle_line_batches(pairs, by_file, tagged):
+    """Shared per-line Turtle parse for the line-safe readers:
+    ``pairs`` yields (src, line); yields QUADS/TAGGED-shaped pandas
+    frames of 100k rows.  Runs inside a task — both the text-source
+    ``mapInPandas`` and the framesplit group tasks delegate here, so
+    the two routes cannot drift."""
+    import pandas as pd
 
-        def frame(S, P, O, QT):
-            if not tagged:
-                return pd.DataFrame(
-                    {
-                        "s": pd.Series(S, dtype=object),
-                        "p": pd.Series(P, dtype=object),
-                        "o": pd.Series(O, dtype=object),
-                        "g": pd.Series([None] * len(S), dtype=object),
-                    }
-                )
+    from kolibrie_spark.rdfio.parsers import (
+        _EMPTY_PREFIXES,
+        _PREFIX_RE,
+        _SIMPLE_LINE_RE,
+        RdfParseError,
+        _fast_term,
+        parse_turtle,
+    )
+
+    pfx_cache: dict = {}
+    try:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+    except Exception:
+        pid = 0
+    n_slow = 0  # slow-path line ordinal: the '[ ]' anon-label salt
+
+    def frame(S, P, O, QT):
+        if not tagged:
             return pd.DataFrame(
                 {
-                    "kind": pd.Series(
-                        ["q"] * len(S) + ["t"] * len(QT), dtype=object
-                    ),
-                    "t1": pd.Series(S + [q[0] for q in QT], dtype=object),
-                    "t2": pd.Series(P + [q[1] for q in QT], dtype=object),
-                    "t3": pd.Series(O + [q[2] for q in QT], dtype=object),
-                    "t4": pd.Series(
-                        [None] * len(S) + [q[3] for q in QT], dtype=object
-                    ),
+                    "s": pd.Series(S, dtype=object),
+                    "p": pd.Series(P, dtype=object),
+                    "o": pd.Series(O, dtype=object),
+                    "g": pd.Series([None] * len(S), dtype=object),
                 }
             )
+        return pd.DataFrame(
+            {
+                "kind": pd.Series(
+                    ["q"] * len(S) + ["t"] * len(QT), dtype=object
+                ),
+                "t1": pd.Series(S + [q[0] for q in QT], dtype=object),
+                "t2": pd.Series(P + [q[1] for q in QT], dtype=object),
+                "t3": pd.Series(O + [q[2] for q in QT], dtype=object),
+                "t4": pd.Series(
+                    [None] * len(S) + [q[3] for q in QT], dtype=object
+                ),
+            }
+        )
 
-        for pdf in batches:
-            S: list = []
-            P: list = []
-            O: list = []
-            QT: list = []
-            for src, raw in zip(pdf["src"], pdf["value"]):
-                line = raw.lstrip("\ufeff").strip()
-                if not line or line.startswith("#"):
-                    continue
-                if _PREFIX_RE.match(line):
-                    continue  # declarations come from the head pass
-                pfx = pfx_cache.get(src)
-                if pfx is None:
-                    pfx = by_file.get(_norm_src(src), _EMPTY_PREFIXES)
-                    pfx_cache[src] = pfx
-                fm = _SIMPLE_LINE_RE.fullmatch(line)
-                if fm:
-                    S.append(_fast_term(fm.group(1), pfx))
-                    P.append(_fast_term(fm.group(2), pfx))
-                    O.append(_fast_term(fm.group(3), pfx))
-                    continue
-                try:
-                    # '[ ]' counters restart per LINE here — salt with
-                    # (partition id, line ordinal) like the chunk paths
-                    n_slow += 1
-                    triples, _quoted, _ = parse_turtle(
-                        line, prefixes=pfx, anon_prefix=f"p{pid}l{n_slow}."
-                    )
-                except RdfParseError as e:
-                    raise RdfParseError(
-                        f"read_turtle_lines_df requires one complete "
-                        f"statement per line; offending line: {line[:120]!r}"
-                        f" ({e}) — use read_turtle_df for general Turtle"
-                    ) from e
-                for s, p, o in triples:
-                    S.append(s)
-                    P.append(p)
-                    O.append(o)
-                if tagged:
-                    QT.extend(_quoted)
-                if len(S) + len(QT) >= 100_000:
-                    yield frame(S, P, O, QT)
-                    S, P, O, QT = [], [], [], []
-            if S or QT:
+    S: list = []
+    P: list = []
+    O: list = []
+    QT: list = []
+    for src, raw in pairs:
+        line = raw.lstrip("\ufeff").strip()
+        if not line or line.startswith("#"):
+            continue
+        if _PREFIX_RE.match(line):
+            continue  # declarations come from the head pass
+        pfx = pfx_cache.get(src)
+        if pfx is None:
+            pfx = by_file.get(_norm_src(src), _EMPTY_PREFIXES)
+            pfx_cache[src] = pfx
+        fm = _SIMPLE_LINE_RE.fullmatch(line)
+        if fm:
+            S.append(_fast_term(fm.group(1), pfx))
+            P.append(_fast_term(fm.group(2), pfx))
+            O.append(_fast_term(fm.group(3), pfx))
+            if len(S) >= 100_000:
                 yield frame(S, P, O, QT)
-
-    return lines.mapInPandas(run, TAGGED_RDF_SCHEMA if tagged else QUADS_SCHEMA)
+                S, P, O, QT = [], [], [], []
+            continue
+        try:
+            # '[ ]' counters restart per LINE here — salt with
+            # (partition id, line ordinal) like the chunk paths
+            n_slow += 1
+            triples, _quoted, _ = parse_turtle(
+                line, prefixes=pfx, anon_prefix=f"p{pid}l{n_slow}."
+            )
+        except RdfParseError as e:
+            raise RdfParseError(
+                f"read_turtle_lines_df requires one complete "
+                f"statement per line; offending line: {line[:120]!r}"
+                f" ({e}) — use read_turtle_df for general Turtle"
+            ) from e
+        for s, p, o in triples:
+            S.append(s)
+            P.append(p)
+            O.append(o)
+        if tagged:
+            QT.extend(_quoted)
+        if len(S) + len(QT) >= 100_000:
+            yield frame(S, P, O, QT)
+            S, P, O, QT = [], [], [], []
+    if S or QT:
+        yield frame(S, P, O, QT)
 
 
 def read_turtle_lines_tagged_df(spark, path: str):

@@ -47,7 +47,7 @@ def _read_exact(fh, n: int, what: str) -> bytes:
 _SEEKABLE_MAGIC = 0x8F92EAB1  # zstd seekable-format footer magic
 
 
-def _zstd_seek_table_offsets(fp: str, size: int) -> list[int] | None:
+def _zstd_seek_table_index(fp: str, size: int):
     """Frame offsets from a zstd SEEKABLE-FORMAT seek table (the trailing
     skippable frame ``zstd --seekable``/``t2sz`` writes): O(frames) reads
     instead of the O(block-headers) walk — the difference between a
@@ -81,7 +81,7 @@ def _zstd_seek_table_offsets(fp: str, size: int) -> list[int] | None:
         table = fh.read(n * entry)
         if len(table) != n * entry:
             return None
-        offs: list[int] = []
+        idx: list[tuple[int, int | None]] = []
         pos = 0
         for i in range(n):
             comp = int.from_bytes(table[i * entry : i * entry + 4], "little")
@@ -89,21 +89,24 @@ def _zstd_seek_table_offsets(fp: str, size: int) -> list[int] | None:
                 table[i * entry + 4 : i * entry + 8], "little"
             )
             if decomp != 0:  # zero-decompressed entries are skippable frames
-                offs.append(pos)
+                idx.append((pos, decomp))
             pos += comp
         if pos != table_start:  # inconsistent table: trust the walk instead
             return None
-        return offs
+        return idx
 
 
-def zstd_frame_offsets(fp: str) -> list[int]:
-    """Byte offsets of every zstd DATA frame in ``fp`` (seekable-format
-    seek table when present and self-consistent, else the RFC 8878 header
-    walk; skippable frames are skipped, reserved block types and foreign
-    magics raise loudly)."""
-    offs: list[int] = []
+def zstd_frame_index(fp: str) -> list[tuple[int, int | None]]:
+    """(byte offset, decompressed size | None) of every zstd DATA frame
+    in ``fp`` — seekable-format seek table when present and
+    self-consistent (decompressed sizes always known), else the RFC 8878
+    header walk (Frame_Content_Size parsed when the compressor recorded
+    it — one-shot/pzstd frames do; streaming frames may not).  Skippable
+    frames are skipped, reserved block types and foreign magics raise
+    loudly."""
+    idx: list[tuple[int, int | None]] = []
     size = os.path.getsize(fp)
-    from_table = _zstd_seek_table_offsets(fp, size)
+    from_table = _zstd_seek_table_index(fp, size)
     if from_table is not None:
         return from_table
     with open(fp, "rb") as fh:
@@ -117,19 +120,26 @@ def zstd_frame_offsets(fp: str) -> list[int]:
                 continue
             if magic != _ZSTD_MAGIC:
                 raise FrameWalkError(f"not a zstd frame at offset {pos}")
-            offs.append(pos)
             fhd = _read_exact(fh, 1, "frame header descriptor")[0]
             fcs_code = fhd >> 6
             single_segment = (fhd >> 5) & 1
             has_checksum = (fhd >> 2) & 1
             dictid_code = fhd & 3
-            skip = 0 if single_segment else 1  # window descriptor
-            skip += (0, 1, 2, 4)[dictid_code]
+            if not single_segment:
+                fh.seek(1, 1)  # window descriptor
+            fh.seek((0, 1, 2, 4)[dictid_code], 1)
+            decomp: int | None = None
             if fcs_code == 0:
-                skip += 1 if single_segment else 0
+                if single_segment:
+                    decomp = _read_exact(fh, 1, "frame content size")[0]
             else:
-                skip += (0, 2, 4, 8)[fcs_code]
-            fh.seek(skip, 1)
+                n = (0, 2, 4, 8)[fcs_code]
+                decomp = int.from_bytes(
+                    _read_exact(fh, n, "frame content size"), "little"
+                )
+                if fcs_code == 1:
+                    decomp += 256
+            idx.append((pos, decomp))
             while True:  # block walk
                 bh = int.from_bytes(_read_exact(fh, 3, "block header"), "little")
                 last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
@@ -143,13 +153,21 @@ def zstd_frame_offsets(fp: str) -> list[int]:
             pos = fh.tell()
             if pos > size:
                 raise FrameWalkError("frame walk ran past end of file")
-    return offs
+    return idx
 
 
-def lz4_frame_offsets(fp: str) -> list[int]:
-    """Byte offsets of every lz4 DATA frame in ``fp`` (LZ4 frame format
-    header walk; legacy-frame magic and foreign magics raise loudly)."""
-    offs: list[int] = []
+def zstd_frame_offsets(fp: str) -> list[int]:
+    """Byte offsets of every zstd DATA frame in ``fp`` (see
+    :func:`zstd_frame_index`)."""
+    return [off for off, _ in zstd_frame_index(fp)]
+
+
+def lz4_frame_index(fp: str) -> list[tuple[int, int | None]]:
+    """(byte offset, decompressed size | None) of every lz4 DATA frame
+    in ``fp`` (LZ4 frame format header walk; Content_Size parsed when
+    the flag is set — the CLI defaults it OFF, so lz4 frames usually
+    report None.  Legacy-frame magic and foreign magics raise loudly)."""
+    idx: list[tuple[int, int | None]] = []
     size = os.path.getsize(fp)
     with open(fp, "rb") as fh:
         pos = 0
@@ -162,7 +180,6 @@ def lz4_frame_offsets(fp: str) -> list[int]:
                 continue
             if magic != _LZ4_MAGIC:
                 raise FrameWalkError(f"not an lz4 frame at offset {pos}")
-            offs.append(pos)
             flg = _read_exact(fh, 1, "FLG byte")[0]
             if (flg >> 6) != 0b01:
                 raise FrameWalkError(f"unsupported lz4 frame version at {pos}")
@@ -171,7 +188,13 @@ def lz4_frame_offsets(fp: str) -> list[int]:
             content_checksum = (flg >> 2) & 1
             dict_id = flg & 1
             fh.seek(1, 1)  # BD byte
-            fh.seek((8 if content_size else 0) + (4 if dict_id else 0) + 1, 1)
+            decomp: int | None = None
+            if content_size:
+                decomp = int.from_bytes(
+                    _read_exact(fh, 8, "content size"), "little"
+                )
+            fh.seek((4 if dict_id else 0) + 1, 1)  # DictID + header checksum
+            idx.append((pos, decomp))
             while True:  # data blocks until the 0x00000000 EndMark
                 bsz = int.from_bytes(_read_exact(fh, 4, "block size"), "little")
                 if bsz == 0:
@@ -182,35 +205,82 @@ def lz4_frame_offsets(fp: str) -> list[int]:
             pos = fh.tell()
             if pos > size:
                 raise FrameWalkError("frame walk ran past end of file")
-    return offs
+    return idx
 
 
-def frame_offsets(fp: str) -> list[int]:
+def lz4_frame_offsets(fp: str) -> list[int]:
+    """Byte offsets of every lz4 DATA frame in ``fp`` (see
+    :func:`lz4_frame_index`)."""
+    return [off for off, _ in lz4_frame_index(fp)]
+
+
+def frame_index(fp: str) -> list[tuple[int, int | None]]:
     low = fp.lower()
     if low.endswith(".zst"):
-        return zstd_frame_offsets(fp)
+        return zstd_frame_index(fp)
     if low.endswith(".lz4"):
-        return lz4_frame_offsets(fp)
+        return lz4_frame_index(fp)
     raise FrameWalkError(f"no frame walker for {fp}")
 
 
-def frame_groups(fp: str, target_bytes: int = 32 << 20) -> list[tuple[int, int]]:
-    """Split-plan: contiguous frame runs of ~``target_bytes`` COMPRESSED
-    size each, as (start_offset, end_offset) spans.  One group per frame
-    run keeps per-task memory bounded by the line-carry buffer, not the
-    span (decompression streams)."""
-    offs = frame_offsets(fp)
-    size = os.path.getsize(fp)
-    if not offs:
+def frame_offsets(fp: str) -> list[int]:
+    return [off for off, _ in frame_index(fp)]
+
+
+# when a frame header does not record its decompressed size, estimate it
+# from the compressed span: text dumps commonly compress 4-30x, and
+# over-estimating only makes groups finer (more, smaller tasks), which
+# is the safe direction for balance
+_FALLBACK_RATIO = 8
+
+
+def estimated_decompressed(idx, size: int) -> int:
+    """Total decompressed bytes an index covers (headerless frames
+    estimated at ``compressed x _FALLBACK_RATIO``)."""
+    total = 0
+    bounds = [off for off, _ in idx] + [size]
+    for i, (_, decomp) in enumerate(idx):
+        comp = bounds[i + 1] - bounds[i]
+        total += decomp if decomp is not None else comp * _FALLBACK_RATIO
+    return total
+
+
+def frame_groups_from_index(
+    idx, size: int, target_bytes: int = 128 << 20
+) -> list[tuple[int, int]]:
+    """Split-plan over a precomputed :func:`frame_index`: contiguous
+    frame runs of ~``target_bytes`` DECOMPRESSED size each (the Spark
+    ``maxPartitionBytes`` convention), as (start_offset, end_offset)
+    spans.  Decompressed sizes come from the frame headers / seek table;
+    headerless frames estimate ``compressed x 8``.  Grouping by
+    compressed size instead would make task granularity swing with the
+    compression ratio — a 26x-ratio Turtle dump at a 32 MB compressed
+    target yielded ~830 MB tasks.  One group per frame run keeps
+    per-task memory bounded by the line-carry buffer, not the span
+    (decompression streams)."""
+    if not idx:
         return []
-    bounds = offs + [size]
+    bounds = [off for off, _ in idx] + [size]
     groups: list[tuple[int, int]] = []
     start = bounds[0]
+    acc = 0
     for i in range(1, len(bounds)):
-        if bounds[i] - start >= target_bytes or i == len(bounds) - 1:
+        comp = bounds[i] - bounds[i - 1]
+        decomp = idx[i - 1][1]
+        acc += decomp if decomp is not None else comp * _FALLBACK_RATIO
+        if acc >= target_bytes or i == len(bounds) - 1:
             groups.append((start, bounds[i]))
             start = bounds[i]
+            acc = 0
     return groups
+
+
+def frame_groups(
+    fp: str, target_bytes: int = 128 << 20
+) -> list[tuple[int, int]]:
+    return frame_groups_from_index(
+        frame_index(fp), os.path.getsize(fp), target_bytes
+    )
 
 
 class _RangeFile:

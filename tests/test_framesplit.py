@@ -367,7 +367,10 @@ def test_zstd_seekable_seek_table_shortcut(tmp_path):
     import os
     size = os.path.getsize(str(f))
     want = [0, len(frames[0]), len(frames[0]) + len(frames[1])]
-    assert FS._zstd_seek_table_offsets(str(f), size) == want
+    want_idx = [
+        (off, bounds[i + 1] - bounds[i]) for i, off in enumerate(want)
+    ]
+    assert FS._zstd_seek_table_index(str(f), size) == want_idx
     assert FS.zstd_frame_offsets(str(f)) == want
 
     # lines still read correctly with the seek-table frame in the last span
@@ -377,7 +380,7 @@ def test_zstd_seekable_seek_table_shortcut(tmp_path):
     bad = tmp_path / "bad.zst"
     bad_entries = [(entries[0][0] + 1, entries[0][1])] + entries[1:]
     bad.write_bytes(b"".join(frames) + _seek_table_frame(bad_entries))
-    assert FS._zstd_seek_table_offsets(str(bad), os.path.getsize(str(bad))) is None
+    assert FS._zstd_seek_table_index(str(bad), os.path.getsize(str(bad))) is None
     assert FS.zstd_frame_offsets(str(bad)) == want
 
     # a checksummed table (descriptor bit 7, 12-byte entries) also parses
@@ -394,7 +397,7 @@ def test_zstd_seekable_seek_table_shortcut(tmp_path):
         + len(payload).to_bytes(4, "little")
         + payload
     )
-    assert FS._zstd_seek_table_offsets(str(ck), os.path.getsize(str(ck))) == want
+    assert FS._zstd_seek_table_index(str(ck), os.path.getsize(str(ck))) == want_idx
 
 
 @pytest.mark.skipif(not _zstd_available(), reason="no libzstd")
@@ -412,3 +415,26 @@ def test_leading_skippable_frame_keeps_head_line(tmp_path):
     offs = FS.zstd_frame_offsets(str(f))
     assert len(offs) == 2 and offs[0] > 0
     assert _group_lines(f, 1) == _expected_lines(data)
+
+
+@pytest.mark.skipif(not _zstd_available(), reason="no libzstd")
+def test_frame_index_decompressed_sizes_and_grouping(tmp_path):
+    """One-shot frames record Frame_Content_Size: the index reports the
+    exact decompressed size per frame, and frame_groups targets
+    DECOMPRESSED bytes — a high-ratio dump still yields fine-grained
+    groups where compressed-size grouping collapsed to a few huge
+    tasks."""
+    piece = (b"the same compressible line over and over\n" * 3000)  # ~123 KB
+    frames = [_zstd_compress_frame(piece) for _ in range(10)]
+    f = tmp_path / "hr.zst"
+    f.write_bytes(b"".join(frames))
+    idx = FS.zstd_frame_index(str(f))
+    assert [d for _, d in idx] == [len(piece)] * 10
+    # 123 KB decompressed per frame, 240 KB target: 2 frames per group
+    groups = FS.frame_groups(str(f), target_bytes=240_000)
+    assert len(groups) == 5
+    # compressed the whole file is ~6 KB — a compressed-size reading of
+    # the same target would have made ONE group
+    import os
+    assert os.path.getsize(str(f)) < 240_000
+    assert _group_lines(f, 240_000) == _expected_lines(piece * 10)

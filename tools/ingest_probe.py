@@ -507,7 +507,6 @@ def probe_stream_zst_split() -> None:
             if buf:
                 out.write(frame("".join(buf).encode("utf-8")))
     n_frames = len(framesplit.zstd_frame_offsets(p))
-    n_groups = len(framesplit.frame_groups(p))
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -517,27 +516,31 @@ def probe_stream_zst_split() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    df = R.read_turtle_lines_df(spark, p)
+    n_tasks = df.rdd.getNumPartitions()
     t0 = time.time()
-    n = R.read_turtle_lines_df(spark, p).count()
+    n = df.count()
     split_sec = time.time() - t0
     # sequential control: same file, one group (monkeypatched plan)
-    orig = R._framesplit_lines_df
-    R._framesplit_lines_df = lambda sp, files, target_bytes=0: orig(
-        sp, files, target_bytes=1 << 60
+    orig = R._framesplit_parsed_df
+    R._framesplit_parsed_df = (
+        lambda sp, files, schema, mk, target_bytes=None: orig(
+            sp, files, schema, mk, target_bytes=1 << 60
+        )
     )
     try:
         t0 = time.time()
         n_seq = R.read_turtle_lines_df(spark, p).count()
         seq_sec = time.time() - t0
     finally:
-        R._framesplit_lines_df = orig
+        R._framesplit_parsed_df = orig
     print(
         json.dumps(
             {
                 "probe": "stream-zst-split",
                 "compressed_mb": round(os.path.getsize(p) / 1e6),
                 "frames": n_frames,
-                "groups": n_groups,
+                "tasks": n_tasks,
                 "rows": n,
                 "sec": round(split_sec, 1),
                 "rows_seq": n_seq,
