@@ -3048,6 +3048,126 @@ def _turtle_line_batches(pairs, by_file, tagged):
         yield frame(S, P, O, QT)
 
 
+def write_rdf_zst(df, out_dir: str, fmt: str = "ntriples",
+                  frame_bytes: int = 32 << 20, level: int = 3):
+    """Distributed SPLITTABLE compressed export: each partition of the
+    quads DataFrame serializes to N-Triples/N-Quads lines and writes ONE
+    multi-frame ``part-NNNNN.{nt,nq}.zst`` under ``out_dir`` — one zstd
+    frame per ~``frame_bytes`` decompressed (the pzstd shape, emitted by
+    the vendored one-shot ``ZSTD_compress``; frames record their content
+    size).  Any zstd tool reads the output (concatenated frames are a
+    legal stream), and :func:`read_ntriples_df`/:func:`read_nquads_df`
+    split it back IN-FILE via the frame index — the write->read round
+    trip stays parallel at both ends at any file size.  Tasks write to a
+    ``.inprogress.<attempt>`` temp and ``os.replace`` at the end, so a
+    retried task never leaves a torn file.  Returns the manifest (one
+    dict per non-empty partition: path, rows, bytes) — bounded by the
+    partition count, like any writer's commit summary."""
+    import os
+
+    from kolibrie_spark.rdfio import zstd_ctypes
+
+    if not (
+        _optional_codec_available("zstandard") or zstd_ctypes.available()
+    ):
+        raise ImportError(
+            "write_rdf_zst needs libzstd (vendored ctypes shim) or the "
+            "zstandard package"
+        )
+    fmt = FORMAT_ALIASES[fmt.lower()]
+    if fmt not in ("ntriples", "nquads"):
+        raise ValueError(f"write_rdf_zst serializes ntriples/nquads, not {fmt}")
+    ext = "nt" if fmt == "ntriples" else "nq"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def run(batches):
+        import pandas as pd
+
+        from kolibrie_spark.rdfio.serializers import (
+            serialize_nquads,
+            serialize_ntriples,
+        )
+
+        try:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid, attempt = ctx.partitionId(), ctx.attemptNumber()
+        except Exception:
+            pid, attempt = 0, 0
+        final = os.path.join(out_dir, f"part-{pid:05d}.{ext}.zst")
+        tmp = f"{final}.inprogress.{attempt}"
+        out = None
+        buf: list[str] = []
+        size = 0
+        rows = 0
+
+        if zstd_ctypes.available():
+            compress = zstd_ctypes.compress_frame
+        else:  # driver gate passed, so the wheel must be importable
+
+            def compress(b, lvl):
+                import zstandard
+
+                return zstandard.ZstdCompressor(level=lvl).compress(b)
+
+        def flush():
+            nonlocal out, buf, size
+            if not buf:
+                return
+            out.write(compress("".join(buf).encode("utf-8"), level))
+            buf, size = [], 0
+
+        try:
+            step = 1000  # serialize in slices so frames honor
+            # frame_bytes even when one Arrow batch carries the whole
+            # partition
+            for pdf in batches:
+                if out is None:
+                    out = open(tmp, "wb")
+                S, P, O = pdf["s"], pdf["p"], pdf["o"]
+                G = pdf["g"] if fmt == "nquads" else None
+                for lo in range(0, len(pdf), step):
+                    hi = lo + step
+                    if fmt == "ntriples":
+                        text = serialize_ntriples(
+                            zip(S[lo:hi], P[lo:hi], O[lo:hi])
+                        )
+                    else:
+                        text = serialize_nquads(
+                            zip(S[lo:hi], P[lo:hi], O[lo:hi], G[lo:hi])
+                        )
+                    buf.append(text)
+                    size += len(text)
+                    if size >= frame_bytes:
+                        flush()
+                rows += len(pdf)
+            if out is not None:
+                flush()
+                out.close()
+                out = None
+                os.replace(tmp, final)
+                yield pd.DataFrame(
+                    {
+                        "path": pd.Series([final], dtype=object),
+                        "rows": pd.Series([rows], dtype="int64"),
+                        "bytes": pd.Series(
+                            [os.path.getsize(final)], dtype="int64"
+                        ),
+                    }
+                )
+        finally:
+            if out is not None:
+                out.close()
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+
+    manifest = df.mapInPandas(run, "path string, rows long, bytes long")
+    return [r.asDict() for r in manifest.collect()]
+
+
 def read_turtle_lines_tagged_df(spark, path: str):
     """Line-safe Turtle as a TAGGED stream — quads plus quoted-triple
     mappings, suitable for ``QuadStore.load_distributed``-style splits."""

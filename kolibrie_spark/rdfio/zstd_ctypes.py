@@ -70,6 +70,16 @@ def _load_libzstd():
         lib.ZSTD_getErrorName.restype = ctypes.c_char_p
         lib.ZSTD_getErrorName.argtypes = [ctypes.c_size_t]
         lib.ZSTD_DStreamInSize.restype = ctypes.c_size_t
+        lib.ZSTD_compressBound.restype = ctypes.c_size_t
+        lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+        lib.ZSTD_compress.restype = ctypes.c_size_t
+        lib.ZSTD_compress.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+        ]
     except AttributeError as exc:  # pragma: no cover - ancient libzstd
         raise ImportError(f"libzstd too old for the streaming API: {exc}") from exc
     _lib = lib
@@ -181,3 +191,22 @@ class ZstdDecompressor:
 
     def stream_reader(self, fh, closefd: bool = True):
         return _CtypesZstdReader(fh, closefd=closefd)
+
+
+def compress_frame(data: bytes, level: int = 3) -> bytes:
+    """ONE complete zstd frame for ``data`` (one-shot ``ZSTD_compress``,
+    stable API since 1.0; records Frame_Content_Size, so the frame-split
+    planner can group the output by decompressed size).  The splittable
+    export writer emits one frame per ~window of rows — concatenated
+    frames are a legal .zst stream (zstdcat semantics) that any zstd
+    tool reads and :mod:`~kolibrie_spark.rdfio.framesplit` splits."""
+    lib = _load_libzstd()
+    bound = lib.ZSTD_compressBound(len(data))
+    dst = ctypes.create_string_buffer(bound)
+    n = lib.ZSTD_compress(
+        ctypes.cast(dst, ctypes.c_void_p), bound, data, len(data), level
+    )
+    if lib.ZSTD_isError(n):
+        msg = lib.ZSTD_getErrorName(n).decode("ascii", "replace")
+        raise ZstdError(f"zstd compress: {msg}")
+    return dst.raw[:n]

@@ -119,6 +119,20 @@ class QuadStore:
         self.insert_quoted(quoted)
         return n
 
+    def export_zst(
+        self, out_dir: str, fmt: str = "ntriples",
+        frame_bytes: int = 32 << 20,
+    ) -> list:
+        """Splittable compressed dump of the store: one multi-frame
+        ``part-*.{nt,nq}.zst`` per partition (``rdfio.write_rdf_zst``) —
+        readable by any zstd tool, re-loadable IN-FILE-parallel through
+        ``load_distributed``.  Returns the per-file manifest."""
+        from kolibrie_spark import rdfio
+
+        return rdfio.write_rdf_zst(
+            self.quads, out_dir, fmt=fmt, frame_bytes=frame_bytes
+        )
+
     def add_quads(self, rows: list[tuple]) -> None:
         norm = [(r + (None,)) if len(r) == 3 else tuple(r) for r in rows]
         new = self.spark.createDataFrame(norm, QUADS_SCHEMA)
