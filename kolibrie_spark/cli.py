@@ -24,6 +24,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--query", default=None, help="SPARQL SELECT to run")
     ap.add_argument("--update", default=None, help="SPARQL Update to apply")
+    ap.add_argument(
+        "--export-zst",
+        default=None,
+        metavar="DIR",
+        help="after loading/updating, dump the store as splittable "
+        "multi-frame part-*.zst files under DIR "
+        "(QuadStore.export_zst; re-loadable in-file-parallel)",
+    )
+    ap.add_argument(
+        "--export-format",
+        default="ntriples",
+        help="export serialization: ntriples (default) or nquads",
+    )
     ap.add_argument("--explain", action="store_true", help="print the physical plan")
     ap.add_argument("--master", default="local[*]")
     ap.add_argument(
@@ -67,6 +80,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.update:
         engine.update(args.update)
         print(f"update applied; store now holds {engine.triple_count()} quads")
+    if args.export_zst:
+        manifest = engine.store.export_zst(
+            args.export_zst, fmt=args.export_format
+        )
+        total = sum(m["rows"] for m in manifest)
+        print(f"exported {total} quads to {len(manifest)} file(s) under "
+              f"{args.export_zst}")
     if args.query:
         if args.explain:
             print(engine.explain(args.query))
