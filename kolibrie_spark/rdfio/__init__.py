@@ -104,15 +104,20 @@ def load_into(store, path: str, fmt: str | None = None) -> int:
     return parse_into(store, bytes(buf).decode("utf-8"), fmt=fmt)
 
 
-def _frame_or_text_df(spark, path, schema, run, batches_from_values):
+def _frame_or_text_df(spark, path, schema, batches_from_values):
     """Shared routing for the ``value``-driven line readers
     (N-Triples/N-Quads-shaped): plain files parse off the Spark text
-    source via ``run``; local .zst/.lz4 files take the SINGLE-HOP
-    framesplit plan (:func:`_framesplit_parsed_df`) feeding the same
+    source; local .zst/.lz4 files take the SINGLE-HOP framesplit plan
+    (:func:`_framesplit_parsed_df`) — both feed the same
     ``batches_from_values`` parse, so no intermediate line DataFrame
     crosses the JVM and the two routes cannot drift.  Hadoop has no
     streaming zstd/lz4 text codec in local mode, and multi-frame dumps
     split in-file besides."""
+
+    def run(batches):
+        for pdf in batches:
+            yield from batches_from_values(pdf["value"])
+
     parts = []
     frame_files, rest = _split_frame_files(path)
     if frame_files:
@@ -121,7 +126,9 @@ def _frame_or_text_df(spark, path, schema, run, batches_from_values):
                 spark,
                 frame_files,
                 schema,
-                lambda pairs: batches_from_values(v for _, v in pairs),
+                lambda pairs, task_key: batches_from_values(
+                    v for _, v in pairs
+                ),
             )
         )
     if rest or not frame_files:
@@ -175,13 +182,7 @@ def _read_lines_arrow_df(spark, path: str, parse_line):
             }
         )
 
-    def run(batches):
-        for pdf in batches:
-            yield from batches_from_values(pdf["value"])
-
-    return _frame_or_text_df(
-        spark, path, QUADS_SCHEMA, run, batches_from_values
-    )
+    return _frame_or_text_df(spark, path, QUADS_SCHEMA, batches_from_values)
 
 
 def read_ntriples_df(spark, path: str):
@@ -252,12 +253,8 @@ def _read_lines_tagged_df(spark, path: str, parse_line):
             }
         )
 
-    def run(batches):
-        for pdf in batches:
-            yield from batches_from_values(pdf["value"])
-
     return _frame_or_text_df(
-        spark, path, TAGGED_RDF_SCHEMA, run, batches_from_values
+        spark, path, TAGGED_RDF_SCHEMA, batches_from_values
     )
 
 
@@ -2761,12 +2758,26 @@ def _split_frame_files(path):
     files = _local_paths(path)
     if files is None:
         return [], None
+    import os
+
+    # directory/glob listings skip hidden and metadata names the Hadoop
+    # text source would have skipped when it did the listing itself
+    # ('.part-*.crc', '_SUCCESS', in-progress temps) — but a file the
+    # caller NAMED explicitly is always honored
+    named = path if isinstance(path, (list, tuple)) else [path]
+    explicit = {os.path.abspath(p) for p in named if os.path.isfile(p)}
+    files = [
+        fp
+        for fp in files
+        if fp in explicit or not os.path.basename(fp).startswith((".", "_"))
+    ]
     frame = [
         fp
         for fp in files
         if _FRAME_CODEC_RE.search(fp) and _codec_direct_streamable(fp)
     ]
-    rest = [fp for fp in files if fp not in set(frame)]
+    in_frame = set(frame)
+    rest = [fp for fp in files if fp not in in_frame]
     return frame, rest
 
 
@@ -2830,14 +2841,20 @@ def _framesplit_parsed_df(
                         fp, int(start), int(end), int(size), first=bool(first)
                     )
                 )
-                yield from make_batches(pairs)
+                # task_key uniquely names this group across the whole
+                # read (file path + compressed start offset) — parse
+                # routes fold it into anon-label salts so two groups
+                # sharing a Spark partition cannot mint colliding
+                # blank-node ids
+                yield from make_batches(pairs, f"{key}:{int(start)}")
 
     return tdf.mapInPandas(run, schema)
 
 
-def _frame_pairs_batches(pairs, batch_rows: int = 100_000):
+def _frame_pairs_batches(pairs, task_key=None, batch_rows: int = 100_000):
     """Default ``make_batches``: (src, value) line frames, 100k rows per
-    Arrow batch."""
+    Arrow batch (``task_key`` unused — raw lines carry no generated
+    ids)."""
     import pandas as pd
 
     S: list = []
@@ -2916,7 +2933,18 @@ def read_turtle_lines_df(spark, path: str, tagged: bool = False):
             for pdf in batches:
                 yield from zip(pdf["src"], pdf["value"])
 
-        yield from _turtle_line_batches(pairs(), prefixes_by_file.value, tagged)
+        yield from _turtle_line_batches(
+            pairs(), prefixes_by_file.value, tagged
+        )
+
+    def frame_batches(pairs, task_key):
+        import hashlib
+
+        # per-group salt, the offsets path's f{filehash}o{offset} scheme
+        gsalt = hashlib.sha1(task_key.encode("utf-8")).hexdigest()[:8]
+        yield from _turtle_line_batches(
+            pairs, prefixes_by_file.value, tagged, salt=f"g{gsalt}."
+        )
 
     parts = []
     frame_files, rest = _split_frame_files(path)
@@ -2929,14 +2957,7 @@ def read_turtle_lines_df(spark, path: str, tagged: bool = False):
         # files; the only readable route in wheel-less local mode
         # either way.  Everything else stays on the text source.
         parts.append(
-            _framesplit_parsed_df(
-                spark,
-                frame_files,
-                out_schema,
-                lambda pairs: _turtle_line_batches(
-                    pairs, prefixes_by_file.value, tagged
-                ),
-            )
+            _framesplit_parsed_df(spark, frame_files, out_schema, frame_batches)
         )
     if rest or not frame_files:
         lines = spark.read.text(rest if frame_files else path).select(
@@ -2949,12 +2970,16 @@ def read_turtle_lines_df(spark, path: str, tagged: bool = False):
     return df
 
 
-def _turtle_line_batches(pairs, by_file, tagged):
+def _turtle_line_batches(pairs, by_file, tagged, salt: str = ""):
     """Shared per-line Turtle parse for the line-safe readers:
     ``pairs`` yields (src, line); yields QUADS/TAGGED-shaped pandas
     frames of 100k rows.  Runs inside a task — both the text-source
     ``mapInPandas`` and the framesplit group tasks delegate here, so
-    the two routes cannot drift."""
+    the two routes cannot drift.  ``salt`` scopes generated blank-node
+    labels: the framesplit route passes a per-group hash (one partition
+    can run SEVERAL groups, and the text stage of the same union reuses
+    partition ids — pid alone would mint colliding '[ ]' labels across
+    them)."""
     import pandas as pd
 
     from kolibrie_spark.rdfio.parsers import (
@@ -3027,7 +3052,7 @@ def _turtle_line_batches(pairs, by_file, tagged):
             # (partition id, line ordinal) like the chunk paths
             n_slow += 1
             triples, _quoted, _ = parse_turtle(
-                line, prefixes=pfx, anon_prefix=f"p{pid}l{n_slow}."
+                line, prefixes=pfx, anon_prefix=f"{salt}p{pid}l{n_slow}."
             )
         except RdfParseError as e:
             raise RdfParseError(
@@ -3049,7 +3074,8 @@ def _turtle_line_batches(pairs, by_file, tagged):
 
 
 def write_rdf_zst(df, out_dir: str, fmt: str = "ntriples",
-                  frame_bytes: int = 32 << 20, level: int = 3):
+                  frame_bytes: int = 32 << 20, level: int = 3,
+                  quoted_rows=()):
     """Distributed SPLITTABLE compressed export: each partition of the
     quads DataFrame serializes to N-Triples/N-Quads lines and writes ONE
     multi-frame ``part-NNNNN.{nt,nq}.zst`` under ``out_dir`` — one zstd
@@ -3062,7 +3088,13 @@ def write_rdf_zst(df, out_dir: str, fmt: str = "ntriples",
     ``.inprogress.<attempt>`` temp and ``os.replace`` at the end, so a
     retried task never leaves a torn file.  Returns the manifest (one
     dict per non-empty partition: path, rows, bytes) — bounded by the
-    partition count, like any writer's commit summary."""
+    partition count, like any writer's commit summary.
+
+    ``quoted_rows`` is the RDF-star qid<->(s,p,o) mapping set (the
+    QUOTED_SCHEMA rows); with it, qt:<id> surrogate terms serialize as
+    ``<< s p o >>`` (N-Triples-star) instead of degrading to opaque
+    literals.  It ships inside the task closure like the prefix maps —
+    the same small-mapping-set assumption ``load_distributed`` makes."""
     import os
 
     from kolibrie_spark.rdfio import zstd_ctypes
@@ -3079,6 +3111,7 @@ def write_rdf_zst(df, out_dir: str, fmt: str = "ntriples",
         raise ValueError(f"write_rdf_zst serializes ntriples/nquads, not {fmt}")
     ext = "nt" if fmt == "ntriples" else "nq"
     os.makedirs(out_dir, exist_ok=True)
+    quoted_rows = [tuple(r) for r in quoted_rows]
 
     def run(batches):
         import pandas as pd
@@ -3096,7 +3129,12 @@ def write_rdf_zst(df, out_dir: str, fmt: str = "ntriples",
         except Exception:
             pid, attempt = 0, 0
         final = os.path.join(out_dir, f"part-{pid:05d}.{ext}.zst")
-        tmp = f"{final}.inprogress.{attempt}"
+        # hidden-prefixed temp: a hard-killed task's leftover is invisible
+        # to the readers (the Hadoop convention _split_frame_files and the
+        # text source both honor), never a torn file poisoning the dir
+        tmp = os.path.join(
+            out_dir, f".part-{pid:05d}.{ext}.zst.inprogress.{attempt}"
+        )
         out = None
         buf: list[str] = []
         size = 0
@@ -3131,11 +3169,13 @@ def write_rdf_zst(df, out_dir: str, fmt: str = "ntriples",
                     hi = lo + step
                     if fmt == "ntriples":
                         text = serialize_ntriples(
-                            zip(S[lo:hi], P[lo:hi], O[lo:hi])
+                            zip(S[lo:hi], P[lo:hi], O[lo:hi]),
+                            quoted_rows=quoted_rows,
                         )
                     else:
                         text = serialize_nquads(
-                            zip(S[lo:hi], P[lo:hi], O[lo:hi], G[lo:hi])
+                            zip(S[lo:hi], P[lo:hi], O[lo:hi], G[lo:hi]),
+                            quoted_rows=quoted_rows,
                         )
                     buf.append(text)
                     size += len(text)

@@ -283,6 +283,26 @@ def frame_groups(
     )
 
 
+def _first_data_frame_offset(fp: str) -> int:
+    """Offset of the first NON-skippable frame — O(#leading skippable
+    frames) header reads, no decompression.  Falls back to 0 on any
+    read problem (the subsequent decompression will raise the real
+    error loudly)."""
+    try:
+        size = os.path.getsize(fp)
+        with open(fp, "rb") as fh:
+            pos = 0
+            while pos + 8 <= size:
+                fh.seek(pos)
+                magic = int.from_bytes(fh.read(4), "little")
+                if not (_SKIP_LO <= magic <= _SKIP_HI):
+                    return pos
+                pos += 8 + int.from_bytes(fh.read(4), "little")
+        return pos
+    except OSError:
+        return 0
+
+
 class _RangeFile:
     """Read window [start, end) of ``fh`` — hands the decompressor
     exactly one group's compressed bytes, so its stream ends cleanly at
@@ -354,14 +374,13 @@ def iter_group_lines(
     memory: one 1 MiB read buffer + one partial-line carry.
 
     ``first`` marks the FIRST group of the file — it owns its head line
-    instead of skipping to the first newline.  It defaults to
-    ``start == 0``, which is only correct when the first data frame is at
-    offset 0: a file with a LEADING SKIPPABLE frame (seekable-format
-    metadata) has its first group start past it, so callers that planned
-    via :func:`frame_groups` must pass ``first`` explicitly or lose the
-    head line."""
+    instead of skipping to the first newline.  When omitted it is
+    derived by walking the file's LEADING skippable frames (seekable-
+    format metadata can push the first data frame — and so the first
+    group — past offset 0; a bare ``start == 0`` test would make that
+    group skip to its first newline and silently drop the head line)."""
     if first is None:
-        first = start == 0
+        first = start <= _first_data_frame_offset(fp)
     with open(fp, "rb") as fh:
         stream = _open_decompressor(fp, fh, start, end)
         carry = b""

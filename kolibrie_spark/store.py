@@ -126,11 +126,18 @@ class QuadStore:
         """Splittable compressed dump of the store: one multi-frame
         ``part-*.{nt,nq}.zst`` per partition (``rdfio.write_rdf_zst``) —
         readable by any zstd tool, re-loadable IN-FILE-parallel through
-        ``load_distributed``.  Returns the per-file manifest."""
+        ``load_distributed``.  Quoted-triple mappings ride along so
+        qt:<id> surrogates serialize as ``<< s p o >>`` (lossless
+        RDF-star round trip via the tagged readers).  Returns the
+        per-file manifest."""
         from kolibrie_spark import rdfio
 
         return rdfio.write_rdf_zst(
-            self.quads, out_dir, fmt=fmt, frame_bytes=frame_bytes
+            self.quads,
+            out_dir,
+            fmt=fmt,
+            frame_bytes=frame_bytes,
+            quoted_rows=[tuple(r) for r in self.quoted.collect()],
         )
 
     def add_quads(self, rows: list[tuple]) -> None:

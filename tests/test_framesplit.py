@@ -497,3 +497,118 @@ def test_write_rdf_zst_nquads_graphs(spark, tmp_path):
         (r.s, r.o, r.g) for r in R.read_nquads_df(spark, str(out)).collect()
     }
     assert got == {(s, o, g) for s, _, o, g in rows}
+
+
+@pytest.mark.skipif(not _zstd_available(), reason="no libzstd")
+def test_iter_group_lines_derives_first_past_leading_skippable(tmp_path):
+    """Without an explicit ``first``, the default walks leading skippable
+    frames — the bare start==0 heuristic would drop the head line."""
+    data = b"head line\nsecond\n"
+    f = tmp_path / "lead2.zst"
+    f.write_bytes(_zstd_skippable(b"meta") + _zstd_compress_frame(data))
+    import os
+    size = os.path.getsize(str(f))
+    (start, end), = FS.frame_groups(str(f), 1 << 40)
+    assert start > 0
+    got = list(FS.iter_group_lines(str(f), start, end, size))  # no first=
+    assert got == [b"head line", b"second"]
+
+
+@pytest.mark.skipif(not _zstd_available(), reason="no libzstd")
+def test_framesplit_anon_labels_unique_across_groups(spark, tmp_path, monkeypatch):
+    """'[ ]' blank nodes minted in DIFFERENT frame groups (and in the
+    text stage of a mixed union) must never collide — the salt scopes
+    labels per group, not per Spark partition id."""
+    import kolibrie_spark.rdfio as R
+
+    d = tmp_path / "mix"
+    d.mkdir()
+    ttl_zst = "@prefix ex: <http://e/> .\n" + "".join(
+        f'ex:s{i} ex:p [ ex:q "v{i}" ] .\n' for i in range(300)
+    )
+    data = ttl_zst.encode()
+    _write_multiframe_zst(d / "a.ttl.zst", data, cuts=[len(data) // 3,
+                                                       2 * len(data) // 3])
+    (d / "b.ttl").write_text(
+        "@prefix ex: <http://e/> .\n" + "".join(
+            f'ex:t{i} ex:p [ ex:q "w{i}" ] .\n' for i in range(100)
+        )
+    )
+    # force one group per frame so several groups exist
+    orig = R._framesplit_parsed_df
+    monkeypatch.setattr(
+        R, "_framesplit_parsed_df",
+        lambda sp, files, schema, mk, target_bytes=None: orig(
+            sp, files, schema, mk, target_bytes=1
+        ),
+    )
+    rows = R.read_turtle_lines_df(spark, str(d)).collect()
+    anon = {r.s for r in rows if r.s.startswith("_:")} | {
+        r.o for r in rows if r.o.startswith("_:")
+    }
+    # every bracket a distinct node: 300 zst + 100 plain
+    assert len(anon) == 400
+    # and the structure survives: each anon node carries its ex:q leaf
+    leaves = {r.o for r in rows if r.p == "http://e/q"}
+    assert len(leaves) == 400
+
+
+@pytest.mark.skipif(not _zstd_available(), reason="no libzstd")
+def test_reader_skips_hidden_and_metadata_files(spark, tmp_path):
+    """Hadoop-convention hidden names ('.x.crc', '_SUCCESS', in-progress
+    temps) in a listed directory are skipped like the text source skips
+    them — but an explicitly named hidden file is honored."""
+    import kolibrie_spark.rdfio as R
+
+    d = tmp_path / "dir"
+    d.mkdir()
+    nt = "".join(f'<http://e/s{i}> <http://e/p> "v{i}" .\n' for i in range(50))
+    _write_multiframe_zst(d / "a.nt.zst", nt.encode(), cuts=[500])
+    (d / ".a.nt.zst.crc").write_bytes(b"\x00\x01binary junk")
+    (d / "_SUCCESS").write_text("")
+    (d / ".part-00000.nt.zst.inprogress.0").write_bytes(b"\x28\xb5\x2f\xfdtorn")
+    rows = R.read_ntriples_df(spark, str(d)).collect()
+    assert len(rows) == 50
+
+    # explicit hidden file: honored
+    hidden = tmp_path / ".explicit.nt.zst"
+    hidden.write_bytes(_zstd_compress_frame(b'<http://e/x> <http://e/p> "1" .\n'))
+    got = R.read_ntriples_df(spark, str(hidden)).collect()
+    assert len(got) == 1
+
+
+@pytest.mark.skipif(not _zstd_available(), reason="no libzstd")
+def test_export_zst_preserves_rdf_star(spark, tmp_path):
+    """A store holding quoted-triple annotations exports << s p o >>
+    (not opaque qt: literals) and round-trips losslessly through the
+    distributed tagged reload."""
+    from kolibrie_spark import SparqlEngine
+
+    eng = SparqlEngine(spark)
+    eng.parse_data(
+        "@prefix ex: <urn:x#> .\n"
+        'ex:a ex:p "1" {| ex:certainty "0.9" |} .\n'
+        'ex:b ex:p "5" .\n'
+    )
+    out = tmp_path / "stardump"
+    manifest = eng.store.export_zst(str(out))
+    assert manifest
+    # the serialized text carries the quoted triple, not a qt: literal
+    import os as _os
+
+    text = b"\n".join(
+        ln
+        for m in manifest
+        for ln in FS.iter_group_lines(
+            m["path"], 0, _os.path.getsize(m["path"]),
+            _os.path.getsize(m["path"]),
+        )
+    )
+    assert b"<<" in text and b"qt:" not in text
+
+    eng2 = SparqlEngine(spark)
+    eng2.load_file(str(out), distributed=True, fmt="ntriples")
+    got = eng2.execute(
+        "SELECT ?o WHERE { ?t <urn:x#certainty> ?o }"
+    )
+    assert [list(r) for r in got] == [["0.9"]]

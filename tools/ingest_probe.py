@@ -459,33 +459,17 @@ def probe_stream_zst_split() -> None:
     sequential control is the SAME file read as one frame group
     (target_bytes=1 << 60), isolating the split win from codec/parser
     differences."""
-    import ctypes
-
     from pyspark.sql import SparkSession
 
     import kolibrie_spark.rdfio as R
-    from kolibrie_spark.rdfio import framesplit
-    from kolibrie_spark.rdfio.zstd_ctypes import _load_libzstd
+    from kolibrie_spark.rdfio import framesplit, zstd_ctypes
 
     os.makedirs(BASE, exist_ok=True)
     p = os.path.join(BASE, "big_stream_mf.ttl.zst")
     if not os.path.exists(p):
-        lib = _load_libzstd()
-        lib.ZSTD_compressBound.restype = ctypes.c_size_t
-        lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
-        lib.ZSTD_compress.restype = ctypes.c_size_t
-        lib.ZSTD_compress.argtypes = [
-            ctypes.c_void_p, ctypes.c_size_t,
-            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
-        ]
 
         def frame(b: bytes) -> bytes:
-            bound = lib.ZSTD_compressBound(len(b))
-            dst = ctypes.create_string_buffer(bound)
-            n = lib.ZSTD_compress(
-                ctypes.cast(dst, ctypes.c_void_p), bound, b, len(b), 1
-            )
-            return dst.raw[:n]
+            return zstd_ctypes.compress_frame(b, 1)
 
         target = 32 << 20  # decompressed bytes per frame, the pzstd shape
         with open(p, "wb") as out:
