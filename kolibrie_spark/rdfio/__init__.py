@@ -2827,7 +2827,14 @@ def _framesplit_parsed_df(
     if not tasks:
         return spark.createDataFrame([], schema)
     task_schema = "fp string, start long, end long, size long, first boolean"
-    tdf = spark.createDataFrame(tasks, task_schema).repartition(len(tasks))
+    # exact one-task-per-partition via parallelize slices, NOT
+    # repartition(n): the repartition shuffle is AQE-coalescible (Spark 4
+    # enables AQE by default), and a longer chained plan measurably lost
+    # 19 of 50 planned groups to coalescing — a leaf RDD's partitioning
+    # is not negotiable, and it saves the shuffle besides
+    tdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(tasks, len(tasks)), task_schema
+    )
 
     def run(batches):
         for pdf in batches:

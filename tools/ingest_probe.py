@@ -536,6 +536,57 @@ def probe_stream_zst_split() -> None:
     )
 
 
+def probe_zst_write() -> None:
+    """Export-writer throughput: parse the 30M-row multi-frame dump
+    (`--streamprobe-zstsplit` fixture) and write it back as splittable
+    multi-frame .nt.zst via write_rdf_zst — the full
+    read->serialize->compress->commit pipeline at local[cpus]."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    import kolibrie_spark.rdfio as R
+
+    p = os.path.join(BASE, "big_stream_mf.ttl.zst")
+    if not os.path.exists(p):
+        print(json.dumps({"probe": "zst-write",
+                          "skip": "run --streamprobe-zstsplit first"}))
+        return
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out = tempfile.mkdtemp(prefix="zstwrite_", dir=BASE)
+    try:
+        t0 = time.time()
+        manifest = R.write_rdf_zst(
+            R.read_turtle_lines_df(spark, p), out
+        )
+        sec = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "probe": "zst-write",
+                    "rows": sum(m["rows"] for m in manifest),
+                    "files": len(manifest),
+                    "out_mb": round(
+                        sum(m["bytes"] for m in manifest) / 1e6
+                    ),
+                    "sec": round(sec, 1),
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def probe_stream_xml() -> None:
     """XML twin of :func:`probe_stream` (VERDICT r10 task #3): one gzip
     RDF/XML file with >2 GB decompressed — past the wholetext plan's JVM
@@ -688,6 +739,7 @@ if __name__ == "__main__":
     ap.add_argument("--streamprobe-xml", action="store_true")
     ap.add_argument("--streamprobe-zst", action="store_true")
     ap.add_argument("--streamprobe-zstsplit", action="store_true")
+    ap.add_argument("--streamprobe-zstwrite", action="store_true")
     ap.add_argument("--streamprobe-lz4", action="store_true")
     ap.add_argument("--hitrate", action="store_true")
     ap.add_argument("--fmt", default="ntriples,nquads,rdfxml")
@@ -711,6 +763,8 @@ if __name__ == "__main__":
         probe_stream_zst()
     if args.streamprobe_zstsplit:
         probe_stream_zst_split()
+    if args.streamprobe_zstwrite:
+        probe_zst_write()
     if args.streamprobe_lz4:
         probe_stream_lz4()
     if args.scale:
