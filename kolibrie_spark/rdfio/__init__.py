@@ -2828,10 +2828,12 @@ def _framesplit_parsed_df(
         return spark.createDataFrame([], schema)
     task_schema = "fp string, start long, end long, size long, first boolean"
     # exact one-task-per-partition via parallelize slices, NOT
-    # repartition(n): the repartition shuffle is AQE-coalescible (Spark 4
-    # enables AQE by default), and a longer chained plan measurably lost
-    # 19 of 50 planned groups to coalescing — a leaf RDD's partitioning
-    # is not negotiable, and it saves the shuffle besides
+    # repartition(n): round-robin repartition writes each input
+    # partition's rows CONSECUTIVELY from a random start offset, so a
+    # tiny task table collides into some targets and leaves others
+    # empty — measured 19 of 50 planned groups idle (verified identical
+    # with AQE on and off).  A leaf RDD's slicing is exact, and it
+    # saves the shuffle besides.
     tdf = spark.createDataFrame(
         spark.sparkContext.parallelize(tasks, len(tasks)), task_schema
     )
