@@ -3084,7 +3084,7 @@ def _turtle_line_batches(pairs, by_file, tagged, salt: str = ""):
 
 def write_rdf_zst(df, out_dir: str, fmt: str = "ntriples",
                   frame_bytes: int = 32 << 20, level: int = 3,
-                  quoted_rows=()):
+                  quoted_rows=(), codec: str = "zst"):
     """Distributed SPLITTABLE compressed export: each partition of the
     quads DataFrame serializes to N-Triples/N-Quads lines and writes ONE
     multi-frame ``part-NNNNN.{nt,nq}.zst`` under ``out_dir`` — one zstd
@@ -3103,18 +3103,27 @@ def write_rdf_zst(df, out_dir: str, fmt: str = "ntriples",
     QUOTED_SCHEMA rows); with it, qt:<id> surrogate terms serialize as
     ``<< s p o >>`` (N-Triples-star) instead of degrading to opaque
     literals.  It ships inside the task closure like the prefix maps —
-    the same small-mapping-set assumption ``load_distributed`` makes."""
+    the same small-mapping-set assumption ``load_distributed`` makes.
+
+    ``codec="lz4"`` writes lz4 frames instead (Content_Size stamped, so
+    the split planner still groups by decompressed size)."""
     import os
 
-    from kolibrie_spark.rdfio import zstd_ctypes
+    from kolibrie_spark.rdfio import lz4_ctypes, zstd_ctypes
 
-    if not (
-        _optional_codec_available("zstandard") or zstd_ctypes.available()
-    ):
-        raise ImportError(
-            "write_rdf_zst needs libzstd (vendored ctypes shim) or the "
-            "zstandard package"
-        )
+    if codec == "zst":
+        if not (
+            _optional_codec_available("zstandard") or zstd_ctypes.available()
+        ):
+            raise ImportError(
+                "write_rdf_zst needs libzstd (vendored ctypes shim) or the "
+                "zstandard package"
+            )
+    elif codec == "lz4":
+        if not lz4_ctypes.available():
+            raise ImportError("write_rdf_zst(codec='lz4') needs liblz4")
+    else:
+        raise ValueError(f"unknown codec {codec!r}: zst or lz4")
     fmt = FORMAT_ALIASES[fmt.lower()]
     if fmt not in ("ntriples", "nquads"):
         raise ValueError(f"write_rdf_zst serializes ntriples/nquads, not {fmt}")
@@ -3137,19 +3146,21 @@ def write_rdf_zst(df, out_dir: str, fmt: str = "ntriples",
             pid, attempt = ctx.partitionId(), ctx.attemptNumber()
         except Exception:
             pid, attempt = 0, 0
-        final = os.path.join(out_dir, f"part-{pid:05d}.{ext}.zst")
+        final = os.path.join(out_dir, f"part-{pid:05d}.{ext}.{codec}")
         # hidden-prefixed temp: a hard-killed task's leftover is invisible
         # to the readers (the Hadoop convention _split_frame_files and the
         # text source both honor), never a torn file poisoning the dir
         tmp = os.path.join(
-            out_dir, f".part-{pid:05d}.{ext}.zst.inprogress.{attempt}"
+            out_dir, f".part-{pid:05d}.{ext}.{codec}.inprogress.{attempt}"
         )
         out = None
         buf: list[str] = []
         size = 0
         rows = 0
 
-        if zstd_ctypes.available():
+        if codec == "lz4":
+            compress = lz4_ctypes.compress_frame
+        elif zstd_ctypes.available():
             compress = zstd_ctypes.compress_frame
         else:  # driver gate passed, so the wheel must be importable
 

@@ -168,3 +168,64 @@ class _CtypesLz4Reader(io.RawIOBase):
 
 def open_stream(fh, closefd: bool = True):
     return _CtypesLz4Reader(fh, closefd=closefd)
+
+
+class _Lz4FrameInfo(ctypes.Structure):
+    _fields_ = [
+        ("blockSizeID", ctypes.c_int),
+        ("blockMode", ctypes.c_int),
+        ("contentChecksumFlag", ctypes.c_int),
+        ("frameType", ctypes.c_int),
+        ("contentSize", ctypes.c_ulonglong),
+        ("dictID", ctypes.c_uint),
+        ("blockChecksumFlag", ctypes.c_int),
+    ]
+
+
+class _Lz4Preferences(ctypes.Structure):
+    _fields_ = [
+        ("frameInfo", _Lz4FrameInfo),
+        ("compressionLevel", ctypes.c_int),
+        ("autoFlush", ctypes.c_uint),
+        ("favorDecSpeed", ctypes.c_uint),
+        ("reserved", ctypes.c_uint * 3),
+    ]
+
+
+def compress_frame(data: bytes, level: int = 0) -> bytes:
+    """ONE complete lz4 frame for ``data`` (one-shot
+    ``LZ4F_compressFrame``), with Content_Size RECORDED in the header —
+    the CLI defaults it off, but the frame-split planner groups by
+    decompressed size, so the export writer always stamps it.
+    Concatenated frames are a legal .lz4 stream any lz4 tool reads and
+    :mod:`~kolibrie_spark.rdfio.framesplit` splits."""
+    lib = _load_liblz4()
+    try:
+        lib.LZ4F_compressFrameBound.restype = ctypes.c_size_t
+        lib.LZ4F_compressFrameBound.argtypes = [
+            ctypes.c_size_t,
+            ctypes.POINTER(_Lz4Preferences),
+        ]
+        lib.LZ4F_compressFrame.restype = ctypes.c_size_t
+        lib.LZ4F_compressFrame.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(_Lz4Preferences),
+        ]
+    except AttributeError as exc:  # pragma: no cover - ancient liblz4
+        raise Lz4Error(f"liblz4 lacks LZ4F_compressFrame: {exc}") from exc
+    prefs = _Lz4Preferences()
+    prefs.frameInfo.contentSize = len(data)
+    prefs.compressionLevel = level
+    bound = lib.LZ4F_compressFrameBound(len(data), ctypes.byref(prefs))
+    dst = ctypes.create_string_buffer(bound)
+    n = lib.LZ4F_compressFrame(
+        ctypes.cast(dst, ctypes.c_void_p), bound, data, len(data),
+        ctypes.byref(prefs),
+    )
+    if lib.LZ4F_isError(n):
+        msg = lib.LZ4F_getErrorName(n).decode("ascii", "replace")
+        raise Lz4Error(f"lz4 compress: {msg}")
+    return dst.raw[:n]

@@ -612,3 +612,56 @@ def test_export_zst_preserves_rdf_star(spark, tmp_path):
         "SELECT ?o WHERE { ?t <urn:x#certainty> ?o }"
     )
     assert [list(r) for r in got] == [["0.9"]]
+
+
+@pytest.mark.skipif(not _zstd_available(), reason="no libzstd")
+def test_write_rdf_zst_edge_cases(spark, tmp_path):
+    import kolibrie_spark.rdfio as R
+    from kolibrie_spark.schema import QUADS_SCHEMA
+
+    # empty store: empty manifest, no files
+    empty = spark.createDataFrame([], QUADS_SCHEMA)
+    out = tmp_path / "empty"
+    assert R.write_rdf_zst(empty, str(out)) == []
+    import os
+    assert os.listdir(out) == []
+
+    # unsupported serialization: loud
+    df = spark.createDataFrame(
+        [("http://e/a", "http://e/p", "v", None)], QUADS_SCHEMA
+    )
+    with pytest.raises(ValueError):
+        R.write_rdf_zst(df, str(tmp_path / "x"), fmt="turtle")
+
+
+def test_write_rdf_lz4_round_trip(spark, tmp_path):
+    """codec='lz4' writes multi-frame .nt.lz4 with Content_Size stamped
+    (the CLI leaves it off; the split planner needs it) that reads back
+    in-file parallel — and the standard lz4 CLI decodes it."""
+    import os
+
+    import kolibrie_spark.rdfio as R
+    from kolibrie_spark.rdfio import lz4_ctypes as L
+    from kolibrie_spark.schema import QUADS_SCHEMA
+
+    if not L.available():
+        pytest.skip("no liblz4 on this box")
+    rows = [
+        (f"http://e/s{i}", "http://e/p", f"v {i}", None) for i in range(6000)
+    ]
+    df = spark.createDataFrame(rows, QUADS_SCHEMA).repartition(2)
+    out = tmp_path / "lzdump"
+    manifest = R.write_rdf_zst(df, str(out), frame_bytes=40_000, codec="lz4")
+    assert sum(m["rows"] for m in manifest) == 6000
+    for m in manifest:
+        assert m["path"].endswith(".nt.lz4")
+        idx = FS.lz4_frame_index(m["path"])
+        assert len(idx) > 1 and all(d is not None for _, d in idx)
+
+    lz4_bin = shutil.which("lz4")
+    if lz4_bin is not None:
+        for m in manifest:
+            subprocess.run([lz4_bin, "-t", "-q", m["path"]], check=True)
+
+    got = {(r.s, r.o) for r in R.read_ntriples_df(spark, str(out)).collect()}
+    assert got == {(s, o) for s, _, o, _ in rows}
