@@ -37,6 +37,11 @@ def main(argv: list[str] | None = None) -> int:
         default="ntriples",
         help="export serialization: ntriples (default) or nquads",
     )
+    ap.add_argument(
+        "--export-codec",
+        default="zst",
+        help="export frame codec: zst (default) or lz4",
+    )
     ap.add_argument("--explain", action="store_true", help="print the physical plan")
     ap.add_argument("--master", default="local[*]")
     ap.add_argument(
@@ -82,7 +87,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"update applied; store now holds {engine.triple_count()} quads")
     if args.export_zst:
         manifest = engine.store.export_zst(
-            args.export_zst, fmt=args.export_format
+            args.export_zst, fmt=args.export_format, codec=args.export_codec
         )
         total = sum(m["rows"] for m in manifest)
         print(f"exported {total} quads to {len(manifest)} file(s) under "

@@ -121,7 +121,7 @@ class QuadStore:
 
     def export_zst(
         self, out_dir: str, fmt: str = "ntriples",
-        frame_bytes: int = 32 << 20,
+        frame_bytes: int = 32 << 20, codec: str = "zst",
     ) -> list:
         """Splittable compressed dump of the store: one multi-frame
         ``part-*.{nt,nq}.zst`` per partition (``rdfio.write_rdf_zst``) —
@@ -138,6 +138,7 @@ class QuadStore:
             fmt=fmt,
             frame_bytes=frame_bytes,
             quoted_rows=[tuple(r) for r in self.quoted.collect()],
+            codec=codec,
         )
 
     def add_quads(self, rows: list[tuple]) -> None:
