@@ -75,6 +75,93 @@ def test_derived_expiry_is_min_of_premises():
     assert inc.update(empty_sds, now=15).get(OUT) is None
 
 
+def test_indexed_match_equals_scan_matcher():
+    """r12 optimization pin: the hash-indexed `_match` must return exactly
+    the binding/support set of the original O(F^2) scanner — randomized
+    differential over patterns with constants, repeated variables, and
+    unknown term types (which must match nothing)."""
+    import random
+
+    from kolibrie_spark.sparql.ast import Lit
+    from kolibrie_spark.streaming.cross_window import _match
+
+    def match_scan(rule, facts):
+        # the pre-r12 reference scanner, verbatim
+        results = [({}, [])]
+        items = list(facts.keys())
+        for pat in rule.premise:
+            nxt = []
+            for binding, used in results:
+                for f in items:
+                    b = dict(binding)
+                    ok = True
+                    for term, val in zip((pat.s, pat.p, pat.o), f):
+                        if isinstance(term, Var):
+                            if b.get(term.name, val) != val:
+                                ok = False
+                                break
+                            b[term.name] = val
+                        elif isinstance(term, (Iri, Lit)):
+                            if term.value != val:
+                                ok = False
+                                break
+                        else:
+                            ok = False
+                            break
+                    if ok:
+                        nxt.append((b, used + [f]))
+            results = nxt
+            if not results:
+                break
+        return results
+
+    def norm(results):
+        return sorted(
+            (tuple(sorted(b.items())), tuple(sorted(u))) for b, u in results
+        )
+
+    rng = random.Random(7)
+    subjects = [f"s{i}" for i in range(10)]
+    preds = [f"p{i}" for i in range(4)]
+    objs = [f"o{i}" for i in range(10)]
+    var_names = ["x", "y", "z", "x"]  # repeated names exercise self-joins
+
+    def term():
+        r = rng.random()
+        if r < 0.45:
+            return Var(rng.choice(var_names))
+        if r < 0.75:
+            return Iri(rng.choice(preds + subjects))
+        return Lit(rng.choice(objs))
+
+    for trial in range(150):
+        facts = {}
+        for _ in range(rng.randrange(1, 35)):
+            facts[
+                (rng.choice(subjects), rng.choice(preds), rng.choice(objs))
+            ] = 99
+        rule = Rule(
+            premise=[
+                TriplePattern(term(), term(), term())
+                for _ in range(rng.randrange(1, 4))
+            ],
+            conclusion=[TriplePattern(Var("x"), Iri("c"), Var("z"))],
+        )
+        assert norm(_match(rule, facts)) == norm(match_scan(rule, facts)), (
+            f"trial {trial}"
+        )
+
+    class Unknown:  # unknown term type: both matchers must reject
+        pass
+
+    rule = Rule(
+        premise=[TriplePattern(Unknown(), Iri("p0"), Var("x"))],
+        conclusion=[TriplePattern(Var("x"), Iri("c"), Var("x"))],
+    )
+    facts = {("s0", "p0", "o0"): 5}
+    assert _match(rule, facts) == [] == match_scan(rule, facts)
+
+
 # ---------------------------------------------------------- RETRIEVE clause
 def test_retrieve_clause(spark):
     from kolibrie_spark.store import QuadStore
