@@ -519,10 +519,16 @@ def connected_components(
     wrong cluster ids with no signal (a component's diameter exceeding 25
     means the pair graph is a long chain, not a near-dup cluster; raise
     ``max_iter`` explicitly if that topology is intended)."""
+    # the pair pipeline feeding `pairs` can be expensive (MinHash, SimHash,
+    # shingle joins); the orientation union references it from BOTH
+    # branches and Catalyst does not dedupe common subtrees — a lazy
+    # localCheckpoint materializes it once and both branches share it
+    base = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=False)
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        base.unionByName(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .dropDuplicates()
         .localCheckpoint(eager=True)
@@ -533,39 +539,41 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    null_own = F.lit(None).cast(dict(labels.dtypes)["component"])
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(
-                labels.select(
-                    F.col("id").alias("dst"), F.col("component").alias("__nl")
-                ),
-                on="dst",
-            )
-            .groupBy("src")
-            .agg(F.min("__nl").alias("__nmin"))
+        # one round = one join + ONE aggregation: each node's new label is
+        # min over (own label ∪ neighbors' labels), computed by unioning
+        # the label table into the neighbor-contribution stream and
+        # grouping once on the node id — identical to the previous
+        # groupBy(src)-then-left-join formulation (least(own, min(nbrs)))
+        # but two exchanges cheaper per round.  The own rows also carry the
+        # OLD label (`__own`: max() keeps the single non-null per group),
+        # so convergence is read off the same aggregate instead of a
+        # second label-vs-label join.
+        contrib = edges.join(
+            labels.select(
+                F.col("id").alias("dst"), F.col("component").alias("__nl")
+            ),
+            on="dst",
+        ).select(
+            F.col("src").alias("id"),
+            F.col("__nl").alias("component"),
+            null_own.alias("__own"),
         )
-        new_labels = (
-            labels.join(
-                neighbor_min.select(F.col("src").alias("id"), "__nmin"),
-                on="id",
-                how="left",
-            )
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("__nmin"), F.col("component"))
-                ).alias("component"),
+        own = labels.select(
+            "id", "component", F.col("component").alias("__own")
+        )
+        merged = (
+            own.unionByName(contrib)
+            .groupBy("id")
+            .agg(
+                F.min("component").alias("component"),
+                F.max("__own").alias("__old"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("component").alias("__old")), on="id"
-            )
-            .filter(F.col("component") != F.col("__old"))
-            .take(1)
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("component") != F.col("__old")).take(1)
+        labels = merged.select("id", "component")
         if not changed:
             break
     else:
