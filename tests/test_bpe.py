@@ -121,3 +121,34 @@ def test_bpe_encode_roundtrip_and_oov(spark):
     # concatenating tokens (minus EOW markers) recovers the text's chars
     flat = "".join(tok.replace("</w>", "") for tok in out[0])
     assert flat == "lowlowestnewish"
+
+
+def test_merge_expr_matches_merge_udf(spark):
+    """r12 optimization pin: the JVM aggregate merge expression must be
+    bit-identical to the Arrow-batched reference scan — randomized
+    symbol lists including self-pairs (a,a) where the non-overlapping
+    left-to-right advance matters ('a a a' -> 'aa a', never 'a aa')."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kolibrie_spark.operators.bpe import _merge_expr, _merge_udf
+
+    rng = random.Random(3)
+    alphabet = ["a", "b", "c", "ab", "bc", "</w>", "x"]
+    rows = [
+        ([rng.choice(alphabet) for _ in range(rng.randrange(1, 14))],)
+        for _ in range(800)
+    ]
+    df = spark.createDataFrame(rows, "syms array<string>")
+    for a, b in [("a", "b"), ("ab", "c"), ("a", "a"), ("b", "</w>")]:
+        got = df.select(_merge_expr(F.col("syms"), a, b).alias("m")).collect()
+        ref = df.select(_merge_udf(a, b)(F.col("syms")).alias("m")).collect()
+        assert [r.m for r in got] == [r.m for r in ref], (a, b)
+    # empty-ish and exact-boundary cases
+    edge = spark.createDataFrame(
+        [(["a"],), (["a", "a"],), (["a", "a", "a"],), (["b", "a", "a"],)],
+        "syms array<string>",
+    )
+    got = edge.select(_merge_expr(F.col("syms"), "a", "a").alias("m")).collect()
+    assert [r.m for r in got] == [["a"], ["aa"], ["aa", "a"], ["b", "aa"]]
