@@ -1177,7 +1177,9 @@ def _q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     target = docs.where(F.col("source") == "src0")
-    return dsir_logweights(docs, target, "doc_id", "text", buckets=256)
+    return dsir_logweights(
+        docs, target, "doc_id", "text", buckets=256, target_within_raw=True
+    )
 
 
 def _sample_dsir_oracle() -> str:
@@ -1410,7 +1412,13 @@ def _q_reasoner_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("s"), F.lit("in_region").alias("p"), F.col("r_name").alias("o")
     )
     h = ReasoningHierarchy(spark)
-    h.levels[ReasoningLevel.BASE].facts = located.unionByName(in_region).dropDuplicates()
+    # r12: BASE facts are referenced by every cross-level rule's
+    # dependency union AND the final certainty aggregation; materialize
+    # them once instead of recomputing the two FK joins + dedup per
+    # reference (guide §2.4 — reuse, not recompute)
+    h.levels[ReasoningLevel.BASE].facts = (
+        located.unionByName(in_region).dropDuplicates().localCheckpoint(eager=True)
+    )
 
     h.add_rule_at_level(
         ReasoningLevel.DEDUCTIVE,
@@ -1916,7 +1924,7 @@ def _run_live_gate(spark: SparkSession, sf_dir: str, form: str) -> DataFrame:
         # recorded in _fired_until when the sink runs)
         out_df.withColumn(
             "window_open", F.lit(q._fired_until[wiri] - width).cast("long")
-        ).write.mode("append").parquet(results)
+        ).coalesce(1).write.mode("append").parquet(results)
 
     q.sink = sink
     stream = (
@@ -1995,7 +2003,7 @@ def _q_streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(out_df: DataFrame) -> None:
         out_df.withColumn(
             "window_open", F.lit(q._fired_until[wiri] - width).cast("long")
-        ).write.mode("append").parquet(results)
+        ).coalesce(1).write.mode("append").parquet(results)
 
     q.sink = sink
     stream = (
@@ -2099,7 +2107,7 @@ def _q_streaming_sync_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         counter["n"] += 1
         out_df.withColumn(
             "emission", F.lit(counter["n"]).cast("int")
-        ).write.mode("append").parquet(results)
+        ).coalesce(1).write.mode("append").parquet(results)
 
     q.sink = sink
     stream = (

@@ -361,11 +361,24 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # materialized once (lazily, inside the consuming action): the
+        # candidate set feeds the id prefilter below AND both
+        # verification joins — without this the whole LSH pipeline would
+        # re-execute per reference (r12, guide §2.4)
+        .localCheckpoint(eager=False)
     )
-    # exact verification on the (few) candidates: join back to a shingle
-    # table computed once per doc, instead of re-deriving n-grams from raw
-    # text twice per candidate pair
-    sh = df.select(
+    # exact verification on the (few) candidates: re-derive string
+    # shingles ONLY for documents that appear in some candidate pair — a
+    # candidate-id semi-join prefilter, so the second and third full-
+    # corpus shingle folds of the old shape become candidate-only work
+    # (r12, guide §2.3/§2.4: don't compute what the join discards).  The
+    # candidate id set is pair-bounded and broadcastable at scale.
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .dropDuplicates()
+    )
+    sh = df.join(cand_ids, on=id_col, how="left_semi").select(
         F.col(id_col).alias("__sid"), word_ngrams(F.col(text_col), n).alias("__sh")
     )
     cand = (

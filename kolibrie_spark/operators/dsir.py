@@ -91,47 +91,68 @@ def dsir_logweights(
     id_col: str,
     text_col: str,
     buckets: int = 256,
+    *,
+    target_within_raw: bool = False,
 ) -> DataFrame:
     """Per-doc DSIR log importance weight over ``raw``:
     ``(id, n_grams, logw)`` with logw = (1/n) * sum over doc n-grams of
     [logp_target(bucket) - logp_raw(bucket)], rounded to 9 dp; NULL for
-    docs with no grams (empty text)."""
-    # materialize the raw gram->bucket table once: it feeds BOTH the raw
-    # model counts and the per-doc scoring join, and the char-fold hash
-    # dominates CPU. One narrow (id, bucket) frame — at corpus scale this
-    # is the intermediate a pipeline would persist anyway.
+    docs with no grams (empty text).
+
+    ``target_within_raw=True`` declares ``target`` a row-subset of
+    ``raw`` (the usual DSIR shape: the target slice of the corpus); the
+    target model is then derived from the already-hashed raw gram table
+    by an id semi-join instead of re-running the char-fold hash over the
+    target texts — identical counts, one fewer text pass (r12, guide
+    §2.4 reuse-not-recompute)."""
+    # materialize the raw gram->bucket table once: it feeds the raw model
+    # counts, the per-doc scoring join and (under target_within_raw) the
+    # target model, and the char-fold hash dominates CPU. One narrow
+    # (id, bucket) frame — at corpus scale this is the intermediate a
+    # pipeline would persist anyway.
     gb = _gram_buckets(raw, id_col, text_col, buckets).localCheckpoint(
         eager=False
     )
-    t_model = bucket_logprobs(target, id_col, text_col, buckets)
-    r_model = bucket_logprobs(raw, id_col, text_col, buckets, prebucketed=gb)
-    diff = (
-        t_model.select(
-            "bucket",
-            F.col("logp_scaled").alias("t_lp"),
-            F.col("default_scaled").alias("t_def"),
-        )
-        .join(
-            r_model.select(
-                "bucket",
-                F.col("logp_scaled").alias("r_lp"),
-                F.col("default_scaled").alias("r_def"),
-            ),
-            "bucket",
-            "full",
-        )
+    tgb = (
+        gb.join(target.select(F.col(id_col)), on=id_col, how="left_semi")
+        if target_within_raw
+        else _gram_buckets(target, id_col, text_col, buckets)
     )
-    # defaults are constants; recover them for buckets missing on one side
-    t_def = t_model.agg(F.first("default_scaled").alias("d"))
-    r_def = r_model.agg(F.first("default_scaled").alias("d"))
+    # model counts per occupied bucket; totals derive from the
+    # `buckets`-row count tables (sum of counts == gram count) instead of
+    # a second full pass per model (r12, guide §1.2: don't recompute what
+    # a 256-row aggregate already holds). coalesce: empty corpus -> 0.
+    rc = gb.groupBy("bucket").agg(F.count(F.lit(1)).alias("__rc"))
+    tc = tgb.groupBy("bucket").agg(F.count(F.lit(1)).alias("__tc"))
+    rn = rc.agg(F.coalesce(F.sum("__rc"), F.lit(0)).alias("__rn"))
+    tn = tc.agg(F.coalesce(F.sum("__tc"), F.lit(0)).alias("__tn"))
+
+    def _lp(c, n):
+        # scaled smoothed log-prob; an absent bucket carries count 0, so
+        # (0+1)/(n+B) IS the old default_scaled — one formula covers both
+        return (
+            F.round(
+                F.log(
+                    (F.coalesce(c, F.lit(0)) + 1).cast("double")
+                    / (n + buckets)
+                )
+                * LOGP_SCALE
+            )
+            .cast("long")
+        )
+
+    # an EMPTY model (no grams at all) contributed NULL on its side in
+    # the two-model formulation (no rows to take the default from) — the
+    # when() guards preserve that: n == 0 -> NULL, which nulls the diff
     diff = (
-        diff.crossJoin(F.broadcast(t_def.select(F.col("d").alias("t_d"))))
-        .crossJoin(F.broadcast(r_def.select(F.col("d").alias("r_d"))))
+        tc.join(rc, "bucket", "full")
+        .crossJoin(F.broadcast(tn))
+        .crossJoin(F.broadcast(rn))
         .select(
             "bucket",
             (
-                F.coalesce(F.col("t_lp"), F.col("t_d"))
-                - F.coalesce(F.col("r_lp"), F.col("r_d"))
+                F.when(F.col("__tn") > 0, _lp(F.col("__tc"), F.col("__tn")))
+                - F.when(F.col("__rn") > 0, _lp(F.col("__rc"), F.col("__rn")))
             ).alias("diff_scaled"),
         )
     )

@@ -129,7 +129,27 @@ class StructuredRSP:
         batch = events.select(
             "s", "p", "o", "stream", F.col("event_time").cast("long").alias("event_time")
         )
-        stats = batch.agg(F.max("event_time").alias("hi"), F.count("*").alias("n")).first()
+        # r12 (guide §1.2, fewer driver round-trips): ONE control-plane
+        # aggregate per batch carries the global hwm, the row count, and —
+        # under per_stream_hwm — each fixed-stream window's own mark
+        # (conditional max per stream).  Only streams named by window
+        # specs matter: _hwm_for() never reads any other key, so the
+        # per-stream groupBy job this replaces computed marks nobody used.
+        streams = (
+            sorted({w.stream for w in self.query.windows if w.stream is not None})
+            if self.per_stream_hwm
+            else []
+        )
+        stats = batch.agg(
+            F.max("event_time").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.max(
+                    F.when(F.col("stream") == s, F.col("event_time"))
+                ).alias(f"shi{i}")
+                for i, s in enumerate(streams)
+            ],
+        ).first()
         if stats.n == 0:
             return []
         # pre-batch snapshots: report-gated specs judge candidates on the
@@ -138,13 +158,10 @@ class StructuredRSP:
         prev_hwm = self.hwm
         pre_buffer = self.buffer
         self.hwm = max(self.hwm, int(stats.hi))
-        if self.per_stream_hwm:
-            # tiny control-plane aggregate: one row per stream in the batch
-            for r in batch.groupBy("stream").agg(
-                F.max("event_time").alias("hi")
-            ).collect():
-                self._stream_hwm[r["stream"]] = max(
-                    self._stream_hwm.get(r["stream"], -1), int(r["hi"])
+        for i, s in enumerate(streams):
+            if stats[f"shi{i}"] is not None:
+                self._stream_hwm[s] = max(
+                    self._stream_hwm.get(s, -1), int(stats[f"shi{i}"])
                 )
         if self.watermark is not None:
             batch = batch.filter(F.col("event_time") >= self.hwm - self.watermark)
@@ -181,8 +198,37 @@ class StructuredRSP:
             if fallback == "STEAL" and set(self._last_window_results) == all_w:
                 pre_flush = self._emit()
 
+        # r12 (guide §1.2): one fused control-plane aggregate computes the
+        # latest closed window for EVERY default-report spec (previously
+        # one window_assignments-explode + agg job per window).  For an
+        # event t under governing hwm H, its largest fireable close is
+        # pure arithmetic: the largest open o ≡ 0 (mod slide) with
+        # o <= min(t, H - width) is o* = lim - (lim mod slide); any
+        # smaller slide-multiple is < t - width whenever o* is, so the
+        # event's candidate is o* + width when o* still covers t
+        # (o* > t - width) and lim >= 0, else nothing.  max over events
+        # == max(window_close) of the exploded assignment filtered to
+        # close <= H — the same value, no explode, one job for all
+        # windows.
+        fused_aggs = []
+        for j, w in enumerate(self.query.windows):
+            strategies = list(getattr(w, "report", None) or [])
+            if strategies and strategies != [ReportStrategy.ON_WINDOW_CLOSE]:
+                continue
+            t = F.col("event_time")
+            lim = F.least(t, F.lit(self._hwm_for(w) - w.width))
+            o_cand = lim - F.pmod(lim, F.lit(w.slide))
+            c = F.when(
+                (lim >= 0) & (o_cand > t - F.lit(w.width)),
+                o_cand + F.lit(w.width),
+            )
+            if w.stream is not None:
+                c = F.when(F.col("stream") == w.stream, c)
+            fused_aggs.append(F.max(c).alias(f"__c{j}"))
+        fused_closes = self.buffer.agg(*fused_aggs).first() if fused_aggs else None
+
         fired: set[str] = set()
-        for w in self.query.windows:
+        for j, w in enumerate(self.query.windows):
             strategies = list(getattr(w, "report", None) or [])
             if strategies and strategies != [ReportStrategy.ON_WINDOW_CLOSE]:
                 # non-default REPORT clause: the event-at-a-time report
@@ -213,16 +259,12 @@ class StructuredRSP:
                 else self.buffer.filter(F.col("stream") == w.stream)
             )
             # control plane: latest window of this spec closed under the
-            # governing hwm (this stream's own, under per_stream_hwm)
-            assigned = window_assignments(stream_events, "event_time", w.width, w.slide)
-            row = (
-                assigned.filter(F.col("window_close") <= self._hwm_for(w))
-                .agg(F.max("window_close").alias("close"))
-                .first()
-            )
-            if row.close is None or row.close <= self._fired_until.get(w.iri, -1):
+            # governing hwm (this stream's own, under per_stream_hwm) —
+            # read from the fused aggregate above
+            close_v = fused_closes[f"__c{j}"] if fused_closes is not None else None
+            if close_v is None or close_v <= self._fired_until.get(w.iri, -1):
                 continue
-            close = int(row.close)
+            close = int(close_v)
             open_ = close - w.width
             self._fired_until[w.iri] = close
             fired.add(w.iri)
@@ -396,9 +438,14 @@ class StructuredRSP:
                     for k in keep
                 ]
             )
-        df = df.dropDuplicates().localCheckpoint(eager=True)
-
+        df = df.dropDuplicates()
         op = self.query.operator
+        if op in ("ISTREAM", "DSTREAM"):
+            # the emission set doubles as the next R2S state (consumed by
+            # the anti-join AND stored), so materialize it once;  RSTREAM
+            # consumes it exactly once (sink/collect) — a checkpoint there
+            # would compute every row twice for nothing (r12, guide §5)
+            df = df.localCheckpoint(eager=True)
         if op == "RSTREAM":
             out_df = df
         elif op == "ISTREAM":
