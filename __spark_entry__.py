@@ -1413,11 +1413,13 @@ def _q_reasoner_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = ReasoningHierarchy(spark)
     # r12: BASE facts are referenced by every cross-level rule's
-    # dependency union AND the final certainty aggregation; materialize
-    # them once instead of recomputing the two FK joins + dedup per
-    # reference (guide §2.4 — reuse, not recompute)
+    # dependency union AND the final certainty aggregation; a lazy
+    # checkpoint materializes the two FK joins + dedup once and keeps
+    # every downstream plan truncated (guide §2.4 reuse-not-recompute +
+    # §3.3 plan-size control; a persist()-only variant blew the final
+    # plan up to 1688 lines and was slower than recomputing)
     h.levels[ReasoningLevel.BASE].facts = (
-        located.unionByName(in_region).dropDuplicates().localCheckpoint(eager=True)
+        located.unionByName(in_region).dropDuplicates().localCheckpoint(eager=False)
     )
 
     h.add_rule_at_level(

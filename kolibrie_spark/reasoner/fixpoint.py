@@ -224,6 +224,10 @@ class Reasoner:
     def __init__(self, spark: SparkSession, facts: DataFrame | None = None):
         self.spark = spark
         self.facts = facts if facts is not None else spark.createDataFrame([], FACTS_SCHEMA)
+        # identity of the pristine empty seed: callers that only need to
+        # know "was this reasoner ever given facts?" can compare against
+        # this instead of paying a take(1) job on an empty RDD (r12)
+        self._empty_seed = None if facts is not None else self.facts
         self.rules: list[Rule] = []
         self.constraints: list[Rule] = []
 

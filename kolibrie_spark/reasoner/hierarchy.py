@@ -85,6 +85,22 @@ def _term_lit(term) -> str | None:
     return None
 
 
+def _statically_empty(df: DataFrame) -> bool:
+    """True when the optimizer already knows ``df`` has no rows (an empty
+    LocalRelation) — a driver-side plan check, so the caller can skip the
+    seed-probe job entirely for levels that never received facts (r12,
+    guide §1.2: the cheapest job is the one not launched).  False on any
+    doubt; the caller then falls back to ``take(1)``."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        return (
+            plan.getClass().getSimpleName() == "LocalRelation"
+            and plan.data().isEmpty()
+        )
+    except Exception:
+        return False
+
+
 def _match_premise(facts: DataFrame, pat: TriplePattern, idx: int) -> DataFrame:
     """Rows matching one premise; carries the source fact as struct
     ``__f{idx}`` so the distinct-fact guard can compare origins.  When the
@@ -210,7 +226,13 @@ class ReasoningHierarchy:
             # in-level fixpoint is a no-op without rules or without any
             # seed facts (cross-level writes land AFTER this step, as in
             # the reference's processing order) — skip the jobs then.
-            if kg.rules and kg.facts.take(1):
+            seeded = kg.facts is not getattr(kg, "_empty_seed", None)
+            if (
+                kg.rules
+                and seeded
+                and not _statically_empty(kg.facts)
+                and kg.facts.take(1)
+            ):
                 before = kg.facts
                 kg.materialize()
                 new = kg.facts.join(before, on=["s", "p", "o"], how="left_anti")
@@ -225,9 +247,18 @@ class ReasoningHierarchy:
                     continue
                 # derived is already distinct and anti-joined against the
                 # level's facts, so a plain union stays duplicate-free;
-                # one checkpoint per rule bounds the lineage.
+                # one checkpoint per rule bounds the lineage.  LAZY (r12,
+                # guide §5/§3.3): eager=True paid a full blocking job per
+                # rule (measured 1.7s each on the hierarchy gate); lazy
+                # still truncates the plan for every later reference —
+                # which matters: a persist()-only variant produced a
+                # 1688-line final plan (160 Exchanges) whose planning
+                # time alone cost more than the jobs it saved.  Under AQE
+                # the lazy checkpoint does execute the fragment's shuffle
+                # stages at call time (~1.1s/rule here vs 1.7 eager) —
+                # the best of the three measured variants.
                 fresh = derived.join(kg.facts, on=["s", "p", "o"], how="left_anti")
-                fresh = fresh.localCheckpoint(eager=True)
+                fresh = fresh.localCheckpoint(eager=False)
                 kg.facts = kg.facts.unionByName(fresh)
                 new = new.unionByName(fresh)
             all_inferred[level] = new

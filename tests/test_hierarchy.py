@@ -303,3 +303,35 @@ def test_same_triple_at_two_levels_binds_both_premises(spark):
         )
     )
     assert h2.infer_collected()[ReasoningLevel.META_REASONING] == []
+
+
+def test_inlevel_fixpoint_skip_paths(spark):
+    """r12 empty-seed skip: the in-level fixpoint must still run when a
+    level's facts were ASSIGNED directly (a transformed frame, not the
+    pristine seed and not a LocalRelation), and must stay a no-op — via
+    the take(1) fallback — when the assigned frame is filtered to empty
+    at runtime in a way the optimizer cannot prove."""
+    from pyspark.sql import functions as F
+
+    closure = rule([tp(v("x"), c("p"), v("y"))], [tp(v("x"), c("q"), v("y"))])
+
+    # (a) directly-assigned non-empty transformed facts: fixpoint fires
+    h = ReasoningHierarchy(spark)
+    src = spark.createDataFrame(
+        [("a", "p", "b"), ("zz", "skip", "zz")], "s string, p string, o string"
+    )
+    h.levels[ReasoningLevel.BASE].facts = src.filter(F.col("p") != "skip")
+    h.levels[ReasoningLevel.BASE].add_rule(closure)
+    inferred = h.infer_collected()
+    assert ("a", "q", "b") in inferred[ReasoningLevel.BASE]
+
+    # (b) runtime-empty (filter no optimizer can fold): no inference, no error
+    h2 = ReasoningHierarchy(spark)
+    h2.levels[ReasoningLevel.BASE].facts = src.filter(F.length("s") > 10)
+    h2.levels[ReasoningLevel.BASE].add_rule(closure)
+    assert h2.infer_collected()[ReasoningLevel.BASE] == []
+
+    # (c) never-seeded level with a rule: skipped entirely, still correct
+    h3 = ReasoningHierarchy(spark)
+    h3.levels[ReasoningLevel.DEDUCTIVE].add_rule(closure)
+    assert h3.infer_collected()[ReasoningLevel.DEDUCTIVE] == []
