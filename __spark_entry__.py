@@ -1926,7 +1926,7 @@ def _run_live_gate(spark: SparkSession, sf_dir: str, form: str) -> DataFrame:
         # recorded in _fired_until when the sink runs)
         out_df.withColumn(
             "window_open", F.lit(q._fired_until[wiri] - width).cast("long")
-        ).coalesce(1).write.mode("append").parquet(results)
+        ).write.mode("append").parquet(results)
 
     q.sink = sink
     stream = (
@@ -2005,7 +2005,7 @@ def _q_streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(out_df: DataFrame) -> None:
         out_df.withColumn(
             "window_open", F.lit(q._fired_until[wiri] - width).cast("long")
-        ).coalesce(1).write.mode("append").parquet(results)
+        ).write.mode("append").parquet(results)
 
     q.sink = sink
     stream = (
@@ -2109,7 +2109,7 @@ def _q_streaming_sync_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         counter["n"] += 1
         out_df.withColumn(
             "emission", F.lit(counter["n"]).cast("int")
-        ).coalesce(1).write.mode("append").parquet(results)
+        ).write.mode("append").parquet(results)
 
     q.sink = sink
     stream = (
