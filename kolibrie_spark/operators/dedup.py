@@ -885,7 +885,23 @@ def prefix_jaccard_pairs(
     verification ships each candidate pair's two shingle arrays once
     (size-capped by the docs themselves), never a quadratic structure.
     A size filter (t*max <= min) prunes length-incompatible pairs before
-    verification."""
+    verification.
+
+    r12 (guide §2.3 narrower types, §3.2 prune before the shuffle):
+    tokens ride as xxhash64 longs — the prefix join shuffles 8-byte keys
+    and verification intersects long arrays instead of n-word strings
+    (the rare-first order becomes hash order, which is just as valid a
+    shared total order); per-pair roles are assigned by SIZE (small doc =
+    probe side, large doc = index side), which admits the tighter
+    Xiao et al. probe prefix ``|d| - ceil(2t/(1+t)*|d|) + 1`` on the
+    small side (exact: the pair overlap bound ceil(t/(1+t)*(na+nb)) >=
+    ceil(2t/(1+t)*na) when na <= nb, and >= ceil(t*nb) for the index side
+    via the size filter); and PPJoin's positional filter runs on the raw
+    collisions — a collision at 0-based prefix positions (pa, pb) can
+    only witness an overlap of 1 + min(na-pa-1, nb-pb-1), and the
+    minimal common token of any qualifying pair always yields a passing
+    collision, so pruning rows below the exact per-pair bound
+    alpha = ceil(t/(1+t)*(na+nb)) loses no pair."""
     from fractions import Fraction
 
     frac = Fraction(threshold).limit_denominator(1_000_000)
@@ -895,15 +911,30 @@ def prefix_jaccard_pairs(
         # ceil(t*s) in exact integer arithmetic
         return F.floor((s * num + den - 1) / den).cast("long")
 
+    def int_ceil_2t(s: Column) -> Column:
+        # ceil(2t/(1+t) * s): t = num/den => 2*num*s / (den+num)
+        return F.floor((s * (2 * num) + (den + num) - 1) / (den + num)).cast(
+            "long"
+        )
+
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)  # spread the shingle explode itself
-    sh = _shingle_table(df, id_col, text_col, n)
-    dfreq = sh.groupBy("__sh").agg(F.count("*").alias("__df"))
-    # per-doc shingles sorted rare-first: array_sort on (df, shingle) structs
+    sh = _shingle_table(df, id_col, text_col, n).select(
+        "__id", F.xxhash64("__sh").alias("__sh")
+    )
+    # document frequency as a window count over the __sh partitioning —
+    # one exchange feeds both the frequency and the per-doc sort (the
+    # groupBy+join-back formulation paid a second shuffle of every
+    # shingle occurrence)
+    from pyspark.sql import Window
+
+    sh = sh.repartition(par, "__sh").withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__sh"))
+    )
+    # per-doc shingles sorted rare-first: array_sort on (df, token) structs
     ordered = (
-        sh.join(dfreq, "__sh")
-        .groupBy("__id")
+        sh.groupBy("__id")
         .agg(
             F.transform(
                 F.array_sort(
@@ -914,7 +945,15 @@ def prefix_jaccard_pairs(
         )
         .withColumn("__n", F.size("__toks"))
         .withColumn(
-            "__prefix",
+            "__pmid",  # probe prefix (small-role side)
+            F.slice(
+                F.col("__toks"),
+                1,
+                (F.col("__n") - int_ceil_2t(F.col("__n")) + 1).cast("int"),
+            ),
+        )
+        .withColumn(
+            "__plong",  # index prefix (large-role side)
             F.slice(
                 F.col("__toks"),
                 1,
@@ -934,21 +973,39 @@ def prefix_jaccard_pairs(
     a = ordered.select(
         F.col("__id").alias("id_a"),
         F.col("__n").alias("__na"),
-        F.explode("__prefix").alias("__ptok"),
+        F.posexplode("__pmid").alias("__pa", "__ptok"),
     ).repartition(par, "__ptok")
     b = ordered.select(
         F.col("__id").alias("id_b"),
         F.col("__n").alias("__nb"),
-        F.explode("__prefix").alias("__ptok"),
+        F.posexplode("__plong").alias("__pb", "__ptok"),
     ).repartition(par, "__ptok")
+    # exact per-pair overlap requirement alpha = ceil(t/(1+t)*(na+nb))
+    alpha = F.floor(
+        (
+            (F.col("__na") + F.col("__nb")) * num + (den + num) - 1
+        )
+        / (den + num)
+    ).cast("long")
     cand = (
         a.join(b.hint("shuffle_hash"), on="__ptok")
         .filter(
-            (F.col("id_a") < F.col("id_b"))
-            # size filter: J >= t needs t*max(|a|,|b|) <= min(|a|,|b|)
+            # role order: small side probes, ties broken by id
+            (
+                (F.col("__na") < F.col("__nb"))
+                | ((F.col("__na") == F.col("__nb")) & (F.col("id_a") < F.col("id_b")))
+            )
+            # size filter: J >= t needs t*|b| <= |a|
+            & (int_ceil_t(F.col("__nb")) <= F.col("__na"))
+            # positional filter (PPJoin): this collision can witness at
+            # most 1 + min(remaining-a, remaining-b) overlapping tokens
             & (
-                int_ceil_t(F.greatest(F.col("__na"), F.col("__nb")))
-                <= F.least(F.col("__na"), F.col("__nb"))
+                F.lit(1)
+                + F.least(
+                    F.col("__na") - F.col("__pa") - 1,
+                    F.col("__nb") - F.col("__pb") - 1,
+                )
+                >= alpha
             )
         )
         .select("id_a", "id_b", "__na", "__nb")
@@ -965,5 +1022,10 @@ def prefix_jaccard_pairs(
             "jaccard", inter / (F.col("__na") + F.col("__nb") - inter)
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        # roles were size-ordered; the output contract is id-ordered
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "jaccard",
+        )
     )

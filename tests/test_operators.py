@@ -770,6 +770,32 @@ def test_prefix_jaccard_thresholds_and_empty(spark, docs):
     assert prefix_jaccard_pairs(empty, "doc_id", "text", 3, 0.5).count() == 0
 
 
+def test_prefix_jaccard_size_boundary_subset_pair(spark):
+    """r12 asymmetric-prefix + positional-filter internals: a subset pair
+    sitting EXACTLY on the size boundary (|a| = t*|b|, J = t) must survive
+    every pruning stage regardless of the token hash order — the tightest
+    case for the probe prefix (|a| - ceil(2t/(1+t)|a|) + 1 tokens) and the
+    per-pair positional bound alpha = ceil(t/(1+t)(|a|+|b|))."""
+    from kolibrie_spark.operators.dedup import prefix_jaccard_pairs
+
+    # unigram shingles (n=1) make set sizes explicit: a has 5 words, all
+    # contained in b's 10 -> J = 5/10 = 0.5 = t exactly
+    a_words = ["w%d" % i for i in range(5)]
+    b_words = a_words + ["x%d" % i for i in range(5)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, " ".join(b_words))],
+        "doc_id long, text string",
+    )
+    rows = prefix_jaccard_pairs(docs, "doc_id", "text", 1, 0.5).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [(1, 2, 0.5)]
+    # one word short of the boundary: pruned by the size filter, no pair
+    docs2 = spark.createDataFrame(
+        [(1, " ".join(a_words[:4])), (2, " ".join(b_words))],
+        "doc_id long, text string",
+    )
+    assert prefix_jaccard_pairs(docs2, "doc_id", "text", 1, 0.5).count() == 0
+
+
 def test_mp4_mjpeg_sample_tables_roundtrip():
     """build_mp4(frames=...) writes real stts/stsz/stco tables;
     parse_mp4_samples recovers exact byte ranges and start times, and
