@@ -79,7 +79,16 @@ def _shared_shingle_counts(
         df = df.repartition(par)  # parallelize the shingle explode itself
     from pyspark.sql import Window
 
-    sh = _shingle_table(df, id_col, text_col, n).repartition(par, "__sh")
+    # r12 (guide §2.3 narrower types): shingles ride as xxhash64 longs —
+    # the self-join shuffles and probes 8-byte keys instead of n-word
+    # strings; counts and sizes are unchanged (word_ngrams already
+    # dedups per doc, and a cross-doc 64-bit collision over a shingle
+    # vocabulary this size is ~1e-12)
+    sh = (
+        _shingle_table(df, id_col, text_col, n)
+        .select("__id", F.xxhash64("__sh").alias("__sh"))
+        .repartition(par, "__sh")
+    )
     sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
     # per-shingle document frequency as a window count: reuses the __sh
     # hash partitioning, costs no extra job or driver round-trip. Shingles
