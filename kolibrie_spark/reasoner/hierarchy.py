@@ -196,21 +196,38 @@ class ReasoningHierarchy:
         self.cross_level_rules.append(rule)
 
     # --------------------------------------------------------- inference
-    def _dependency_facts(self, deps: list[ReasoningLevel]) -> DataFrame:
+    def _dependency_facts(
+        self,
+        deps: list[ReasoningLevel],
+        distinct_cache: dict | None = None,
+        known_distinct: set | None = None,
+    ) -> DataFrame:
         """Union of the dependency levels' facts, each row tagged with its
         level.  Per-level dedup only — a triple held at two levels stays
         two rows, matching the reference's concatenated per-level lists
         (a 2-premise rule may bind the same triple from two levels; the
-        distinct-fact guard compares (level, s, p, o))."""
+        distinct-fact guard compares (level, s, p, o)).
+
+        r12 (guide §2.4, remove shuffles): the per-level dedup shuffle is
+        skipped for levels ``hierarchical_inference`` knows are already
+        duplicate-free (``known_distinct``), and the tagged/deduped frame
+        of every other level is memoized in ``distinct_cache`` across the
+        rules of one inference walk (BASE alone used to pay its dedup
+        once per cross-level rule)."""
         out = self.spark.createDataFrame([], FACTS_SCHEMA).withColumn(
             "__lvl", F.lit(-1)
         )
         for lvl in deps:
-            out = out.unionByName(
-                self.levels[lvl]
-                .facts.dropDuplicates()
-                .withColumn("__lvl", F.lit(int(lvl)))
-            )
+            if distinct_cache is not None and lvl in distinct_cache:
+                tagged = distinct_cache[lvl]
+            else:
+                facts = self.levels[lvl].facts
+                if known_distinct is None or lvl not in known_distinct:
+                    facts = facts.dropDuplicates()
+                tagged = facts.withColumn("__lvl", F.lit(int(lvl)))
+                if distinct_cache is not None:
+                    distinct_cache[lvl] = tagged
+            out = out.unionByName(tagged)
         return out
 
     def hierarchical_inference(self) -> dict[ReasoningLevel, DataFrame]:
@@ -221,6 +238,18 @@ class ReasoningHierarchy:
         reference's Vec<Triple>; deltas are checkpointed so the chained
         unions do not stack lineage."""
         all_inferred: dict[ReasoningLevel, DataFrame] = {}
+        # r12 shuffle bookkeeping for _dependency_facts: a level whose
+        # facts are still the pristine empty seed is trivially
+        # duplicate-free, and it STAYS duplicate-free under this loop's
+        # own writes (each `fresh` is distinct and anti-joined against
+        # the level, so unions stay disjoint).  Externally-assigned fact
+        # sets are deduped once and memoized until the level changes.
+        known_distinct: set = {
+            lvl
+            for lvl, kg in self.levels.items()
+            if kg.facts is getattr(kg, "_empty_seed", None)
+        }
+        distinct_cache: dict = {}
         for level in ReasoningLevel:
             kg = self.levels[level]
             # in-level fixpoint is a no-op without rules or without any
@@ -237,11 +266,15 @@ class ReasoningHierarchy:
                 kg.materialize()
                 new = kg.facts.join(before, on=["s", "p", "o"], how="left_anti")
                 new = new.localCheckpoint(eager=True)
+                known_distinct.discard(level)
+                distinct_cache.pop(level, None)
             else:
                 new = self.spark.createDataFrame([], FACTS_SCHEMA)
 
             for hrule in [r for r in self.cross_level_rules if r.level == level]:
-                avail = self._dependency_facts(hrule.dependencies)
+                avail = self._dependency_facts(
+                    hrule.dependencies, distinct_cache, known_distinct
+                )
                 derived = apply_rule_single_pass(avail, hrule.rule)
                 if derived is None:
                     continue
@@ -257,9 +290,21 @@ class ReasoningHierarchy:
                 # the lazy checkpoint does execute the fragment's shuffle
                 # stages at call time (~1.1s/rule here vs 1.7 eager) —
                 # the best of the three measured variants.
-                fresh = derived.join(kg.facts, on=["s", "p", "o"], how="left_anti")
-                fresh = fresh.localCheckpoint(eager=False)
-                kg.facts = kg.facts.unionByName(fresh)
+                if kg.facts is getattr(
+                    kg, "_empty_seed", None
+                ) or _statically_empty(kg.facts):
+                    # r12: anti-join and union against a provably-empty
+                    # fact set are identities — the derived rows ARE the
+                    # level (and `derived` is already distinct)
+                    fresh = derived.localCheckpoint(eager=False)
+                    kg.facts = fresh
+                else:
+                    fresh = derived.join(
+                        kg.facts, on=["s", "p", "o"], how="left_anti"
+                    )
+                    fresh = fresh.localCheckpoint(eager=False)
+                    kg.facts = kg.facts.unionByName(fresh)
+                distinct_cache.pop(level, None)
                 new = new.unionByName(fresh)
             all_inferred[level] = new
         return all_inferred
