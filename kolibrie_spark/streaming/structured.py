@@ -174,9 +174,17 @@ class StructuredRSP:
         )
         if self.watermark is not None:
             horizon = max(horizon, self.hwm - self.watermark)
+        # LAZY checkpoint (r12, guide §1.2): the buffer plan above is
+        # narrow (previous checkpoint ∪ batch, filtered — no exchange),
+        # so eager=True paid a dedicated blocking job per batch purely to
+        # materialize it (~0.5s/batch measured).  Lazy still truncates
+        # lineage; the partitions materialize inside the next control-
+        # plane job that reads the buffer (the fused-closes aggregate on
+        # the default-report path, the pre-batch report probe one batch
+        # later on the REPORT-gated path).
         self.buffer = self.buffer.filter(
             F.col("event_time") > F.lit(horizon)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
         # TIMEOUT deadline check BEFORE this batch's window evals, mirroring
         # the faithful engine's _check_timeout-on-event-arrival (engine.py:144,
