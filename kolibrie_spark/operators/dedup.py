@@ -339,19 +339,16 @@ def minhash_lsh_pairs(
         "__id",
         signature_from_base(F.col("__base"), num_hashes).alias("__sig"),
     )
-    # one expression computes every band key: "j-v1-v2-..." per band j
+    # one expression computes every band key: xxhash64(band_no, slice) —
+    # an 8-byte bucket key instead of the "j-v1-v2-..." string (r12,
+    # guide §2.3 narrower types).  A 64-bit collision between different
+    # band contents can only ADD a candidate pair, which the exact-
+    # Jaccard verification below discards — recall is untouched because
+    # equal contents always hash equal.
     band_keys = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda j: F.concat_ws(
-            "-",
-            j.cast("string"),
-            F.concat_ws(
-                "-",
-                F.transform(
-                    F.slice(F.col("__sig"), j * F.lit(rows) + F.lit(1), F.lit(rows)),
-                    lambda x: x.cast("string"),
-                ),
-            ),
+        lambda j: F.xxhash64(
+            j, F.slice(F.col("__sig"), j * F.lit(rows) + F.lit(1), F.lit(rows))
         ),
     )
     # buckets carry ONLY (id, bucket) — never the document text: the bucket
