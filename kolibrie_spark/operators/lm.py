@@ -53,7 +53,14 @@ def lm_score(
 ) -> DataFrame:
     """(id, n_bigrams, avg_logp): mean ln P(w2|w1) under the corpus bigram
     LM, rounded to 9 dp; NULL avg_logp for docs with < 2 words."""
-    bg = _bigram_table(df, id_col, text_col)
+    # r12 (guide §2.4, reuse-not-recompute): the bigram explode feeds FIVE
+    # branches (both vocab sides, the two count tables, and the scored
+    # join's probe side); a lazy checkpoint materializes it once instead
+    # of re-exploding the corpus per branch.  The count tables stay
+    # groupBy aggregates (map-side partials — a window-count variant
+    # measured slightly faster at sf0.1 but buffers whole hot-context
+    # groups in one task at scale, which partial aggregation avoids).
+    bg = _bigram_table(df, id_col, text_col).localCheckpoint(eager=False)
     # vocab size as a broadcast 1-row aggregate INSIDE the plan — an eager
     # .count() here would launch a full corpus explode at plan-construction
     # time and re-scan the corpus once extra per invocation
