@@ -803,7 +803,13 @@ def embedding_lsh_pairs(
 
     H = np.asarray(hyperplanes(dim, bits * tables, seed)).T  # dim x (T*b)
     weights = 1 << np.arange(bits)
-    eps = threshold - 1e-6
+    # r12 (guide §2.3, narrower types): the signature stage is the only
+    # one shuffling vectors, `tables` copies of the corpus — it now ships
+    # them as float32 (half the bytes).  Bucket scoring is candidate
+    # GENERATION only; the margin below absorbs float32 drift (bounded
+    # ~1e-5 for unit 64-dim dots, 10x slack) so no pair at or above the
+    # threshold can be pruned before the float64 exact verify decides.
+    eps = threshold - 1e-4
     par = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(
         F.col(id_col).cast("long").alias("__id"),
@@ -829,7 +835,7 @@ def embedding_lsh_pairs(
             )
 
     sig = base.mapInPandas(
-        _sigs, "__t int, __sig long, __id long, __v array<double>"
+        _sigs, "__t int, __sig long, __id long, __v array<float>"
     )
 
     def _bucket_score(pdf):
