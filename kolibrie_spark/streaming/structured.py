@@ -450,10 +450,16 @@ class StructuredRSP:
         op = self.query.operator
         if op in ("ISTREAM", "DSTREAM"):
             # the emission set doubles as the next R2S state (consumed by
-            # the anti-join AND stored), so materialize it once;  RSTREAM
+            # the anti-join AND stored), so checkpoint it once;  RSTREAM
             # consumes it exactly once (sink/collect) — a checkpoint there
-            # would compute every row twice for nothing (r12, guide §5)
-            df = df.localCheckpoint(eager=True)
+            # would compute every row twice for nothing (r12, guide §5).
+            # LAZY (r12): the very next action — this emission's anti-join
+            # sink/collect, or the successor emission for the first
+            # DSTREAM (whose own out_df is a fresh empty frame) — computes
+            # these partitions anyway and persists them as a side effect;
+            # eager=True paid a dedicated blocking job per emission purely
+            # to front-run that.
+            df = df.localCheckpoint(eager=False)
         if op == "RSTREAM":
             out_df = df
         elif op == "ISTREAM":
