@@ -116,8 +116,9 @@ def hard_negatives(
     from pyspark.sql.window import Window
 
     from kolibrie_spark.operators.similarity import (
-        cosine_expr,
+        cosine_prenorm_expr,
         hyperplanes,
+        norm_expr,
         signature_expr,
     )
 
@@ -131,15 +132,20 @@ def hard_negatives(
         F.col(label_col).alias("lbl"),
         signature_expr(v, planes).alias("bucket"),
     )
+    # norms hoisted to once per ROW (r12, guide §2): the within-bucket
+    # quadratic pair scoring folds one dot per pair instead of three —
+    # bit-identical via cosine_prenorm_expr
     a = base.select(
         F.col("id").alias("anchor_id"),
         F.col("v").alias("av"),
+        norm_expr(F.col("v")).alias("__an"),
         F.col("lbl").alias("albl"),
         "bucket",
     )
     b = base.select(
         F.col("id").alias("negative_id"),
         F.col("v").alias("nv"),
+        norm_expr(F.col("v")).alias("__nn"),
         F.col("lbl").alias("nlbl"),
         "bucket",
     )
@@ -153,7 +159,12 @@ def hard_negatives(
                 & (F.col("anchor_id") != F.col("negative_id"))
             )
         )
-        .withColumn("cosine", cosine_expr(F.col("av"), F.col("nv")))
+        .withColumn(
+            "cosine",
+            cosine_prenorm_expr(
+                F.col("av"), F.col("nv"), F.col("__an"), F.col("__nn")
+            ),
+        )
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("cosine").desc(), F.col("negative_id").asc()

@@ -25,8 +25,9 @@ from pyspark.sql import functions as F
 
 from kolibrie_spark.operators.similarity import (
     cosine_duckdb_sql,
-    cosine_expr,
+    cosine_prenorm_expr,
     l2sq_duckdb_sql,
+    norm_expr,
     seed_centroids,
     with_ivf_cell,
 )
@@ -62,22 +63,31 @@ def semantic_dedup(
     # exactly once while spreading each cell over `salt` reducers —
     # bit-identical output, ncells*salt-way parallelism.
     salt = 8
+    # norms hoisted to once per ROW (r12, guide §2): the quadratic pair
+    # predicate below then folds one 64-element dot per pair instead of
+    # three (dot + both norms) — bit-identical via cosine_prenorm_expr
     a = assigned.select(
         F.col(id_col).alias("_id_a"),
         F.col(vec_col).alias("_va"),
+        norm_expr(F.col(vec_col)).alias("_na"),
         "ivf_cell",
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).cast("int").alias("_salt"),
     )
     b = assigned.select(
         F.col(id_col).alias("_id_b"),
         F.col(vec_col).alias("_vb"),
+        norm_expr(F.col(vec_col)).alias("_nb"),
         "ivf_cell",
-        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt"),
-    )
+    ).withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     drops = (
         a.join(b, ["ivf_cell", "_salt"])
         .where(F.col("_id_a") < F.col("_id_b"))
-        .where(cosine_expr(F.col("_va"), F.col("_vb")) >= threshold)
+        .where(
+            cosine_prenorm_expr(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            )
+            >= threshold
+        )
         .select(F.col("_id_b").alias(id_col))
         .distinct()
     )

@@ -48,6 +48,16 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def cosine_prenorm_expr(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine_expr`` with both norms hoisted to per-row columns: compute
+    ``norm_expr`` once per row BEFORE a pair join instead of once per PAIR
+    (r12, guide §2 — less work per shuffled pair; 1 array fold per pair
+    instead of 3).  Bit-identical to ``cosine_expr``: the hoisted norm is
+    the same fold over the same data, and the ``dot / (na * nb)`` operand
+    order is unchanged."""
+    return dot_expr(a, b) / (na * nb)
+
+
 def _vec_lit(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec]).cast("array<double>")
 
