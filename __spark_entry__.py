@@ -3818,22 +3818,35 @@ def _q_mlschema_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # explicit ROUND on both sides: Spark's cast-to-long truncates while
     # DuckDB's CAST rounds; price in integer cents keeps the sums exact.
-    # The squared-cents sums leave int64 around sf0.1, so they accumulate
-    # in decimal(38,0) — still exact integers (DuckDB's SUM(BIGINT)
-    # promotes to HUGEINT the same way).
     x = F.round(F.col("l_quantity")).cast("long")
     y = F.round(F.col("l_extendedprice") * 100).cast("long")
-    dec = "decimal(38,0)"
+    # The squared-cents sums leave int64 around sf0.1, so they used to
+    # accumulate in decimal(38,0).  r12 (guide §2, narrower types):
+    # 128-bit decimal aggregation measured ~2x the cost of long sums
+    # (1.0s vs 0.4-0.6s warm at sf0.1), so accumulate each wide product
+    # as TWO long limbs of 24 bits instead and reassemble the exact
+    # integer on the driver.  Envelope: y < 2^24 (max extendedprice
+    # ~10.5M cents), so y*y < 2^48 splits into two limbs each < 2^24,
+    # and each limb SUM is bounded by 2^24 * n — exactly the bound the
+    # existing plain sum(y) already relies on, so the limb sums overflow
+    # only where the current code would anyway (n ~ 2^39 rows).
+    lim = 24
+    mask = (1 << lim) - 1
+    xy, yy = x * y, y * y
     row = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
-        F.sum((x * x).cast(dec)).alias("sxx"),
-        F.sum((x.cast(dec) * y.cast(dec))).alias("sxy"),
-        F.sum((y.cast(dec) * y.cast(dec))).alias("syy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(F.shiftright(xy, lim)).alias("sxy_hi"),
+        F.sum(xy.bitwiseAND(F.lit(mask))).alias("sxy_lo"),
+        F.sum(F.shiftright(yy, lim)).alias("syy_hi"),
+        F.sum(yy.bitwiseAND(F.lit(mask))).alias("syy_lo"),
     ).first()
     n, sx, sy = int(row["n"]), int(row["sx"]), int(row["sy"])
-    sxx, sxy, syy = int(row["sxx"]), int(row["sxy"]), int(row["syy"])
+    sxx = int(row["sxx"])
+    sxy = (int(row["sxy_hi"]) << lim) + int(row["sxy_lo"])
+    syy = (int(row["syy_hi"]) << lim) + int(row["syy_lo"])
     # float() each exact-integer operand BEFORE the op, mirroring the
     # oracle's CAST(... AS DOUBLE) placement, then identical op order
     slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
