@@ -582,6 +582,13 @@ def connected_components(
         own = labels.select(
             "id", "component", F.col("component").alias("__own")
         )
+        # ONE action per round (r12, guide §1.2): mark the round's result
+        # for LAZY checkpointing and read convergence off a count() over
+        # the changed-rows view — the count computes (and thereby
+        # persists) every partition of `merged`, so the checkpoint is
+        # complete, and the previous dedicated eager-materialization job
+        # disappears.  (take(1) would be wrong here: it computes only the
+        # partitions it needs, leaving a marked checkpoint half-built.)
         merged = (
             own.unionByName(contrib)
             .groupBy("id")
@@ -589,11 +596,11 @@ def connected_components(
                 F.min("component").alias("component"),
                 F.max("__own").alias("__old"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = merged.filter(F.col("component") != F.col("__old")).take(1)
+        n_changed = merged.filter(F.col("component") != F.col("__old")).count()
         labels = merged.select("id", "component")
-        if not changed:
+        if n_changed == 0:
             break
     else:
         raise RuntimeError(

@@ -78,7 +78,13 @@ def pagerank(
             )
         )
         if i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            # LAZY (r12, guide §1.2): the mark still truncates lineage
+            # once computed, but no blocking job runs per round — the
+            # caller's single action computes the whole round chain,
+            # persisting each intermediate as it goes (a shuffle boundary
+            # computes every partition, so each mark materializes fully).
+            # Eager paid iterations-1 dedicated jobs for the same work.
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
