@@ -256,7 +256,10 @@ class Reasoner:
                 derived = d if derived is None else derived.unionByName(d)
             if derived is None:
                 break
-            facts = facts.unionByName(derived).dropDuplicates().localCheckpoint(eager=True)
+            # lazy mark + count = one action per round (r12, guide §1.2):
+            # the count computes every partition, completing the
+            # checkpoint in the job that reads convergence
+            facts = facts.unionByName(derived).dropDuplicates().localCheckpoint(eager=False)
             new_count = facts.count()
             if new_count == count:
                 break
@@ -280,12 +283,16 @@ class Reasoner:
                 derived = d if derived is None else derived.unionByName(d)
             if derived is None:
                 break
+            # lazy mark + count = one action per round (r12, guide §1.2);
+            # take(1) would compute only some partitions of a lazily-
+            # marked frame and leave the checkpoint half-built, so the
+            # emptiness probe is a count()
             new_delta = (
                 derived.dropDuplicates()
                 .join(facts, on=["s", "p", "o"], how="left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if not new_delta.take(1):
+            if new_delta.count() == 0:
                 break
             facts = facts.unionByName(new_delta)
             delta = new_delta
@@ -322,13 +329,18 @@ class Reasoner:
             # in the store keeps its tag — re-deriving the same paths next
             # round must not re-accumulate evidence (matches the reference's
             # saturating tagged semi-naive, provenance_semi_naive.rs:210-330)
+            # lazy mark + count = one action per round (r12, guide §1.2);
+            # the running `facts` re-checkpoint below stays EAGER: it has
+            # no paired probe and every rule consumes it next round, so a
+            # lazy mark there would let sibling stages duplicate its
+            # computation before the first persist lands
             new_facts = (
                 derived.groupBy("s", "p", "o")
                 .agg(semiring.plus_agg(F.col("tag")).alias("tag"))
                 .join(facts.select("s", "p", "o"), on=["s", "p", "o"], how="left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if new_facts.isEmpty():
+            if new_facts.count() == 0:
                 break
             facts = facts.unionByName(new_facts).localCheckpoint(eager=True)
         return facts
@@ -410,20 +422,22 @@ class Reasoner:
                 derived = d if derived is None else derived.unionByName(d)
             if derived is None:
                 break
+            # lazy mark + count probes (r12, guide §1.2) — same fusion as
+            # materialize(); both marks complete inside their count job
             new_delta = (
                 derived.dropDuplicates()
                 .join(facts, on=["s", "p", "o"], how="left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if not new_delta.take(1):
+            if new_delta.count() == 0:
                 break
             candidate = facts.unionByName(new_delta)
             support = self._violation_support(candidate)
             if support is not None:
                 new_delta = new_delta.join(
                     support, on=["s", "p", "o"], how="left_anti"
-                ).localCheckpoint(eager=True)
-                if not new_delta.take(1):
+                ).localCheckpoint(eager=False)
+                if new_delta.count() == 0:
                     break
             facts = facts.unionByName(new_delta)
             delta = new_delta
