@@ -230,11 +230,15 @@ def dataframe_sds_plus(
             derived = d if derived is None else derived.unionByName(d)
         if derived is None:
             break
+        # lazy mark + the stats aggregate = one action per round (r12,
+        # guide §1.2): the aggregate computes every partition, completing
+        # the checkpoint in the job that reads convergence, and by the
+        # time each rule re-consumes `facts` next round it is persisted
         facts = (
             facts.unionByName(derived)
             .groupBy("s", "p", "o")
             .agg(F.max("tag").alias("tag"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         row = facts.agg(
             F.count(F.lit(1)).alias("n"), F.sum("tag").alias("te")
