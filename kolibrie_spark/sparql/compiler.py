@@ -792,9 +792,14 @@ class Compiler:
                         & (F.col("__dst") == F.col("__adst")),
                         how="left_anti",
                     )
-                    .localCheckpoint(eager=True)
+                    # lazy mark + count probe = one action per round (r12,
+                    # guide §1.2): the count computes every partition,
+                    # completing the checkpoint before next round's
+                    # delta/acc reads (take(1) on a lazily-marked frame
+                    # would leave it half-built)
+                    .localCheckpoint(eager=False)
                 )
-                if not grown.take(1):
+                if grown.count() == 0:
                     return acc
                 acc = acc.unionByName(grown)
                 delta = grown
@@ -832,9 +837,10 @@ class Compiler:
                     on=F.col("__dst") == F.col("__adst"),
                     how="left_anti",
                 )
-                .localCheckpoint(eager=True)
+                # lazy mark + count probe, as in the PathPlus closure above
+                .localCheckpoint(eager=False)
             )
-            if not grown.take(1):
+            if grown.count() == 0:
                 return acc
             acc = acc.unionByName(grown)
             frontier = grown
