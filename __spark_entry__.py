@@ -272,7 +272,10 @@ def _q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.5
     )
-    return near_dup_clusters(docs, pairs, "doc_id")
+    # the cluster-join side only routes doc_id into a hash join: the
+    # CPU-spread repartition would be a wasted Exchange there (r12)
+    ids = load_table(spark, sf_dir, "documents", parallel=False)
+    return near_dup_clusters(ids, pairs, "doc_id")
 
 
 def _dedup_cluster_oracle() -> str:
@@ -580,7 +583,10 @@ def _q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.5
     )
-    return leakage_safe_split(docs, "doc_id", pairs, _SPLITS)
+    # the split side only routes doc_id into the cluster hash join: the
+    # CPU-spread repartition would be a wasted Exchange there (r12)
+    ids = load_table(spark, sf_dir, "documents", parallel=False)
+    return leakage_safe_split(ids, "doc_id", pairs, _SPLITS)
 
 
 def _split_leakage_safe_oracle() -> str:

@@ -39,7 +39,13 @@ def parallelized(df: DataFrame) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = True
+) -> DataFrame:
+    """``parallel=False`` skips the CPU-spread repartition for consumers
+    that only route a key column into a hash join/aggregate — the spread
+    would be a pure extra Exchange there (the very next operator
+    re-shuffles by the join key; r12, guide §2.1)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # SESSION-WIDE side effect, applied on EVERY events load (not just
@@ -60,7 +66,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "event_time", F.timestamp_micros(F.col("ts_us"))
         )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in ("documents", "embeddings"):
+    if parallel and name in ("documents", "embeddings"):
         # the CPU-dense tables (text array/regex/codec expressions, vector
         # folds): a small file otherwise arrives as one partition and
         # serializes embarrassingly-parallel work

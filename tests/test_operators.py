@@ -1183,3 +1183,28 @@ def test_shard_manifest_deterministic_and_mergeable(spark):
     s7 = [r.shard for r in assign_shards(df, "doc_id", 8).filter("doc_id = 7").collect()][0]
     assert m3[s7][2] != m1[s7][2]
     assert all(m3[s][2] == m1[s][2] for s in m1 if s != s7)
+
+
+def test_load_table_parallel_opt_out(spark, tmp_path):
+    """r12: `load_table(..., parallel=False)` skips the CPU-spread
+    repartition for key-only consumers (the very next operator re-shuffles
+    by the join key, so the spread is a wasted Exchange) — same rows, no
+    RoundRobinPartitioning in the plan."""
+    from kolibrie_spark.tables import load_table
+
+    sf_dir = str(tmp_path)
+    spark.range(50).selectExpr(
+        "id AS doc_id", "concat('text ', id) AS text", "'en' AS source"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    spread = load_table(spark, sf_dir, "documents")
+    lean = load_table(spark, sf_dir, "documents", parallel=False)
+
+    # identical contents either way
+    assert spread.exceptAll(lean).count() == 0
+    assert lean.exceptAll(spread).count() == 0
+
+    # the spread variant repartitions a single-file scan; the lean one
+    # must not introduce any exchange of its own
+    assert "roundrobinpartitioning" in spread._jdf.queryExecution().executedPlan().toString().lower()
+    assert "roundrobinpartitioning" not in lean._jdf.queryExecution().executedPlan().toString().lower()
