@@ -120,7 +120,11 @@ def _previous_round_timings() -> tuple[str | None, dict[str, float]]:
             with open(kinds["local"]) as fh:
                 data = json.load(fh)
             q = dict(data.get("queries", {}))
-            if q:
+            # VERDICT r12 item #8: a local record taken at a different core
+            # count (e.g. the driver's 8-core scaling run) is not a valid
+            # diff base — comparing 32-core numbers against it flags
+            # every parallel gate. Skip mismatched records entirely.
+            if q and int(data.get("cpus", 32)) == 32:
                 return os.path.basename(kinds["local"]), q
         except Exception:
             pass
@@ -790,7 +794,10 @@ def main() -> None:
     # headline sf0.1 run writes it — an sf0.001 smoke run must not
     # become the diff base and flag every real gate as 10x slower.
     here = os.path.dirname(os.path.abspath(__file__))
-    if sf_dir.rstrip("/").endswith("sf0.1"):
+    # VERDICT r12 item #8: only the headline 32-core sf0.1 run may write the
+    # round's local record — the driver's 8-core scaling run at sf0.1 used
+    # to overwrite it with 8-core timings and poison the next tripwire.
+    if sf_dir.rstrip("/").endswith("sf0.1") and int(cpus) == 32:
         local_path = os.path.join(here, f"BENCH_LOCAL_r{_current_round(here)}.json")
         with open(local_path, "w") as fh:
             json.dump(payload, fh)
