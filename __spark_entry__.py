@@ -1820,9 +1820,14 @@ def _write_stream_chunks(trip, win_col: str, base: str) -> str:
     """Materialize a chunked file-source feed for a live gate in ONE Spark
     job: repartition on the chunk key (each key lands in exactly one
     task), write partitionBy(chunk), then move each partition's single
-    json file into src/ with ascending mtimes so maxFilesPerTrigger=1
+    parquet file into src/ with ascending mtimes so maxFilesPerTrigger=1
     replays chunks in order.  Replaces the per-chunk
-    distinct+collect+coalesce(1) loop (N+1 jobs -> 2)."""
+    distinct+collect+coalesce(1) loop (N+1 jobs -> 2).
+
+    r13 (guide §6): the feed is parquet of ONLY the varying columns —
+    the constant p/g/stream fields used to ride every json row as text
+    and be re-parsed by every batch action; the live gates re-attach
+    them as literals after ``readStream``."""
     import os
     import shutil
 
@@ -1832,9 +1837,11 @@ def _write_stream_chunks(trip, win_col: str, base: str) -> str:
     os.makedirs(src, exist_ok=True)
     part_root = os.path.join(base, "parts")
     # hash partitioning sends each chunk key to exactly one task, so every
-    # partition dir gets exactly one json file — no key-count job needed
+    # partition dir gets exactly one parquet file — no key-count job needed
     par = trip.sparkSession.sparkContext.defaultParallelism
-    trip.repartition(par, F.col(win_col)).write.partitionBy(win_col).json(part_root)
+    trip.repartition(par, F.col(win_col)).write.partitionBy(win_col).parquet(
+        part_root
+    )
     wins = sorted(
         int(d.split("=", 1)[1])
         for d in os.listdir(part_root)
@@ -1842,8 +1849,8 @@ def _write_stream_chunks(trip, win_col: str, base: str) -> str:
     )
     for k, w0 in enumerate(wins):
         pdir = os.path.join(part_root, f"{win_col}={w0}")
-        jfile = next(f for f in os.listdir(pdir) if f.endswith(".json"))
-        dst = os.path.join(src, f"w{k:03d}.json")
+        jfile = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"w{k:03d}.parquet")
         shutil.move(os.path.join(pdir, jfile), dst)
         os.utime(dst, (k * 1000, k * 1000))  # mtime order == chunk order
     shutil.rmtree(part_root, ignore_errors=True)
@@ -1863,7 +1870,7 @@ def _drain_live(sq, src: str) -> None:
 
     try:
         sq.processAllAvailable()
-        n_files = len(glob.glob(os.path.join(src, "*.json")))
+        n_files = len(glob.glob(os.path.join(src, "*.parquet")))
         last = sq.lastProgress
         batches = (last["batchId"] + 1) if last else 0
         # explicit raise, not a bare `assert` — this is the ONLY behavior
@@ -1890,14 +1897,13 @@ def _run_live_gate(spark: SparkSession, sf_dir: str, form: str) -> DataFrame:
     from kolibrie_spark.streaming.structured import compile_structured
 
     width = 864000  # 10-day tumbling: 4 windows over the 30-day span
+    # feed carries only the varying columns (r13, guide §6/§2.3): the
+    # constant p/g/stream fields re-attach as literals after readStream
     trip = (
         _events_stream_df(spark, sf_dir)
         .select(
             F.col("u").cast("string").alias("s"),
-            F.lit("t").alias("p"),
             F.col("t").alias("o"),
-            F.lit(None).cast("string").alias("g"),
-            F.lit("ev").alias("stream"),
             F.col("event_time"),
         )
         .withColumn(
@@ -1936,11 +1942,17 @@ def _run_live_gate(spark: SparkSession, sf_dir: str, form: str) -> DataFrame:
 
     q.sink = sink
     stream = (
-        spark.readStream.schema(
-            "s string, p string, o string, g string, stream string, event_time long"
-        )
+        spark.readStream.schema("s string, o string, event_time long")
         .option("maxFilesPerTrigger", 1)
-        .json(src)
+        .parquet(src)
+        .select(
+            "s",
+            F.lit("t").alias("p"),
+            "o",
+            F.lit(None).cast("string").alias("g"),
+            F.lit("ev").alias("stream"),
+            "event_time",
+        )
     )
     sq = q.start(stream, os.path.join(base, "ckpt"))
     _drain_live(sq, src)
@@ -1979,10 +1991,7 @@ def _q_streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events_stream_df(spark, sf_dir)
         .select(
             F.col("u").cast("string").alias("s"),
-            F.lit("t").alias("p"),
             F.col("t").alias("o"),
-            F.lit(None).cast("string").alias("g"),
-            F.lit("ev").alias("stream"),
             F.col("event_time"),
         )
         .withColumn(
@@ -2015,11 +2024,17 @@ def _q_streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q.sink = sink
     stream = (
-        spark.readStream.schema(
-            "s string, p string, o string, g string, stream string, event_time long"
-        )
+        spark.readStream.schema("s string, o string, event_time long")
         .option("maxFilesPerTrigger", 1)
-        .json(src)
+        .parquet(src)
+        .select(
+            "s",
+            F.lit("t").alias("p"),
+            "o",
+            F.lit(None).cast("string").alias("g"),
+            F.lit("ev").alias("stream"),
+            "event_time",
+        )
     )
     sq = q.start(stream, os.path.join(base, "ckpt"))
     _drain_live(sq, src)
@@ -2082,10 +2097,7 @@ def _q_streaming_sync_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     trip = ev.select(
         F.col("u").cast("string").alias("s"),
-        F.lit("t").alias("p"),
         F.col("t").alias("o"),
-        F.lit(None).cast("string").alias("g"),
-        F.lit("ev").alias("stream"),
         (F.col("event_time") - F.lit(int(mn))).alias("event_time"),
     ).withColumn(
         "chunk", (F.col("event_time") / F.lit(5 * day)).cast("long")
@@ -2119,11 +2131,17 @@ def _q_streaming_sync_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q.sink = sink
     stream = (
-        spark.readStream.schema(
-            "s string, p string, o string, g string, stream string, event_time long"
-        )
+        spark.readStream.schema("s string, o string, event_time long")
         .option("maxFilesPerTrigger", 1)
-        .json(src)
+        .parquet(src)
+        .select(
+            "s",
+            F.lit("t").alias("p"),
+            "o",
+            F.lit(None).cast("string").alias("g"),
+            F.lit("ev").alias("stream"),
+            "event_time",
+        )
     )
     sq = q.start(stream, os.path.join(base, "ckpt"))
     _drain_live(sq, src)

@@ -52,9 +52,22 @@ events (plus watermark slack); R2S state is one result set per query.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from time import perf_counter
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Cumulative control-plane phase timers (r13, guide §1: measure where the
+# per-batch wall time goes before cutting jobs). Keys: stats / closes /
+# eval / emit. Reset by callers that want a per-gate reading; the cost is
+# two perf_counter() calls per phase — noise next to any Spark job.
+PHASE_SEC: dict[str, float] = {}
+PHASE_N: dict[str, int] = {}
+
+
+def _phase(name: str, t0: float) -> None:
+    PHASE_SEC[name] = PHASE_SEC.get(name, 0.0) + (perf_counter() - t0)
+    PHASE_N[name] = PHASE_N.get(name, 0) + 1
 
 from kolibrie_spark.sparql import ast
 from kolibrie_spark.sparql.compiler import Bindings, Compiler, DatasetView, join_bindings
@@ -108,6 +121,36 @@ class StructuredRSP:
         self.hwm = -1
         self._stream_hwm: dict[str, int] = {}
         self._fired_until: dict[str, int] = {}
+        # r13 fast control plane (guide §1.2/§5: one driver action per
+        # batch): when every window is default-report with width % slide
+        # == 0 and no watermark is set, the per-batch stats aggregate and
+        # the fused-closes buffer aggregate collapse into ONE tiny
+        # groupBy(stream, slide-bucket) job over the marked buffer∪batch
+        # union, and the latest-closed-window arithmetic moves to the
+        # driver over the collected bucket set (see _process_batch_fast
+        # for the exactness argument). Buckets are kept at the gcd of the
+        # slides; a pathological gcd that would explode the group count
+        # falls back to the general path.
+        import math
+
+        ws = self.query.windows
+        self._gcd = math.gcd(*[w.slide for w in ws]) if ws else 0
+        default_report = all(
+            not (list(getattr(w, "report", None) or []))
+            or list(w.report) == [ReportStrategy.ON_WINDOW_CLOSE]
+            for w in ws
+        )
+        self._fast = (
+            bool(ws)
+            and self.watermark is None
+            and default_report
+            and all(w.width % w.slide == 0 for w in ws)
+            and self._gcd > 0
+            and max((w.width + w.slide) // self._gcd for w in ws) <= 4096
+        )
+        # (stream, gcd-bucket) -> max event_time still in the buffer: the
+        # driver-side twin of the buffer closes-aggregate (fast path only)
+        self._occ: dict[tuple, int] = {}
         self._last_window_results: dict[str, Bindings] = {}
         self._r2s_state: DataFrame | None = None
         self._cycle: set[str] = set()
@@ -129,6 +172,8 @@ class StructuredRSP:
         batch = events.select(
             "s", "p", "o", "stream", F.col("event_time").cast("long").alias("event_time")
         )
+        if self._fast:
+            return self._process_batch_fast(batch)
         # r12 (guide §1.2, fewer driver round-trips): ONE control-plane
         # aggregate per batch carries the global hwm, the row count, and —
         # under per_stream_hwm — each fixed-stream window's own mark
@@ -140,6 +185,7 @@ class StructuredRSP:
             if self.per_stream_hwm
             else []
         )
+        _t0 = perf_counter()
         stats = batch.agg(
             F.max("event_time").alias("hi"),
             F.count(F.lit(1)).alias("n"),
@@ -150,6 +196,7 @@ class StructuredRSP:
                 for i, s in enumerate(streams)
             ],
         ).first()
+        _phase("stats", _t0)
         if stats.n == 0:
             return []
         # pre-batch snapshots: report-gated specs judge candidates on the
@@ -186,25 +233,8 @@ class StructuredRSP:
             F.col("event_time") > F.lit(horizon)
         ).localCheckpoint(eager=False)
 
-        # TIMEOUT deadline check BEFORE this batch's window evals, mirroring
-        # the faithful engine's _check_timeout-on-event-arrival (engine.py:144,
-        # reference rsp_engine.rs coordinator): a flushed STEAL emission must
-        # see only the window results that existed AT the deadline — the
-        # pre-batch _last_window_results — never this batch's post-deadline
-        # firings (which belong to the next cycle's emission).
-        pre_flush: list = []
+        pre_flush = self._timeout_preflush()
         all_w = {w.iri for w in self.query.windows}
-        if (
-            self.sync_policy[0] == "TIMEOUT"
-            and self._cycle
-            and self._cycle_start_hwm is not None
-            and self.hwm - self._cycle_start_hwm > self.sync_policy[1]
-        ):
-            fallback = self.sync_policy[2]
-            self._cycle = set()
-            self._cycle_start_hwm = None
-            if fallback == "STEAL" and set(self._last_window_results) == all_w:
-                pre_flush = self._emit()
 
         # r12 (guide §1.2): one fused control-plane aggregate computes the
         # latest closed window for EVERY default-report spec (previously
@@ -233,7 +263,9 @@ class StructuredRSP:
             if w.stream is not None:
                 c = F.when(F.col("stream") == w.stream, c)
             fused_aggs.append(F.max(c).alias(f"__c{j}"))
+        _t0 = perf_counter()
         fused_closes = self.buffer.agg(*fused_aggs).first() if fused_aggs else None
+        _phase("closes", _t0)
 
         fired: set[str] = set()
         for j, w in enumerate(self.query.windows):
@@ -277,6 +309,124 @@ class StructuredRSP:
             self._fired_until[w.iri] = close
             fired.add(w.iri)
             # data plane: evaluate the registered group over the window
+            content = stream_events.filter(
+                (F.col("event_time") >= open_) & (F.col("event_time") < close)
+            ).select("s", "p", "o")
+            self._last_window_results[w.iri] = self._eval_window(w, content)
+
+        return pre_flush + self._advance(fired, all_w)
+
+    def _timeout_preflush(self) -> list:
+        """TIMEOUT deadline check BEFORE this batch's window evals, mirroring
+        the faithful engine's _check_timeout-on-event-arrival (engine.py:144,
+        reference rsp_engine.rs coordinator): a flushed STEAL emission must
+        see only the window results that existed AT the deadline — the
+        pre-batch _last_window_results — never this batch's post-deadline
+        firings (which belong to the next cycle's emission)."""
+        all_w = {w.iri for w in self.query.windows}
+        if (
+            self.sync_policy[0] == "TIMEOUT"
+            and self._cycle
+            and self._cycle_start_hwm is not None
+            and self.hwm - self._cycle_start_hwm > self.sync_policy[1]
+        ):
+            fallback = self.sync_policy[2]
+            self._cycle = set()
+            self._cycle_start_hwm = None
+            if fallback == "STEAL" and set(self._last_window_results) == all_w:
+                return self._emit()
+        return []
+
+    def _process_batch_fast(self, batch: DataFrame) -> list:
+        """One-driver-action control plane for the default-report,
+        no-watermark, width%slide==0 case (r13, guide §1.2): a single tiny
+        ``groupBy(stream, gcd-slide-bucket)`` job over the marked
+        buffer∪batch union simultaneously (a) materializes the buffer's
+        lazy checkpoint, (b) yields the batch row count and the new
+        high-water marks, and (c) maintains ``self._occ`` — the surviving
+        max event time per (stream, bucket) — from which the latest closed
+        window per spec is pure driver arithmetic.
+
+        Exactness vs the general path's buffer aggregate (derivation in
+        OPTIMIZATION_r13.md): with width a multiple of slide, every event
+        of slide-bucket b witnesses exactly the closes {max(width, b+slide)
+        .. b+width}, so the bucket's best fireable close under mark H is
+        c = min(b+width, P) with P = (H//slide)*slide, valid when
+        c >= max(width, b+slide) — and all events of one bucket fall on
+        the same side of P, so the bucket-level max equals the event-level
+        max. Eviction is mimicked exactly: a bucket stays occupied iff its
+        newest event survives the horizon, and the physical buffer applies
+        the same horizon filter on read (the checkpoint itself persists
+        one batch behind the horizon, which no reader can observe — every
+        content filter runs on the filtered view)."""
+        g = self._gcd
+        old = self.buffer.withColumn("__new", F.lit(False))
+        ckpt = old.unionByName(
+            batch.withColumn("__new", F.lit(True))
+        ).localCheckpoint(eager=False)
+        self.buffer = ckpt.drop("__new")
+        _t0 = perf_counter()
+        bucket = (
+            F.col("event_time") - F.pmod(F.col("event_time"), F.lit(g))
+        ).cast("long")
+        rows = (
+            ckpt.groupBy(F.col("stream").alias("__s"), bucket.alias("__b"))
+            .agg(
+                F.max("event_time").alias("__mx"),
+                F.count(F.when(F.col("__new"), F.lit(1))).alias("__nn"),
+            )
+            .collect()
+        )
+        _phase("control", _t0)
+        if sum(r["__nn"] for r in rows) == 0:
+            return []
+        # marks: old buffer rows are <= the stored hwm by construction, so
+        # the union max IS the running max; same per stream
+        self.hwm = max([self.hwm] + [int(r["__mx"]) for r in rows])
+        if self.per_stream_hwm:
+            for r in rows:
+                cur = self._stream_hwm.get(r["__s"], -1)
+                if int(r["__mx"]) > cur:
+                    self._stream_hwm[r["__s"]] = int(r["__mx"])
+        for r in rows:
+            k = (r["__s"], int(r["__b"]))
+            if self._occ.get(k, -1) < int(r["__mx"]):
+                self._occ[k] = int(r["__mx"])
+        horizon = min(
+            self._hwm_for(w) - (w.width + w.slide) for w in self.query.windows
+        )
+        self._occ = {k: v for k, v in self._occ.items() if v > horizon}
+        self.buffer = self.buffer.filter(F.col("event_time") > F.lit(horizon))
+
+        pre_flush = self._timeout_preflush()
+        all_w = {w.iri for w in self.query.windows}
+        fired: set[str] = set()
+        for w in self.query.windows:
+            H = self._hwm_for(w)
+            if H < w.width:
+                continue
+            P = (H // w.slide) * w.slide
+            best = None
+            for (s, b), _mx in self._occ.items():
+                if w.stream is not None and s != w.stream:
+                    continue
+                bj = b - (b % w.slide)
+                c = min(bj + w.width, P)
+                if c >= max(w.width, bj + w.slide) and (
+                    best is None or c > best
+                ):
+                    best = c
+            if best is None or best <= self._fired_until.get(w.iri, -1):
+                continue
+            close = int(best)
+            open_ = close - w.width
+            self._fired_until[w.iri] = close
+            fired.add(w.iri)
+            stream_events = (
+                self.buffer
+                if w.stream is None
+                else self.buffer.filter(F.col("stream") == w.stream)
+            )
             content = stream_events.filter(
                 (F.col("event_time") >= open_) & (F.col("event_time") < close)
             ).select("s", "p", "o")
@@ -417,12 +567,15 @@ class StructuredRSP:
         return []
 
     def _eval_window(self, w, content: DataFrame) -> Bindings:
+        _t0 = perf_counter()
         store = QuadStore(
             self.spark,
             quads=content.withColumn("g", F.lit(None).cast("string")),
         )
         compiler = Compiler(store)
-        return compiler.compile_group(w.group, DatasetView(store, [], []), None)
+        out = compiler.compile_group(w.group, DatasetView(store, [], []), None)
+        _phase("eval", _t0)
+        return out
 
     def _emit(self) -> list:
         joined: Bindings | None = None
@@ -446,43 +599,66 @@ class StructuredRSP:
                     for k in keep
                 ]
             )
-        df = df.dropDuplicates()
         op = self.query.operator
-        if op in ("ISTREAM", "DSTREAM"):
-            # the emission set doubles as the next R2S state (consumed by
-            # the anti-join AND stored), so checkpoint it once;  RSTREAM
-            # consumes it exactly once (sink/collect) — a checkpoint there
-            # would compute every row twice for nothing (r12, guide §5).
-            # LAZY (r12): the very next action — this emission's anti-join
-            # sink/collect, or the successor emission for the first
-            # DSTREAM (whose own out_df is a fresh empty frame) — computes
-            # these partitions anyway and persists them as a side effect;
-            # eager=True paid a dedicated blocking job per emission purely
-            # to front-run that.
-            df = df.localCheckpoint(eager=False)
         if op == "RSTREAM":
-            out_df = df
-        elif op == "ISTREAM":
-            out_df = (
-                df
-                if self._r2s_state is None
-                else df.join(self._r2s_state, on=list(df.columns), how="left_anti")
-            )
-        else:  # DSTREAM
-            out_df = (
-                self.spark.createDataFrame([], df.schema)
-                if self._r2s_state is None
-                else self._r2s_state.join(df, on=list(df.columns), how="left_anti")
-            )
-        if op in ("ISTREAM", "DSTREAM"):
+            out_df = df.dropDuplicates()
+        else:  # ISTREAM / DSTREAM
+            # r13 (guide §2.4): the R2S diff used to run as dropDuplicates
+            # (one exchange) -> localCheckpoint -> anti-join against the
+            # state checkpoint (two MORE exchanges, because a checkpoint
+            # scan reports UnknownPartitioning so ENSURE_REQUIREMENTS
+            # re-shuffles both sides).  Set-dedup and set-diff are ONE
+            # aggregation: tag new rows and state rows, union, group by
+            # the binding columns, and read membership off two max()
+            # flags — a single exchange computes dedup AND diff for
+            # either operator.  The state rides as the RAW (pre-dedup)
+            # binding checkpoint; the map-side partial aggregation
+            # collapses its duplicates before the exchange, so re-deduping
+            # it per emission costs no extra shuffle bytes.
+            # LAZY checkpoint (r12, guide §5): this emission's sink/
+            # collect consumes every partition of `df` through the union-
+            # aggregate (or through dropDuplicates on the first ISTREAM
+            # emission); the first DSTREAM emission is an empty frame and
+            # leaves `df` unmaterialized until the successor emission
+            # reads it as state — same as before.
+            df = df.localCheckpoint(eager=False)
+            if self._r2s_state is None:
+                out_df = (
+                    df.dropDuplicates()
+                    if op == "ISTREAM"
+                    else self.spark.createDataFrame([], df.schema)
+                )
+            else:
+                cols = list(df.columns)
+                tagged = df.select(
+                    *cols, F.lit(True).alias("__new")
+                ).unionByName(
+                    self._r2s_state.select(*cols, F.lit(False).alias("__new"))
+                )
+                flags = tagged.groupBy(*cols).agg(
+                    F.max("__new").alias("__hn"),
+                    F.min("__new").alias("__mn"),
+                )
+                # a group's rows are all-new (never in state), all-old
+                # (deleted), or mixed (present in both): ISTREAM emits
+                # the all-new groups, DSTREAM the all-old ones
+                keep = (
+                    (F.col("__hn") & F.col("__mn"))
+                    if op == "ISTREAM"
+                    else (~F.col("__hn") & ~F.col("__mn"))
+                )
+                out_df = flags.filter(keep).select(*cols)
             self._r2s_state = df
+        _t0 = perf_counter()
         if self.sink is not None:
             # scale path: hand the emission DataFrame to the sink inside
             # the batch — no driver-side materialization of result rows
             self.sink(out_df)
+            _phase("emit", _t0)
             return []
         rows = [sorted(r.asDict().items()) for r in out_df.collect()]
         self.emissions.extend(rows)
+        _phase("emit", _t0)
         return rows
 
     # -------------------------------------------------------------- driving

@@ -959,3 +959,89 @@ def test_per_stream_hwm_holds_stalled_stream_window(spark):
     for ts, rows in timeline():
         out_global.extend(q_global.process_batch(events_df(spark, rows)))
     assert sorted(map(tuple, out_global)) != faithful
+
+
+def test_fast_control_plane_matches_general_path(spark):
+    """r13 differential pin: the one-job fast control plane (driver-side
+    occupied-bucket close arithmetic + lazy-horizon checkpoint) must
+    reproduce the general path's emissions AND firing trace exactly —
+    including high-water-mark jumps larger than width+slide (where
+    eviction can silently retire a never-fired window) and empty
+    micro-batches."""
+    import random
+
+    from kolibrie_spark.streaming.structured import compile_structured
+
+    queries = [
+        # sliding, STEP < RANGE
+        (
+            "REGISTER ISTREAM <out> AS SELECT * "
+            "FROM NAMED WINDOW :w ON :ev [RANGE 20 STEP 5] "
+            "WHERE { WINDOW :w { ?u <t> ?t } }",
+            ("WAIT",),
+        ),
+        # two tumbling windows, STEAL coordination
+        (
+            "REGISTER RSTREAM <out> AS SELECT * "
+            "FROM NAMED WINDOW :w1 ON :ev [RANGE 10 STEP 10] "
+            "FROM NAMED WINDOW :w2 ON :ev [RANGE 15 STEP 15] "
+            "WHERE { WINDOW :w1 { ?u <t> ?t } WINDOW :w2 { ?u <t> ?t } }",
+            ("STEAL",),
+        ),
+    ]
+    rng = random.Random(7)
+    for qtext, policy in queries:
+        for trial in range(2):
+            t, rows = 0, []
+            for _ in range(25):
+                # gap 40 > width+slide: forces the eviction-retires-window
+                # edge where the buffer aggregate would see nothing
+                t += rng.choice([1, 2, 3, 5, 40])
+                rows.append(
+                    (
+                        f"u{rng.randint(0, 4)}",
+                        "t",
+                        f"x{rng.randint(0, 2)}",
+                        "ev",
+                        t,
+                    )
+                )
+            df = events_df(spark, rows)
+            got = []
+            for fast in (True, False):
+                q = compile_structured(spark, qtext, sync_policy=policy)
+                q._fast = fast
+                res = q.run_events_df(df, batch_seconds=7)
+                got.append((res, dict(q._fired_until)))
+            assert got[0] == got[1], f"fast!=general for {qtext} trial {trial}"
+
+
+def test_fast_control_plane_per_stream_hwm_parity(spark):
+    """Same differential under per_stream_hwm=True with one stalled
+    stream: the fast path's per-(stream,bucket) marks must hold a stalled
+    stream's window exactly like the general path."""
+    from kolibrie_spark.streaming.structured import compile_structured
+
+    qtext = (
+        "REGISTER RSTREAM <out> AS SELECT * "
+        "FROM NAMED WINDOW :w1 ON :a [RANGE 10 STEP 10] "
+        "FROM NAMED WINDOW :w2 ON :b [RANGE 10 STEP 10] "
+        "WHERE { WINDOW :w1 { ?u <t> ?t } WINDOW :w2 { ?u <t> ?t } }"
+    )
+    rows = [
+        ("u1", "t", "x", "a", 2),
+        ("u1", "t", "x", "b", 3),
+        ("u2", "t", "x", "a", 12),   # stream b stalls: its window must hold
+        ("u1", "t", "x", "a", 23),
+        ("u1", "t", "x", "b", 24),
+    ]
+    df = events_df(spark, rows)
+    got = []
+    for fast in (True, False):
+        q = compile_structured(
+            spark, qtext, sync_policy=("STEAL",), per_stream_hwm=True
+        )
+        q._fast = fast
+        res = q.run_events_df(df, batch_seconds=5)
+        got.append((res, dict(q._fired_until)))
+    assert got[0] == got[1]
