@@ -1208,3 +1208,53 @@ def test_load_table_parallel_opt_out(spark, tmp_path):
     # must not introduce any exchange of its own
     assert "roundrobinpartitioning" in spread._jdf.queryExecution().executedPlan().toString().lower()
     assert "roundrobinpartitioning" not in lean._jdf.queryExecution().executedPlan().toString().lower()
+
+
+def test_containment_prefix_equals_bruteforce(spark):
+    """r13 pin for the containment-prefix candidate variant (VERDICT r12
+    task #3): containment_pairs (prefix-filtered) must equal a brute-force
+    all-pairs containment over the same shingle sets, across thresholds —
+    including subset pairs where the contained doc is tiny relative to its
+    container (no size filter may prune them)."""
+    import itertools
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = []
+    for i in range(14):
+        k = rng.randint(1, 9)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(k + 2)))
+    # a tiny doc wholly contained in a giant one
+    texts.append("a b c d")
+    texts.append("a b c d " + " ".join(rng.choice(vocab) for _ in range(40)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n = 2
+
+    def shingles(t):
+        w = t.split()
+        if len(w) < n:
+            return set()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    from kolibrie_spark.operators.dedup import containment_pairs
+
+    for thr in (0.5, 0.8, 1.0):
+        want = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            A, B = sets[a], sets[b]
+            if not A or not B:
+                continue
+            c = len(A & B) / min(len(A), len(B))
+            if c >= thr:
+                want.add((a, b, round(c, 12)))
+        got = {
+            (r.id_a, r.id_b, round(r.containment, 12))
+            for r in containment_pairs(
+                df, "doc_id", "text", n=n, threshold=thr
+            ).collect()
+        }
+        assert got == want, f"threshold {thr}: {got ^ want}"
