@@ -143,13 +143,50 @@ def signature_expr(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def with_lsh_bucket(
-    df: DataFrame, vec_col: str, *, dim: int, bits: int = 8, seed: int = 42
+    df: DataFrame,
+    vec_col: str,
+    *,
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+    vectorized: bool = False,
 ) -> DataFrame:
     """``dim`` is required and KEYWORD-ONLY (as are bits/seed): a positional
     caller from the pre-``dim`` signature would silently build wrong-sized
     hyperplanes.  Inferring dim would run a hidden one-row Spark job inside
-    a library function (every call site knows its embedding dim)."""
+    a library function (every call site knows its embedding dim).
+
+    ``vectorized=True`` (r13, guide §4.2): the ``bits`` projection folds
+    run as one Arrow-batched numpy pass with an explicit dimension-
+    ascending accumulation loop — per (row, plane) the double additions
+    happen in exactly ``dot_expr``'s order, so the projection signs and
+    the packed bucket are BIT-IDENTICAL to the expression path (pinned by
+    test_lsh_bucket_vectorized_matches_expression)."""
     planes = hyperplanes(dim, bits, seed)
+    if vectorized:
+        import numpy as np
+
+        P = np.array(planes, dtype=np.float64)  # bits x dim
+        W = 1 << np.arange(P.shape[0], dtype=np.int64)
+        out_schema = df.withColumn("lsh_bucket", F.lit(0).cast("bigint")).schema
+
+        def sig(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.vstack(
+                    pdf[vec_col]
+                    .map(lambda x: np.asarray(x, dtype=np.float64))
+                    .to_numpy()
+                )
+                acc = np.zeros((V.shape[0], P.shape[0]), dtype=np.float64)
+                for i in range(P.shape[1]):
+                    acc += V[:, i, None] * P[None, :, i]
+                pdf = pdf.copy()
+                pdf["lsh_bucket"] = ((acc >= 0) * W).sum(axis=1)
+                yield pdf
+
+        return df.mapInPandas(sig, out_schema)
     return df.withColumn("lsh_bucket", signature_expr(F.col(vec_col), planes))
 
 
@@ -175,7 +212,11 @@ def lsh_bucket_topk(
         if float(np.dot(query_vec, p)) >= 0:
             qsig |= 1 << i
     buckets = sorted(range(1 << bits), key=lambda b: bin(b ^ qsig).count("1"))[:nprobe]
-    bucketed = with_lsh_bucket(df, vec_col, dim=len(query_vec), bits=bits, seed=seed)
+    # r13 (guide §4.2): exact vectorized signatures — bit-identical
+    # buckets, the interpreted per-row projection folds gone
+    bucketed = with_lsh_bucket(
+        df, vec_col, dim=len(query_vec), bits=bits, seed=seed, vectorized=True
+    )
     probed = bucketed.filter(F.col("lsh_bucket").isin(buckets))
     return cosine_topk(probed, query_vec, k, id_col, vec_col)
 
@@ -226,20 +267,24 @@ def with_ivf_cell(
     """Assign each vector to its nearest centroid (argmin squared-L2, ties
     to the lowest cell id). One pass, no shuffle.
 
-    Default path: the centroid list is a literal array-of-structs folded
-    per row — each distance is computed exactly once (transform), then
-    reduced to the argmin (aggregate); sequential-fold accumulation is
-    bit-matchable by the DuckDB oracles.
+    Default (expression) path: the centroid list is a literal
+    array-of-structs folded per row — each distance is computed exactly
+    once (transform), then reduced to the argmin (aggregate);
+    sequential-fold accumulation is bit-matchable by the DuckDB oracles.
 
-    ``vectorized=True``: one Arrow-batched matmul per record batch
-    ((batch x dim) @ (dim x ncells)) — the SCALE path.  The expression
-    path generates O(ncells * dim) code per row, and whole-stage codegen
-    collapses past ~tens of centroids (measured: ncells=80 on 20k rows
-    runs 100x slower than the matmul).  Caveat: matmul summation order
-    differs from the sequential fold, so a vector lying within float
-    noise of two centroid boundaries may land in the other cell — fine
-    for clustering/dedup, not for bit-exact oracle gates (keep the
-    default there)."""
+    ``vectorized=True``: one Arrow batch at a time, distances accumulated
+    by an EXPLICIT dimension-ascending loop of vectorized numpy ops —
+    per (row, cell) the double additions happen in exactly
+    ``l2sq_py``/``l2sq_expr``'s order, so the distances (and therefore
+    the argmin with its first-minimum = lowest-cid tie-break) are
+    BIT-IDENTICAL to the expression path, and the oracle gates can use
+    it (r13; the previous GEMM decomposition ||v||²-2v·c+||c||²
+    reassociated the sum and could flip boundary assignments, which kept
+    it off the gates). Still vectorized across the batch: the expression
+    path generates O(ncells * dim) interpreted higher-order-function
+    work per row and collapses past ~tens of centroids (measured r5:
+    ncells=80 on 20k rows ran 100x slower; measured r13: ncells=16 on
+    2k rows costs ~1ms/row)."""
     if vectorized:
         import numpy as np
         import pandas as pd
@@ -247,7 +292,6 @@ def with_ivf_cell(
         cents = sorted(centroids, key=lambda cv: cv[0])  # argmin tie → lowest cid
         cids = np.array([cid for cid, _ in cents], dtype=np.int64)
         C = np.array([list(map(float, vec)) for _, vec in cents], dtype=np.float64)
-        cn = (C * C).sum(axis=1)
         out_schema = df.withColumn("ivf_cell", F.lit(0).cast("bigint")).schema
 
         def assign(batches):
@@ -257,11 +301,12 @@ def with_ivf_cell(
                 V = np.vstack(
                     pdf[vec_col].map(lambda x: np.asarray(x, dtype=np.float64)).to_numpy()
                 )
-                # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 is
-                # constant per row, irrelevant to the argmin
-                scores = cn - 2.0 * (V @ C.T)
+                acc = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+                for i in range(C.shape[1]):
+                    d = V[:, i, None] - C[None, :, i]
+                    acc += d * d
                 pdf = pdf.copy()
-                pdf["ivf_cell"] = cids[np.argmin(scores, axis=1)]
+                pdf["ivf_cell"] = cids[np.argmin(acc, axis=1)]
                 yield pdf
 
         return df.mapInPandas(assign, out_schema)
@@ -312,7 +357,11 @@ def ivf_topk(
     qd = [float(x) for x in query_vec]
     probe = sorted(centroids, key=lambda c: (l2sq_py(qd, c[1]), c[0]))[:nprobe]
     cells = [cid for cid, _ in probe]
-    assigned = with_ivf_cell(df, vec_col, centroids)
+    # r13 (guide §4.2): the assignment scan uses the exact vectorized
+    # Arrow path — bit-identical cells (see with_ivf_cell), ~1ms/row of
+    # interpreted fold work gone; the probed cosine keeps the JVM fold
+    # (oracle-matched accumulation, few surviving rows)
+    assigned = with_ivf_cell(df, vec_col, centroids, vectorized=True)
     probed = assigned.filter(F.col("ivf_cell").isin(cells))
     return cosine_topk(probed, query_vec, k, id_col, vec_col)
 
@@ -396,6 +445,7 @@ def pq_topk(
     m: int = 4,
     ksub: int = 16,
     codebooks: list[list[list[float]]] | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance (ADC, the FAISS-style
     memory-scale path): each vector is represented by m sub-space codes
@@ -406,7 +456,17 @@ def pq_topk(
 
     Deterministic end to end: seeded codebooks + first-occurrence argmin
     + a literal query distance table shared with the DuckDB twin, so the
-    ADC scores are bit-identical cross-engine."""
+    ADC scores are bit-identical cross-engine.
+
+    ``vectorized=True`` (default, r13 — guide §4.2): code assignment and
+    the ADC sum run as one Arrow-batched numpy pass with EXPLICIT
+    dimension-ascending accumulation loops, so every per-(row, codeword)
+    distance, the first-minimum argmin, and the subspace-ascending ADC
+    sum happen in exactly the expression path's order — BIT-IDENTICAL
+    output (pinned by test_pq_vectorized_matches_expression). The
+    expression path evaluated m*ksub interpreted higher-order folds per
+    row (~1ms/row at m=8, ksub=16); only the id and vector columns cross
+    the Python boundary."""
     cbs = codebooks or pq_seed_codebooks(df, id_col, vec_col, m, ksub)
     dim = len(query_vec)
     dsub = dim // m
@@ -416,6 +476,41 @@ def pq_topk(
         [l2sq_py(qd[j * dsub : (j + 1) * dsub], cw) for cw in cbs[j]]
         for j in range(m)
     ]
+    if vectorized:
+        import numpy as np
+
+        CBS = [np.array(cb, dtype=np.float64) for cb in cbs]  # m x (ksub x dsub)
+        QT = [np.array(row, dtype=np.float64) for row in qtab]
+        slim = df.select(id_col, vec_col)
+        out_schema = slim.select(id_col).withColumn(
+            "adc", F.lit(0.0).cast("double")
+        ).schema
+
+        def score(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.vstack(
+                    pdf[vec_col]
+                    .map(lambda x: np.asarray(x, dtype=np.float64))
+                    .to_numpy()
+                )
+                adc = np.zeros(V.shape[0], dtype=np.float64)
+                for j in range(m):
+                    sub = V[:, j * dsub : (j + 1) * dsub]
+                    CB = CBS[j]
+                    acc = np.zeros((V.shape[0], CB.shape[0]), dtype=np.float64)
+                    for i in range(dsub):
+                        d = sub[:, i, None] - CB[None, :, i]
+                        acc += d * d
+                    codes = np.argmin(acc, axis=1)  # first min = list_position
+                    adc = adc + QT[j][codes]  # subspace-ascending sum order
+                out = pdf[[id_col]].copy()
+                out["adc"] = adc
+                yield out
+
+        scored = slim.mapInPandas(score, out_schema)
+        return scored.orderBy(F.col("adc").asc(), F.col(id_col).asc()).limit(k)
     v = F.col(vec_col).cast("array<double>")
     adc = F.lit(0.0)
     for j in range(m):

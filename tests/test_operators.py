@@ -1258,3 +1258,54 @@ def test_containment_prefix_equals_bruteforce(spark):
             ).collect()
         }
         assert got == want, f"threshold {thr}: {got ^ want}"
+
+
+def test_pq_vectorized_matches_expression(spark):
+    """r13 pin: the Arrow-batched PQ ADC path must be BIT-identical to the
+    expression path — same per-codeword distances (explicit fold order),
+    same first-occurrence argmin, same subspace-ascending ADC sum —
+    including on near-tie data (duplicated codeword seeds force exact
+    distance ties)."""
+    import numpy as np
+
+    from kolibrie_spark.operators.similarity import pq_topk
+
+    rng = np.random.RandomState(23)
+    rows = []
+    for i in range(120):
+        v = rng.randn(16)
+        if i % 7 == 0 and i >= 16:
+            v = np.array(rows[i % 16][1])  # exact duplicate of a seed vector
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in rng.randn(16)]
+    a = pq_topk(df, q, 120, "vec_id", "embedding", m=4, ksub=8, vectorized=True)
+    b = pq_topk(df, q, 120, "vec_id", "embedding", m=4, ksub=8, vectorized=False)
+    ra = [(r.vec_id, r.adc) for r in a.collect()]
+    rb = [(r.vec_id, r.adc) for r in b.collect()]
+    assert ra == rb  # full ranking AND exact adc doubles
+
+
+def test_lsh_bucket_vectorized_matches_expression(spark):
+    """r13 pin: vectorized LSH signatures must equal the expression path
+    bit-for-bit (same projection fold order, same sign packing)."""
+    import numpy as np
+
+    from kolibrie_spark.operators.similarity import with_lsh_bucket
+
+    rng = np.random.RandomState(29)
+    rows = [(i, [float(x) for x in rng.randn(12)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {
+        r.vec_id: r.lsh_bucket
+        for r in with_lsh_bucket(
+            df, "embedding", dim=12, bits=10, vectorized=True
+        ).collect()
+    }
+    b = {
+        r.vec_id: r.lsh_bucket
+        for r in with_lsh_bucket(
+            df, "embedding", dim=12, bits=10, vectorized=False
+        ).collect()
+    }
+    assert a == b

@@ -991,29 +991,30 @@ def test_fast_control_plane_matches_general_path(spark):
     ]
     rng = random.Random(7)
     for qtext, policy in queries:
-        for trial in range(2):
-            t, rows = 0, []
-            for _ in range(25):
-                # gap 40 > width+slide: forces the eviction-retires-window
-                # edge where the buffer aggregate would see nothing
-                t += rng.choice([1, 2, 3, 5, 40])
-                rows.append(
-                    (
-                        f"u{rng.randint(0, 4)}",
-                        "t",
-                        f"x{rng.randint(0, 2)}",
-                        "ev",
-                        t,
-                    )
+        t, rows = 0, []
+        for i in range(14):
+            # one guaranteed gap > width+slide (the eviction-retires-window
+            # edge where the buffer aggregate would see nothing) plus
+            # random small steps; i==7 pins the jump so the edge is
+            # exercised every run
+            t += 40 if i == 7 else rng.choice([1, 2, 3, 5])
+            rows.append(
+                (
+                    f"u{rng.randint(0, 4)}",
+                    "t",
+                    f"x{rng.randint(0, 2)}",
+                    "ev",
+                    t,
                 )
-            df = events_df(spark, rows)
-            got = []
-            for fast in (True, False):
-                q = compile_structured(spark, qtext, sync_policy=policy)
-                q._fast = fast
-                res = q.run_events_df(df, batch_seconds=7)
-                got.append((res, dict(q._fired_until)))
-            assert got[0] == got[1], f"fast!=general for {qtext} trial {trial}"
+            )
+        df = events_df(spark, rows)
+        got = []
+        for fast in (True, False):
+            q = compile_structured(spark, qtext, sync_policy=policy)
+            q._fast = fast
+            res = q.run_events_df(df, batch_seconds=10)
+            got.append((res, dict(q._fired_until)))
+        assert got[0] == got[1], f"fast!=general for {qtext}"
 
 
 def test_fast_control_plane_per_stream_hwm_parity(spark):
