@@ -3060,8 +3060,14 @@ def _q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .filter("doc_id < 200")
-        # per-row Python decode work: spread a single-file read
-        .repartition(spark.sparkContext.defaultParallelism)
+        # per-row Python decode work: spread the single-file read, capped
+        # at 8 tasks (r13 media adjudication, guide §4.5) — every extra
+        # partition claims an Arrow worker whose first use pays
+        # fork+module imports, and on these few-hundred-row ~1ms/row
+        # fixtures the 32-task pool spin-up dominated the compute ~3:1
+        # (first-call 5.4s vs 1.9s steady; the scalar-pandas pool has its
+        # own reuse key and gets idle-reaped between gates)
+        .repartition(min(spark.sparkContext.defaultParallelism, 8))
     )
 
     def make(batches):
@@ -3150,8 +3156,14 @@ def _q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .filter("doc_id < 300")
-        # per-row Python decode work: spread a single-file read
-        .repartition(spark.sparkContext.defaultParallelism)
+        # per-row Python decode work: spread the single-file read, capped
+        # at 8 tasks (r13 media adjudication, guide §4.5) — every extra
+        # partition claims an Arrow worker whose first use pays
+        # fork+module imports, and on these few-hundred-row ~1ms/row
+        # fixtures the 32-task pool spin-up dominated the compute ~3:1
+        # (first-call 5.4s vs 1.9s steady; the scalar-pandas pool has its
+        # own reuse key and gets idle-reaped between gates)
+        .repartition(min(spark.sparkContext.defaultParallelism, 8))
     )
 
     def make(batches):
@@ -3218,8 +3230,14 @@ def _q_multimodal_frame_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .filter("doc_id < 120")
-        # per-row Python decode work: spread a single-file read
-        .repartition(spark.sparkContext.defaultParallelism)
+        # per-row Python decode work: spread the single-file read, capped
+        # at 8 tasks (r13 media adjudication, guide §4.5) — every extra
+        # partition claims an Arrow worker whose first use pays
+        # fork+module imports, and on these few-hundred-row ~1ms/row
+        # fixtures the 32-task pool spin-up dominated the compute ~3:1
+        # (first-call 5.4s vs 1.9s steady; the scalar-pandas pool has its
+        # own reuse key and gets idle-reaped between gates)
+        .repartition(min(spark.sparkContext.defaultParallelism, 8))
     )
 
     def make(batches):
@@ -3303,8 +3321,14 @@ def _q_media_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .filter("doc_id < 300")
-        # per-row Python decode work: spread a single-file read
-        .repartition(spark.sparkContext.defaultParallelism)
+        # per-row Python decode work: spread the single-file read, capped
+        # at 8 tasks (r13 media adjudication, guide §4.5) — every extra
+        # partition claims an Arrow worker whose first use pays
+        # fork+module imports, and on these few-hundred-row ~1ms/row
+        # fixtures the 32-task pool spin-up dominated the compute ~3:1
+        # (first-call 5.4s vs 1.9s steady; the scalar-pandas pool has its
+        # own reuse key and gets idle-reaped between gates)
+        .repartition(min(spark.sparkContext.defaultParallelism, 8))
     )
 
     def make(batches):
@@ -3350,8 +3374,14 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .filter("doc_id < 200")
-        # per-row Python decode work: spread a single-file read
-        .repartition(spark.sparkContext.defaultParallelism)
+        # per-row Python decode work: spread the single-file read, capped
+        # at 8 tasks (r13 media adjudication, guide §4.5) — every extra
+        # partition claims an Arrow worker whose first use pays
+        # fork+module imports, and on these few-hundred-row ~1ms/row
+        # fixtures the 32-task pool spin-up dominated the compute ~3:1
+        # (first-call 5.4s vs 1.9s steady; the scalar-pandas pool has its
+        # own reuse key and gets idle-reaped between gates)
+        .repartition(min(spark.sparkContext.defaultParallelism, 8))
     )
 
     def make(batches):
@@ -3563,8 +3593,14 @@ def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .filter("doc_id < 200")
-        # per-row Python decode work: spread a single-file read
-        .repartition(spark.sparkContext.defaultParallelism)
+        # per-row Python decode work: spread the single-file read, capped
+        # at 8 tasks (r13 media adjudication, guide §4.5) — every extra
+        # partition claims an Arrow worker whose first use pays
+        # fork+module imports, and on these few-hundred-row ~1ms/row
+        # fixtures the 32-task pool spin-up dominated the compute ~3:1
+        # (first-call 5.4s vs 1.9s steady; the scalar-pandas pool has its
+        # own reuse key and gets idle-reaped between gates)
+        .repartition(min(spark.sparkContext.defaultParallelism, 8))
     )
 
     def make(batches):

@@ -370,6 +370,18 @@ def _machinery_warmup(spark) -> None:
             _gmean, "id long, k long, v double"
         ).write.format("noop").mode("overwrite").save()
 
+        # scalar pandas_udf workers are a THIRD reuse key (r13 media
+        # adjudication: the simhash/phash/audio-fp gates' first call paid
+        # a fresh 32-worker spawn with numpy imports — 5.4s vs 1.9s warm —
+        # because neither mapInPandas nor applyInPandas warms this pool)
+        @F.pandas_udf("double")
+        def _sq(v):
+            import numpy as np
+
+            return v * np.float64(1.0) * v
+
+        df.select(_sq("v")).write.format("noop").mode("overwrite").save()
+
         dim = spark.range(7).selectExpr("id AS k", "CAST(id AS string) AS name")
         from pyspark.sql import Window
 
