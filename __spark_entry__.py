@@ -4265,68 +4265,81 @@ def entry(spark: SparkSession) -> DataFrame:
 # in r8 — it did not; the salted plan is the OPT-IN heavy_df_cap guard
 # and the default window plan is unchanged since r7 (VERDICT r8 #3).
 _DRIVER_FIRST = [
-    # ROUND-12 correctness window (VERDICT r11 task #3): lead with the 3
-    # gates whose latest driver row is r8 (events_anomaly_mad, events_ewma,
-    # events_path_trigrams -- judge re-checked green at sf0.01 in the r11
-    # session via tools/check_correctness.py, 3/3 pass, but stale in the
-    # driver record), then the 50 r9-rowed gates in queries() order.
-    # 53 listed / window 50, so the last ~3 overflow to r13, which then
-    # takes the r10 set.  After r12 no gate's latest driver row is older
-    # than r10 (modulo the <=3 overflow, which r13 leads with).
-    "events_anomaly_mad",
-    "events_ewma",
-    "events_path_trigrams",
-    # -- the 50 gates whose latest driver row is r9, in queries() order
-    "optional_left_join",
-    "minus_anti",
-    "filter_exists",
-    "path_seq_fk",
-    "path_plus_reach",
-    "path_star_reach",
-    "path_opt_direct",
-    "groupby_agg",
-    "agg_count",
-    "distinct_segments",
-    "order_by_desc_limit",
-    "order_numeric_lexical",
-    "offset_pagination",
-    "union_multiset",
-    "union_three_branches",
-    "bind_arithmetic",
-    "graph_default_named_join",
-    "bind_concat",
-    "values_undef",
-    "graph_fixed",
-    "graph_var",
-    "from_merge_dedup",
-    "subquery_count_join",
-    "udf_bind",
-    "update_insert_where",
-    "update_delete_where",
-    "update_insert_delete_data",
-    "rdf_star_annotate",
-    "rdf_star_builtins",
-    "dedup_exact",
+    # ROUND-13 correctness window (VERDICT r12 tasks #4/#9): lead with the
+    # r12-touched gates that have NO driver row covering their r12
+    # restructuring (CORRECTNESS_r11 ran before those changes landed;
+    # CORRECTNESS_r12's 50-gate window is disjoint from them) — the six
+    # streaming gates, reasoner_hierarchy, dedup_prefix_jaccard,
+    # split_leakage_safe, text_lm_score, mlschema_graph, dedup_semantic,
+    # embed_hard_negatives, closure_doubling, dedup_containment — then the
+    # gates whose semantics-preserving rewrites landed THIS round (prefix
+    # filtering for ngram/containment, exact vectorized sim_topk scans,
+    # media fan-out caps, streaming control plane), then the remaining
+    # gates not covered by the r11/r12 windows (latest driver row r10) in
+    # queries() order.  60 listed / window 50: the last ~10 overflow to
+    # r14, which should lead with them.
+    "streaming_istream_live",
+    "streaming_dstream_live",
+    "streaming_sliding_live",
+    "streaming_sync_live",
+    "streaming_istream_replay",
+    "streaming_dstream_replay",
+    "reasoner_hierarchy",
+    "dedup_prefix_jaccard",
+    "split_leakage_safe",
+    "text_lm_score",
+    "mlschema_graph",
+    "dedup_semantic",
+    "embed_hard_negatives",
+    "closure_doubling",
+    "dedup_containment",
+    # -- r13-touched
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_cluster",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "sim_topk_cosine",
-    "sim_topk_lsh",
+    "sim_topk_pq",
     "sim_topk_ivf",
-    "sim_topk_quantized",
-    "text_analyze",
-    "text_bm25_topk",
-    "layout_zorder",
-    "graph_pagerank",
-    "sample_dsir",
-    "events_window_agg",
-    "events_sessionize",
-    "sample_stratified",
+    "sim_topk_lsh",
+    "media_phash_pairs",
+    "media_audio_fp",
+    "media_near_dup",
+    "multimodal_frame_content",
+    "multimodal_frames",
+    "multimodal_resize",
+    # -- not covered by the r11/r12 windows (latest row r10), queries() order
+    "path_negated_set",
+    "search_hybrid_rrf",
+    "text_quality_gopher",
+    "dedup_incremental",
+    "analytics_q5",
+    "profile_rollup",
+    "audit_quality",
+    "scd2_orders",
+    "events_downsample",
+    "dedup_substring",
+    "text_strip_html",
+    "embed_contamination",
+    "sample_weighted",
+    "profile_token_budget",
+    "profile_pivot",
+    "dedup_paragraphs",
+    "sketch_kmv_distinct",
+    "profile_ks_drift",
+    "fuzzy_vocab_pairs",
+    "text_normalize",
+    "sample_domain_cap",
     "url_canonicalize",
+    "sample_token_budget",
+    "export_manifest",
     "reasoner_transitive_closure",
+    "prob_hybrid",
+    "ml_predict",
+    "multimodal_features",
+    "builder_chain",
+    "profile_winsorize",
+    "audit_snapshot_diff",
     "bpe_train_merges",
+    "graph_triangles",
+    "sketch_hll_distinct",
+    "dedup_incremental_near",
 ]
 
 
